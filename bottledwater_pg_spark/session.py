@@ -1,0 +1,86 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` but every setting here is chosen to
+also be the right default on a 1000-executor cluster reading 100 TB:
+AQE on (runtime coalescing, skew-join splitting), Arrow enabled for the
+Pandas-UDF slow path, UTC session timezone so results compare exactly
+against the DuckDB oracle, and shuffle partitions sized to cores locally
+(on a real cluster AQE's coalescing makes the static number mostly
+irrelevant).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "bottledwater_pg_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    The config mirrors what we would ship for a large cluster; only
+    ``master`` and driver memory are local-mode artifacts.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # AQE: coalesce post-shuffle partitions, split skewed joins,
+        # convert to broadcast at runtime — all essential at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow transfer for the Pandas-UDF slow path (dedup sketches,
+        # multimodal decode). Batched columnar, not per-row pickling.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp semantics vs the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Don't let tiny local test files produce one giant partition;
+        # on a cluster this is the per-task scan unit.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # The events fixture carries TIMESTAMP(NANOS) parquet columns,
+        # which Spark rejects by default; read them as long and convert
+        # in load_table (truncate to µs — same as DuckDB's read).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+# Columns stored as TIMESTAMP(NANOS) in the fixture parquet; read as
+# long ns (legacy.parquet.nanosAsLong) and truncated to µs on load,
+# matching what DuckDB's reader does.
+_NS_TIMESTAMP_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one fixture table (TESTDATA.md) as a DataFrame."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NS_TIMESTAMP_COLS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            # integer `div`, not `/1000` — float division of an ~1e18 ns
+            # value loses µs precision (double has 53 mantissa bits)
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(F.expr(f"{col} div 1000")).cast("timestamp_ntz"),
+            )
+    return df
