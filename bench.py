@@ -1,0 +1,89 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "total_wall_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side result transfer). Timing excludes Spark session startup
+(that is a fixed ~20 s JVM cost, not a query cost) but includes all
+planning, IO, shuffles, and Python-UDF work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_QUERIES = [
+    # CDC plane
+    "cdc_materialize_customer",
+    "cdc_materialize_events_composite",
+    "cdc_topic_routing_counts",
+    # relational plane
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "top3_orders_per_segment",
+    "asof_purchase_to_click",
+    # streaming ops (batch mode)
+    "windowed_event_counts",
+    "session_window_counts",
+    # LLM pipeline
+    "dedup_exact",
+    "lsh_minhash_near_dup",
+    "lsh_embedding_near_dup",
+    "ann_topk_cosine",
+    "text_stats_per_doc",
+    "multimodal_decode_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry
+    from bottledwater_pg_spark.session import get_spark
+
+    spark = get_spark("bottledwater-bench")
+    queries = entry.queries()
+
+    # Warmup pass: run every query once untimed. The first execution in
+    # a fresh JVM pays JIT compilation, codegen-compiler warmup, Python
+    # worker spawn, and OS page-cache fill — measured cold-vs-warm
+    # variance is >10x, which would swamp any real regression signal.
+    # The timed pass below measures steady-state execution.
+    for name in BENCH_QUERIES:
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Error policy — the reference's ``--on-error={exit,log}`` surface
+(X1), re-expressed for Spark.
+
+Reference semantics (/root/reference/ext/error_policy.c:29-40,
+kafka/bottledwater.c:417-436, README.md:244-281):
+
+* ``exit``: halt on the first bad row — no loss, no corruption (the
+  upstream retains the WAL, so processing can resume).
+* ``log``: skip the bad row, keep streaming — accepts loss.
+
+The canonical trigger is an oversized row: the reference's Avro encode
+buffer grows 16 KB x4 up to a hard 1 MB cap and errors beyond it
+(ext/io_util.c:3-4; spec/functional/error_handling_spec.rb:117-147
+proves a 2 MB row is skipped under ``log`` and fatal under ``exit``).
+
+Spark mapping: the guard is a filter; ``log`` keeps the good rows and
+exposes the bad ones as a side output (badRecordsPath-style), ``exit``
+forces a FAILFAST check — the plan still runs distributed, the
+validation count is the only extra action.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_RECORD_BYTES = 1_048_576  # reference: MAX_BUFFER_LENGTH, io_util.c:3-4
+
+
+class ErrorPolicy(str, Enum):
+    EXIT = "exit"
+    LOG = "log"
+
+
+class OversizedRecordError(RuntimeError):
+    """Raised under policy=exit when any record breaches the guard."""
+
+
+def oversized(col: str = "new_row", max_bytes: int = MAX_RECORD_BYTES) -> Column:
+    """A record is bad when its payload exceeds the encode cap.
+    Null payloads (tombstones, control events) always pass."""
+    return F.col(col).isNotNull() & (F.octet_length(F.col(col)) > max_bytes)
+
+
+def apply_error_policy(
+    events: DataFrame,
+    policy: ErrorPolicy | str = ErrorPolicy.LOG,
+    col: str = "new_row",
+    max_bytes: int = MAX_RECORD_BYTES,
+) -> tuple[DataFrame, DataFrame]:
+    """Split an envelope stream into (good, bad) per the policy.
+
+    ``log``: returns both; callers continue with ``good`` and may
+    persist ``bad`` as a dead-letter side output.
+    ``exit``: counting any bad record raises OversizedRecordError —
+    the count is evaluated eagerly, mirroring the reference's
+    halt-before-producing behavior.
+    """
+    is_bad = oversized(col, max_bytes)
+    bad = events.filter(is_bad)
+    good = events.filter(~is_bad)
+    policy = ErrorPolicy(policy)
+    if policy is ErrorPolicy.EXIT:
+        n_bad = bad.count()
+        if n_bad:
+            raise OversizedRecordError(
+                f"{n_bad} record(s) exceed {max_bytes} bytes "
+                f"(policy=exit; reference README.md:244-281)"
+            )
+    return good, bad

@@ -1,0 +1,147 @@
+"""Text-analysis column functions for the training-data pipeline:
+tokenization, shingling, quality metrics, fingerprinting, language-ID.
+
+All of these are built-in-function compositions (JVM-side, codegen'd) —
+no Python UDFs — so they run at full whole-stage-codegen speed over
+100 TB of documents. Each has an exactly-matching DuckDB SQL rendering
+used by the oracles (integer arithmetic and int/int double division
+only, so cross-engine results are bit-identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Deliberately small and fixed: these lists are part of the operator
+# definition (they appear verbatim in the SQL oracles too).
+STOPWORDS_EN = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
+LANG_MARKERS = {
+    "de": ["der", "die", "das", "und", "ist"],
+    "en": ["the", "and", "of", "is", "a"],
+    "es": ["el", "los", "las", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de", "shi", "zai", "he", "le"],
+}
+
+_TOKENS = "split(trim({col}), '\\\\s+')"
+_SQL_TOKENS = "string_split_regex(trim({col}), '\\s+')"
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization (the baseline tokenizer)."""
+    return F.expr(_TOKENS.format(col=col))
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles — the unit set for Jaccard/MinHash
+    dedup. Pure array functions; no explode until the caller wants one
+    row per shingle. Guarded so short docs yield an empty set
+    (``sequence(0, -k)`` would otherwise count DOWN in Spark)."""
+    t = _TOKENS.format(col=col)
+    return F.expr(
+        f"CASE WHEN size({t}) < {n} THEN array() "
+        f"ELSE array_distinct(transform(sequence(0, size({t}) - {n}), "
+        f"i -> concat_ws(' ', slice({t}, i + 1, {n})))) END"
+    )
+
+
+def sql_word_shingles(col: str = "text", n: int = 3) -> str:
+    """DuckDB rendering of :func:`word_shingles` (1-based inclusive
+    list slicing; ``range`` is empty when stop <= start)."""
+    t = _SQL_TOKENS.format(col=col)
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({t}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(({t})[i : i + {n - 1}], ' ')))"
+    )
+
+
+def stopword_count(col: str = "text") -> Column:
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    t = _TOKENS.format(col=col)
+    return F.expr(f"size(filter({t}, x -> x IN ({stoplist})))")
+
+
+def sql_stopword_count(col: str = "text") -> str:
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    t = _SQL_TOKENS.format(col=col)
+    return f"len(list_filter({t}, x -> x IN ({stoplist})))"
+
+
+def char_total_of_tokens(col: str = "text") -> Column:
+    """Sum of token lengths (for avg token length; exact int math)."""
+    t = _TOKENS.format(col=col)
+    return F.expr(
+        f"aggregate(transform({t}, x -> length(x)), 0, (acc, x) -> acc + x)"
+    )
+
+
+def sql_char_total_of_tokens(col: str = "text") -> str:
+    t = _SQL_TOKENS.format(col=col)
+    return f"list_sum(list_transform({t}, x -> length(x)))"
+
+
+def fingerprint(col: str = "text") -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized text
+    (md5 hex is bit-identical across engines)."""
+    return F.md5(F.regexp_replace(F.trim(F.col(col)), r"\s+", " ").cast("binary"))
+
+
+def sql_fingerprint(col: str = "text") -> str:
+    return f"md5(regexp_replace(trim({col}), '\\s+', ' ', 'g'))"
+
+
+def lang_scores(col: str = "text") -> dict[str, Column]:
+    """Marker-stopword vote counts per language (n-gram heuristic)."""
+    t = _TOKENS.format(col=col)
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        out[lang] = F.expr(f"size(filter({t}, x -> x IN ({lst})))")
+    return out
+
+
+def sql_lang_scores(col: str = "text") -> dict[str, str]:
+    t = _SQL_TOKENS.format(col=col)
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        out[lang] = f"len(list_filter({t}, x -> x IN ({lst})))"
+    return out
+
+
+def predicted_lang(col: str = "text") -> Column:
+    """Argmax language with deterministic alphabetical tie-break
+    (strictly-greater chain: earliest alphabetical lang wins ties)."""
+    scores = lang_scores(col)
+    langs = sorted(scores)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best
+
+
+def sql_predicted_lang(col: str = "text") -> str:
+    scores = sql_lang_scores(col)
+    langs = sorted(scores)
+    expr = f"'{langs[0]}'"
+    score_expr = scores[langs[0]]
+    for lang in langs[1:]:
+        new_expr = (
+            f"CASE WHEN {scores[lang]} > ({score_expr}) "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+        new_score = (
+            f"CASE WHEN {scores[lang]} > ({score_expr}) "
+            f"THEN {scores[lang]} ELSE ({score_expr}) END"
+        )
+        expr, score_expr = new_expr, new_score
+    return expr

@@ -1,0 +1,199 @@
+"""CDC-plane queries exposed through the driver contract: generate a
+deterministic CDC stream from a fixture table, materialize it, and
+compare against the closed-form oracle SQL over the base table.
+
+These exercise, end-to-end: snapshot phase (S1/S3), change-stream
+generation (S4), key extraction (P2), update->delete+insert rewrite
+(P5), tombstone compaction (K1 + log-compaction semantics), unkeyed
+policy (X2), topic routing (R1), and transaction markers (T1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bottledwater_pg_spark.operators.materialize import append_only, materialize
+from bottledwater_pg_spark.session import load_table
+from bottledwater_pg_spark.sources.generator import (
+    MutationSpec,
+    generate_cdc,
+    oracle_final_state_sql,
+)
+
+CUSTOMER_SPEC = MutationSpec(update_exprs={"c_acctbal": "c_acctbal + 100.0"})
+EVENTS_SPEC = MutationSpec(update_exprs={"value": "value + 1.0"})
+ORDERS_SPEC = MutationSpec(update_exprs={"o_orderstatus": "'X'"})
+
+CUSTOMER_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+EVENTS_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+ORDERS_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def customer_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return generate_cdc(
+        cust,
+        ["c_custkey"],
+        F.col("c_custkey"),
+        relid=16385,
+        table="customer",
+        spec=CUSTOMER_SPEC,
+        include_txn_markers=True,
+    )
+
+
+def cdc_materialize_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return materialize(customer_cdc(spark, sf_dir), cust.schema)
+
+
+CDC_CUSTOMER_SQL = oracle_final_state_sql(
+    "customer", ["c_custkey"], "c_custkey", CUSTOMER_COLS, CUSTOMER_SPEC
+)
+
+
+def cdc_materialize_events_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key table: (user_id, event_id) — exercises multi-column
+    key structs and PK-change on the first key column."""
+    ev = load_table(spark, sf_dir, "events")
+    stream = generate_cdc(
+        ev, ["user_id", "event_id"], F.col("event_id"), 16386, "events", EVENTS_SPEC
+    )
+    return materialize(stream, ev.schema)
+
+
+CDC_EVENTS_SQL = oracle_final_state_sql(
+    "events", ["user_id", "event_id"], "event_id", EVENTS_COLS, EVENTS_SPEC
+)
+
+
+def cdc_append_unkeyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unkeyed-table policy (X2): null keys, deletes never emitted,
+    materialization is append-only."""
+    ev = load_table(spark, sf_dir, "events")
+    stream = generate_cdc(ev, [], F.col("event_id"), 16387, "events", EVENTS_SPEC)
+    return append_only(stream, ev.schema)
+
+
+CDC_UNKEYED_SQL = """
+SELECT * FROM events
+UNION ALL
+SELECT event_id, ts, user_id, event_type, value + 1.0 AS value, props
+FROM events WHERE event_id % 5 = 0
+"""
+
+
+def cdc_topic_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic routing (R1): events from three tables interleave into one
+    stream; count DML events per (topic, op)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    stream = (
+        generate_cdc(cust, ["c_custkey"], F.col("c_custkey"), 16385, "customer",
+                     CUSTOMER_SPEC)
+        .unionByName(
+            generate_cdc(orders, ["o_orderkey"], F.col("o_orderkey"), 16388,
+                         "orders", ORDERS_SPEC)
+        )
+        .unionByName(
+            generate_cdc(ev, [], F.col("event_id"), 16387, "events", EVENTS_SPEC)
+        )
+    )
+    return (
+        stream.filter(F.col("op").isin("insert", "update", "delete"))
+        .groupBy("topic", "op")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# Closed-form event counts per topic/op (keyed tables with default mods:
+# inserts = rows + moved; updates = rows%5; deletes = moved + rows%7;
+# unkeyed: inserts = rows, updates = rows%5, no deletes).
+CDC_ROUTING_SQL = """
+WITH keyed AS (
+  SELECT 'customer' AS topic, c_custkey AS k FROM customer
+  UNION ALL
+  SELECT 'orders' AS topic, o_orderkey AS k FROM orders
+)
+SELECT topic, 'insert' AS op,
+       COUNT(*) + COUNT(*) FILTER (WHERE k % 11 = 0) AS n_events
+FROM keyed GROUP BY topic
+UNION ALL
+SELECT topic, 'update' AS op, COUNT(*) FILTER (WHERE k % 5 = 0) AS n_events
+FROM keyed GROUP BY topic
+UNION ALL
+SELECT topic, 'delete' AS op,
+       COUNT(*) FILTER (WHERE k % 11 = 0) + COUNT(*) FILTER (WHERE k % 7 = 0)
+         AS n_events
+FROM keyed GROUP BY topic
+UNION ALL
+SELECT 'events' AS topic, 'insert' AS op, COUNT(*) AS n_events FROM events
+UNION ALL
+SELECT 'events' AS topic, 'update' AS op,
+       COUNT(*) FILTER (WHERE event_id % 5 = 0) AS n_events FROM events
+"""
+
+
+def cdc_error_policy_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error policy X1 under ``log``: oversized rows are skipped, the
+    stream keeps flowing (error_handling_spec.rb:117-129 — 'Wednesday'
+    and 'Friday' arrive, the 2 MB row between them is dropped). Here
+    the guard is a 2000-byte payload cap over the documents table
+    (docs span 48-553 chars * the JSON envelope overhead, so a few
+    hundred breach a 2000-char-payload cap once doubled); the oracle is
+    the final-state SQL restricted to rows that fit."""
+    from bottledwater_pg_spark.errors import ErrorPolicy, apply_error_policy
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.col("text")).alias("text")
+    )
+    spec = MutationSpec(update_exprs={"text": "text"})
+    stream = generate_cdc(docs, ["doc_id"], F.col("doc_id"), 16389, "documents", spec)
+    good, _bad = apply_error_policy(stream, ErrorPolicy.LOG, max_bytes=2000)
+    return materialize(good, docs.schema)
+
+
+# JSON payload = {"doc_id":N,"text":"..."} -> byte length is
+# len(text) + len(digits(doc_id)) + 21 (documents are pure ASCII so
+# chars == bytes). A moved row's payload carries the SHIFTED id, whose
+# extra digits can push it over the cap — the guard applies to the
+# payload of the event that would create the surviving key.
+CDC_ERRLOG_SQL = """
+WITH doubled AS (
+  SELECT doc_id, text || text AS text FROM documents
+), final AS (
+  SELECT CASE WHEN doc_id % 11 = 0 THEN doc_id + 1000000 ELSE doc_id END
+           AS doc_id,
+         text
+  FROM doubled
+  WHERE doc_id % 7 <> 0 OR doc_id % 11 = 0
+)
+SELECT doc_id, text FROM final
+WHERE length(text) + length(CAST(doc_id AS VARCHAR)) + 21 <= 2000
+"""
+
+
+QUERIES = {
+    "cdc_materialize_customer": cdc_materialize_customer,
+    "cdc_error_policy_log": cdc_error_policy_log,
+    "cdc_materialize_events_composite": cdc_materialize_events_composite,
+    "cdc_append_unkeyed": cdc_append_unkeyed,
+    "cdc_topic_routing_counts": cdc_topic_routing_counts,
+}
+
+ORACLES = {
+    "cdc_materialize_customer": CDC_CUSTOMER_SQL,
+    "cdc_error_policy_log": CDC_ERRLOG_SQL,
+    "cdc_materialize_events_composite": CDC_EVENTS_SQL,
+    "cdc_append_unkeyed": CDC_UNKEYED_SQL,
+    "cdc_topic_routing_counts": CDC_ROUTING_SQL,
+}

@@ -1,0 +1,330 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine
+near-dup.
+
+Scale design. Exact dedup is a single hash aggregation. The brute
+Jaccard join is quadratic in documents sharing a shingle — correct and
+fine as the *oracle baseline*, but the 100 TB path is MinHash+LSH:
+signatures are one aggregation over exploded shingles, banding turns
+near-dup search into an equi-join on (band, signature) buckets, and
+only bucket-mates are verified exactly. SimHash gives the complementary
+bit-sketch with banded Hamming blocking. All sketch math uses Spark's
+built-in ``xxhash64``/bit functions — JVM codegen, no Python.
+
+References: the reference system has no dedup (it is a CDC pipe);
+these implement the north-star consumer-side surface (SURVEY §2.2).
+MinHash-LSH follows the standard construction from Broder (1997) /
+Leskovec-Rajaraman-Ullman ch.3; SimHash follows Charikar (2002).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bottledwater_pg_spark.functions.text import fingerprint, word_shingles
+from bottledwater_pg_spark.functions.vectors import cosine
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    """Exact dedup on normalized-text fingerprint: one hash aggregation
+    (map-side partial agg; single shuffle on the fingerprint)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3) -> DataFrame:
+    """One row per (doc, distinct shingle)."""
+    return df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(df: DataFrame, threshold: float, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold (exact, no sketching).
+
+    Quadratic in per-shingle document frequency — this is the oracle
+    baseline; use :func:`minhash_lsh_pairs` at scale.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.sid") < F.col("b.sid"))
+        .groupBy(F.col("a.sid").alias("a_id"), F.col("b.sid").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"sid": "a_id", "sz": "sz_a"}), "a_id")
+        .join(sizes.withColumnsRenamed({"sid": "b_id", "sz": "sz_b"}), "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# -------------------------------------------------------- MinHash + LSH
+
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
+
+
+def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the hash family
+    h_i(x) = (a_i * x + b_i) mod p over x in [0, p)."""
+    rng = random.Random(20240807)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(df: DataFrame, num_hashes: int = 32,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: ONE aggregation over exploded
+    shingles computing all ``num_hashes`` minima at once (map-side
+    combine keeps the shuffle at |docs| x num_hashes)."""
+    params = _minhash_params(num_hashes)
+    sh = shingle_table(df, id_col, text_col, n).withColumn(
+        # base shingle hash folded into [0, p)
+        "hx",
+        F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_PRIME)),
+    )
+    mins = [
+        F.min(F.pmod(F.lit(a) * F.col("hx") + F.lit(b), F.lit(MINHASH_PRIME))).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(params)
+    ]
+    return sh.groupBy("sid").agg(*mins)
+
+
+def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
+                      threshold: float = 0.6, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH + exact Jaccard verify.
+
+    rows-per-band = num_hashes/bands; candidate pairs are an equi-join
+    on (band, band-signature) — no quadratic all-pairs pass. Candidates
+    are then verified with exact Jaccard (computed only for candidates,
+    via a semi-join on the shingle table).
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, id_col, text_col, n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh{bi * rows + r}") for r in range(rows)]
+                ).alias("bsig"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select("sid", F.explode(band_structs).alias("bs")).select(
+        "sid", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
+    )
+    candidates = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bsig"])
+        .filter(F.col("a.sid") < F.col("b.sid"))
+        .select(F.col("a.sid").alias("a_id"), F.col("b.sid").alias("b_id"))
+        .distinct()
+    )
+    # exact verify on candidates only
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
+    inter = (
+        candidates.join(sh.alias("a"), F.col("a.sid") == F.col("a_id"))
+        .join(
+            sh.alias("b"),
+            (F.col("b.sid") == F.col("b_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"sid": "a_id", "sz": "sz_a"}), "a_id")
+        .join(sizes.withColumnsRenamed({"sid": "b_id", "sz": "sz_b"}), "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    """Charikar SimHash over token counts: for each bit, sum +count when
+    the token hash has the bit set else -count; bit = sign. One
+    aggregation; all bit math in built-in functions."""
+    toks = df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    counted = toks.groupBy("sid", "tok").agg(F.count("*").alias("cnt"))
+    hashed = counted.withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(h >> {i}) & 1") == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy("sid").agg(*bit_sums)
+    sim = sum(
+        (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        for i in range(SIMHASH_BITS)
+    )
+    return agg.select("sid", sim.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 6,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       bands: int = 4) -> DataFrame:
+    """Near-dup candidates by banded SimHash blocking (pairs agreeing on
+    at least one 8-bit band), verified by exact Hamming distance."""
+    width = SIMHASH_BITS // bands
+    sig = simhash(df, id_col, text_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.expr(
+                    f"(simhash >> {bi * width}) & {(1 << width) - 1}"
+                ).alias("bval"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select("sid", "simhash", F.explode(band_structs).alias("bs")).select(
+        "sid", "simhash", F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval")
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bval"])
+        .filter(F.col("a.sid") < F.col("b.sid"))
+        .select(
+            F.col("a.sid").alias("a_id"),
+            F.col("b.sid").alias("b_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ----------------------------------------------- embedding-cosine dedup
+
+
+def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.99,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """All-pairs embedding cosine >= threshold (exact baseline; use
+    :func:`hyperplane_lsh_near_dup` at scale)."""
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )
+
+
+def hyperplane_signature(df: DataFrame, num_bits: int = 16,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding"):
+    """Sign-random-projection (SRP) bit signature. The hyperplanes are
+    pseudo-random ±1 vectors derived per (bit, dim) from xxhash64 —
+    deterministic, shipped as an expression, no driver-side matrix."""
+    bit_exprs = []
+    for i in range(num_bits):
+        # s_i(v) = sum_j sign_ij * v_j with sign from hash(i, j)
+        proj = (
+            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
+            f"(x, j) -> CAST(x AS DOUBLE) * "
+            f"(CASE WHEN pmod(xxhash64({i}, j), 2) = 0 THEN 1.0 ELSE -1.0 END)), "
+            f"0.0D, (acc, v) -> acc + v)"
+        )
+        bit_exprs.append(f"(CASE WHEN {proj} > 0 THEN {1 << i} ELSE 0 END)")
+    sig = " + ".join(bit_exprs)
+    return df.select(
+        F.col(id_col).alias("sid"),
+        F.col(vec_col).alias("vec"),
+        F.expr(f"CAST({sig} AS BIGINT)").alias("srp"),
+    )
+
+
+def hyperplane_lsh_near_dup(df: DataFrame, threshold: float = 0.99,
+                            num_bits: int = 16, bands: int = 4,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Scale path for embedding near-dup: SRP-LSH banding blocks
+    candidates (high-cosine vectors agree on most sign bits), then the
+    exact quantized cosine verifies. Linear in data + bucket joins."""
+    width = num_bits // bands
+    sig = hyperplane_signature(df, num_bits, id_col, vec_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.expr(f"(srp >> {bi * width}) & {(1 << width) - 1}").alias("bval"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select("sid", "vec", F.explode(band_structs).alias("bs")).select(
+        "sid", "vec", F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval")
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bval"])
+        .filter(F.col("a.sid") < F.col("b.sid"))
+        .select(
+            F.col("a.sid").alias("a_id"),
+            F.col("b.sid").alias("b_id"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )

@@ -1,0 +1,363 @@
+"""LLM-training-data pipeline queries exposed through the driver
+contract: dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+embedding-cosine), similarity search (brute-force + LSH ANN), text
+analysis, and multimodal plumbing.
+
+Duplicate-injection: the synthetic documents/embeddings tables contain
+no duplicates, so each dedup query unions the base table with a
+deterministic modified copy (exact copy, near copy with appended
+tokens, copied vectors) — both the Spark plan and the SQL oracle build
+the same corpus, so the found pairs are checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bottledwater_pg_spark.functions.text import (
+    char_total_of_tokens,
+    fingerprint,
+    predicted_lang,
+    sql_char_total_of_tokens,
+    sql_fingerprint,
+    sql_predicted_lang,
+    sql_stopword_count,
+    sql_word_shingles,
+    stopword_count,
+    token_count,
+)
+from bottledwater_pg_spark.operators import dedup, multimodal, similarity
+from bottledwater_pg_spark.session import load_table
+
+EXACT_COPY_MOD = 3
+NEAR_COPY_MOD = 10
+NEAR_SUFFIX = " xqz1 xqz2 xqz3"
+JACCARD_THRESHOLD = 0.8
+COSINE_THRESHOLD = 0.99
+
+
+# ------------------------------------------------------ corpus builders
+
+
+def docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % EXACT_COPY_MOD == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+DOCS_EXACT_CTE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text
+  FROM documents WHERE doc_id % {EXACT_COPY_MOD} = 0
+)
+"""
+
+
+def docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % NEAR_COPY_MOD == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
+    )
+    return docs.unionByName(copies)
+
+
+DOCS_NEAR_CTE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || '{NEAR_SUFFIX}' AS text
+  FROM documents WHERE doc_id % {NEAR_COPY_MOD} = 0
+)
+"""
+
+
+def embeddings_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") % NEAR_COPY_MOD == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return emb.unionByName(copies)
+
+
+EMB_CTE = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % {NEAR_COPY_MOD} = 0
+)
+"""
+
+# shared SQL fragment: exact Jaccard pairs over the near-dup corpus
+_SHINGLES = sql_word_shingles("text", 3)
+JACCARD_PAIRS_SQL = f"""
+, sh AS (
+  SELECT doc_id AS sid, unnest({_SHINGLES}) AS shingle FROM corpus
+),
+sizes AS (SELECT sid, COUNT(*) AS sz FROM sh GROUP BY sid),
+inter AS (
+  SELECT a.sid AS a_id, b.sid AS b_id, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+  GROUP BY a.sid, b.sid
+)
+SELECT a_id, b_id,
+       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.sid = a_id
+JOIN sizes sb ON sb.sid = b_id
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------- queries
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(docs_with_exact_dups(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = (
+    DOCS_EXACT_CTE
+    + f"""
+SELECT {sql_fingerprint("text")} AS fp,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM corpus
+GROUP BY 1
+"""
+)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(
+        docs_with_near_dups(spark, sf_dir), JACCARD_THRESHOLD
+    )
+
+
+DEDUP_JACCARD_SQL = DOCS_NEAR_CTE + JACCARD_PAIRS_SQL
+
+
+def lsh_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup (the scale path). 16 bands x 2 rows gives
+    candidate-recall ~1-8e-8 at J=0.8, and candidates are verified with
+    exact Jaccard — so on this corpus it provably returns the same
+    pairs as the brute-force oracle."""
+    return dedup.minhash_lsh_pairs(
+        docs_with_near_dups(spark, sf_dir),
+        num_hashes=32,
+        bands=16,
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def lsh_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup. No SQL oracle: the signature depends on
+    xxhash64, which DuckDB does not implement — driver does the
+    rows-only check; tests/test_llm_ops.py asserts the semantics."""
+    return dedup.simhash_near_pairs(docs_with_near_dups(spark, sf_dir))
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(
+        embeddings_with_dups(spark, sf_dir), COSINE_THRESHOLD
+    )
+
+
+from bottledwater_pg_spark.functions.vectors import sql_cosine  # noqa: E402
+
+EMB_COS_SQL = (
+    EMB_CTE
+    + f"""
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {sql_cosine("a.embedding", "b.embedding")} AS cos
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE {sql_cosine("a.embedding", "b.embedding")} >= {COSINE_THRESHOLD}
+"""
+)
+
+
+def lsh_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH blocked embedding near-dup. Identical vectors share all
+    signature bands, so at threshold 0.99 (only injected exact copies
+    qualify) recall is exactly 1 and the brute-force oracle applies."""
+    return dedup.hyperplane_lsh_near_dup(
+        embeddings_with_dups(spark, sf_dir), COSINE_THRESHOLD
+    )
+
+
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.topk_bruteforce(emb, queries, k=5)
+
+
+ANN_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {sql_cosine("q.embedding", "c.embedding")} AS cos
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+"""
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via SRP-LSH candidate probing. Approximate by
+    design (recall < 1 on random vectors) -> rows-only check; accuracy
+    asserted against brute force in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.topk_lsh(emb, queries, k=5)
+
+
+def text_stats_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = token_count("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        ntok.alias("n_tokens"),
+        stopword_count("text").alias("n_stopwords"),
+        (stopword_count("text").cast("double") / ntok).alias("stopword_ratio"),
+        (char_total_of_tokens("text").cast("double") / ntok).alias("avg_token_len"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+  {sql_stopword_count("text")} AS n_stopwords,
+  CAST({sql_stopword_count("text")} AS DOUBLE)
+    / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+  CAST({sql_char_total_of_tokens("text")} AS DOUBLE)
+    / len(string_split_regex(trim(text), '\\s+')) AS avg_token_len,
+  {sql_fingerprint("text")} AS fp
+FROM documents
+"""
+
+
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring rolled up per source: docs with enough tokens and
+    a sane stopword ratio count as 'quality'."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = token_count("text")
+    ratio = stopword_count("text").cast("double") / ntok
+    is_quality = (ntok >= 20) & (ratio >= 0.05) & (ratio <= 0.6)
+    return (
+        docs.select("source", ntok.alias("ntok"),
+                    is_quality.cast("long").alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("q").alias("n_quality"),
+            (F.sum("q").cast("double") / F.count("*")).alias("quality_share"),
+            (F.sum("ntok").cast("double") / F.count("*")).alias("avg_tokens"),
+        )
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         len(string_split_regex(trim(text), '\\s+')) AS ntok,
+         CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 20
+               AND CAST({sql_stopword_count("text")} AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\\s+')) >= 0.05
+               AND CAST({sql_stopword_count("text")} AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\\s+')) <= 0.6
+              THEN 1 ELSE 0 END AS q
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, SUM(q) AS n_quality,
+       CAST(SUM(q) AS DOUBLE) / COUNT(*) AS quality_share,
+       CAST(SUM(ntok) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM scored GROUP BY source
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", predicted_lang("text").alias("lang_pred"))
+
+
+TEXT_LANGID_SQL = f"""
+SELECT doc_id, {sql_predicted_lang("text")} AS lang_pred FROM documents
+"""
+
+
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_metadata(multimodal.with_binary_payload(docs))
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       octet_length(encode(text)) % 1024 AS width,
+       (octet_length(encode(text)) * 7) % 768 AS height,
+       md5(text) AS content_hash
+FROM documents
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.frame_sample(multimodal.with_binary_payload(docs))
+
+
+# documents are pure ASCII, so byte offsets == char offsets and
+# md5(blob slice) == md5(text substring)
+FRAME_SAMPLE_SQL = """
+SELECT doc_id, CAST(frame_offset AS BIGINT) AS frame_offset,
+       md5(substring(text, CAST(frame_offset AS INT) + 1, 64)) AS chunk_hash
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(0,
+        greatest(octet_length(encode(text)) - 1, 0), 64)) AS frame_offset)
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "lsh_minhash_near_dup": lsh_minhash_near_dup,
+    "lsh_simhash_near_dup": lsh_simhash_near_dup,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "lsh_embedding_near_dup": lsh_embedding_near_dup,
+    "ann_topk_cosine": ann_topk_cosine,
+    "lsh_ann_topk": ann_topk_lsh,
+    "text_stats_per_doc": text_stats_per_doc,
+    "text_quality_by_source": text_quality_by_source,
+    "text_langid": text_langid,
+    "multimodal_decode_meta": multimodal_decode_meta,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "lsh_minhash_near_dup": DEDUP_JACCARD_SQL,
+    "dedup_embedding_cosine": EMB_COS_SQL,
+    "lsh_embedding_near_dup": EMB_COS_SQL,
+    "ann_topk_cosine": ANN_SQL,
+    "text_stats_per_doc": TEXT_STATS_SQL,
+    "text_quality_by_source": TEXT_QUALITY_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "multimodal_decode_meta": MULTIMODAL_META_SQL,
+    "multimodal_frame_sample": FRAME_SAMPLE_SQL,
+    # lsh_simhash_near_dup, lsh_ann_topk: rows-only (xxhash64-based /
+    # approximate by design) — semantics asserted in tests instead.
+}

@@ -33,13 +33,15 @@ from pyspark.sql import types as T
 from bottledwater_pg_spark.plans.envelope import DML_OPS, OP_DELETE, ROW_JSON_OPTIONS
 
 
-def latest_by_key(events: DataFrame) -> DataFrame:
-    """Compact a CDC envelope stream to the newest event per key.
+def compact(events: DataFrame) -> DataFrame:
+    """Compact a CDC envelope stream to the newest event per key,
+    KEEPING tombstones — one row per key with columns
+    ``key, op, lsn, new_row`` of the winning event.
 
-    Returns one row per key that still exists: columns
-    ``key, op, lsn, new_row`` of the winning event. Tombstones
-    (deletes) are dropped *after* the aggregation — a delete must be
-    able to win and suppress earlier inserts.
+    Tombstones must survive compaction whenever the state will be
+    merged with more (possibly older) events later — exactly why Kafka
+    retains tombstones in compacted topics for a grace period. Use
+    :func:`latest_by_key` when this is the final compaction.
     """
     dml = events.filter(F.col("op").isin(*DML_OPS) & F.col("key").isNotNull())
     latest = dml.groupBy("key").agg(
@@ -50,7 +52,18 @@ def latest_by_key(events: DataFrame) -> DataFrame:
         F.col("last.op").alias("op"),
         F.col("last.lsn").alias("lsn"),
         F.col("last.new_row").alias("new_row"),
-    ).filter((F.col("op") != OP_DELETE) & F.col("new_row").isNotNull())
+    )
+
+
+def drop_tombstones(compacted: DataFrame) -> DataFrame:
+    return compacted.filter(
+        (F.col("op") != OP_DELETE) & F.col("new_row").isNotNull()
+    )
+
+
+def latest_by_key(events: DataFrame) -> DataFrame:
+    """Terminal compaction: newest event per key, tombstones dropped."""
+    return drop_tombstones(compact(events))
 
 
 def decode_rows(compacted: DataFrame, row_schema: T.StructType) -> DataFrame:

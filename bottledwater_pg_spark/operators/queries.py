@@ -1,0 +1,617 @@
+"""Relational query plane — the consumer-side capability surface the
+reference delegates to downstream systems (SURVEY §2.2; the reference's
+README names "calculate analytics" and stream-table joins as the
+intended consumers, README.md:30-32, 384-398).
+
+Every query here is a (spark, sf_dir) -> DataFrame callable paired with
+an ANSI-SQL oracle (DuckDB) in ``ORACLES``. Conventions that make the
+driver's value-hash comparison exact:
+
+* Money arithmetic is done in DECIMAL (exact, associative — immune to
+  float summation order differences between engines), and only the
+  final aggregate is cast to DOUBLE. The reference lossily casts
+  numeric->double (oid2avro.c:291-293, known bug #4); we keep decimal
+  through the math.
+* Every computed column is aliased identically in the Spark plan and
+  the oracle SQL.
+* Ordered/limited queries use a unique tie-break key so LIMIT selects
+  a deterministic set.
+
+Scale notes are per-query docstrings: which side broadcasts, where the
+shuffles are, and why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bottledwater_pg_spark.session import load_table
+
+# ---------------------------------------------------------------- helpers
+
+DEC = "decimal(18,2)"
+
+
+def _d(col: str):
+    """Exact 2-decimal view of a money/quantity double column."""
+    return F.col(col).cast(DEC)
+
+
+def _sql_d(col: str) -> str:
+    return f"CAST({col} AS DECIMAL(18,2))"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> partial agg -> final agg.
+
+    Scale: single shuffle on the (tiny-cardinality) group key; columns
+    pruned at the parquet scan to the 7 referenced; the shipdate filter
+    is pushed to the scan. Partial aggregation makes the exchange carry
+    only |groups| x |partitions| rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    charge = disc_price * (F.lit(1).cast(DEC) + _d("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_d("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_d("l_extendedprice")).cast("double") / F.count("*")).alias(
+                "avg_price"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM({_sql_d("l_quantity")}) AS DOUBLE) AS sum_qty,
+  CAST(SUM({_sql_d("l_extendedprice")}) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({_sql_d("l_extendedprice")} * (1 - {_sql_d("l_discount")})) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({_sql_d("l_extendedprice")} * (1 - {_sql_d("l_discount")}) * (1 + {_sql_d("l_tax")})) AS DOUBLE) AS sum_charge,
+  CAST(SUM({_sql_d("l_quantity")}) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM({_sql_d("l_extendedprice")}) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join -> agg -> top-k.
+
+    Scale: customer (filtered on segment) broadcasts under AQE at
+    real scale it may not — then it's a shuffled hash join on custkey;
+    orders->lineitem joins on orderkey (the natural co-partition key).
+    Top-k via global sort of the small aggregated result only.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate,
+       CAST(SUM({_sql_d("l_extendedprice")} * (1 - {_sql_d("l_discount")})) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with small-dimension broadcasts.
+
+    Scale: region/nation/supplier/customer are dimensions — broadcast
+    explicitly so the only shuffles are lineitem->orders on orderkey.
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supplier),
+            (li.l_suppkey == supplier.s_suppkey)
+            & (cust.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name,
+       CAST(SUM({_sql_d("l_extendedprice")} * (1 - {_sql_d("l_discount")})) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg — entirely pushdown + partial agg.
+
+    Scale: no shuffle at all beyond the final single-row combine.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_d("l_extendedprice") * _d("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = f"""
+SELECT CAST(SUM({_sql_d("l_extendedprice")} * {_sql_d("l_discount")}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: join + agg + top-k customers by lost revenue."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM({_sql_d("l_extendedprice")} * (1 - {_sql_d("l_discount")})) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 orders by totalprice per market segment.
+
+    Scale: one shuffle on the partition key (5 segments — low
+    cardinality, but each partition is only sorted, not collected);
+    at 100 TB a segment-level skew would be handled by pre-aggregating
+    a per-segment threshold first. Deterministic tie-break on orderkey.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+TOP3_SQL = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rnk <= 3
+"""
+
+
+def running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frame: cumulative spend per customer over time.
+
+    Exact decimal cumulative sum (cast to double per row) so the
+    prefix sums hash identically to the oracle.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_d("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+RUNNING_SQL = f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM({_sql_d("o_totalprice")}) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+FROM orders WHERE o_custkey < 100
+"""
+
+
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (status, priority) with subtotals + grand total."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_d("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM({_sql_d("o_totalprice")}) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def cube_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_d("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       CAST(SUM({_sql_d("l_quantity")}) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per market segment x order status."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+PIVOT_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def customers_in_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op INTERSECT: customers with both an 'F' and an 'O' order."""
+    orders = _t(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return f_cust.intersect(o_cust)
+
+
+INTERSECT_SQL = """
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def customers_only_f_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op EXCEPT: customers with an 'F' order but never an 'O' one."""
+    orders = _t(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    # subtract == EXCEPT (set semantics); exceptAll would keep customers
+    # that merely have MORE 'F' orders than 'O' orders
+    return f_cust.subtract(o_cust)
+
+
+EXCEPT_SQL = """
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no order since 2000-01-01."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    return cust.join(
+        recent, cust.c_custkey == recent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+"""
+
+
+def suppliers_with_returns_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): suppliers that had at least one returned item."""
+    supp = _t(spark, sf_dir, "supplier")
+    returned = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return supp.join(
+        returned, supp.s_suppkey == returned.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+SEMI_SQL = """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R')
+"""
+
+
+def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): for every purchase
+    event, the most recent click by the same user at or before the
+    purchase timestamp.
+
+    Implemented as the union-and-carry-forward composition: tag both
+    sides, sort within user by (ts, kind), and carry the last click
+    forward with last(..., ignorenulls) over an unbounded-preceding
+    frame. ONE shuffle on user_id — same cost as any keyed window; no
+    O(n^2) range join, no pandas. This is the scalable formulation of
+    pd.merge_asof.
+    """
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("kind"), "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id"
+    )
+    tagged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True)
+    click_id = F.last(F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True)
+    return (
+        tagged.withColumn("click_ts", click_ts.over(w))
+        .withColumn("click_event_id", click_id.over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts", "click_ts", "click_event_id")
+    )
+
+
+ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.event_id AS click_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def json_props_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON functions over the stringly-typed props column (the
+    reference emits json/jsonb as strings, oid2avro.c:317-349; Spark
+    lets us query into them)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object(F.col("props"), "$.k").cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/string scalar functions: per-month order stats."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+            F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_class"),
+            _d("o_totalprice").alias("price"),
+        )
+        .groupBy("yr", "mo", "prio_class")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+    )
+
+
+MONTHLY_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       UPPER(SUBSTRING(o_orderpriority, 1, 1)) AS prio_class,
+       COUNT(*) AS n_orders,
+       CAST(SUM({_sql_d("o_totalprice")}) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+def orders_union_all_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL: split on status and reassemble (bag semantics)."""
+    orders = _t(spark, sf_dir, "orders")
+    lo = orders.filter(F.col("o_totalprice") < 100000).select(
+        "o_orderkey", F.lit("low").alias("bucket")
+    )
+    hi = orders.filter(F.col("o_totalprice") >= 100000).select(
+        "o_orderkey", F.lit("high").alias("bucket")
+    )
+    return lo.unionByName(hi)
+
+
+UNION_SQL = """
+SELECT o_orderkey, 'low' AS bucket FROM orders WHERE o_totalprice < 100000
+UNION ALL
+SELECT o_orderkey, 'high' AS bucket FROM orders WHERE o_totalprice >= 100000
+"""
+
+
+# ------------------------------------------------------------- registry
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "top3_orders_per_segment": top3_orders_per_segment,
+    "running_total_per_customer": running_total_per_customer,
+    "rollup_order_stats": rollup_order_stats,
+    "cube_lineitem_stats": cube_lineitem_stats,
+    "pivot_status_by_segment": pivot_status_by_segment,
+    "customers_in_both_statuses": customers_in_both_statuses,
+    "customers_only_f_status": customers_only_f_status,
+    "customers_without_recent_orders": customers_without_recent_orders,
+    "suppliers_with_returns_semi": suppliers_with_returns_semi,
+    "asof_purchase_to_click": asof_purchase_to_click,
+    "json_props_aggregation": json_props_aggregation,
+    "monthly_order_stats": monthly_order_stats,
+    "orders_union_all_halves": orders_union_all_halves,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q10_returned_items": Q10_SQL,
+    "top3_orders_per_segment": TOP3_SQL,
+    "running_total_per_customer": RUNNING_SQL,
+    "rollup_order_stats": ROLLUP_SQL,
+    "cube_lineitem_stats": CUBE_SQL,
+    "pivot_status_by_segment": PIVOT_SQL,
+    "customers_in_both_statuses": INTERSECT_SQL,
+    "customers_only_f_status": EXCEPT_SQL,
+    "customers_without_recent_orders": ANTI_SQL,
+    "suppliers_with_returns_semi": SEMI_SQL,
+    "asof_purchase_to_click": ASOF_SQL,
+    "json_props_aggregation": JSON_SQL,
+    "monthly_order_stats": MONTHLY_SQL,
+    "orders_union_all_halves": UNION_SQL,
+}

@@ -1,0 +1,70 @@
+"""Streaming-operator queries surfaced through the driver contract.
+
+The driver gate runs batch DataFrames, so these run the *same
+transformations* the streaming plane uses (windowed aggregation,
+session windows) in batch mode — Structured Streaming's unified model
+makes that the identical logical plan; the streaming execution itself
+(micro-batches, watermarks, checkpoint recovery, foreachBatch merge) is
+exercised in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bottledwater_pg_spark.session import load_table
+from bottledwater_pg_spark.streaming.stream import (
+    sessionized_counts,
+    windowed_event_counts,
+)
+
+
+def windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_event_counts(load_table(spark, sf_dir, "events"))
+
+
+WINDOWED_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def session_windows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionized_counts(load_table(spark, sf_dir, "events"))
+
+
+# gaps-and-islands rendering of session_window(ts, 30 min):
+# session_end = last event + gap, session_start = first event
+SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), grouped AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, COUNT(*) AS n_events
+FROM grouped
+GROUP BY user_id, session_no
+"""
+
+QUERIES = {
+    "windowed_event_counts": windowed_counts_query,
+    "session_window_counts": session_windows_query,
+}
+
+ORACLES = {
+    "windowed_event_counts": WINDOWED_SQL,
+    "session_window_counts": SESSION_SQL,
+}

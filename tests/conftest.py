@@ -49,6 +49,12 @@ def assert_df_matches_oracle(spark_df, duck_con, sql: str, sort_cols=None):
     cols = sorted(oracle.columns)
     mine = mine[cols]
     oracle = oracle[cols]
+    # normalize datetime units (Spark->pandas is ns, DuckDB->pandas is us;
+    # assert_frame_equal compares the raw int64 views otherwise)
+    for c in cols:
+        for df in (mine, oracle):
+            if str(df[c].dtype).startswith("datetime64"):
+                df[c] = df[c].astype("datetime64[ns]")
     sort_cols = sort_cols or cols
     mine = mine.sort_values(sort_cols).reset_index(drop=True)
     oracle = oracle.sort_values(sort_cols).reset_index(drop=True)

@@ -1,0 +1,141 @@
+"""Error policy (X1), type mapping + name sanitization (X3/P3), and
+schema evolution (P4) tests, modeled on the reference suites:
+error_handling_spec.rb, schema_spec.rb:359-467, topic_spec.rb:113-274.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bottledwater_pg_spark.errors import (
+    ErrorPolicy,
+    OversizedRecordError,
+    apply_error_policy,
+)
+from bottledwater_pg_spark.routing import topic_name
+from bottledwater_pg_spark.schema_tracker import (
+    SchemaTracker,
+    resolve_schemas,
+    table_schema_events,
+)
+from bottledwater_pg_spark.session import load_table
+from bottledwater_pg_spark.sources.generator import MutationSpec, generate_cdc
+from bottledwater_pg_spark.types import (
+    make_avro_safe,
+    schema_for_pg_columns,
+    spark_type_for_pg,
+)
+
+# ------------------------------------------------------------ error policy
+
+
+def _doc_events(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return generate_cdc(
+        docs, ["doc_id"], F.col("doc_id"), 16389, "documents",
+        MutationSpec(update_exprs={"text": "text"}),
+    )
+
+
+def test_error_policy_log_skips_bad_rows_and_continues(spark, sf_dir):
+    # error_handling_spec.rb:117-129: Wednesday + Friday arrive, the
+    # oversized row between them is skipped
+    events = _doc_events(spark, sf_dir)
+    good, bad = apply_error_policy(events, ErrorPolicy.LOG, max_bytes=400)
+    assert bad.count() > 0
+    assert good.count() > 0
+    assert good.filter(F.octet_length("new_row") > 400).count() == 0
+
+
+def test_error_policy_exit_halts(spark, sf_dir):
+    events = _doc_events(spark, sf_dir)
+    with pytest.raises(OversizedRecordError):
+        apply_error_policy(events, ErrorPolicy.EXIT, max_bytes=400)
+
+
+def test_error_policy_exit_passes_when_clean(spark, sf_dir):
+    events = _doc_events(spark, sf_dir)
+    good, bad = apply_error_policy(events, ErrorPolicy.EXIT, max_bytes=10**7)
+    assert bad.count() == 0
+
+
+# ------------------------------------------------------- types & sanitize
+
+
+def test_make_avro_safe_matches_reference_examples():
+    # schema_spec.rb:359-467 fixtures via oid2avro.c:799-828
+    assert make_avro_safe("person.name/surname") == "person_2e_name_2f_surname"
+    assert make_avro_safe("crêpes") == "cr_c3__aa_pes"
+    assert make_avro_safe("z" * 63) == "z" * 63
+    assert make_avro_safe("1abc") == "_31_abc"  # leading digit invalid
+    assert make_avro_safe("ok_name9") == "ok_name9"
+    assert make_avro_safe("a.b", dot_preserving=True) == "a.b"
+
+
+def test_type_mapping_improvements():
+    # numeric -> decimal (reference bug #4), bytea -> binary (bug #70)
+    assert spark_type_for_pg("numeric") == T.DecimalType(38, 18)
+    assert spark_type_for_pg("bytea") == T.BinaryType()
+    assert spark_type_for_pg("sometype_we_never_heard_of") == T.StringType()
+    assert spark_type_for_pg("timestamptz") == T.TimestampType()
+
+
+def test_zero_column_table_gets_dummy_field():
+    # oid2avro.c:153-163: Avro rejects empty records
+    schema = schema_for_pg_columns([])
+    assert [f.name for f in schema.fields] == ["dummy"]
+
+
+def test_schema_builder_sanitizes_and_nullable():
+    schema = schema_for_pg_columns([("person.name", "text"), ("n", "integer")])
+    assert schema.fields[0].name == "person_2e_name"
+    assert all(f.nullable for f in schema.fields)
+
+
+def test_topic_naming_rules():
+    # README.md:326-358 naming matrix
+    assert topic_name("things") == "things"
+    assert topic_name("things", "myapp") == "myapp.things"
+    assert topic_name("things", "public", "bw") == "bw.things"
+    assert topic_name("things", "myapp", "bw") == "bw.myapp.things"
+
+
+# -------------------------------------------------------- schema evolution
+
+
+def test_schema_evolution_add_column(spark, sf_dir):
+    """topic_spec.rb ALTER TABLE ADD COLUMN matrix: events encoded
+    before the DDL decode with nulls in the new column."""
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = cust.select("c_custkey", "c_name")
+    v2 = cust.select("c_custkey", "c_name", "c_acctbal")
+
+    tracker = SchemaTracker()
+    assert tracker.observe(1, v1.schema.json()) is True
+    assert tracker.observe(1, v1.schema.json()) is False  # unchanged
+    assert tracker.observe(1, v2.schema.json()) is True  # DDL drift
+
+    latest = tracker.current(1)
+    assert [f.name for f in latest.fields] == ["c_custkey", "c_name", "c_acctbal"]
+
+    # control events round-trip through the envelope
+    ctl = table_schema_events(v1, 1, "customer", lsn=0).unionByName(
+        table_schema_events(v2, 1, "customer", lsn=1)
+    )
+    tracker2 = resolve_schemas(ctl)
+    assert tracker2.current(1).fieldNames() == latest.fieldNames()
+
+    # old-event payloads decode under the new schema with null fill
+    old_payload = spark.createDataFrame(
+        [("insert", 1, 0, 10, '{"c_custkey":7}', None,
+          '{"c_custkey":7,"c_name":"x"}', None, "customer")],
+        schema=ctl.schema,
+    )
+    from bottledwater_pg_spark.schema_tracker import decode_with_evolution
+
+    decoded = decode_with_evolution(old_payload, 1, tracker2).select("r.*")
+    row = decoded.collect()[0]
+    assert row["c_custkey"] == 7 and row["c_name"] == "x"
+    assert row["c_acctbal"] is None

@@ -1,0 +1,67 @@
+"""Semantic tests for the LLM-pipeline operators that have no SQL
+oracle (SimHash, LSH ANN), plus recall/precision assertions for the
+sketch-based dedup paths against their exact counterparts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bottledwater_pg_spark.operators import dedup, similarity
+from bottledwater_pg_spark.operators.llm_queries import (
+    NEAR_COPY_MOD,
+    docs_with_near_dups,
+    embeddings_with_dups,
+)
+from bottledwater_pg_spark.session import load_table
+
+
+def test_simhash_finds_injected_near_dups(spark, sf_dir):
+    corpus = docs_with_near_dups(spark, sf_dir)
+    pairs = dedup.simhash_near_pairs(corpus, max_hamming=6).toPandas()
+    injected = {
+        (r.doc_id, r.doc_id + 200000)
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % NEAR_COPY_MOD == 0)
+        .select("doc_id")
+        .collect()
+    }
+    found = {(a, b) for a, b in zip(pairs.a_id, pairs.b_id)}
+    recall = len(injected & found) / len(injected)
+    # appending 3 tokens flips few simhash bits; expect high recall
+    assert recall >= 0.9, f"simhash recall {recall}"
+
+
+def test_minhash_lsh_equals_bruteforce(spark, sf_dir):
+    corpus = docs_with_near_dups(spark, sf_dir)
+    brute = dedup.jaccard_pairs(corpus, 0.8).toPandas()
+    lsh = dedup.minhash_lsh_pairs(corpus, num_hashes=32, bands=16,
+                                  threshold=0.8).toPandas()
+    bset = {(a, b) for a, b in zip(brute.a_id, brute.b_id)}
+    lset = {(a, b) for a, b in zip(lsh.a_id, lsh.b_id)}
+    assert lset == bset, f"missing={bset - lset} extra={lset - bset}"
+
+
+def test_embedding_lsh_equals_bruteforce(spark, sf_dir):
+    corpus = embeddings_with_dups(spark, sf_dir)
+    brute = dedup.embedding_near_dup_pairs(corpus, 0.99).toPandas()
+    lsh = dedup.hyperplane_lsh_near_dup(corpus, 0.99).toPandas()
+    bset = {(a, b) for a, b in zip(brute.a_id, brute.b_id)}
+    lset = {(a, b) for a, b in zip(lsh.a_id, lsh.b_id)}
+    # identical vectors agree on every band -> recall is exactly 1
+    assert lset == bset
+
+
+def test_ann_lsh_subset_and_ranked(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = similarity.topk_lsh(emb, queries, k=5).toPandas()
+    assert (approx.groupby("query_id")["rank"].max() <= 5).all()
+    assert approx.cos.between(-1.001, 1.001).all()
+    # every (query, neighbor) the LSH returns must score exactly what
+    # brute force scores for that pair (same cosine implementation)
+    brute = similarity.topk_bruteforce(emb, queries, k=5).toPandas()
+    merged = approx.merge(
+        brute, on=["query_id", "neighbor_id"], suffixes=("_l", "_b")
+    )
+    if len(merged):
+        assert (merged.cos_l == merged.cos_b).all()
