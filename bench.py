@@ -63,13 +63,17 @@ def main() -> None:
     for name in BENCH_QUERIES:
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
+    # min of 2 timed passes: the host shows episodic multi-x CPU
+    # throttling; min is the standard noise-robust bench estimator
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in BENCH_QUERIES:
+            fn = queries[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 3)
     print(

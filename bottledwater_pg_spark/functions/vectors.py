@@ -35,6 +35,13 @@ def quantize(x: str = "x") -> str:
     return f"CAST(FLOOR(CAST({x} AS DOUBLE) * {QUANT_SCALE}.0) AS BIGINT)"
 
 
+def quantized_vec(a: str) -> Column:
+    """array<float> -> array<bigint> quantized once. Higher-order
+    functions are interpreted (not codegen'd), so pair-heavy operators
+    should quantize each vector ONCE and reuse, not per pair."""
+    return F.expr(f"transform({a}, x -> {quantize('x')})")
+
+
 def dot_q(a: str, b: str) -> Column:
     """Exact int64 dot product of quantized vectors."""
     return F.expr(
@@ -44,13 +51,34 @@ def dot_q(a: str, b: str) -> Column:
     )
 
 
+def dot_pre(qa: str, qb: str) -> Column:
+    """int64 dot product of two ALREADY-quantized arrays."""
+    return F.expr(
+        f"aggregate(zip_with({qa}, {qb}, (x, y) -> x * y), "
+        f"CAST(0 AS BIGINT), (acc, p) -> acc + p)"
+    )
+
+
+def norm_pre(qa: str) -> Column:
+    """Euclidean norm (double) of an already-quantized array."""
+    return F.sqrt(dot_pre(qa, qa).cast("double"))
+
+
 def cosine(a: str, b: str) -> Column:
     """Cosine similarity on quantized vectors; bit-identical across
-    engines (see module doc)."""
+    engines (see module doc). Quantizes inline — 3 HOF passes per
+    pair; prefer quantized_vec + dot_pre with precomputed norms in
+    pair-heavy operators."""
     return (
         dot_q(a, b).cast("double")
         / (F.sqrt(dot_q(a, a).cast("double")) * F.sqrt(dot_q(b, b).cast("double")))
     )
+
+
+def cosine_pre(qa: str, qb: str, norm_a: str, norm_b: str) -> Column:
+    """Cosine from precomputed quantized arrays + norms: ONE
+    interpreted pass per pair instead of three."""
+    return dot_pre(qa, qb).cast("double") / (F.col(norm_a) * F.col(norm_b))
 
 
 def sql_dot_q(a: str, b: str) -> str:

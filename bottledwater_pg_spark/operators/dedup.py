@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bottledwater_pg_spark.functions.text import fingerprint, word_shingles
-from bottledwater_pg_spark.functions.vectors import cosine
+from bottledwater_pg_spark.functions.vectors import (
+    cosine_pre,
+    norm_pre,
+    quantized_vec,
+)
 
 # ---------------------------------------------------------------- exact
 
@@ -99,14 +103,12 @@ def _minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signatures(df: DataFrame, num_hashes: int = 32,
-                       id_col: str = "doc_id", text_col: str = "text",
-                       n: int = 3) -> DataFrame:
-    """Per-doc MinHash signature: ONE aggregation over exploded
-    shingles computing all ``num_hashes`` minima at once (map-side
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """MinHash signature from an exploded shingle table: ONE
+    aggregation computing all ``num_hashes`` minima at once (map-side
     combine keeps the shuffle at |docs| x num_hashes)."""
     params = _minhash_params(num_hashes)
-    sh = shingle_table(df, id_col, text_col, n).withColumn(
+    hashed = sh.withColumn(
         # base shingle hash folded into [0, p)
         "hx",
         F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_PRIME)),
@@ -117,7 +119,16 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 32,
         )
         for i, (a, b) in enumerate(params)
     ]
-    return sh.groupBy("sid").agg(*mins)
+    return hashed.groupBy("sid").agg(*mins)
+
+
+def minhash_signatures(df: DataFrame, num_hashes: int = 32,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature (see _signatures_from_shingles)."""
+    return _signatures_from_shingles(
+        shingle_table(df, id_col, text_col, n), num_hashes
+    )
 
 
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
@@ -132,7 +143,16 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, id_col, text_col, n)
+    # the exploded shingle table feeds the signature aggregation AND
+    # both sides of the verify join — persist it once instead of
+    # re-tokenizing the corpus three times (at cluster scale this is a
+    # cached/checkpointed intermediate dataset)
+    from pyspark import StorageLevel
+
+    sh_cached = shingle_table(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = _signatures_from_shingles(sh_cached, num_hashes)
     band_structs = F.array(
         *[
             F.struct(
@@ -154,8 +174,8 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
         .select(F.col("a.sid").alias("a_id"), F.col("b.sid").alias("b_id"))
         .distinct()
     )
-    # exact verify on candidates only
-    sh = shingle_table(df, id_col, text_col, n)
+    # exact verify on candidates only, reusing the cached shingles
+    sh = sh_cached
     sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
     inter = (
         candidates.join(sh.alias("a"), F.col("a.sid") == F.col("a_id"))
@@ -251,16 +271,30 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 6,
 # ----------------------------------------------- embedding-cosine dedup
 
 
+def quantized_vectors(df: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """(sid, qvec, qnorm): each vector quantized ONCE with its norm
+    precomputed — higher-order functions are interpreted row-at-a-time,
+    so pair-heavy operators must not re-quantize per pair."""
+    return df.select(
+        F.col(id_col).alias("sid"),
+        quantized_vec(vec_col).alias("qvec"),
+    ).withColumn("qnorm", norm_pre("qvec"))
+
+
 def embedding_near_dup_pairs(df: DataFrame, threshold: float = 0.99,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:
     """All-pairs embedding cosine >= threshold (exact baseline; use
     :func:`hyperplane_lsh_near_dup` at scale)."""
-    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    q = quantized_vectors(df, id_col, vec_col)
+    a = q.select(F.col("sid").alias("a_id"), F.col("qvec").alias("qa"),
+                 F.col("qnorm").alias("na"))
+    b = q.select(F.col("sid").alias("b_id"), F.col("qvec").alias("qb"),
+                 F.col("qnorm").alias("nb"))
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
-        .withColumn("cos", cosine("va", "vb"))
+        .withColumn("cos", cosine_pre("qa", "qb", "na", "nb"))
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
     )
@@ -271,32 +305,35 @@ def hyperplane_signature(df: DataFrame, num_bits: int = 16,
                          vec_col: str = "embedding"):
     """Sign-random-projection (SRP) bit signature. The hyperplanes are
     pseudo-random ±1 vectors derived per (bit, dim) from xxhash64 —
-    deterministic, shipped as an expression, no driver-side matrix."""
-    bit_exprs = []
-    for i in range(num_bits):
-        # s_i(v) = sum_j sign_ij * v_j with sign from hash(i, j)
-        proj = (
-            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-            f"(x, j) -> CAST(x AS DOUBLE) * "
-            f"(CASE WHEN pmod(xxhash64({i}, j), 2) = 0 THEN 1.0 ELSE -1.0 END)), "
-            f"0.0D, (acc, v) -> acc + v)"
-        )
-        bit_exprs.append(f"(CASE WHEN {proj} > 0 THEN {1 << i} ELSE 0 END)")
-    sig = " + ".join(bit_exprs)
-    return df.select(
+    deterministic, shipped as an expression, no driver-side matrix.
+
+    Computed via posexplode + one hash aggregation (codegen'd, partial
+    agg map-side) rather than per-row higher-order lambdas, which are
+    interpreted and ~num_bits x slower."""
+    elems = df.select(
         F.col(id_col).alias("sid"),
-        F.col(vec_col).alias("vec"),
-        F.expr(f"CAST({sig} AS BIGINT)").alias("srp"),
+        F.posexplode(F.col(vec_col)).alias("j", "x"),
+    ).withColumn("xd", F.col("x").cast("double"))
+    projs = [
+        F.sum(
+            F.col("xd")
+            * F.when(F.pmod(F.xxhash64(F.lit(i), F.col("j")), 2) == 0, 1.0).otherwise(
+                -1.0
+            )
+        ).alias(f"p{i}")
+        for i in range(num_bits)
+    ]
+    agg = elems.groupBy("sid").agg(*projs)
+    sig = sum(
+        (F.when(F.col(f"p{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        for i in range(num_bits)
     )
+    return agg.select("sid", sig.cast("long").alias("srp"))
 
 
-def hyperplane_lsh_near_dup(df: DataFrame, threshold: float = 0.99,
-                            num_bits: int = 16, bands: int = 4,
-                            id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
-    """Scale path for embedding near-dup: SRP-LSH banding blocks
-    candidates (high-cosine vectors agree on most sign bits), then the
-    exact quantized cosine verifies. Linear in data + bucket joins."""
+def banded_srp(df: DataFrame, num_bits: int, bands: int,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(sid, band, bval) — the SRP signature split into LSH bands."""
     width = num_bits // bands
     sig = hyperplane_signature(df, num_bits, id_col, vec_col)
     band_structs = F.array(
@@ -308,23 +345,43 @@ def hyperplane_lsh_near_dup(df: DataFrame, threshold: float = 0.99,
             for bi in range(bands)
         ]
     )
-    banded = sig.select("sid", "vec", F.explode(band_structs).alias("bs")).select(
-        "sid", "vec", F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval")
+    return sig.select("sid", F.explode(band_structs).alias("bs")).select(
+        "sid", F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval")
     )
+
+
+def hyperplane_lsh_near_dup(df: DataFrame, threshold: float = 0.99,
+                            num_bits: int = 24, bands: int = 4,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Scale path for embedding near-dup: SRP-LSH banding blocks
+    candidates (high-cosine vectors agree on most sign bits), then the
+    exact quantized cosine verifies.
+
+    Candidates are deduped as ID PAIRS before any vector data is
+    attached — shuffling and hashing 64-float arrays through the
+    distinct would dominate at scale."""
+    banded = banded_srp(df, num_bits, bands, id_col, vec_col)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bval"])
         .filter(F.col("a.sid") < F.col("b.sid"))
-        .select(
-            F.col("a.sid").alias("a_id"),
-            F.col("b.sid").alias("b_id"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
-        )
+        .select(F.col("a.sid").alias("a_id"), F.col("b.sid").alias("b_id"))
         .distinct()
     )
+    q = quantized_vectors(df, id_col, vec_col)
     return (
-        cand.withColumn("cos", cosine("va", "vb"))
+        cand.join(
+            q.select(F.col("sid").alias("a_id"), F.col("qvec").alias("qa"),
+                     F.col("qnorm").alias("na")),
+            "a_id",
+        )
+        .join(
+            q.select(F.col("sid").alias("b_id"), F.col("qvec").alias("qb"),
+                     F.col("qnorm").alias("nb")),
+            "b_id",
+        )
+        .withColumn("cos", cosine_pre("qa", "qb", "na", "nb"))
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
     )

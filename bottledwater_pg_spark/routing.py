@@ -54,8 +54,11 @@ def partition_by_key(
     scattered by a per-row salt instead, matching the reference's
     random placement (partitioning_spec.rb:96-111).
     """
+    # wide salt domain: hashing only num_partitions distinct salt
+    # values into num_partitions buckets collides and leaves partitions
+    # empty; a large domain makes placement effectively uniform
     salted = F.when(
         F.col(key_col).isNull(),
-        F.concat(F.lit("\0unkeyed\0"), (F.rand() * num_partitions).cast("int")),
+        F.concat(F.lit("\0unkeyed\0"), (F.rand() * 1_000_000).cast("long")),
     ).otherwise(F.col(key_col))
     return df.repartition(num_partitions, salted)

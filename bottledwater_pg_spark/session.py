@@ -54,7 +54,7 @@ def get_spark(
         # in load_table (truncate to µs — same as DuckDB's read).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -1,0 +1,146 @@
+"""Tests for catalog scan (S2), table registry (R2), transaction gate
+(T1), key-hash partitioning invariants (K2, partitioning_spec.rb), and
+the optional Avro path (E1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bottledwater_pg_spark.operators.txn import committed_only, max_complete_lsn
+from bottledwater_pg_spark.routing import partition_by_key
+from bottledwater_pg_spark.session import load_table
+from bottledwater_pg_spark.sources.catalog import (
+    TableInfo,
+    UnkeyedTableError,
+    get_table_list,
+)
+from bottledwater_pg_spark.sources.generator import MutationSpec, generate_cdc
+from bottledwater_pg_spark.sources.registry import TableRegistry
+
+# ------------------------------------------------------------- catalog S2
+
+
+def test_catalog_like_pattern_and_keys(sf_dir):
+    tables = get_table_list(sf_dir, "c%")
+    assert [t.name for t in tables] == ["customer"]
+    assert tables[0].key_columns == ("c_custkey",)
+
+    # '_' matches exactly one character (SQL LIKE)
+    assert [t.name for t in get_table_list(sf_dir, "par_")] == ["part"]
+
+
+def test_catalog_refuses_unkeyed_without_flag(sf_dir):
+    with pytest.raises(UnkeyedTableError):
+        get_table_list(sf_dir, "events")
+    tables = get_table_list(sf_dir, "events", allow_unkeyed=True)
+    assert tables[0].keyed is False
+
+
+def test_catalog_full_scan_stable_relids(sf_dir):
+    tables = get_table_list(sf_dir, "%", allow_unkeyed=True)
+    assert len(tables) == 10
+    assert len({t.relid for t in tables}) == 10
+    # deterministic assignment across calls
+    again = get_table_list(sf_dir, "%", allow_unkeyed=True)
+    assert [(t.name, t.relid) for t in tables] == [
+        (t.name, t.relid) for t in again
+    ]
+
+
+# ------------------------------------------------------------ registry R2
+
+
+def test_registry_idempotent_and_rename():
+    reg = TableRegistry(topic_prefix="bw")
+    e1 = reg.update(1, "things")
+    assert e1.topic == "bw.things"
+    e2 = reg.update(1, "things")  # idempotent
+    assert e2 is e1 and e2.topic == "bw.things"
+    # rename rebinds the topic (table_mapper.c:185-242)
+    e3 = reg.update(1, "gadgets", "myapp")
+    assert e3.topic == "bw.myapp.gadgets"
+
+
+def test_registry_failed_table_drops_events():
+    reg = TableRegistry()
+    reg.update(7, "cursed")
+    reg.mark_failed(7)
+    assert reg.lookup(7) is None  # events for it go to the error policy
+    reg.update(7, "cursed")  # successful re-registration revives it
+    assert reg.lookup(7).topic == "cursed"
+
+
+# ---------------------------------------------------------------- txn T1
+
+
+def test_uncommitted_txn_held_back(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    events = generate_cdc(
+        cust, ["c_custkey"], F.col("c_custkey"), 16385, "customer",
+        MutationSpec(update_exprs={"c_acctbal": "c_acctbal + 1.0"}),
+        include_txn_markers=True,
+    )
+    # drop xid=3's commit marker: its deletes must not be applied
+    partial = events.filter(
+        ~((F.col("op") == "commit") & (F.col("xid") == 3))
+    )
+    gated = committed_only(partial)
+    assert gated.filter((F.col("xid") == 3) & (F.col("op") == "delete")).count() == 0
+    # committed transactions' DML flows through untouched
+    dml_ops = ("insert", "update", "delete")
+    assert (
+        gated.filter((F.col("xid") == 1) & F.col("op").isin(*dml_ops)).count()
+        == events.filter((F.col("xid") == 1) & (F.col("op") == "update")).count()
+    )
+    # checkpoint cursor reflects only complete transactions
+    assert max_complete_lsn(partial) == 2 * 2 + 1  # commit of xid=2
+
+
+# ------------------------------------------------- partitioning K2 (spec)
+
+
+def test_same_key_same_partition_unkeyed_spread(spark, sf_dir):
+    # partitioning_spec.rb:24-111: identical keys -> identical
+    # partition; unkeyed rows spread across partitions
+    cust = load_table(spark, sf_dir, "customer")
+    keyed = generate_cdc(
+        cust, ["c_custkey"], F.col("c_custkey"), 16385, "customer",
+        MutationSpec(update_exprs={"c_acctbal": "c_acctbal + 1.0"}),
+    )
+    parted = partition_by_key(keyed, 4).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    multi = (
+        parted.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(F.countDistinct("pid").alias("n_parts"), F.count("*").alias("n"))
+    )
+    # every key with several events sees exactly one partition
+    assert multi.filter((F.col("n") > 1) & (F.col("n_parts") > 1)).count() == 0
+
+    ev = load_table(spark, sf_dir, "events")
+    unkeyed = generate_cdc(
+        ev, [], F.col("event_id"), 16387, "events",
+        MutationSpec(update_exprs={"value": "value + 1.0"}),
+    )
+    upart = partition_by_key(unkeyed, 4).withColumn("pid", F.spark_partition_id())
+    counts = [r["cnt"] for r in upart.groupBy("pid").agg(F.count("*").alias("cnt")).collect()]
+    assert len(counts) == 4  # all partitions used
+    total = sum(counts)
+    # spread within +-30% of even (spec allows +-20 of 100)
+    assert all(abs(c - total / 4) < 0.3 * total for c in counts)
+
+
+# ------------------------------------------------------------ avro E1
+
+
+def test_avro_path_gated(spark):
+    from bottledwater_pg_spark.sources.avro_io import avro_available, encode_avro
+
+    if avro_available():  # pragma: no cover - jar not in this image
+        df = spark.range(3).select(encode_avro(F.struct("id")).alias("b"))
+        assert df.count() == 3
+    else:
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            encode_avro(F.struct(F.lit(1)))

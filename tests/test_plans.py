@@ -1,0 +1,65 @@
+"""Plan-shape assertions: pin the physical properties that matter at
+100 TB — predicate pushdown, column pruning, map-side partial
+aggregation, broadcast joins for dimensions, and shuffle counts.
+
+A failure here means the operator still returns correct rows but its
+plan regressed into something that won't survive scale.
+"""
+
+from __future__ import annotations
+
+from bottledwater_pg_spark.operators import cdc_queries
+from bottledwater_pg_spark.operators import queries as Q
+from bottledwater_pg_spark.plans.inspect import (
+    count_broadcast_joins,
+    count_exchanges,
+    has_partial_aggregation,
+    pushed_filters,
+    scan_read_schemas,
+)
+
+
+def test_q1_pushdown_pruning_partial_agg(spark, sf_dir):
+    df = Q.q1_pricing_summary(spark, sf_dir)
+    # shipdate filter reaches the scan
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # only the 7 referenced columns are read
+    schemas = scan_read_schemas(df)
+    assert schemas and all("l_orderkey" not in s for s in schemas)
+    assert has_partial_aggregation(df)
+    # one shuffle: the final aggregation exchange
+    assert count_exchanges(df) == 1
+
+
+def test_q6_is_scan_plus_local_agg(spark, sf_dir):
+    df = Q.q6_forecast_revenue(spark, sf_dir)
+    assert any("l_shipdate" in f and "l_discount" in f for f in pushed_filters(df))
+    # global single-row agg: one SinglePartition exchange at most
+    assert count_exchanges(df) <= 1
+
+
+def test_q3_broadcasts_filtered_customers(spark, sf_dir):
+    df = Q.q3_shipping_priority(spark, sf_dir)
+    assert count_broadcast_joins(df) >= 1
+    assert any("c_mktsegment" in f for f in pushed_filters(df))
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+    df = Q.q5_local_supplier_volume(spark, sf_dir)
+    # customer, supplier, nation, region all broadcast — the only
+    # hash-shuffle should be lineitem<->orders + final agg
+    assert count_broadcast_joins(df) >= 4
+
+
+def test_materialize_is_single_shuffle(spark, sf_dir):
+    df = cdc_queries.cdc_materialize_customer(spark, sf_dir)
+    # one hash exchange for the key compaction; generation itself is
+    # narrow (scan+union), decode happens after compaction
+    assert count_exchanges(df) == 1
+    assert has_partial_aggregation(df)
+
+
+def test_top3_window_single_shuffle(spark, sf_dir):
+    df = Q.top3_orders_per_segment(spark, sf_dir)
+    assert count_exchanges(df) == 1  # partitionBy segment
+    assert count_broadcast_joins(df) >= 1  # customer side
