@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "top3_orders_per_segment",
     "asof_purchase_to_click",
+    "large_volume_orders",
+    "branded_bracket_revenue",
+    "distinct_part_supp_counts",
     # streaming ops (batch mode)
     "windowed_event_counts",
     "session_window_counts",

@@ -182,8 +182,50 @@ WHERE length(text) + length(CAST(doc_id AS VARCHAR)) + 21 <= 2000
 """
 
 
+def cdc_kafka_sink_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 message-frame semantics, oracle-checkable: (topic, key,
+    tombstone flag, lsn) for every customer CDC message. The value
+    payload itself is summarized as its null-ness — JSON double
+    rendering differs between engines, but the tombstone rule (delete
+    -> null value, same key) is exactly the reference's contract."""
+    from bottledwater_pg_spark.sink import kafka_sink_frame
+
+    frame = kafka_sink_frame(customer_cdc(spark, sf_dir))
+    return frame.select(
+        "topic",
+        "key",
+        F.col("value").isNull().alias("is_tombstone"),
+        "lsn",
+    )
+
+
+# message inventory per key k: insert@k*10 (never tombstone); update
+# @k*10+1 for k%5=0; pk-change k%11=0 -> tombstone old key + insert new
+# key @k*10+2; delete k%7=0 -> tombstone @k*10+3
+CDC_SINK_SQL = """
+WITH k AS (SELECT c_custkey AS k FROM customer)
+SELECT 'customer' AS topic,
+       '{"c_custkey":' || k || '}' AS key,
+       FALSE AS is_tombstone, k * 10 AS lsn
+FROM k
+UNION ALL
+SELECT 'customer', '{"c_custkey":' || k || '}', FALSE, k * 10 + 1
+FROM k WHERE k % 5 = 0
+UNION ALL
+SELECT 'customer', '{"c_custkey":' || k || '}', TRUE, k * 10 + 2
+FROM k WHERE k % 11 = 0
+UNION ALL
+SELECT 'customer', '{"c_custkey":' || (k + 1000000) || '}', FALSE, k * 10 + 2
+FROM k WHERE k % 11 = 0
+UNION ALL
+SELECT 'customer', '{"c_custkey":' || k || '}', TRUE, k * 10 + 3
+FROM k WHERE k % 7 = 0
+"""
+
+
 QUERIES = {
     "cdc_materialize_customer": cdc_materialize_customer,
+    "cdc_kafka_sink_shape": cdc_kafka_sink_shape,
     "cdc_error_policy_log": cdc_error_policy_log,
     "cdc_materialize_events_composite": cdc_materialize_events_composite,
     "cdc_append_unkeyed": cdc_append_unkeyed,
@@ -192,6 +234,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_materialize_customer": CDC_CUSTOMER_SQL,
+    "cdc_kafka_sink_shape": CDC_SINK_SQL,
     "cdc_error_policy_log": CDC_ERRLOG_SQL,
     "cdc_materialize_events_composite": CDC_EVENTS_SQL,
     "cdc_append_unkeyed": CDC_UNKEYED_SQL,

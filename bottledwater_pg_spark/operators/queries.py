@@ -615,3 +615,253 @@ ORACLES = {
     "monthly_order_stats": MONTHLY_SQL,
     "orders_union_all_halves": UNION_SQL,
 }
+
+
+# ------------------------------------------------- subquery-shape queries
+
+
+def min_price_lineitem_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery, decorrelated into a
+    window min (one shuffle on the correlation key instead of a
+    re-executed subquery per row)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+Q2_SQL = """
+SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem l
+WHERE l_extendedprice = (
+  SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def late_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS subquery -> left-semi join + agg.
+    An order is 'late' if any lineitem shipped after the order date."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    )
+    return (
+        orders.join(
+            late.select("o_orderkey").distinct(),
+            "o_orderkey",
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def shipmode_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional CASE aggregation — high- vs
+    low-priority order counts per lineitem return flag."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: scalar aggregate subquery (avg per part),
+    decorrelated into a join against the per-part aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (F.sum(_d("l_quantity")).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(avg_qty), li.l_partkey == avg_qty.p_key)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.sum(_d("l_extendedprice")).cast("double").alias("total_price"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH avg_q AS (
+  SELECT l_partkey AS p_key,
+         CAST(SUM({_sql_d("l_quantity")}) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM({_sql_d("l_extendedprice")}) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_items
+FROM lineitem JOIN avg_q ON l_partkey = p_key
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN + HAVING subquery -> aggregate, filter,
+    semi-join back to the detail tables."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_d("l_quantity")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, CAST(SUM({_sql_d("l_quantity")}) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150
+) ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def branded_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-bracket predicate over a
+    join — tests boolean predicate pushdown and OR handling."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_size") >= 40) & F.col("l_quantity").between(20, 30))
+    )
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    return joined.filter(bracket).agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM({_sql_d("l_extendedprice")} * (1 - {_sql_d("l_discount")})) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+   OR (p_size >= 40 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar AVG subquery + NOT EXISTS anti join —
+    above-average-balance customers with no recent orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz")
+    )
+    avg_bal = cust.agg(
+        (F.sum(_d("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+Q22_SQL = f"""
+SELECT c_custkey, c_acctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(SUM({_sql_d("c_acctbal")}) AS DOUBLE) / COUNT(*) FROM customer)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+"""
+
+
+def distinct_part_supp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (TPC-H Q16 shape): distinct parts and
+    suppliers per return flag — expand-based distinct agg under the
+    hood, one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q16_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+QUERIES.update(
+    {
+        "min_price_lineitem_per_part": min_price_lineitem_per_part,
+        "late_orders_by_priority": late_orders_by_priority,
+        "shipmode_case_agg": shipmode_case_agg,
+        "small_quantity_revenue": small_quantity_revenue,
+        "large_volume_orders": large_volume_orders,
+        "branded_bracket_revenue": branded_bracket_revenue,
+        "rich_idle_customers": rich_idle_customers,
+        "distinct_part_supp_counts": distinct_part_supp_counts,
+    }
+)
+
+ORACLES.update(
+    {
+        "min_price_lineitem_per_part": Q2_SQL,
+        "late_orders_by_priority": Q4_SQL,
+        "shipmode_case_agg": Q12_SQL,
+        "small_quantity_revenue": Q17_SQL,
+        "large_volume_orders": Q18_SQL,
+        "branded_bracket_revenue": Q19_SQL,
+        "rich_idle_customers": Q22_SQL,
+        "distinct_part_supp_counts": Q16_SQL,
+    }
+)

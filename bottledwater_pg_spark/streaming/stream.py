@@ -174,3 +174,80 @@ def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
             "n_events",
         )
     )
+
+
+def stateful_latest_by_key(events_stream: DataFrame):
+    """TRUE streaming latest-by-key: a custom stateful operator via
+    ``applyInPandasWithState`` — per-key GroupState holds the winning
+    (lsn, op, new_row) across micro-batches and emits the new winner
+    whenever it changes.
+
+    This is the always-on form of the foreachBatch materializer: state
+    lives in the streaming state store (checkpointed, partitioned by
+    key across executors) instead of a parquet swap directory. Late or
+    replayed events lose against the stored lsn — same idempotence
+    argument as the batch path.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("new_row", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("new_row", T.StringType()),
+        ]
+    )
+
+    def update_fn(key, pdfs, state: "GroupState"):
+        best_lsn, best_op, best_row = (
+            state.get if state.exists else (None, None, None)
+        )
+        for pdf in pdfs:
+            for _, r in pdf.sort_values("lsn").iterrows():
+                if best_lsn is None or r["lsn"] > best_lsn:
+                    best_lsn = int(r["lsn"])
+                    best_op = r["op"]
+                    best_row = r["new_row"]
+        state.update((best_lsn, best_op, best_row))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "op": [best_op],
+                "lsn": [best_lsn],
+                "new_row": [best_row],
+            }
+        )
+
+    dml = events_stream.filter(
+        F.col("op").isin("insert", "update", "delete") & F.col("key").isNotNull()
+    ).select("key", "op", "lsn", "new_row")
+    return dml.groupBy("key").applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def console_sink(events_stream: DataFrame, truncate: bool = False):
+    """Debug/monitoring sink (X4): the reference ships ``bwtest``, a
+    binary that prints every event as JSON to stdout
+    (/root/reference/client/bwtest.c:96-270); Spark's console sink is
+    the same tool."""
+    return (
+        events_stream.writeStream.format("console")
+        .option("truncate", str(truncate).lower())
+        .outputMode("append")
+        .start()
+    )

@@ -67,3 +67,50 @@ def test_streaming_is_idempotent_under_replay(spark, sf_dir):
         pd.testing.assert_frame_equal(
             first.reset_index(drop=True), second.reset_index(drop=True)
         )
+
+
+def test_stateful_latest_by_key_converges(spark, sf_dir):
+    """applyInPandasWithState latest-by-key over micro-batches emits,
+    as its final per-key update, exactly the batch compaction result
+    (including tombstones as delete-ops)."""
+    from bottledwater_pg_spark.operators.materialize import compact
+    from bottledwater_pg_spark.streaming.stream import stateful_latest_by_key
+
+    cust = load_table(spark, sf_dir, "customer")
+    events = generate_cdc(
+        cust, ["c_custkey"], F.col("c_custkey"), 16385, "customer", SPEC
+    )
+    expected = compact(events).toPandas().sort_values("key").reset_index(drop=True)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events"
+        write_envelope_stream(events, src, num_files=4)
+        stream = read_envelope_stream(spark, src, files_per_trigger=1)
+        q = (
+            stateful_latest_by_key(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("stateful_latest")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = (
+            spark.sql(
+                """
+                SELECT key, op, lsn, new_row FROM (
+                  SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY key ORDER BY lsn DESC) AS rn
+                  FROM stateful_latest) WHERE rn = 1
+                """
+            )
+            .toPandas()
+            .sort_values("key")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            got[expected.columns.tolist()], expected, check_dtype=False
+        )
