@@ -865,3 +865,206 @@ ORACLES.update(
         "distinct_part_supp_counts": Q16_SQL,
     }
 )
+
+
+# ------------------------------------------ skew, parsers, more TPC-H
+
+
+def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a 5-value hot key (event_type)
+    — the skew-safe plan produces results identical to plain GROUP BY
+    (sums are associative; decimal keeps them engine-exact), so it
+    shares the plain oracle. See operators/skew.py and SCALE.md."""
+    from bottledwater_pg_spark.operators.skew import salted_sum_count
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_sum_count(
+        ev,
+        ["event_type"],
+        {
+            "total_value": _d("value"),
+            "n_events": F.lit(1),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+SKEW_SQL = f"""
+SELECT event_type,
+       CAST(SUM({_sql_d("value")}) AS DOUBLE) AS total_value,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def pg_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG textual array handling, better than the reference: the
+    reference ships int[] as the literal string '{1,2,3,4}'
+    (oid2avro.c:752-770). Here the pg-literal is built from data,
+    parsed back to a native array, and aggregated — the oracle computes
+    directly from the base table, so any parser defect mismatches."""
+    from bottledwater_pg_spark.functions.pg_text import parse_pg_int_array
+
+    li = _t(spark, sf_dir, "lineitem")
+    pg_literal = li.groupBy("l_orderkey").agg(
+        F.concat(
+            F.lit("{"),
+            F.concat_ws(",", F.sort_array(F.collect_list("l_linenumber"))),
+            F.lit("}"),
+        ).alias("pg_arr")
+    )
+    parsed = pg_literal.select(
+        "l_orderkey", parse_pg_int_array("pg_arr").alias("arr")
+    )
+    return parsed.select(
+        "l_orderkey",
+        F.size("arr").cast("long").alias("n_items"),
+        F.expr(
+            "CAST(aggregate(arr, 0L, (acc, x) -> acc + x) AS BIGINT)"
+        ).alias("sum_linenumbers"),
+    )
+
+
+PG_ARRAY_SQL = """
+SELECT l_orderkey, COUNT(*) AS n_items,
+       SUM(l_linenumber) AS sum_linenumbers
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def hstore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG hstore handling: build the canonical '"k"=>"v"' text from
+    data, parse to a native map, read fields back out — oracle computes
+    straight from the base columns."""
+    from bottledwater_pg_spark.functions.pg_text import parse_hstore
+
+    ev = _t(spark, sf_dir, "events")
+    built = ev.select(
+        "event_id",
+        F.concat(
+            F.lit('"type"=>"'),
+            F.col("event_type"),
+            F.lit('", "uid"=>"'),
+            F.col("user_id").cast("string"),
+            F.lit('"'),
+        ).alias("h"),
+    )
+    parsed = built.select("event_id", parse_hstore("h").alias("m"))
+    return parsed.select(
+        "event_id",
+        F.col("m")["type"].alias("type_val"),
+        F.col("m")["uid"].alias("uid_val"),
+    )
+
+
+HSTORE_SQL = """
+SELECT event_id, event_type AS type_val,
+       CAST(user_id AS VARCHAR) AS uid_val
+FROM events
+"""
+
+
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between supplier and customer
+    nations — two aliases of one broadcast dimension."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nkey)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nkey)
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(SUM({_sql_d("l_extendedprice")} * (1 - {_sql_d("l_discount")})) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY n1.n_name, n2.n_name
+"""
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: CASE-filtered revenue ratio. Both numerator and
+    denominator are exact decimal sums cast to double; the final
+    division is a deterministic scalar op in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(revenue).cast("double")
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+           THEN {_sql_d("l_extendedprice")} * (1 - {_sql_d("l_discount")})
+           ELSE 0 END) AS DOUBLE)
+       / CAST(SUM({_sql_d("l_extendedprice")} * (1 - {_sql_d("l_discount")})) AS DOUBLE)
+         AS promo_share_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+QUERIES.update(
+    {
+        "skewed_agg_salted": skewed_agg_salted,
+        "pg_array_roundtrip": pg_array_roundtrip,
+        "hstore_roundtrip": hstore_roundtrip,
+        "nation_pair_volume": nation_pair_volume,
+        "promo_revenue_share": promo_revenue_share,
+    }
+)
+
+ORACLES.update(
+    {
+        "skewed_agg_salted": SKEW_SQL,
+        "pg_array_roundtrip": PG_ARRAY_SQL,
+        "hstore_roundtrip": HSTORE_SQL,
+        "nation_pair_volume": Q7_SQL,
+        "promo_revenue_share": Q14_SQL,
+    }
+)

@@ -137,11 +137,24 @@ class StreamingMaterializer:
         )
 
 
+def _event_time_ready(events: DataFrame, col: str = "ts") -> DataFrame:
+    """Watermarks require TIMESTAMP (with local tz), not TIMESTAMP_NTZ.
+    On the streaming path, cast NTZ event time to TIMESTAMP — identity
+    on values under the UTC session timezone. Batch DataFrames keep NTZ
+    so oracle comparisons see the same type the tables carry."""
+    if events.isStreaming and isinstance(
+        events.schema[col].dataType, T.TimestampNTZType
+    ):
+        return events.withColumn(col, F.col(col).cast("timestamp"))
+    return events
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Streaming windowed aggregation with late-data handling: tumbling
     event-time windows per event_type. Works identically on a batch
     DataFrame (for oracle checks) and a streaming one."""
+    events = _event_time_ready(events)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -163,6 +176,7 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
 def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
                        watermark: str = "2 hours") -> DataFrame:
     """Session windows per user: activity bursts separated by > gap."""
+    events = _event_time_ready(events)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
