@@ -361,3 +361,42 @@ ORACLES = {
     # lsh_simhash_near_dup, lsh_ann_topk: rows-only (xxhash64-based /
     # approximate by design) — semantics asserted in tests instead.
 }
+
+
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training pipelines: fixed-size character
+    windows with overlap (stride < size). All JVM-side via
+    sequence+explode — one input row fans out to its chunks with no
+    Python in the path."""
+    size, stride = 200, 150
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "chunk_start",
+            F.explode(
+                F.expr(
+                    f"sequence(0, greatest(length(text) - 1, 0), {stride})"
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.expr(f"substring(text, chunk_start + 1, {size})").alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("long"))
+    )
+
+
+TEXT_CHUNKS_SQL = """
+SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start,
+       substring(text, CAST(chunk_start AS INT) + 1, 200) AS chunk,
+       CAST(length(substring(text, CAST(chunk_start AS INT) + 1, 200)) AS BIGINT)
+         AS chunk_len
+FROM documents,
+     LATERAL (SELECT unnest(generate_series(0,
+        greatest(length(text) - 1, 0), 150)) AS chunk_start)
+"""
+
+QUERIES["text_chunks"] = text_chunks
+ORACLES["text_chunks"] = TEXT_CHUNKS_SQL
