@@ -1049,6 +1049,239 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 """
 
 
+# ------------------------------------------ Q8 / Q13 / Q15 / Q21 shapes
+
+
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a target nation's share of regional order volume
+    per year — nested ratio aggregate over a 7-way join with one nation
+    dimension in two roles (customer's and supplier's).
+
+    Scale: every dimension broadcasts (region/nation/customer/supplier
+    are all tiny relative to the facts), so the only shuffles are
+    lineitem->orders on orderkey and the final tiny groupBy on year.
+    Numerator and denominator are exact decimal sums cast to double at
+    the end — the ratio is then a deterministic scalar division.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    target = F.when(
+        F.col("supp_nation") == "NATION_3", revenue
+    ).otherwise(F.lit(0).cast(DEC))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_rkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(target).cast("double") / F.sum(revenue).cast("double")
+            ).alias("mkt_share"),
+            F.sum(revenue).cast("double").alias("total_volume"),
+        )
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+             THEN {_sql_d("l_extendedprice")} * (1 - {_sql_d("l_discount")})
+             ELSE 0 END) AS DOUBLE)
+         / CAST(SUM({_sql_d("l_extendedprice")} * (1 - {_sql_d("l_discount")})) AS DOUBLE)
+         AS mkt_share,
+       CAST(SUM({_sql_d("l_extendedprice")} * (1 - {_sql_d("l_discount")})) AS DOUBLE)
+         AS total_volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+"""
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer, including
+    zero-order customers — LEFT OUTER join with an extra join-side
+    predicate (not a WHERE filter: that would drop the zero groups),
+    then two stacked aggregations.
+
+    Scale: the first groupBy shuffles on c_custkey (high cardinality,
+    well distributed); the second input is |customers| rows collapsing
+    to |distinct counts| — negligible. The status predicate lives in
+    the join condition so customers with only excluded orders still
+    appear with c_count = 0.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus != "P"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue view + scalar-MAX subquery —
+    supplier(s) whose quarterly shipped revenue equals the maximum.
+
+    Scale: one shuffle on l_suppkey for the per-supplier aggregate;
+    the global max is a single-row aggregate broadcast back (no
+    unpartitioned window, which would funnel all rows through one
+    task). The double equality is safe because both sides derive from
+    the same exact decimal sum.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(revenue).cast("double").alias("total_revenue")
+    )
+    mx = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM({_sql_d("l_extendedprice")} * (1 - {_sql_d("l_discount")})) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+"""
+
+
+def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who single-handedly held up
+    multi-supplier orders — a correlated EXISTS + NOT-EXISTS pair,
+    decorrelated into one per-order aggregate ("how many suppliers
+    participated / how many shipped late") joined back to the late
+    rows. "Late" is shipdate > orderdate + 90 days (the fixture has no
+    commit/receipt dates).
+
+    Scale: the EXISTS/NOT-EXISTS pair would be two extra joins against
+    lineitem; the per-order countDistinct aggregate computes both
+    predicates in ONE shuffle on orderkey (lineitem's natural key, so
+    AQE coalesces it with the fact-fact join's exchange), then joins
+    back on the same key — no second pass over the fact table.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    per_order = joined.groupBy("o_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supps"),
+    )
+    sole = (
+        joined.filter(F.col("is_late"))
+        .join(
+            per_order.filter(
+                (F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1)
+            ),
+            "o_orderkey",
+        )
+    )
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+Q21_SQL = """
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY s_suppkey, s_name
+"""
+
+
+QUERIES.update(
+    {
+        "market_share_by_year": market_share_by_year,
+        "customer_order_distribution": customer_order_distribution,
+        "top_supplier_revenue": top_supplier_revenue,
+        "sole_late_suppliers": sole_late_suppliers,
+    }
+)
+
+ORACLES.update(
+    {
+        "market_share_by_year": Q8_SQL,
+        "customer_order_distribution": Q13_SQL,
+        "top_supplier_revenue": Q15_SQL,
+        "sole_late_suppliers": Q21_SQL,
+    }
+)
+
+
 QUERIES.update(
     {
         "skewed_agg_salted": skewed_agg_salted,
