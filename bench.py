@@ -67,10 +67,13 @@ def main() -> None:
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     # min of 2 timed passes: the host shows episodic multi-x CPU
-    # throttling; min is the standard noise-robust bench estimator
+    # throttling; min is the standard noise-robust bench estimator.
+    # The second pass runs in REVERSE order so a throttling window (or
+    # a Python-worker-heavy neighbor) never hits the same query in both
+    # passes.
     timings: dict[str, float] = {}
-    for _ in range(2):
-        for name in BENCH_QUERIES:
+    for order in (BENCH_QUERIES, list(reversed(BENCH_QUERIES))):
+        for name in order:
             fn = queries[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)

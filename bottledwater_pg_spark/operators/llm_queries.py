@@ -222,6 +222,16 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_lsh(emb, queries, k=5)
 
 
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF-flat index (32 cells, 8 probed).
+    Approximate by design (the true neighbor's cell may go unprobed)
+    -> rows-only check; accuracy asserted against brute force in
+    tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.topk_ivf(emb, queries, k=5, n_list=32, n_probe=8)
+
+
 def text_stats_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ntok = token_count("text")
@@ -339,6 +349,7 @@ QUERIES = {
     "lsh_embedding_near_dup": lsh_embedding_near_dup,
     "ann_topk_cosine": ann_topk_cosine,
     "lsh_ann_topk": ann_topk_lsh,
+    "ivf_ann_topk": ann_topk_ivf,
     "text_stats_per_doc": text_stats_per_doc,
     "text_quality_by_source": text_quality_by_source,
     "text_langid": text_langid,
@@ -358,8 +369,9 @@ ORACLES = {
     "text_langid": TEXT_LANGID_SQL,
     "multimodal_decode_meta": MULTIMODAL_META_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
-    # lsh_simhash_near_dup, lsh_ann_topk: rows-only (xxhash64-based /
-    # approximate by design) — semantics asserted in tests instead.
+    # lsh_simhash_near_dup, lsh_ann_topk, ivf_ann_topk: rows-only
+    # (xxhash64-based / approximate by design) — semantics asserted in
+    # tests instead.
 }
 
 

@@ -352,6 +352,29 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind rollup/cube:
+    subtotals by (status), by (priority), and the grand total, in one
+    expand+aggregate pass (one shuffle)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_d("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM({_sql_d("o_totalprice")}) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: order counts per market segment x order status."""
     cust = _t(spark, sf_dir, "customer")
@@ -584,6 +607,7 @@ QUERIES = {
     "running_total_per_customer": running_total_per_customer,
     "rollup_order_stats": rollup_order_stats,
     "cube_lineitem_stats": cube_lineitem_stats,
+    "grouping_sets_order_stats": grouping_sets_order_stats,
     "pivot_status_by_segment": pivot_status_by_segment,
     "customers_in_both_statuses": customers_in_both_statuses,
     "customers_only_f_status": customers_only_f_status,
@@ -605,6 +629,7 @@ ORACLES = {
     "running_total_per_customer": RUNNING_SQL,
     "rollup_order_stats": ROLLUP_SQL,
     "cube_lineitem_stats": CUBE_SQL,
+    "grouping_sets_order_stats": GROUPING_SETS_SQL,
     "pivot_status_by_segment": PIVOT_SQL,
     "customers_in_both_statuses": INTERSECT_SQL,
     "customers_only_f_status": EXCEPT_SQL,
@@ -969,6 +994,50 @@ FROM events
 """
 
 
+def pg_range_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG range-type handling: the reference ships int4range as the
+    literal string '[1,5)' (oid2avro.c:317-349; type_specs.rb:111-117).
+    Build the canonical literal from data — with mixed bound
+    inclusivity — parse it back to a struct, and compute over the
+    bounds; the oracle computes straight from the base columns, so any
+    parser defect mismatches."""
+    from bottledwater_pg_spark.functions.pg_text import parse_int_range
+
+    orders = _t(spark, sf_dir, "orders")
+    built = orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("["),
+            F.col("o_custkey").cast("string"),
+            F.lit(","),
+            (F.col("o_custkey") + F.col("o_orderkey") % 100).cast("string"),
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("]")).otherwise(
+                F.lit(")")
+            ),
+        ).alias("r"),
+    )
+    parsed = built.select("o_orderkey", parse_int_range("r").alias("rng"))
+    return parsed.select(
+        "o_orderkey",
+        F.col("rng.lo").cast("long").alias("lo"),
+        F.col("rng.hi").cast("long").alias("hi"),
+        (F.col("rng.hi") - F.col("rng.lo")).cast("long").alias("width"),
+        F.col("rng.lo_inc").alias("lo_inc"),
+        F.col("rng.hi_inc").alias("hi_inc"),
+    )
+
+
+PG_RANGE_SQL = """
+SELECT o_orderkey,
+       CAST(o_custkey AS BIGINT) AS lo,
+       CAST(o_custkey + o_orderkey % 100 AS BIGINT) AS hi,
+       CAST(o_orderkey % 100 AS BIGINT) AS width,
+       TRUE AS lo_inc,
+       o_orderkey % 2 = 0 AS hi_inc
+FROM orders
+"""
+
+
 def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between supplier and customer
     nations — two aliases of one broadcast dimension."""
@@ -1287,6 +1356,7 @@ QUERIES.update(
         "skewed_agg_salted": skewed_agg_salted,
         "pg_array_roundtrip": pg_array_roundtrip,
         "hstore_roundtrip": hstore_roundtrip,
+        "pg_range_roundtrip": pg_range_roundtrip,
         "nation_pair_volume": nation_pair_volume,
         "promo_revenue_share": promo_revenue_share,
     }
@@ -1297,6 +1367,7 @@ ORACLES.update(
         "skewed_agg_salted": SKEW_SQL,
         "pg_array_roundtrip": PG_ARRAY_SQL,
         "hstore_roundtrip": HSTORE_SQL,
+        "pg_range_roundtrip": PG_RANGE_SQL,
         "nation_pair_volume": Q7_SQL,
         "promo_revenue_share": Q14_SQL,
     }

@@ -1,14 +1,17 @@
 """Similarity search over embedding columns: brute-force cosine top-k
-(the exact baseline) and SRP-LSH-bucketed approximate search (the
-scale path).
+(the exact baseline), SRP-LSH-bucketed approximate search, and an
+IVF-flat (inverted-file) index — the two standard scale paths.
 
 Scale design: brute force is a broadcast-join of the (small) query set
 against the corpus — linear scans parallelize perfectly but cost
 O(|Q| x |corpus|); the LSH variant probes only same-bucket candidates,
 trading recall for a corpus-partition-pruned probe, which is the right
 shape at 100 TB (the bucket id becomes a partition/bucketing key).
-Vectors are quantized once and carry precomputed norms — the per-pair
-work is a single interpreted zip_with dot product.
+IVF partitions the corpus into cells around coarse centroids and scans
+only the n_probe cells nearest each query — at cluster scale the cell
+id is the physical partitioning key, so a probe touches n_probe/n_list
+of the data. Vectors are quantized once and carry precomputed norms —
+the per-pair work is a single interpreted zip_with dot product.
 """
 
 from __future__ import annotations
@@ -44,6 +47,90 @@ def topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int = 5,
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", cosine_pre("query_q", "neighbor_q", "query_n", "neighbor_n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+# ------------------------------------------------------------ IVF-flat
+
+
+def ivf_centroids(corpus: DataFrame, n_list: int = 32,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Coarse-quantizer centroids: a deterministic sample of the corpus
+    (the n_list lowest-id vectors). Random sampling is the standard
+    cheap alternative to k-means training for IVF and keeps the whole
+    index reproducible; swapping in trained centroids changes nothing
+    downstream. Centroids are tiny — always broadcast."""
+    q = quantized_vectors(corpus, id_col, vec_col)
+    return (
+        q.orderBy("sid")
+        .limit(n_list)
+        .select(
+            F.col("sid").alias("cent_id"),
+            F.col("qvec").alias("cent_q"),
+            F.col("qnorm").alias("cent_n"),
+        )
+    )
+
+
+def ivf_assign(corpus: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine,
+    ties to the lowest cent_id): (sid, cent_id, qvec, qnorm).
+
+    One broadcast nested-loop against the tiny centroid set, then a
+    map-side-combining max_by aggregation — no quadratic pass, one
+    shuffle on sid. At cluster scale the output is written partitioned
+    by cent_id, which is what makes probes partition-pruned."""
+    q = quantized_vectors(corpus, id_col, vec_col)
+    scored = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "cos", cosine_pre("qvec", "cent_q", "qnorm", "cent_n")
+    )
+    return scored.groupBy("sid").agg(
+        F.max_by(
+            "cent_id", F.struct(F.col("cos"), -F.col("cent_id"))
+        ).alias("cent_id"),
+        F.first("qvec").alias("qvec"),
+        F.first("qnorm").alias("qnorm"),
+    )
+
+
+def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_list: int = 32, n_probe: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via an IVF-flat index: each query scans only
+    its n_probe nearest centroid cells; candidates are ranked by exact
+    quantized cosine. Unlike LSH banding, each corpus vector lives in
+    exactly ONE cell, so candidates need no distinct()."""
+    cent = ivf_centroids(corpus, n_list, id_col, vec_col)
+    assigned = ivf_assign(corpus, cent, id_col, vec_col)
+    qv = quantized_vectors(queries, id_col, vec_col)
+    qscored = qv.crossJoin(F.broadcast(cent)).withColumn(
+        "cos", cosine_pre("qvec", "cent_q", "qnorm", "cent_n")
+    )
+    wp = Window.partitionBy("sid").orderBy(F.desc("cos"), F.col("cent_id"))
+    probe = (
+        qscored.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select(
+            F.col("sid").alias("query_id"),
+            "cent_id",
+            F.col("qvec").alias("query_q"),
+            F.col("qnorm").alias("query_n"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(probe), "cent_id")
+        .filter(F.col("sid") != F.col("query_id"))
+        .withColumn("cos", cosine_pre("query_q", "qvec", "query_n", "qnorm"))
+        .select("query_id", F.col("sid").alias("neighbor_id"), "cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (

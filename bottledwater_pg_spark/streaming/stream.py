@@ -254,6 +254,90 @@ def stateful_latest_by_key(events_stream: DataFrame):
     )
 
 
+def stateful_latest_by_key_ttl(events_stream: DataFrame,
+                               tombstone_ttl_ms: int = 60_000):
+    """Latest-by-key with tombstone retention: like
+    :func:`stateful_latest_by_key`, but when a key's winning event is a
+    delete, its state entry is held only ``tombstone_ttl_ms`` longer and
+    then purged (an ``op='expired'`` row is emitted so downstream
+    compaction can drop the key).
+
+    This is Kafka log compaction's ``delete.retention.ms`` applied to
+    the state store: the reference emits null-value tombstones precisely
+    so compacted topics eventually forget deleted keys
+    (/root/reference/kafka/bottledwater.c:533-541, README.md:283-297);
+    without expiry, a 100 TB stream's state grows monotonically with
+    every key ever deleted. Expiry uses processing-time timeouts — no
+    per-key timers on the driver, the state store handles it per
+    partition.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("new_row", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("new_row", T.StringType()),
+        ]
+    )
+
+    def update_fn(key, pdfs, state: "GroupState"):
+        if state.hasTimedOut:
+            lsn, op, _ = state.get
+            state.remove()
+            if op == "delete":
+                yield pd.DataFrame(
+                    {
+                        "key": [key[0]],
+                        "op": ["expired"],
+                        "lsn": [lsn],
+                        "new_row": [None],
+                    }
+                )
+            return
+        best_lsn, best_op, best_row = (
+            state.get if state.exists else (None, None, None)
+        )
+        for pdf in pdfs:
+            for _, r in pdf.sort_values("lsn").iterrows():
+                if best_lsn is None or r["lsn"] > best_lsn:
+                    best_lsn = int(r["lsn"])
+                    best_op = r["op"]
+                    best_row = r["new_row"]
+        state.update((best_lsn, best_op, best_row))
+        if best_op == "delete":
+            state.setTimeoutDuration(tombstone_ttl_ms)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "op": [best_op],
+                "lsn": [best_lsn],
+                "new_row": [best_row],
+            }
+        )
+
+    dml = events_stream.filter(
+        F.col("op").isin("insert", "update", "delete") & F.col("key").isNotNull()
+    ).select("key", "op", "lsn", "new_row")
+    return dml.groupBy("key").applyInPandasWithState(
+        update_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def console_sink(events_stream: DataFrame, truncate: bool = False):
     """Debug/monitoring sink (X4): the reference ships ``bwtest``, a
     binary that prints every event as JSON to stdout

@@ -1,0 +1,80 @@
+"""Bucketed tables for co-located joins (SCALE.md): writing both fact
+tables bucketed by the join key lets Spark sort-merge-join them with
+ZERO exchanges — at 100 TB this turns the biggest shuffle in every
+orders-lineitem query into a local merge. The reference's analog is
+key-hash partitioning so consumers can join streams without resorting
+(/root/reference/kafka/bottledwater.c:784-808, README.md:384-398).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bottledwater_pg_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, sf_dir):
+    """Bucketed saveAsTable copies of orders/lineitem (16 buckets on
+    the join key), registered in the session catalog."""
+    for tbl, key in [("orders", "o_orderkey"), ("lineitem", "l_orderkey")]:
+        name = f"bkt_{tbl}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            load_table(spark, sf_dir, tbl)
+            .write.mode("overwrite")
+            .bucketBy(16, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    yield spark
+    for tbl in ["orders", "lineitem"]:
+        spark.sql(f"DROP TABLE IF EXISTS bkt_{tbl}")
+
+
+def test_bucketed_join_has_no_shuffle(warehouse):
+    spark = warehouse
+    orders = spark.table("bkt_orders")
+    li = spark.table("bkt_lineitem")
+    joined = li.join(
+        orders.hint("merge"), li.l_orderkey == orders.o_orderkey
+    ).groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-located: the join introduces no exchange; the only hash
+    # exchange allowed is the post-join aggregation on the status key
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert all(e.startswith("o_orderstatus") for e in exchanges), exchanges
+
+
+def test_bucketed_join_matches_unbucketed(warehouse, sf_dir):
+    spark = warehouse
+    got = (
+        spark.table("bkt_lineitem")
+        .join(
+            spark.table("bkt_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    exp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp)

@@ -18,7 +18,9 @@ def test_every_query_has_an_oracle_or_is_flagged():
     missing = [name for name in QUERIES if name not in ORACLES]
     # non-SQL-expressible ops are allowed to omit the oracle, but keep
     # the list deliberate — every entry here must be justified
-    allowed_rows_only = {n for n in missing if n.startswith(("lsh_", "stream_"))}
+    allowed_rows_only = {
+        n for n in missing if n.startswith(("lsh_", "ivf_", "stream_"))
+    }
     assert set(missing) == allowed_rows_only, f"unexplained oracle-less: {missing}"
 
 

@@ -51,6 +51,45 @@ def test_embedding_lsh_equals_bruteforce(spark, sf_dir):
     assert lset == bset
 
 
+def test_ann_ivf_cells_and_scores(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = similarity.topk_ivf(emb, queries, k=5, n_list=32, n_probe=8).toPandas()
+    assert (approx.groupby("query_id")["rank"].max() <= 5).all()
+    assert approx.cos.between(-1.001, 1.001).all()
+    # scores must equal brute force for every returned pair
+    brute = similarity.topk_bruteforce(emb, queries, k=5).toPandas()
+    merged = approx.merge(
+        brute, on=["query_id", "neighbor_id"], suffixes=("_i", "_b")
+    )
+    if len(merged):
+        assert (merged.cos_i == merged.cos_b).all()
+    # every returned neighbor must come from a cell the query probed —
+    # the structural IVF invariant
+    cent = similarity.ivf_centroids(emb, 32)
+    assigned = similarity.ivf_assign(emb, cent).select("sid", "cent_id").toPandas()
+    cell_of = dict(zip(assigned.sid, assigned.cent_id))
+    qv = similarity.quantized_vectors(queries)
+    qs = (
+        qv.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cos",
+            similarity.cosine_pre("qvec", "cent_q", "qnorm", "cent_n"),
+        )
+        .toPandas()
+    )
+    probed = (
+        qs.sort_values(["sid", "cos", "cent_id"], ascending=[True, False, True])
+        .groupby("sid")
+        .head(8)
+        .groupby("sid")["cent_id"]
+        .apply(set)
+        .to_dict()
+    )
+    for q, n in zip(approx.query_id, approx.neighbor_id):
+        assert cell_of[n] in probed[q]
+
+
 def test_ann_lsh_subset_and_ranked(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)

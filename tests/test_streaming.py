@@ -69,6 +69,66 @@ def test_streaming_is_idempotent_under_replay(spark, sf_dir):
         )
 
 
+def test_tombstone_ttl_expires_deleted_keys(spark, sf_dir):
+    """Tombstone retention (Kafka delete.retention.ms semantics over
+    the state store): keys whose final event is a delete are purged
+    after the TTL, emitting op='expired'; live keys are untouched."""
+    import time
+
+    from bottledwater_pg_spark.streaming.stream import (
+        stateful_latest_by_key_ttl,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").limit(200)
+    events = generate_cdc(
+        cust, ["c_custkey"], F.col("c_custkey"), 16385, "customer", SPEC
+    )
+    expected_tombs = {
+        r["key"]
+        for r in events.filter(F.col("op") == "delete")
+        .select("key")
+        .collect()
+    }
+    assert expected_tombs, "fixture must produce tombstones"
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events"
+        write_envelope_stream(events, src, num_files=2)
+        stream = read_envelope_stream(spark, src, files_per_trigger=1)
+        q = (
+            stateful_latest_by_key_ttl(stream, tombstone_ttl_ms=500)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("ttl_latest")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        # processAllAvailable() livelocks under processing-time timeouts
+        # (timer batches keep the query busy), so poll the sink with a
+        # deadline instead; timer batches fire expiries on their own.
+        try:
+            deadline = time.time() + 120
+            expired: set = set()
+            while time.time() < deadline:
+                out = spark.sql(
+                    "SELECT key, op, lsn FROM ttl_latest"
+                ).toPandas()
+                expired = set(out[out.op == "expired"].key)
+                if expired >= expected_tombs:
+                    break
+                time.sleep(1.0)
+        finally:
+            q.stop()
+
+        live = out[out.op != "expired"]
+        final = live.sort_values("lsn").groupby("key").last()
+        tomb_keys = set(final[final.op == "delete"].index)
+        # every key whose final event is a tombstone must have expired,
+        # and nothing else may expire
+        assert tomb_keys == expected_tombs
+        assert expired == expected_tombs
+
+
 def test_stateful_latest_by_key_converges(spark, sf_dir):
     """applyInPandasWithState latest-by-key over micro-batches emits,
     as its final per-key update, exactly the batch compaction result
