@@ -223,8 +223,55 @@ FROM k WHERE k % 7 = 0
 """
 
 
+def cdc_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version history of the customer CDC stream: every non-delete
+    event opens a version; the key's next event closes it. The payload
+    column is summarized by null-ness (JSON double rendering differs
+    between engines); the version timeline itself is the contract."""
+    from bottledwater_pg_spark.operators.materialize import scd2_history
+
+    hist = scd2_history(customer_cdc(spark, sf_dir))
+    return hist.select(
+        "key",
+        "op",
+        "valid_from_lsn",
+        "valid_to_lsn",
+        "is_current",
+        F.col("new_row").isNotNull().alias("has_payload"),
+    )
+
+
+# closed-form event inventory per key k (same as CDC_SINK_SQL), with
+# version ranges = lead(lsn) over the per-key event sequence
+CDC_SCD2_SQL = """
+WITH k AS (SELECT c_custkey AS k FROM customer),
+ev AS (
+  SELECT '{"c_custkey":' || k || '}' AS key, 'insert' AS op, k * 10 AS lsn
+  FROM k
+  UNION ALL
+  SELECT '{"c_custkey":' || k || '}', 'update', k * 10 + 1 FROM k WHERE k % 5 = 0
+  UNION ALL
+  SELECT '{"c_custkey":' || k || '}', 'delete', k * 10 + 2 FROM k WHERE k % 11 = 0
+  UNION ALL
+  SELECT '{"c_custkey":' || (k + 1000000) || '}', 'insert', k * 10 + 2
+  FROM k WHERE k % 11 = 0
+  UNION ALL
+  SELECT '{"c_custkey":' || k || '}', 'delete', k * 10 + 3 FROM k WHERE k % 7 = 0
+), ranged AS (
+  SELECT key, op, lsn AS valid_from_lsn,
+         lead(lsn) OVER (PARTITION BY key ORDER BY lsn) AS valid_to_lsn
+  FROM ev
+)
+SELECT key, op, valid_from_lsn, valid_to_lsn,
+       valid_to_lsn IS NULL AS is_current,
+       TRUE AS has_payload
+FROM ranged WHERE op <> 'delete'
+"""
+
+
 QUERIES = {
     "cdc_materialize_customer": cdc_materialize_customer,
+    "cdc_history_scd2": cdc_history_scd2,
     "cdc_kafka_sink_shape": cdc_kafka_sink_shape,
     "cdc_error_policy_log": cdc_error_policy_log,
     "cdc_materialize_events_composite": cdc_materialize_events_composite,
@@ -234,6 +281,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_materialize_customer": CDC_CUSTOMER_SQL,
+    "cdc_history_scd2": CDC_SCD2_SQL,
     "cdc_kafka_sink_shape": CDC_SINK_SQL,
     "cdc_error_policy_log": CDC_ERRLOG_SQL,
     "cdc_materialize_events_composite": CDC_EVENTS_SQL,

@@ -81,6 +81,34 @@ def materialize(events: DataFrame, row_schema: T.StructType) -> DataFrame:
     return decode_rows(latest_by_key(events), row_schema)
 
 
+def scd2_history(events: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: every non-delete event
+    opens a version valid from its lsn until the key's next event
+    (``valid_to_lsn`` null = current). Deletes close the prior version
+    without opening one — the tombstone contract as history instead of
+    compaction.
+
+    Unlike compaction this genuinely needs every event ordered within
+    its key, so the window formulation is correct here: ONE shuffle on
+    the key, per-partition sort by lsn, no O(n^2) self-join. At 100 TB
+    the output is written partitioned by is_current so point-in-time
+    queries prune to closed or open versions.
+    """
+    from pyspark.sql import Window
+
+    dml = events.filter(F.col("op").isin(*DML_OPS) & F.col("key").isNotNull())
+    w = Window.partitionBy("key").orderBy("lsn")
+    with_next = dml.withColumn("valid_to_lsn", F.lead("lsn").over(w))
+    return with_next.filter(F.col("op") != OP_DELETE).select(
+        "key",
+        F.col("op").alias("op"),
+        F.col("lsn").alias("valid_from_lsn"),
+        "valid_to_lsn",
+        F.col("valid_to_lsn").isNull().alias("is_current"),
+        "new_row",
+    )
+
+
 def append_only(events: DataFrame, row_schema: T.StructType) -> DataFrame:
     """Unkeyed-table materialization: inserts/updates append, deletes
     are dropped (X2, bottledwater.c:537-541). No shuffle at all."""

@@ -69,6 +69,108 @@ def test_streaming_is_idempotent_under_replay(spark, sf_dir):
         )
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream inner join with watermarks on both sides and a
+    time-range condition (purchase joined to clicks in the preceding
+    hour) emits exactly the batch join's pairs — the unified-model
+    guarantee SURVEY §2.2 claims for stream-stream joins."""
+    # watermarks require TIMESTAMP (tz-aware), not the parquet NTZ type
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys_b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+    )
+    cond = (
+        (F.col("c_uid") == F.col("p_uid"))
+        & (F.col("click_ts") <= F.col("buy_ts"))
+        & (F.col("click_ts") >= F.col("buy_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    expected = {
+        (r["buy_id"], r["click_id"])
+        for r in buys_b.join(clicks_b, cond).select("buy_id", "click_id").collect()
+    }
+    assert expected, "fixture must produce join pairs"
+
+    with tempfile.TemporaryDirectory() as tmp:
+        clicks_b.repartition(3).write.parquet(f"{tmp}/clicks")
+        buys_b.repartition(3).write.parquet(f"{tmp}/buys")
+        # files replay in arbitrary time order, so the watermark delay
+        # must cover the fixture's full span for exact batch parity
+        # (state-eviction/late-drop behavior is pinned separately in
+        # test_skew_and_watermark.py)
+        cs = (
+            spark.readStream.schema(clicks_b.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/clicks")
+            .withWatermark("click_ts", "3650 days")
+        )
+        bs = (
+            spark.readStream.schema(buys_b.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/buys")
+            .withWatermark("buy_ts", "3650 days")
+        )
+        q = (
+            bs.join(cs, cond)
+            .select("buy_id", "click_id")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ss_join")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["buy_id"], r["click_id"])
+            for r in spark.sql("SELECT * FROM ss_join").collect()
+        }
+    assert got == expected
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over a stream that replays every
+    event twice (at-least-once delivery) emits each event_id once."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id")
+        .limit(500)
+    )
+    n_distinct = ev.select("event_id").distinct().count()
+    doubled = ev.unionByName(ev)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        doubled.repartition(4).write.parquet(f"{tmp}/src")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(f"{tmp}/src")
+            .withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_stream")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql("SELECT event_id FROM dedup_stream").toPandas()
+    assert len(got) == n_distinct
+    assert got.event_id.nunique() == n_distinct
+
+
 def test_tombstone_ttl_expires_deleted_keys(spark, sf_dir):
     """Tombstone retention (Kafka delete.retention.ms semantics over
     the state store): keys whose final event is a delete are purged
