@@ -50,6 +50,21 @@ def word_shingles(col: str = "text", n: int = 3) -> Column:
     )
 
 
+def word_shingles_from_tokens(toks_col: str, n: int = 3) -> Column:
+    """:func:`word_shingles` over a pre-projected token-array COLUMN.
+
+    Splitting must happen in a prior projection: referencing the
+    ``split(...)`` expression inside the ``transform`` lambda would
+    re-tokenize the document once per shingle index (O(tokens^2) per
+    doc — measured 3x wall on the dedup pipeline). A bound attribute is
+    evaluated once per row."""
+    return F.expr(
+        f"CASE WHEN size({toks_col}) < {n} THEN array() "
+        f"ELSE array_distinct(transform(sequence(0, size({toks_col}) - {n}), "
+        f"i -> concat_ws(' ', slice({toks_col}, i + 1, {n})))) END"
+    )
+
+
 def sql_word_shingles(col: str = "text", n: int = 3) -> str:
     """DuckDB rendering of :func:`word_shingles` (1-based inclusive
     list slicing; ``range`` is empty when stop <= start)."""

@@ -52,10 +52,19 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
 
 def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   n: int = 3) -> DataFrame:
-    """One row per (doc, distinct shingle)."""
+    """One row per (doc, distinct shingle). Tokenizes into a bound
+    column first — see word_shingles_from_tokens for why inlining the
+    split into the shingle lambda is O(tokens^2)."""
+    from bottledwater_pg_spark.functions.text import (
+        tokens,
+        word_shingles_from_tokens,
+    )
+
     return df.select(
-        F.col(id_col).alias("sid"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+        F.col(id_col).alias("sid"), tokens(text_col).alias("toks")
+    ).select(
+        "sid",
+        F.explode(word_shingles_from_tokens("toks", n)).alias("shingle"),
     )
 
 
