@@ -23,6 +23,7 @@ BENCH_QUERIES = [
     "cdc_materialize_customer",
     "cdc_materialize_events_composite",
     "cdc_topic_routing_counts",
+    "cdc_history_scd2",
     # relational plane
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -34,6 +35,9 @@ BENCH_QUERIES = [
     "large_volume_orders",
     "branded_bracket_revenue",
     "distinct_part_supp_counts",
+    "market_share_by_year",
+    "customer_order_distribution",
+    "sole_late_suppliers",
     # streaming ops (batch mode)
     "windowed_event_counts",
     "session_window_counts",
@@ -42,7 +46,9 @@ BENCH_QUERIES = [
     "lsh_minhash_near_dup",
     "lsh_embedding_near_dup",
     "ann_topk_cosine",
+    "ivf_ann_topk",
     "text_stats_per_doc",
+    "text_chunks",
     "multimodal_decode_meta",
 ]
 

@@ -1332,18 +1332,80 @@ GROUP BY s_suppkey, s_name
 """
 
 
+def dominant_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested aggregate semi-join chain — suppliers
+    who shipped more than twice a promo part's average per-supplier
+    quantity (a scale-stable dominance test: a fixed fraction of the
+    part total thins out as supplier counts grow with the corpus).
+    The correlated HAVING subquery (per-part average) decorrelates
+    into a second aggregation over the SAME grouped result: the
+    per-(part, supplier) aggregate is computed once, its re-aggregation
+    to per-part totals is tiny, and the dominance filter is a join
+    between the two — no second pass over lineitem, no per-row
+    subquery.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    li_promo = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    per_ps = li_promo.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_d("l_quantity")).alias("supp_qty")
+    )
+    per_p = per_ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("supp_qty").alias("part_qty"),
+        F.count("*").alias("n_supps"),
+    )
+    dominant = (
+        per_ps.join(per_p, per_ps.l_partkey == per_p.pk)
+        .filter(
+            F.col("supp_qty").cast("double")
+            > 2.0 * F.col("part_qty").cast("double") / F.col("n_supps")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return supp.join(
+        dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+Q20_SQL = f"""
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM({_sql_d("l_quantity")}) AS supp_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY l_partkey, l_suppkey
+), per_p AS (
+  SELECT l_partkey, SUM(supp_qty) AS part_qty, COUNT(*) AS n_supps
+  FROM per_ps GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_ps JOIN per_p USING (l_partkey)
+  WHERE CAST(supp_qty AS DOUBLE)
+          > 2.0 * CAST(part_qty AS DOUBLE) / n_supps)
+"""
+
+
 QUERIES.update(
     {
         "market_share_by_year": market_share_by_year,
         "customer_order_distribution": customer_order_distribution,
         "top_supplier_revenue": top_supplier_revenue,
         "sole_late_suppliers": sole_late_suppliers,
+        "dominant_promo_suppliers": dominant_promo_suppliers,
     }
 )
 
 ORACLES.update(
     {
         "market_share_by_year": Q8_SQL,
+        "dominant_promo_suppliers": Q20_SQL,
         "customer_order_distribution": Q13_SQL,
         "top_supplier_revenue": Q15_SQL,
         "sole_late_suppliers": Q21_SQL,

@@ -63,3 +63,26 @@ def test_top3_window_single_shuffle(spark, sf_dir):
     df = Q.top3_orders_per_segment(spark, sf_dir)
     assert count_exchanges(df) == 1  # partitionBy segment
     assert count_broadcast_joins(df) >= 1  # customer side
+
+
+def test_q8_broadcasts_every_dimension(spark, sf_dir):
+    df = Q.market_share_by_year(spark, sf_dir)
+    # region, both nation roles, customer, supplier all broadcast; the
+    # only hash exchange is the final year groupBy (lineitem<->orders
+    # may broadcast at this sf or shuffle at scale — either is sound)
+    assert count_broadcast_joins(df) >= 5
+
+
+def test_q13_outer_join_keeps_pushdown_off_probe(spark, sf_dir):
+    df = Q.customer_order_distribution(spark, sf_dir)
+    # the o_orderstatus predicate lives in the JOIN, so it must reach
+    # the orders scan while customer scans unfiltered
+    assert any("o_orderstatus" in f for f in pushed_filters(df))
+    assert has_partial_aggregation(df)
+
+
+def test_scd2_history_single_shuffle(spark, sf_dir):
+    df = cdc_queries.cdc_history_scd2(spark, sf_dir)
+    # full history needs the per-key sort: exactly one hash exchange on
+    # key, nothing else
+    assert count_exchanges(df) == 1
