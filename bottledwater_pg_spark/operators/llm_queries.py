@@ -412,3 +412,84 @@ FROM documents,
 
 QUERIES["text_chunks"] = text_chunks
 ORACLES["text_chunks"] = TEXT_CHUNKS_SQL
+
+
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-200 tokens by document frequency (tokens
+    deduped per doc first — DF, not term count), deterministic
+    tie-break on the token itself. Scale: explode -> distinct(doc,tok)
+    -> groupBy(tok) is two shuffles with partial aggregation; top-k
+    ranks only the (small) aggregated vocabulary."""
+    from bottledwater_pg_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).distinct()
+    return (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "tok")
+        .limit(200)
+    )
+
+
+VOCAB_SQL = """
+SELECT tok, COUNT(*) AS doc_freq FROM (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+)
+GROUP BY tok
+ORDER BY doc_freq DESC, tok
+LIMIT 200
+"""
+
+
+def cross_set_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check: which 'evaluation' docs (the
+    deterministic 1-in-9 sample) appear verbatim in the 'training'
+    corpus (everything else), matched on the normalized-text
+    fingerprint. At scale this is a broadcast semi-join of the small
+    eval set's fingerprints against the training corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # eval set: doc_id % 9 == 0, re-keyed; train set keeps originals and
+    # ALSO re-includes a copy of every 3rd eval doc as contamination
+    eval_set = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 500000).alias("eval_id"), "text"
+    )
+    contam = docs.filter(F.col("doc_id") % 27 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 9 != 0).unionByName(contam)
+    ev = eval_set.select("eval_id", fingerprint("text").alias("fp"))
+    tr = train.select("doc_id", fingerprint("text").alias("fp"))
+    return (
+        tr.join(F.broadcast(ev), "fp")
+        .groupBy("eval_id")
+        .agg(
+            F.count("*").alias("n_train_copies"),
+            F.min("doc_id").alias("first_train_doc"),
+        )
+    )
+
+
+CONTAM_SQL = f"""
+WITH eval_set AS (
+  SELECT doc_id + 500000 AS eval_id, {sql_fingerprint("text")} AS fp
+  FROM documents WHERE doc_id % 9 = 0
+), train AS (
+  SELECT doc_id, {sql_fingerprint("text")} AS fp
+  FROM documents WHERE doc_id % 9 <> 0
+  UNION ALL
+  SELECT doc_id + 600000, {sql_fingerprint("text")}
+  FROM documents WHERE doc_id % 27 = 0
+)
+SELECT eval_id, COUNT(*) AS n_train_copies, MIN(doc_id) AS first_train_doc
+FROM train JOIN eval_set USING (fp)
+GROUP BY eval_id
+"""
+
+QUERIES["vocab_top_terms"] = vocab_top_terms
+ORACLES["vocab_top_terms"] = VOCAB_SQL
+QUERIES["cross_set_contamination"] = cross_set_contamination
+ORACLES["cross_set_contamination"] = CONTAM_SQL
