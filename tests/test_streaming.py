@@ -69,6 +69,91 @@ def test_streaming_is_idempotent_under_replay(spark, sf_dir):
         )
 
 
+def test_streaming_schema_drift_re_resolution(spark, sf_dir):
+    """Mid-stream DDL drift (SURVEY §7.4): a v2 TableSchema control
+    event arrives in a later micro-batch with a new column. The
+    foreachBatch handler re-resolves the newest schema per batch
+    (from_json is fixed per query, so re-resolution happens at batch
+    boundaries); raw payloads are kept undecoded in state, and the
+    final decode with the newest schema reads pre-change rows with
+    null for the added column — the reference's add-column matrix
+    (topic_spec.rb:113-274)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from bottledwater_pg_spark.plans.envelope import ROW_JSON_OPTIONS
+    from bottledwater_pg_spark.schema_tracker import (
+        SchemaTracker,
+        resolve_schemas,
+        table_schema_events,
+    )
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+
+    relid = 777
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").between(1, 30))
+        .select("c_custkey", "c_name")
+    )
+    v1_rows = snapshot_events(base, ["c_custkey"], F.col("c_custkey"), relid,
+                              "customer")
+    v2_base = base.select(
+        (F.col("c_custkey") + 1000).alias("c_custkey"),
+        "c_name",
+        F.lit("flagged").alias("c_flag"),
+    )
+    v2_rows = snapshot_events(v2_base, ["c_custkey"], F.col("c_custkey"),
+                              relid, "customer")
+
+    tracker = SchemaTracker()
+    state: dict = {}
+
+    def handle_batch(batch_df, _epoch):
+        resolve_schemas(batch_df, tracker)
+        for r in (
+            batch_df.filter(F.col("new_row").isNotNull())
+            .select("key", "lsn", "new_row")
+            .collect()
+        ):
+            cur = state.get(r["key"])
+            if cur is None or r["lsn"] > cur[0]:
+                state[r["key"]] = (r["lsn"], r["new_row"])
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events"
+        # file 1: v1 schema + v1 rows; file 2: v2 schema + v2 rows
+        table_schema_events(base, relid, "customer", lsn=0).unionByName(
+            v1_rows
+        ).coalesce(1).write.parquet(src)
+        table_schema_events(v2_base, relid, "customer", lsn=900).unionByName(
+            v2_rows
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        from bottledwater_pg_spark.streaming.stream import read_envelope_stream
+
+        q = (
+            read_envelope_stream(spark, src, files_per_trigger=1)
+            .writeStream.foreachBatch(handle_batch)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    assert len(tracker.versions[relid]) == 2, "both schema versions observed"
+    newest = tracker.current(relid)
+    assert "c_flag" in newest.fieldNames()
+    payloads = spark.createDataFrame(
+        [(v[1],) for v in state.values()], "new_row string"
+    )
+    decoded = payloads.select(
+        F.from_json("new_row", newest, ROW_JSON_OPTIONS).alias("r")
+    ).select("r.*").toPandas()
+    old = decoded[decoded.c_custkey <= 1000]
+    new = decoded[decoded.c_custkey > 1000]
+    assert len(old) == 30 and old.c_flag.isna().all()
+    assert len(new) == 30 and (new.c_flag == "flagged").all()
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir):
     """Stream-stream inner join with watermarks on both sides and a
     time-range condition (purchase joined to clicks in the preceding
