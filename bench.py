@@ -87,6 +87,14 @@ def main() -> None:
             elapsed = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
+    # CDC throughput: events generated+compacted+decoded per second,
+    # from the materialize queries' event volumes and min timings
+    # (SURVEY §7.3 step 9 calls for an events/sec figure)
+    from bottledwater_pg_spark.operators.cdc_queries import customer_cdc
+
+    n_events = customer_cdc(spark, sf_dir).count()
+    cdc_eps = round(n_events / timings["cdc_materialize_customer"], 1)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -96,6 +104,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "cdc_events_per_sec": cdc_eps,
             }
         )
     )

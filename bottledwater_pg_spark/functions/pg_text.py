@@ -50,6 +50,77 @@ def parse_hstore(col: str) -> Column:
     )
 
 
+def parse_pg_timestamp(col: str) -> Column:
+    """PG timestamp text incl. the ±infinity sentinels -> struct<ts:
+    timestamp_ntz, special: string>.
+
+    The reference encodes date/timestamp as a union
+    [null, record, enum SpecialTime{POS_INFINITY, NEG_INFINITY}]
+    (oid2avro.c:516-550, 653-661); Spark timestamps cannot hold
+    ±infinity, so the sentinel rides a sibling field and ``ts`` is null
+    for special values."""
+    return F.expr(
+        f"named_struct("
+        f"'ts', CASE WHEN {col} IN ('infinity', '-infinity') THEN NULL "
+        f"ELSE CAST({col} AS TIMESTAMP_NTZ) END, "
+        f"'special', CASE WHEN {col} = 'infinity' THEN 'POS_INFINITY' "
+        f"WHEN {col} = '-infinity' THEN 'NEG_INFINITY' END)"
+    )
+
+
+def parse_pg_timetz(col: str) -> Column:
+    """PG ``timetz`` text (``'17:40:15.123456+01'``) -> struct<micro:
+    bigint, zone_offset: int> — micro since midnight plus the ISO-8601
+    UTC offset in seconds.
+
+    Matches the reference's timetz record (oid2avro.c:552-588): PG
+    *internally* stores the offset west-positive and the reference
+    flips it to ISO sign (oid2avro.c:583-585); PG's *text* output is
+    already ISO-signed, so parsing text yields the flipped value
+    directly."""
+    h = f"try_cast(regexp_extract({col}, '^(\\\\d+):', 1) AS BIGINT)"
+    m = f"try_cast(regexp_extract({col}, '^\\\\d+:(\\\\d+)', 1) AS BIGINT)"
+    s = (
+        f"try_cast(regexp_extract({col}, '^\\\\d+:\\\\d+:(\\\\d+(?:\\\\.\\\\d+)?)', 1)"
+        f" AS DECIMAL(15,6))"
+    )
+    zh = f"try_cast(regexp_extract({col}, '([+-]\\\\d+)(?::\\\\d+)?$', 1) AS INT)"
+    zm = f"coalesce(try_cast(regexp_extract({col}, '[+-]\\\\d+:(\\\\d+)$', 1) AS INT), 0)"
+    return F.expr(
+        f"named_struct("
+        f"'micro', ({h} * 3600 + {m} * 60) * 1000000 "
+        f"  + CAST({s} * 1000000 AS BIGINT), "
+        f"'zone_offset', CAST({zh} * 3600 + "
+        f"  CASE WHEN {zh} < 0 THEN -{zm} ELSE {zm} END * 60 AS INT))"
+    )
+
+
+def parse_pg_interval(col: str) -> Column:
+    """PG interval text (``'1 year 2 mons 3 days 04:05:06.789012'``) ->
+    the reference's interval record struct<years,months,days,hours,
+    minutes,seconds:int, micro: bigint> (oid2avro.c:703-737). Missing
+    components read 0; a leading '-' on the time part negates all three
+    time fields (PG's canonical rendering)."""
+    years = f"coalesce(try_cast(regexp_extract({col}, '(-?\\\\d+) years?', 1) AS INT), 0)"
+    months = f"coalesce(try_cast(regexp_extract({col}, '(-?\\\\d+) mons?', 1) AS INT), 0)"
+    days = f"coalesce(try_cast(regexp_extract({col}, '(-?\\\\d+) days?', 1) AS INT), 0)"
+    tsign = f"CASE WHEN {col} RLIKE '(^| )-\\\\d+:' THEN -1 ELSE 1 END"
+    th = f"coalesce(try_cast(regexp_extract({col}, '(?:^| )-?(\\\\d+):\\\\d+:', 1) AS INT), 0)"
+    tm = f"coalesce(try_cast(regexp_extract({col}, '(?:^| )-?\\\\d+:(\\\\d+):', 1) AS INT), 0)"
+    ts_ = (
+        f"coalesce(try_cast(regexp_extract({col}, "
+        f"'(?:^| )-?\\\\d+:\\\\d+:(\\\\d+(?:\\\\.\\\\d+)?)', 1) "
+        f"AS DECIMAL(15,6)), 0)"
+    )
+    return F.expr(
+        f"named_struct("
+        f"'years', {years}, 'months', {months}, 'days', {days}, "
+        f"'hours', {tsign} * {th}, 'minutes', {tsign} * {tm}, "
+        f"'seconds', {tsign} * CAST(floor({ts_}) AS INT), "
+        f"'micro', {tsign} * CAST(({ts_} - floor({ts_})) * 1000000 AS BIGINT))"
+    )
+
+
 def parse_int_range(col: str) -> Column:
     """``'[1,5)'`` -> struct<lo:int, hi:int, lo_inc:boolean,
     hi_inc:boolean> (PG int4range textual form)."""

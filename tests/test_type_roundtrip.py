@@ -93,6 +93,74 @@ def test_value_roundtrips_through_envelope(spark, name, dtype, value):
     assert rt["value"] is None
 
 
+def test_pg_timestamp_infinity_sentinels(spark):
+    """±infinity dates/timestamps (oid2avro.c:516-550, 653-661): the
+    sentinel survives as a sibling enum field, finite values parse to
+    µs fidelity."""
+    from bottledwater_pg_spark.functions.pg_text import parse_pg_timestamp
+
+    df = spark.createDataFrame(
+        [("infinity",), ("-infinity",), ("2014-12-27 17:40:15.123456",)],
+        "t string",
+    )
+    rows = {
+        (r["p"]["special"] or "finite"): r["p"]["ts"]
+        for r in df.select(parse_pg_timestamp("t").alias("p")).collect()
+    }
+    assert rows["POS_INFINITY"] is None
+    assert rows["NEG_INFINITY"] is None
+    assert rows["finite"] == datetime.datetime(2014, 12, 27, 17, 40, 15, 123456)
+
+
+def test_pg_timetz_iso_offset(spark):
+    """timetz text -> (µs since midnight, ISO-signed zone offset) —
+    the reference flips PG's internal west-positive sign to ISO
+    (oid2avro.c:583-585); text output is already ISO, asserted here."""
+    from bottledwater_pg_spark.functions.pg_text import parse_pg_timetz
+
+    df = spark.createDataFrame(
+        [("17:40:15.123456+01",), ("00:00:01-08:30",)], "t string"
+    )
+    got = [r["p"].asDict() for r in df.select(parse_pg_timetz("t").alias("p")).collect()]
+    assert got[0] == {
+        "micro": (17 * 3600 + 40 * 60 + 15) * 10**6 + 123456,
+        "zone_offset": 3600,
+    }
+    assert got[1] == {"micro": 1_000_000, "zone_offset": -(8 * 3600 + 30 * 60)}
+
+
+def test_pg_interval_record(spark):
+    """Interval text -> the reference's interval record
+    (oid2avro.c:703-737); the reference corpus value
+    '01:23:45.123456' (type_specs.rb:124) plus a mixed-unit and a
+    negative-time case."""
+    from bottledwater_pg_spark.functions.pg_text import parse_pg_interval
+
+    df = spark.createDataFrame(
+        [
+            ("01:23:45.123456",),
+            ("1 year 2 mons 3 days 04:05:06.789012",),
+            ("-2 days -04:30:15",),
+        ],
+        "t string",
+    )
+    got = [
+        r["p"].asDict() for r in df.select(parse_pg_interval("t").alias("p")).collect()
+    ]
+    assert got[0] == {
+        "years": 0, "months": 0, "days": 0,
+        "hours": 1, "minutes": 23, "seconds": 45, "micro": 123456,
+    }
+    assert got[1] == {
+        "years": 1, "months": 2, "days": 3,
+        "hours": 4, "minutes": 5, "seconds": 6, "micro": 789012,
+    }
+    assert got[2] == {
+        "years": 0, "months": 0, "days": -2,
+        "hours": -4, "minutes": -30, "seconds": -15, "micro": 0,
+    }
+
+
 @pytest.mark.parametrize(
     "name,dtype,value",
     [c for c in CORPUS if c[0] in (
