@@ -52,6 +52,71 @@ def read_envelope_stream(spark: SparkSession, path: str,
     )
 
 
+def read_kafka_envelope_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic_pattern: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int = 100_000,
+) -> DataFrame:
+    """Production S4/S5: consume the CDC envelope from Kafka — one
+    topic per table (R1), offsets as the restart cursor (T2),
+    ``maxOffsetsPerTrigger`` as backpressure (T3). The message value is
+    the JSON envelope row; the Kafka record key is the reference's
+    partition key (bottledwater.c:784-808).
+
+    Gated: the kafka data source ships as a separate package
+    (spark-sql-kafka) and no broker exists in this image — the file
+    source (read_envelope_stream) is the tested equivalent; this wires
+    the identical downstream plan for a real deployment.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribePattern", topic_pattern)
+        .option("startingOffsets", starting_offsets)
+        .option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    )
+    try:
+        raw = reader.load()
+    except Exception as exc:  # noqa: BLE001 — data source lookup failure
+        raise RuntimeError(
+            "kafka data source unavailable (spark-sql-kafka package not "
+            "on the classpath); use read_envelope_stream for the "
+            "file-backed equivalent"
+        ) from exc
+    return raw.select(
+        F.from_json(
+            F.col("value").cast("string"), envelope_schema(), ROW_JSON_OPTIONS
+        ).alias("e")
+    ).select("e.*")
+
+
+def write_kafka_envelope_stream(
+    events_stream: DataFrame,
+    bootstrap_servers: str,
+    checkpoint_dir: str,
+):
+    """Production K1/K2: produce the keyed message frame to Kafka —
+    tombstones ride as null values, Kafka's own key hashing gives the
+    reference's consistent partitioning. Gated like the reader."""
+    from bottledwater_pg_spark.sink import kafka_sink_frame
+
+    frame = kafka_sink_frame(events_stream)
+    writer = (
+        frame.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    try:
+        return writer.start()
+    except Exception as exc:  # noqa: BLE001
+        raise RuntimeError(
+            "kafka data source unavailable (spark-sql-kafka package not "
+            "on the classpath); use kafka_sink_frame + a tested sink"
+        ) from exc
+
+
 class StreamingMaterializer:
     """foreachBatch-driven latest-by-key state maintenance.
 

@@ -135,6 +135,22 @@ def test_same_key_same_partition_unkeyed_spread(spark, sf_dir):
 # ------------------------------------------------------------ avro E1
 
 
+def test_kafka_source_gated(spark):
+    """The Kafka reader/writer raise a clear gate error when the
+    spark-sql-kafka package is absent (this image); the file-backed
+    envelope source is the tested equivalent."""
+    from bottledwater_pg_spark.streaming.stream import (
+        read_kafka_envelope_stream,
+    )
+
+    try:
+        df = read_kafka_envelope_stream(spark, "localhost:9092", "public\\..*")
+    except RuntimeError as exc:
+        assert "kafka data source unavailable" in str(exc)
+    else:  # pragma: no cover — kafka jar present
+        assert "op" in df.columns
+
+
 def test_avro_path_gated(spark):
     from bottledwater_pg_spark.sources.avro_io import avro_available, encode_avro
 
