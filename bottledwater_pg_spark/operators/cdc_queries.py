@@ -269,8 +269,37 @@ FROM ranged WHERE op <> 'delete'
 """
 
 
+def cdc_merge_sink_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert sink (Delta-style copy-on-write over bucketed
+    parquet): apply the customer CDC stream in three lsn-ordered
+    micro-batches through :class:`BucketedMergeSink`, then read the
+    typed state back. Must equal the one-shot materialization oracle —
+    proving the incremental bucket-local merge converges to the same
+    state as a global compaction."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.merge_sink import BucketedMergeSink
+
+    cust = load_table(spark, sf_dir, "customer")
+    events = customer_cdc(spark, sf_dir).cache()
+    lo, hi = events.agg(F.min("lsn"), F.max("lsn")).first()
+    step = (hi - lo) // 3 + 1
+    sink = BucketedMergeSink(spark, tempfile.mkdtemp(prefix="mergesink_"), 16)
+    for i in range(3):
+        sink.merge_batch(
+            events.filter(
+                (F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step)
+            )
+        )
+    events.unpersist()
+    return sink.current_rows(cust.schema)
+
+
 QUERIES = {
     "cdc_materialize_customer": cdc_materialize_customer,
+    "cdc_merge_sink_customer": cdc_merge_sink_customer,
     "cdc_history_scd2": cdc_history_scd2,
     "cdc_kafka_sink_shape": cdc_kafka_sink_shape,
     "cdc_error_policy_log": cdc_error_policy_log,
@@ -281,6 +310,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_materialize_customer": CDC_CUSTOMER_SQL,
+    "cdc_merge_sink_customer": CDC_CUSTOMER_SQL,
     "cdc_history_scd2": CDC_SCD2_SQL,
     "cdc_kafka_sink_shape": CDC_SINK_SQL,
     "cdc_error_policy_log": CDC_ERRLOG_SQL,

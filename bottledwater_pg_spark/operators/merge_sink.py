@@ -1,0 +1,152 @@
+"""Bucketed copy-on-write MERGE sink — incremental latest-by-key state
+maintenance that rewrites only the key-hash buckets a batch touches.
+
+The reference's materialized state lives in a Kafka compacted topic:
+compaction is incremental and per-partition, never a full rewrite
+(/root/reference/kafka/bottledwater.c:784-808 hash-partitions by key
+precisely so per-key history is confined to one partition;
+README.md:283-297). The naive Spark equivalent — union the batch with
+the whole state and rewrite everything — is O(|state|) per micro-batch
+and dies at 100 TB. This sink is the scale-correct shape, the same
+copy-on-write-at-partition-granularity design Delta Lake / Iceberg
+MERGE uses, expressed over plain partitioned parquet (those table
+formats are not in this image; swapping the writer for Delta's MERGE
+would be a one-function change):
+
+* State is parquet partitioned by ``bucket = pmod(xxhash64(key), N)``.
+  Same key -> same bucket, always — the analog of the reference's
+  consistent key hashing.
+* Per batch: compact the batch, find its touched buckets (at most N
+  small integers — driver-safe), read ONLY those buckets back
+  (partition pruning), merge latest-by-lsn, and dynamically overwrite
+  ONLY those partitions. Untouched buckets are never read or written.
+* Cost per batch is O(|batch| + |touched buckets|), independent of
+  total state size. With N sized so a bucket fits in executor memory
+  (e.g. 100 TB / 64k buckets ~ 1.6 GB), every step stays bounded.
+* Re-running a batch is idempotent: merge is latest-by-``lsn``
+  (``max_by``), so replayed events lose to (or tie exactly with) what
+  the state already holds — this is what upgrades the reference's
+  at-least-once delivery (bottledwater.c:684-689) to exactly-once
+  effective semantics under Structured Streaming's foreachBatch
+  replay contract.
+* Tombstones are KEPT in state (as Kafka compaction keeps them for a
+  grace period) so a delete still beats older events replayed later;
+  they are filtered only at read time. Pair with
+  ``expire_tombstones`` for the TTL cleanup.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bottledwater_pg_spark.operators.materialize import (
+    compact,
+    decode_rows,
+    drop_tombstones,
+)
+
+STATE_COLS = ["key", "op", "lsn", "new_row"]
+
+
+class BucketedMergeSink:
+    """MERGE-style upsert sink over bucket-partitioned parquet state."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, n_buckets: int = 64):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.n_buckets = n_buckets
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- state io ---------------------------------------------------
+    def _state_path(self) -> str:
+        return os.path.join(self.state_dir, "state")
+
+    def _has_state(self) -> bool:
+        p = self._state_path()
+        return os.path.isdir(p) and any(
+            e.startswith("bucket=") for e in os.listdir(p)
+        )
+
+    def _bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("key"), F.lit(self.n_buckets)).cast("int"),
+        )
+
+    def state(self) -> DataFrame | None:
+        """Full compacted state (tombstones included)."""
+        if not self._has_state():
+            return None
+        return self.spark.read.parquet(self._state_path())
+
+    def current_rows(self, row_schema: T.StructType) -> DataFrame | None:
+        """Typed live rows: tombstones filtered, payloads decoded."""
+        state = self.state()
+        if state is None:
+            return None
+        return decode_rows(drop_tombstones(state), row_schema)
+
+    # -- the merge --------------------------------------------------
+    def merge_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
+        """Upsert one micro-batch of envelope events into the state.
+
+        Reads and rewrites only the buckets the batch's keys hash to;
+        safe to re-run on the same batch (foreachBatch replay).
+        """
+        compacted = self._bucket(compact(batch))
+        if not self._has_state():
+            (
+                compacted.select(*STATE_COLS, "bucket")
+                .repartition("bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(self._state_path())
+            )
+            return
+        # at most n_buckets small ints — driver-safe at any data scale
+        touched = [
+            r["bucket"] for r in compacted.select("bucket").distinct().collect()
+        ]
+        prev = self.spark.read.parquet(self._state_path()).filter(
+            F.col("bucket").isin(touched)
+        )
+        merged = (
+            prev.select(*STATE_COLS, "bucket")
+            .unionByName(compacted.select(*STATE_COLS, "bucket"))
+            .groupBy("key")
+            .agg(
+                F.max_by(
+                    F.struct("op", "lsn", "new_row", "bucket"), F.col("lsn")
+                ).alias("last")
+            )
+            .select(
+                "key",
+                F.col("last.op").alias("op"),
+                F.col("last.lsn").alias("lsn"),
+                F.col("last.new_row").alias("new_row"),
+                F.col("last.bucket").alias("bucket"),
+            )
+        )
+        (
+            merged.repartition("bucket")
+            .write.partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(self._state_path())
+        )
+
+    # -- streaming entry -------------------------------------------
+    def start(self, events_stream: DataFrame, checkpoint_dir: str):
+        """Maintain the state from a streaming envelope source; the
+        checkpoint + idempotent merge give exactly-once effective
+        semantics."""
+        return (
+            events_stream.writeStream.foreachBatch(self.merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .start()
+        )

@@ -1434,3 +1434,120 @@ ORACLES.update(
         "promo_revenue_share": Q14_SQL,
     }
 )
+
+
+# ------------------------------------------ Q9 / Q11 shapes (22/22 TPC-H)
+
+
+def part_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by nation and year — a
+    5-way join (lineitem, part, supplier, nation, orders) with a LIKE
+    filter on part name and a derived profit expression. The fixture
+    set has no partsupp table, so ``p_retailprice`` stands in for
+    ``ps_supplycost`` in the cost term (same join/expression shape).
+
+    Scale: part (LIKE-filtered), supplier, and nation all broadcast —
+    the only shuffles are lineitem->orders on orderkey and the final
+    small groupBy on (nation, year). Profit is computed per row in
+    exact decimal and summed associatively, so partial aggregation is
+    safe; the LIKE filter prunes part before the broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    amount = _d("l_extendedprice") * (F.lit(1).cast(DEC) - _d("l_discount")) - _d(
+        "p_retailprice"
+    ) * _d("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_sql_d("l_extendedprice")} * (1 - {_sql_d("l_discount")})
+                - {_sql_d("p_retailprice")} * {_sql_d("l_quantity")}) AS DOUBLE)
+         AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part traded value for one nation's
+    suppliers, keeping only parts above a fraction of the global total
+    — a grouped aggregate filtered by a scalar subquery over the SAME
+    grouped result (no partsupp in the fixtures; lineitem value =
+    extendedprice x quantity stands in for supplycost x availqty).
+
+    Scale: the nation->supplier filter broadcasts; one shuffle groups
+    lineitem by partkey. The global total is a single-row aggregate of
+    the (already small) grouped result, broadcast back for the HAVING
+    comparison — the grouped DataFrame is reused for both sides, so
+    the fact table is scanned and shuffled exactly once.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    grouped = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_d("l_extendedprice") * _d("l_quantity")).alias("value_dec"))
+    )
+    total = grouped.agg(
+        F.sum("value_dec").cast("double").alias("grand_total")
+    )
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.lit(0.001) * F.col("grand_total"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+Q11_SQL = f"""
+WITH grouped AS (
+  SELECT l_partkey,
+         SUM({_sql_d("l_extendedprice")} * {_sql_d("l_quantity")}) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM grouped
+WHERE CAST(value_dec AS DOUBLE)
+      > 0.001 * (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM grouped)
+"""
+
+
+QUERIES.update(
+    {
+        "part_profit_by_nation": part_profit_by_nation,
+        "important_part_values": important_part_values,
+    }
+)
+
+ORACLES.update(
+    {
+        "part_profit_by_nation": Q9_SQL,
+        "important_part_values": Q11_SQL,
+    }
+)

@@ -1,0 +1,98 @@
+"""BucketedMergeSink: sequenced batch merges must equal one-shot
+materialization; replays must be no-ops; untouched buckets must not be
+rewritten (the property that makes the sink O(batch), not O(state))."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bottledwater_pg_spark.operators.cdc_queries import customer_cdc
+from bottledwater_pg_spark.operators.materialize import latest_by_key
+from bottledwater_pg_spark.operators.merge_sink import BucketedMergeSink
+from bottledwater_pg_spark.session import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _lsn_batches(events, n=3):
+    lo, hi = events.agg(F.min("lsn"), F.max("lsn")).first()
+    step = (hi - lo) // n + 1
+    return [
+        events.filter(
+            (F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step)
+        )
+        for i in range(n)
+    ]
+
+
+def _bucket_listing(state_path):
+    out = {}
+    for d in os.listdir(state_path):
+        if d.startswith("bucket="):
+            out[d] = sorted(
+                f for f in os.listdir(os.path.join(state_path, d))
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_sequenced_merges_equal_one_shot(spark, tmp_path):
+    events = customer_cdc(spark, SF_DIR).cache()
+    sink = BucketedMergeSink(spark, str(tmp_path / "st"), n_buckets=16)
+    for b in _lsn_batches(events):
+        sink.merge_batch(b)
+    expected = latest_by_key(events).select("key", "op", "lsn", "new_row")
+    got = sink.state()
+    from bottledwater_pg_spark.operators.materialize import drop_tombstones
+
+    assert _rows(drop_tombstones(got).select("key", "op", "lsn", "new_row")) == _rows(
+        expected
+    )
+    # typed decode round-trips
+    schema = load_table(spark, SF_DIR, "customer").schema
+    assert sink.current_rows(schema).count() == expected.count()
+    events.unpersist()
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    events = customer_cdc(spark, SF_DIR).cache()
+    batches = _lsn_batches(events)
+    sink = BucketedMergeSink(spark, str(tmp_path / "st"), n_buckets=16)
+    for b in batches:
+        sink.merge_batch(b)
+    before = _rows(sink.state())
+    sink.merge_batch(batches[-1])  # foreachBatch replay after "crash"
+    assert _rows(sink.state()) == before
+    events.unpersist()
+
+
+def test_untouched_buckets_not_rewritten(spark, tmp_path):
+    events = customer_cdc(spark, SF_DIR).cache()
+    sink = BucketedMergeSink(spark, str(tmp_path / "st"), n_buckets=16)
+    sink.merge_batch(events)  # full load
+    state_path = sink._state_path()
+    before = _bucket_listing(state_path)
+
+    # a second batch touching exactly one key
+    one = events.filter(F.col("key").isNotNull()).orderBy("lsn").limit(1)
+    bumped = one.withColumn("lsn", F.col("lsn") + F.lit(10_000_000))
+    touched_bucket = (
+        sink._bucket(bumped).select("bucket").first()["bucket"]
+    )
+    sink.merge_batch(bumped)
+
+    after = _bucket_listing(state_path)
+    changed = {d for d in before if before[d] != after.get(d)}
+    assert changed <= {f"bucket={touched_bucket}"}
+    # and the touched bucket actually took the new event
+    winner = sink.state().filter(
+        F.col("key") == one.first()["key"]
+    ).first()
+    assert winner["lsn"] == one.first()["lsn"] + 10_000_000
+    events.unpersist()
