@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "cdc_materialize_events_composite",
     "cdc_topic_routing_counts",
     "cdc_history_scd2",
+    "cdc_merge_sink_customer",
     # relational plane
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -38,11 +39,15 @@ BENCH_QUERIES = [
     "market_share_by_year",
     "customer_order_distribution",
     "sole_late_suppliers",
+    "part_profit_by_nation",
+    "important_part_values",
+    "interval_window_counts",
     # streaming ops (batch mode)
     "windowed_event_counts",
     "session_window_counts",
     # LLM pipeline
     "dedup_exact",
+    "dedup_cluster_canonical",
     "lsh_minhash_near_dup",
     "lsh_embedding_near_dup",
     "ann_topk_cosine",

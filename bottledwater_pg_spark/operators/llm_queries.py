@@ -340,8 +340,72 @@ FROM documents,
 """
 
 
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: MinHash-LSH pairs -> connected components
+    (operators/graph.py min-label propagation) -> one canonical doc id
+    (the component minimum) per document; docs with no duplicate are
+    their own canonical. This is the standard final stage of corpus
+    dedup — pairs alone can't drive "keep one copy" when duplicates
+    chain (a~b, b~c).
+
+    Oracle: DuckDB WITH RECURSIVE transitive closure over the same
+    exact-Jaccard pair set (LSH pair recall is exactly 1.0 on this
+    corpus, proven by the lsh_minhash_near_dup oracle match).
+    """
+    from bottledwater_pg_spark.operators.graph import connected_components
+
+    corpus = docs_with_near_dups(spark, sf_dir)
+    pairs = lsh_minhash_near_dup(spark, sf_dir).select("a_id", "b_id")
+    comp = connected_components(pairs, "a_id", "b_id")
+    return (
+        corpus.select("doc_id")
+        .join(comp, corpus.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+
+
+CLUSTER_SQL = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || '{NEAR_SUFFIX}' AS text
+  FROM documents WHERE doc_id % {NEAR_COPY_MOD} = 0
+),
+sh AS (
+  SELECT doc_id AS sid, unnest({_SHINGLES}) AS shingle FROM corpus
+),
+sizes AS (SELECT sid, COUNT(*) AS sz FROM sh GROUP BY sid),
+inter AS (
+  SELECT a.sid AS a_id, b.sid AS b_id, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+  GROUP BY a.sid, b.sid
+),
+pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.sid = a_id
+  JOIN sizes sb ON sb.sid = b_id
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT a_id AS a, b_id AS b FROM pairs
+  UNION
+  SELECT b_id AS a, a_id AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM corpus
+  UNION
+  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+)
+SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_cluster_canonical": dedup_cluster_canonical,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "lsh_minhash_near_dup": lsh_minhash_near_dup,
     "lsh_simhash_near_dup": lsh_simhash_near_dup,
@@ -359,6 +423,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_cluster_canonical": CLUSTER_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "lsh_minhash_near_dup": DEDUP_JACCARD_SQL,
     "dedup_embedding_cosine": EMB_COS_SQL,

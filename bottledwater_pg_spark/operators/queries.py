@@ -1551,3 +1551,48 @@ ORACLES.update(
         "important_part_values": Q11_SQL,
     }
 )
+
+
+# ------------------------------------------ bucketed interval join
+
+
+def interval_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join: count events inside each of a set
+    of 2-hour windows, via operators/rangejoin.py's bucketed
+    decomposition (equi-join on time bucket + exact refilter) instead
+    of the O(points x intervals) nested-loop join Spark would plan for
+    a raw BETWEEN condition.
+
+    Scale: expansion factor is len/bucket+1 = 3 interval replicas per
+    window; both sides shuffle on the bucket key (hash join, AQE-
+    managed); the exact predicate then drops same-bucket near-misses.
+    Survives arbitrarily many windows where the BNLJ would not.
+    """
+    from bottledwater_pg_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    windows = ev.filter(F.col("event_id") % 1009 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    points = ev.select("event_id", "ts")
+    return (
+        interval_join(points, windows, "ts", "w_start", "w_end", 3600)
+        .groupBy("window_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+INTERVAL_JOIN_SQL = """
+SELECT w.window_id, COUNT(*) AS n_events
+FROM (SELECT event_id AS window_id, ts AS w_start,
+             ts + INTERVAL 2 HOUR AS w_end
+      FROM events WHERE event_id % 1009 = 0) w
+JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.window_id
+"""
+
+
+QUERIES["interval_window_counts"] = interval_window_counts
+ORACLES["interval_window_counts"] = INTERVAL_JOIN_SQL

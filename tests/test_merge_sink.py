@@ -96,3 +96,27 @@ def test_untouched_buckets_not_rewritten(spark, tmp_path):
     ).first()
     assert winner["lsn"] == one.first()["lsn"] + 10_000_000
     events.unpersist()
+
+
+def test_streaming_merge_sink_matches_batch(spark, tmp_path):
+    """Drive the sink from a file-replayed envelope stream (1 file per
+    trigger => multiple micro-batches) and compare against one-shot
+    batch materialization."""
+    from bottledwater_pg_spark.streaming.stream import (
+        read_envelope_stream,
+        write_envelope_stream,
+    )
+
+    events = customer_cdc(spark, SF_DIR)
+    src = str(tmp_path / "src")
+    write_envelope_stream(events, src, num_files=4)
+    stream = read_envelope_stream(spark, src, files_per_trigger=1)
+    sink = BucketedMergeSink(spark, str(tmp_path / "st"), n_buckets=16)
+    q = sink.start(stream, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    schema = load_table(spark, SF_DIR, "customer").schema
+    got = _rows(sink.current_rows(schema))
+    from bottledwater_pg_spark.operators.materialize import materialize
+
+    assert got == _rows(materialize(events, schema))

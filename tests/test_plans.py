@@ -86,3 +86,31 @@ def test_scd2_history_single_shuffle(spark, sf_dir):
     # full history needs the per-key sort: exactly one hash exchange on
     # key, nothing else
     assert count_exchanges(df) == 1
+
+
+def test_q9_broadcasts_dims_and_pushes_like(spark, sf_dir):
+    df = Q.part_profit_by_nation(spark, sf_dir)
+    # part/supplier/nation broadcast; only lineitem<->orders shuffles
+    assert count_broadcast_joins(df) >= 3
+    # the LIKE prunes part at the scan
+    assert any("p_name" in f for f in pushed_filters(df))
+    assert has_partial_aggregation(df)
+
+
+def test_q11_reuses_one_scan_shuffle(spark, sf_dir):
+    df = Q.important_part_values(spark, sf_dir)
+    # grouped result feeds both the HAVING side and the global total;
+    # the single-row total arrives via broadcast, not a second pass
+    assert count_broadcast_joins(df) >= 2
+    assert has_partial_aggregation(df)
+
+
+def test_interval_join_is_hash_join_not_bnlj(spark, sf_dir):
+    from bottledwater_pg_spark.plans.inspect import formatted_plan
+
+    df = Q.interval_window_counts(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the whole point: the range predicate must NOT plan as a
+    # nested-loop join over points x intervals
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,70 @@
+"""Semantics pins for the bucketed interval join and connected
+components (beyond the driver-gate oracle match): boundary rules,
+single-match guarantee across bucket spans, chain convergence."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bottledwater_pg_spark.operators.graph import connected_components
+from bottledwater_pg_spark.operators.rangejoin import interval_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_interval_join_half_open_and_multi_bucket(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00")),  # == start: in
+            (2, _ts("2024-01-01 03:59:59")),  # inside, 4th bucket
+            (3, _ts("2024-01-01 04:00:00")),  # == end: out
+            (4, _ts("2023-12-31 23:59:59")),  # before: out
+        ],
+        "event_id long, ts timestamp",
+    )
+    windows = spark.createDataFrame(
+        [(10, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 04:00:00"))],
+        "window_id long, w_start timestamp, w_end timestamp",
+    )
+    # 1-hour buckets: the window spans 4 buckets, yet each point must
+    # match exactly once
+    got = interval_join(points, windows, "ts", "w_start", "w_end", 3600)
+    rows = sorted(r["event_id"] for r in got.collect())
+    assert rows == [1, 2]
+
+
+def test_interval_join_inverted_and_empty_windows_match_nothing(spark):
+    points = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"))], "event_id long, ts timestamp"
+    )
+    windows = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 01:00:00"), _ts("2024-01-01 00:00:00")),
+            (11, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:00:00")),
+        ],
+        "window_id long, w_start timestamp, w_end timestamp",
+    )
+    assert interval_join(points, windows, "ts", "w_start", "w_end", 60).count() == 0
+
+
+def test_connected_components_chain_and_separate(spark):
+    # chain 1-2-3-4 (diameter 3 -> needs >1 round) plus pair 10-11
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    comp = connected_components(edges)
+    assert comp.select(F.countDistinct("comp")).first()[0] == 1
+    assert {r["comp"] for r in comp.collect()} == {0}
