@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "ivf_ann_topk",
     "text_stats_per_doc",
     "text_chunks",
+    "corpus_split_counts",
+    "sequence_pack_stats",
     "multimodal_decode_meta",
 ]
 

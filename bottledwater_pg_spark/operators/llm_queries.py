@@ -558,3 +558,99 @@ QUERIES["vocab_top_terms"] = vocab_top_terms
 ORACLES["vocab_top_terms"] = VOCAB_SQL
 QUERIES["cross_set_contamination"] = cross_set_contamination
 ORACLES["cross_set_contamination"] = CONTAM_SQL
+
+
+# ------------------------------------------ sampling / splitting / packing
+
+
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (operators/
+    sampling.py): every doc's assignment derives from md5(salt|doc_id)
+    — reproducible on any cluster size, re-saltable without touching
+    data. Returned as per-(source, split) counts."""
+    from bottledwater_pg_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+from bottledwater_pg_spark.operators.sampling import sql_hash_split  # noqa: E402
+
+SPLIT_SQL = f"""
+SELECT source, {sql_hash_split("doc_id")} AS split,
+       COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY source, {sql_hash_split("doc_id")}
+"""
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-25-per-source deterministic sample: rank by content
+    hash within each stratum, keep the first 25. Exact (not binomial
+    like sampleBy) and bit-for-bit reproducible."""
+    from bottledwater_pg_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return stratified_sample(docs, "source", "doc_id", 25)
+
+
+SAMPLE_SQL = """
+SELECT doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(concat_ws('|', 'v1', CAST(doc_id AS VARCHAR))), doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= 25
+"""
+
+
+def sequence_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/sampling.py):
+    docs concatenated per source in doc_id order, cut every 16384
+    chars; per (source, bin): docs starting there and their sizes.
+    The exclusive-running-sum formulation is the scalable packing
+    rule — one shuffle, linear within stratum."""
+    from bottledwater_pg_spark.operators.sampling import sequence_pack
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    packed = sequence_pack(docs, "source", "doc_id", "n_chars", 16384)
+    return packed.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_in_bin"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+PACK_SQL = """
+SELECT source, CAST(floor(pack_offset / 16384) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, SUM(n_chars) AS chars_in_bin,
+       MIN(doc_id) AS first_doc
+FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(COALESCE(SUM(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS pack_offset
+  FROM documents
+)
+GROUP BY source, floor(pack_offset / 16384)
+"""
+
+QUERIES["corpus_split_counts"] = corpus_split_counts
+ORACLES["corpus_split_counts"] = SPLIT_SQL
+QUERIES["stratified_sample_docs"] = stratified_sample_docs
+ORACLES["stratified_sample_docs"] = SAMPLE_SQL
+QUERIES["sequence_pack_stats"] = sequence_pack_stats
+ORACLES["sequence_pack_stats"] = PACK_SQL

@@ -1,0 +1,110 @@
+"""Corpus sampling, splitting, and packing — the deterministic
+selection operators a training-data pipeline runs between dedup and
+tokenization. All three are hash/window-deterministic (no RNG), so the
+same corpus always yields the same split/sample/packing on any cluster
+size and any execution order — a reproducibility property `rand()`-
+based sampling cannot give, and the reason every serious pipeline
+derives selection from content hashes.
+
+The reference delegates all consumer-side processing (README.md:30-32);
+these are part of the north-star LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 16 hex buckets from the first md5 nibble -> split label. md5 is
+# identical across engines (lowercase hex) which makes the assignment
+# oracle-checkable; 12/2/2 nibbles ~ 75/12.5/12.5.
+_TRAIN_NIBBLES = tuple("0123456789ab")
+_VAL_NIBBLES = ("c", "d")
+
+
+def split_key(id_col: str, salt: str = "v1") -> F.Column:
+    """Stable content hash driving split/sample decisions. Salted so a
+    pipeline can re-split by bumping the salt without touching data."""
+    return F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+
+
+def hash_split(df: DataFrame, id_col: str, salt: str = "v1") -> DataFrame:
+    """Assign every row a deterministic train/val/test label.
+
+    Scale: a narrow projection — no shuffle, no state, trivially
+    parallel. The hash keys the decision to the ROW, so re-runs,
+    retries, and cluster changes never flip an assignment.
+    """
+    nib = F.substring(split_key(id_col, salt), 1, 1)
+    return df.withColumn(
+        "split",
+        F.when(nib.isin(*_TRAIN_NIBBLES), "train")
+        .when(nib.isin(*_VAL_NIBBLES), "val")
+        .otherwise("test"),
+    )
+
+
+def sql_hash_split(id_col: str, salt: str = "v1") -> str:
+    """DuckDB expression equivalent of :func:`hash_split`'s label."""
+    key = f"md5(concat_ws('|', '{salt}', CAST({id_col} AS VARCHAR)))"
+    train = ", ".join(f"'{c}'" for c in _TRAIN_NIBBLES)
+    val = ", ".join(f"'{c}'" for c in _VAL_NIBBLES)
+    return (
+        f"CASE WHEN substring({key}, 1, 1) IN ({train}) THEN 'train' "
+        f"WHEN substring({key}, 1, 1) IN ({val}) THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+def stratified_sample(
+    df: DataFrame, stratum: str, id_col: str, n_per_stratum: int, salt: str = "v1"
+) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample: rank rows within
+    each stratum by content hash (uniform pseudo-order) and keep the
+    first n. Unlike ``sampleBy`` this is exact (not binomial) and
+    reproducible bit-for-bit.
+
+    Scale: one shuffle on the stratum key. With few large strata the
+    window sort is the cost — at warehouse scale swap the window for
+    the groupBy + ``min_by(array, n)`` top-n pattern or pre-filter by
+    a hash-threshold first pass (keep ~2n by range, then rank).
+    """
+    w = Window.partitionBy(stratum).orderBy(split_key(id_col, salt), id_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def sequence_pack(
+    df: DataFrame,
+    stratum: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing: documents are concatenated
+    in a fixed deterministic order within each stratum and cut every
+    ``budget`` units; a document's ``bin`` is the chunk its first unit
+    lands in (docs may straddle bins, exactly as pretraining packing
+    lets sequences straddle context windows).
+
+    Implemented as an exclusive running sum (window, ROWS UNBOUNDED
+    PRECEDING .. 1 PRECEDING) -> ``bin = floor(offset / budget)``.
+
+    Scale: one shuffle on the stratum; within a stratum the running
+    sum is a linear scan. Strata (source shards) bound partition size;
+    a single giant stratum would need range-partitioned prefix sums —
+    at that point pack per shard-of-stratum, which changes nothing
+    downstream since bins are already per-stratum.
+    """
+    w = (
+        Window.partitionBy(stratum)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    return df.withColumn("pack_offset", offset).withColumn(
+        "bin", F.floor(F.col("pack_offset") / F.lit(budget)).cast("long")
+    )

@@ -1,0 +1,79 @@
+"""Semantics pins for corpus split/sample/pack (operators/sampling.py):
+determinism, exactness, and the packing offset rule."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bottledwater_pg_spark.operators.sampling import (
+    hash_split,
+    sequence_pack,
+    stratified_sample,
+)
+from bottledwater_pg_spark.session import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hash_split_is_deterministic_and_total(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = hash_split(docs, "doc_id").select("doc_id", "split")
+    b = hash_split(docs, "doc_id").select("doc_id", "split")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    counts = dict(a.groupBy("split").count().collect())
+    n = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    # 12/2/2 nibbles: train ~75%, generous tolerance for a small corpus
+    assert 0.6 < counts["train"] / n < 0.9
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = hash_split(docs, "doc_id", salt="v1").select("doc_id", "split")
+    b = hash_split(docs, "doc_id", salt="v2").select("doc_id", "split")
+    assert a.subtract(b).count() > 0  # re-salt actually re-splits
+
+
+def test_stratified_sample_exact_n_and_stable(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    s = stratified_sample(docs, "source", "doc_id", 5)
+    per = dict(s.groupBy("source").count().collect())
+    n_sources = docs.select("source").distinct().count()
+    assert len(per) == n_sources and all(v == 5 for v in per.values())
+    s2 = stratified_sample(docs, "source", "doc_id", 5)
+    assert s.select("doc_id").subtract(s2.select("doc_id")).count() == 0
+
+
+def test_sequence_pack_offsets_are_exclusive_prefix_sums(spark):
+    rows = [("s", i, 100) for i in range(1, 6)] + [("t", 1, 50)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    packed = sequence_pack(df, "source", "doc_id", "n_chars", 250)
+    got = {
+        (r["source"], r["doc_id"]): (r["pack_offset"], r["bin"])
+        for r in packed.collect()
+    }
+    # offsets 0,100,200,300,400 -> bins 0,0,0,1,1 (doc 3 straddles the
+    # 250 cut but belongs to the bin its first unit lands in)
+    assert got == {
+        ("s", 1): (0, 0),
+        ("s", 2): (100, 0),
+        ("s", 3): (200, 0),
+        ("s", 4): (300, 1),
+        ("s", 5): (400, 1),
+        ("t", 1): (0, 0),
+    }
+
+
+def test_sequence_pack_bins_monotone_in_doc_order(spark):
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    packed = sequence_pack(docs, "source", "doc_id", "n_chars", 4096)
+    # within a source, bin must be non-decreasing in doc_id order
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    bad = packed.withColumn("prev_bin", F.lag("bin").over(w)).filter(
+        F.col("prev_bin").isNotNull() & (F.col("bin") < F.col("prev_bin"))
+    )
+    assert bad.count() == 0
