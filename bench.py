@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "interval_window_counts",
     # streaming ops (batch mode)
     "windowed_event_counts",
+    "sliding_window_counts",
     "session_window_counts",
     # LLM pipeline
     "dedup_exact",

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from bottledwater_pg_spark.session import load_table
 from bottledwater_pg_spark.streaming.stream import (
     sessionized_counts,
+    sliding_window_counts,
     windowed_event_counts,
 )
 
@@ -59,12 +60,30 @@ FROM grouped
 GROUP BY user_id, session_no
 """
 
+def sliding_windows_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_counts(load_table(spark, sf_dir, "events"))
+
+
+# each event belongs to the 4 slide-aligned windows covering it; Spark
+# aligns windows to the naive epoch, reproduced here with exact µs
+# modular arithmetic (1800000000 µs = 30 min)
+SLIDING_SQL = """
+SELECT ts - (epoch_us(ts) % 1800000000) * INTERVAL 1 MICROSECOND
+         - (i.i * INTERVAL 30 MINUTE) AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) i
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "windowed_event_counts": windowed_counts_query,
     "session_window_counts": session_windows_query,
+    "sliding_window_counts": sliding_windows_query,
 }
 
 ORACLES = {
     "windowed_event_counts": WINDOWED_SQL,
     "session_window_counts": SESSION_SQL,
+    "sliding_window_counts": SLIDING_SQL,
 }

@@ -238,6 +238,26 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def sliding_window_counts(events: DataFrame, window: str = "2 hours",
+                          slide: str = "30 minutes",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Sliding event-time windows: each event lands in window/slide
+    overlapping windows (here 4). Same unified batch/streaming plan as
+    the tumbling variant; state size scales with windows-per-event x
+    group cardinality, which is why the slide ratio is kept small."""
+    events = _event_time_ready(events)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
                        watermark: str = "2 hours") -> DataFrame:
     """Session windows per user: activity bursts separated by > gap."""

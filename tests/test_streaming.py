@@ -361,3 +361,46 @@ def test_stateful_latest_by_key_converges(spark, sf_dir):
         pd.testing.assert_frame_equal(
             got[expected.columns.tolist()], expected, check_dtype=False
         )
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-TABLE join — the exact consumer the reference README
+    names as needing key-consistent partitioning (README.md:384-398,
+    bottledwater.c:800-807): a CDC event stream enriched against a
+    static dimension. The static side re-resolves per micro-batch and
+    broadcasts; output must equal the batch join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    expected = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in ev.join(cust, "user_id").collect()
+    }
+    assert expected, "fixture must produce join rows"
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.repartition(4).write.parquet(f"{tmp}/ev")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/ev")
+        )
+        enriched = stream.join(F.broadcast(cust), "user_id").select(
+            "event_id", "c_mktsegment"
+        )
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("stream_static")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["event_id"], r["c_mktsegment"])
+            for r in spark.sql("SELECT * FROM stream_static").collect()
+        }
+    assert got == expected
