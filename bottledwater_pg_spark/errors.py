@@ -70,3 +70,31 @@ def apply_error_policy(
                 f"(policy=exit; reference README.md:244-281)"
             )
     return good, bad
+
+
+def with_observed_error_metrics(
+    events: DataFrame,
+    col: str = "new_row",
+    max_bytes: int = MAX_RECORD_BYTES,
+):
+    """Single-pass error accounting: filter the bad rows out AND count
+    them as an ``Observation`` side-channel of the SAME job — no second
+    scan of the stream (``apply_error_policy`` prices the bad-row count
+    as an extra action; at 100 TB that extra pass matters).
+
+    Returns ``(good_df, observation)``; read
+    ``observation.get["n_oversized"]`` after an action on ``good_df``.
+    On the streaming path the same call works with
+    ``df.observe(name, ...)`` + a StreamingQueryListener picking the
+    metrics off each progress event.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    bad = oversized(col, max_bytes)
+    observed = events.observe(
+        obs,
+        F.sum(bad.cast("long")).alias("n_oversized"),
+        F.count(F.lit(1)).alias("n_seen"),
+    )
+    return observed.filter(~bad), obs

@@ -1596,3 +1596,120 @@ GROUP BY w.window_id
 
 QUERIES["interval_window_counts"] = interval_window_counts
 ORACLES["interval_window_counts"] = INTERVAL_JOIN_SQL
+
+
+# ------------------------------------------ histogram / exact corr / fuzzy
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per event type — binning
+    entirely in integer arithmetic (floor over exact decimal), so bin
+    boundaries are deterministic across engines.
+
+    Scale: scan -> partial agg -> one shuffle on the (tiny) composite
+    group key. This is the primitive behind numeric-profile dashboards
+    and outlier filters in data-quality pipelines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    bin_col = F.floor(_d("value") / F.lit(50).cast(DEC)).cast("long")
+    return (
+        ev.groupBy("event_type", bin_col.alias("bin"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_d("value")).cast("double").alias("bin_value"),
+        )
+    )
+
+
+HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(floor({_sql_d("value")} / CAST(50 AS DECIMAL(18,2))) AS BIGINT) AS bin,
+       COUNT(*) AS n_events,
+       CAST(SUM({_sql_d("value")}) AS DOUBLE) AS bin_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def quantity_price_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per return flag — computed from EXACT
+    decimal co-moments (n, sum x, sum y, sum xy, sum x^2, sum y^2) and
+    assembled in double only at the end. Built-in ``corr`` streams
+    float partials whose merge order differs across engines and runs;
+    this formulation is bit-reproducible under any parallelism (the
+    same discipline as the integer-quantized vector math).
+
+    Scale: identical cost to any single-pass aggregate — partial aggs
+    of 6 decimal sums, one shuffle on the group key.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = _d("l_quantity"), _d("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select("l_returnflag", corr.alias("qty_price_corr"))
+
+
+CORR_SQL = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM({_sql_d("l_quantity")}) AS DOUBLE) AS sx,
+         CAST(SUM({_sql_d("l_extendedprice")}) AS DOUBLE) AS sy,
+         CAST(SUM({_sql_d("l_quantity")} * {_sql_d("l_extendedprice")}) AS DOUBLE) AS sxy,
+         CAST(SUM({_sql_d("l_quantity")} * {_sql_d("l_quantity")}) AS DOUBLE) AS sxx,
+         CAST(SUM({_sql_d("l_extendedprice")} * {_sql_d("l_extendedprice")}) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+         AS qty_price_corr
+FROM m
+"""
+
+
+def fuzzy_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 supplier-name pairs via deletion-neighborhood
+    blocking (operators/fuzzy.py) — the scalable entity-resolution
+    join; the oracle is the brute-force quadratic predicate join, so
+    the blocking is proven lossless on this corpus.
+    """
+    from bottledwater_pg_spark.operators.fuzzy import edit_distance_pairs
+
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return edit_distance_pairs(supp, "s_suppkey", "s_name")
+
+
+FUZZY_SQL = """
+SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+FROM supplier a
+JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+QUERIES.update(
+    {
+        "value_histogram": value_histogram,
+        "quantity_price_corr_exact": quantity_price_corr_exact,
+        "fuzzy_supplier_pairs": fuzzy_supplier_pairs,
+    }
+)
+
+ORACLES.update(
+    {
+        "value_histogram": HISTOGRAM_SQL,
+        "quantity_price_corr_exact": CORR_SQL,
+        "fuzzy_supplier_pairs": FUZZY_SQL,
+    }
+)

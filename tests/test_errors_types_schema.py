@@ -139,3 +139,17 @@ def test_schema_evolution_add_column(spark, sf_dir):
     row = decoded.collect()[0]
     assert row["c_custkey"] == 7 and row["c_name"] == "x"
     assert row["c_acctbal"] is None
+
+
+def test_observed_error_metrics_single_pass(spark):
+    """with_observed_error_metrics counts dropped rows as a side
+    channel of the one job that filters them — values verified against
+    an explicit count."""
+    from bottledwater_pg_spark.errors import with_observed_error_metrics
+
+    rows = [("k1", "x" * 10), ("k2", "y" * 2_000_000), ("k3", None)]
+    df = spark.createDataFrame(rows, "key string, new_row string")
+    good, obs = with_observed_error_metrics(df)
+    assert good.count() == 2  # tombstone passes, oversized dropped
+    assert obs.get["n_oversized"] == 1
+    assert obs.get["n_seen"] == 3
