@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "text_chunks",
     "corpus_split_counts",
     "sequence_pack_stats",
+    "pii_redaction_stats",
     "multimodal_decode_meta",
 ]
 

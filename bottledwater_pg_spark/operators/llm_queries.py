@@ -654,3 +654,100 @@ QUERIES["stratified_sample_docs"] = stratified_sample_docs
 ORACLES["stratified_sample_docs"] = SAMPLE_SQL
 QUERIES["sequence_pack_stats"] = sequence_pack_stats
 ORACLES["sequence_pack_stats"] = PACK_SQL
+
+
+# ------------------------------------------------- PII redaction
+
+
+# Java regex (Spark) and RE2 (DuckDB) agree on this restricted syntax:
+# character classes, quantifiers, alternation — no lookarounds.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"555-[0-9]{4}"
+
+
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: detect + redact emails and
+    phone-shaped strings (regexp_count / regexp_replace — JVM-side,
+    codegen, no Python in the hot path), reported as per-source
+    counts and redacted-length totals.
+
+    The synthetic docs carry no PII, so a deterministic injection adds
+    an email to every 4th doc and a phone to every 6th — both the
+    Spark plan and the oracle build the same corpus (the dedup-corpus
+    pattern).
+
+    Scale: narrow map + one small groupBy — regex cost is linear in
+    corpus bytes and embarrassingly parallel.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    with_pii = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 0, F.lit(" call 555-0199")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    red = (
+        with_pii.withColumn(
+            "n_emails", F.regexp_count("text", F.lit(EMAIL_RE)).cast("long")
+        )
+        .withColumn(
+            "n_phones", F.regexp_count("text", F.lit(PHONE_RE)).cast("long")
+        )
+        .withColumn(
+            "redacted",
+            F.regexp_replace(
+                F.regexp_replace("text", EMAIL_RE, "<EMAIL>"),
+                PHONE_RE,
+                "<PHONE>",
+            ),
+        )
+    )
+    return red.groupBy("source").agg(
+        F.sum("n_emails").alias("total_emails"),
+        F.sum("n_phones").alias("total_phones"),
+        F.count(F.when(F.col("n_emails") + F.col("n_phones") > 0, 1)).alias(
+            "docs_with_pii"
+        ),
+        F.sum(F.length("redacted")).alias("redacted_chars"),
+    )
+
+
+PII_SQL = f"""
+WITH with_pii AS (
+  SELECT doc_id, source,
+         text
+           || CASE WHEN doc_id % 4 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 6 = 0 THEN ' call 555-0199' ELSE '' END AS text
+  FROM documents
+), red AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+         regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM with_pii
+)
+SELECT source, SUM(n_emails) AS total_emails, SUM(n_phones) AS total_phones,
+       COUNT(CASE WHEN n_emails + n_phones > 0 THEN 1 END) AS docs_with_pii,
+       SUM(len(redacted)) AS redacted_chars
+FROM red
+GROUP BY source
+"""
+
+QUERIES["pii_redaction_stats"] = pii_redaction_stats
+ORACLES["pii_redaction_stats"] = PII_SQL

@@ -120,3 +120,25 @@ def test_streaming_merge_sink_matches_batch(spark, tmp_path):
     from bottledwater_pg_spark.operators.materialize import materialize
 
     assert got == _rows(materialize(events, schema))
+
+
+def test_state_read_partition_prunes_on_bucket(spark, tmp_path):
+    """The O(batch) claim rests on the state read PRUNING untouched
+    bucket partitions — assert the scan's partition filters carry the
+    bucket predicate, so unread buckets never hit the IO layer."""
+    from bottledwater_pg_spark.plans.inspect import formatted_plan
+
+    events = customer_cdc(spark, SF_DIR)
+    sink = BucketedMergeSink(spark, str(tmp_path / "st"), n_buckets=16)
+    sink.merge_batch(events)
+    pruned = spark.read.parquet(sink._state_path()).filter(
+        F.col("bucket").isin([3, 7])
+    )
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+    # and the pruned read returns only those buckets' keys
+    assert set(
+        r["bucket"] for r in pruned.select("bucket").distinct().collect()
+    ) <= {3, 7}

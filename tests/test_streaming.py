@@ -404,3 +404,66 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
             for r in spark.sql("SELECT * FROM stream_static").collect()
         }
     assert got == expected
+
+
+def test_restart_resumes_from_checkpoint_without_reprocessing(spark, sf_dir):
+    """Kill-and-restart recovery (the reference's resume-from-slot,
+    connect.c:302-311 / S5): a restarted query with the same
+    checkpoint processes ONLY data that arrived while it was down —
+    offsets live in the checkpoint, and the final state equals the
+    one-shot batch materialization."""
+    from bottledwater_pg_spark.operators.materialize import drop_tombstones
+    from bottledwater_pg_spark.streaming.stream import read_envelope_stream
+
+    cust = load_table(spark, sf_dir, "customer")
+    events = generate_cdc(
+        cust, ["c_custkey"], F.col("c_custkey"), 16385, "customer", SPEC
+    ).cache()
+    lo, hi = events.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = lo + (hi - lo) // 2
+    first_half = events.filter(F.col("lsn") <= mid)
+    second_half = events.filter(F.col("lsn") > mid)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events"
+        first_half.repartition(2).write.parquet(src)
+        mat = StreamingMaterializer(spark, f"{tmp}/state", cust.schema)
+        processed: list[int] = []
+
+        def handle(batch, epoch):
+            processed.append(batch.count())
+            mat.process_batch(batch, epoch)
+
+        def run_until_drained():
+            q = (
+                read_envelope_stream(spark, src, files_per_trigger=1)
+                .writeStream.foreachBatch(handle)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run_until_drained()  # run 1: first half only
+        n_first = sum(processed)
+        assert n_first == first_half.count()
+
+        # "crash": query stopped; more data lands while down
+        second_half.repartition(2).write.mode("append").parquet(src)
+        run_until_drained()  # run 2: same checkpoint
+        n_total = sum(processed)
+        # only the new files were read on restart
+        assert n_total - n_first == second_half.count()
+
+        got = mat.current_rows().toPandas().sort_values("c_custkey")
+        expected = (
+            materialize(events, cust.schema).toPandas().sort_values("c_custkey")
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True)[expected.columns.tolist()],
+            expected.reset_index(drop=True),
+            check_dtype=False,
+        )
+    events.unpersist()
