@@ -25,6 +25,7 @@ BENCH_QUERIES = [
     "cdc_topic_routing_counts",
     "cdc_history_scd2",
     "cdc_merge_sink_customer",
+    "cdc_incremental_agg_customer",
     # relational plane
     "q1_pricing_summary",
     "q3_shipping_priority",

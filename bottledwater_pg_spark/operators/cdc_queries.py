@@ -116,7 +116,8 @@ def cdc_topic_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Closed-form event counts per topic/op (keyed tables with default mods:
-# inserts = rows + moved; updates = rows%5; deletes = moved + rows%7;
+# inserts = rows + moved; updates = rows%5; deletes = moved + (rows%7
+# not already moved — a moved key's original row is gone by xid 3);
 # unkeyed: inserts = rows, updates = rows%5, no deletes).
 CDC_ROUTING_SQL = """
 WITH keyed AS (
@@ -132,7 +133,8 @@ SELECT topic, 'update' AS op, COUNT(*) FILTER (WHERE k % 5 = 0) AS n_events
 FROM keyed GROUP BY topic
 UNION ALL
 SELECT topic, 'delete' AS op,
-       COUNT(*) FILTER (WHERE k % 11 = 0) + COUNT(*) FILTER (WHERE k % 7 = 0)
+       COUNT(*) FILTER (WHERE k % 11 = 0)
+         + COUNT(*) FILTER (WHERE k % 7 = 0 AND k % 11 <> 0)
          AS n_events
 FROM keyed GROUP BY topic
 UNION ALL
@@ -201,7 +203,7 @@ def cdc_kafka_sink_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # message inventory per key k: insert@k*10 (never tombstone); update
 # @k*10+1 for k%5=0; pk-change k%11=0 -> tombstone old key + insert new
-# key @k*10+2; delete k%7=0 -> tombstone @k*10+3
+# key @k*10+2; delete k%7=0 (unless moved — row already gone) -> tombstone @k*10+3
 CDC_SINK_SQL = """
 WITH k AS (SELECT c_custkey AS k FROM customer)
 SELECT 'customer' AS topic,
@@ -219,7 +221,7 @@ SELECT 'customer', '{"c_custkey":' || (k + 1000000) || '}', FALSE, k * 10 + 2
 FROM k WHERE k % 11 = 0
 UNION ALL
 SELECT 'customer', '{"c_custkey":' || k || '}', TRUE, k * 10 + 3
-FROM k WHERE k % 7 = 0
+FROM k WHERE k % 7 = 0 AND k % 11 <> 0
 """
 
 
@@ -256,7 +258,8 @@ ev AS (
   SELECT '{"c_custkey":' || (k + 1000000) || '}', 'insert', k * 10 + 2
   FROM k WHERE k % 11 = 0
   UNION ALL
-  SELECT '{"c_custkey":' || k || '}', 'delete', k * 10 + 3 FROM k WHERE k % 7 = 0
+  SELECT '{"c_custkey":' || k || '}', 'delete', k * 10 + 3
+  FROM k WHERE k % 7 = 0 AND k % 11 <> 0
 ), ranged AS (
   SELECT key, op, lsn AS valid_from_lsn,
          lead(lsn) OVER (PARTITION BY key ORDER BY lsn) AS valid_to_lsn
@@ -297,9 +300,32 @@ def cdc_merge_sink_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.current_rows(cust.schema)
 
 
+def cdc_incremental_agg_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py): per-segment
+    COUNT + SUM(acctbal) folded from signed CDC deltas — never
+    materializing row state. Must equal aggregating the oracle's final
+    state, which proves the generator's old images telescope exactly."""
+    from bottledwater_pg_spark.operators.ivm import incremental_group_agg
+
+    cust = load_table(spark, sf_dir, "customer")
+    return incremental_group_agg(
+        customer_cdc(spark, sf_dir), cust.schema, "c_mktsegment", "c_acctbal"
+    )
+
+
+CDC_IVM_SQL = f"""
+WITH final AS ({CDC_CUSTOMER_SQL})
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM final
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "cdc_materialize_customer": cdc_materialize_customer,
     "cdc_merge_sink_customer": cdc_merge_sink_customer,
+    "cdc_incremental_agg_customer": cdc_incremental_agg_customer,
     "cdc_history_scd2": cdc_history_scd2,
     "cdc_kafka_sink_shape": cdc_kafka_sink_shape,
     "cdc_error_policy_log": cdc_error_policy_log,
@@ -311,6 +337,7 @@ QUERIES = {
 ORACLES = {
     "cdc_materialize_customer": CDC_CUSTOMER_SQL,
     "cdc_merge_sink_customer": CDC_CUSTOMER_SQL,
+    "cdc_incremental_agg_customer": CDC_IVM_SQL,
     "cdc_history_scd2": CDC_SCD2_SQL,
     "cdc_kafka_sink_shape": CDC_SINK_SQL,
     "cdc_error_policy_log": CDC_ERRLOG_SQL,

@@ -1713,3 +1713,42 @@ ORACLES.update(
         "fuzzy_supplier_pairs": FUZZY_SQL,
     }
 )
+
+
+# ------------------------------------------ VARIANT semi-structured path
+
+
+def variant_props_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` path extraction — the scale path for repeated
+    multi-field access into JSON columns (parse once, probe many;
+    ``get_json_object`` re-parses the string per call). The reference
+    ships json/jsonb as opaque strings (oid2avro.c:317-349); VARIANT is
+    the modern engine-native upgrade.
+    """
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.count_distinct("k").alias("distinct_k"),
+        )
+    )
+
+
+VARIANT_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS distinct_k
+FROM events
+GROUP BY event_type
+"""
+
+QUERIES["variant_props_aggregation"] = variant_props_aggregation
+ORACLES["variant_props_aggregation"] = VARIANT_SQL

@@ -215,20 +215,28 @@ def mutation_events(
         moved_upd = moved.filter(is_updated)
         moved_not_upd = moved.filter(~is_updated)
         del_overrides = {pk0: f"{pk0} + {spec.pk_shift}"}
-        parts.append(
-            _encode(
-                moved,
-                OP_DELETE,
-                pk_cols,
-                pk_num,
-                PHASE_PKCHANGE,
-                XID_PKCHANGE,
-                relid,
-                topic,
-                new_row=None,
-                old_row=_row_json(moved),
+        # old image = the row AS IT WAS at event time (the xid-1 update
+        # already applied for k%update_mod keys) — PG logical decoding
+        # emits the actual old tuple, and incremental view maintenance
+        # (operators/ivm.py) relies on images telescoping exactly
+        for part_df, old_overrides in (
+            (moved_upd, spec.update_exprs),
+            (moved_not_upd, None),
+        ):
+            parts.append(
+                _encode(
+                    part_df,
+                    OP_DELETE,
+                    pk_cols,
+                    pk_num,
+                    PHASE_PKCHANGE,
+                    XID_PKCHANGE,
+                    relid,
+                    topic,
+                    new_row=None,
+                    old_row=_row_json(part_df, old_overrides),
+                )
             )
-        )
         for part_df, overrides in (
             (moved_upd, shifted_overrides),
             (moved_not_upd, del_overrides),
@@ -251,24 +259,30 @@ def mutation_events(
             )
             parts.append(encoded)
 
-        # xid 3: deletes of original keys. For rows that also moved, the
-        # original key already carries a delete from xid 2; the moved-to
-        # key survives (matching the oracle's OR k%pkchange_mod=0).
-        dele = df.filter(is_deleted)
-        parts.append(
-            _encode(
-                dele,
-                OP_DELETE,
-                pk_cols,
-                pk_num,
-                PHASE_DELETE,
-                XID_DELETE,
-                relid,
-                topic,
-                new_row=None,
-                old_row=_row_json(dele),
+        # xid 3: deletes of original keys. Rows that also moved are
+        # EXCLUDED: their original key was already deleted in xid 2, and
+        # PG logical decoding never emits a delete for a row that no
+        # longer exists (the moved-to key survives, matching the
+        # oracle's OR k%pkchange_mod=0). Old image carries the xid-1
+        # update for k%update_mod keys (see the xid-2 comment).
+        for dele, old_overrides in (
+            (df.filter(is_deleted & ~is_moved & is_updated), spec.update_exprs),
+            (df.filter(is_deleted & ~is_moved & ~is_updated), None),
+        ):
+            parts.append(
+                _encode(
+                    dele,
+                    OP_DELETE,
+                    pk_cols,
+                    pk_num,
+                    PHASE_DELETE,
+                    XID_DELETE,
+                    relid,
+                    topic,
+                    new_row=None,
+                    old_row=_row_json(dele, old_overrides),
+                )
             )
-        )
     # Unkeyed tables: deletes are dropped entirely (X2,
     # bottledwater.c:537-541) — we simply never emit them.
 
