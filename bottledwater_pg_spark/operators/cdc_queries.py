@@ -272,6 +272,58 @@ FROM ranged WHERE op <> 'delete'
 """
 
 
+def cdc_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 history: the set of row versions live
+    at a historical LSN (here half-way through the stream, derived from
+    the data so both engines compute the same point). Version ranges
+    make as-of reads a filter — no replay, no per-key scan-back; at
+    warehouse scale this is the partition-prunable 'state as of' query
+    the reference's consumers would run against compacted history."""
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.materialize import scd2_history
+
+    cust = load_table(spark, sf_dir, "customer")
+    hist = scd2_history(customer_cdc(spark, sf_dir))
+    asof = cust.agg((F.max("c_custkey") * 5).alias("l"))
+    return (
+        hist.crossJoin(F.broadcast(asof))
+        .filter(
+            (F.col("op") != "delete")
+            & (F.col("valid_from_lsn") <= F.col("l"))
+            & (F.col("valid_to_lsn").isNull() | (F.col("valid_to_lsn") > F.col("l")))
+        )
+        .select("key", "op", "valid_from_lsn", "valid_to_lsn")
+    )
+
+
+CDC_SCD2_ASOF_SQL = """
+WITH k AS (SELECT c_custkey AS k FROM customer),
+ev AS (
+  SELECT '{"c_custkey":' || k || '}' AS key, 'insert' AS op, k * 10 AS lsn
+  FROM k
+  UNION ALL
+  SELECT '{"c_custkey":' || k || '}', 'update', k * 10 + 1 FROM k WHERE k % 5 = 0
+  UNION ALL
+  SELECT '{"c_custkey":' || k || '}', 'delete', k * 10 + 2 FROM k WHERE k % 11 = 0
+  UNION ALL
+  SELECT '{"c_custkey":' || (k + 1000000) || '}', 'insert', k * 10 + 2
+  FROM k WHERE k % 11 = 0
+  UNION ALL
+  SELECT '{"c_custkey":' || k || '}', 'delete', k * 10 + 3
+  FROM k WHERE k % 7 = 0 AND k % 11 <> 0
+), ranged AS (
+  SELECT key, op, lsn AS valid_from_lsn,
+         lead(lsn) OVER (PARTITION BY key ORDER BY lsn) AS valid_to_lsn
+  FROM ev
+), pt AS (SELECT MAX(c_custkey) * 5 AS l FROM customer)
+SELECT key, op, valid_from_lsn, valid_to_lsn
+FROM ranged, pt
+WHERE op <> 'delete' AND valid_from_lsn <= l
+  AND (valid_to_lsn IS NULL OR valid_to_lsn > l)
+"""
+
+
 def cdc_merge_sink_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE upsert sink (Delta-style copy-on-write over bucketed
     parquet): apply the customer CDC stream in three lsn-ordered
@@ -326,6 +378,7 @@ QUERIES = {
     "cdc_materialize_customer": cdc_materialize_customer,
     "cdc_merge_sink_customer": cdc_merge_sink_customer,
     "cdc_incremental_agg_customer": cdc_incremental_agg_customer,
+    "cdc_scd2_as_of": cdc_scd2_as_of,
     "cdc_history_scd2": cdc_history_scd2,
     "cdc_kafka_sink_shape": cdc_kafka_sink_shape,
     "cdc_error_policy_log": cdc_error_policy_log,
@@ -338,6 +391,7 @@ ORACLES = {
     "cdc_materialize_customer": CDC_CUSTOMER_SQL,
     "cdc_merge_sink_customer": CDC_CUSTOMER_SQL,
     "cdc_incremental_agg_customer": CDC_IVM_SQL,
+    "cdc_scd2_as_of": CDC_SCD2_ASOF_SQL,
     "cdc_history_scd2": CDC_SCD2_SQL,
     "cdc_kafka_sink_shape": CDC_SINK_SQL,
     "cdc_error_policy_log": CDC_ERRLOG_SQL,

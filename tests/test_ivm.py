@@ -68,3 +68,45 @@ def test_ivm_equals_materialize_then_aggregate(spark):
     }
     assert ivm == mat
     events.unpersist()
+
+
+def test_streaming_ivm_matches_batch_and_skips_replayed_epoch(spark, tmp_path):
+    from bottledwater_pg_spark.operators.ivm import StreamingAggMaintainer
+    from bottledwater_pg_spark.streaming.stream import (
+        read_envelope_stream,
+        write_envelope_stream,
+    )
+
+    cust = load_table(spark, SF_DIR, "customer")
+    events = customer_cdc(spark, SF_DIR)
+    src = str(tmp_path / "src")
+    write_envelope_stream(events, src, num_files=4)
+    maint = StreamingAggMaintainer(
+        spark, str(tmp_path / "st"), cust.schema, "c_mktsegment", "c_acctbal"
+    )
+    q = maint.start(
+        read_envelope_stream(spark, src, files_per_trigger=1),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["c_mktsegment"]: (r["n_rows"], r["total"])
+        for r in maint.current().collect()
+    }
+    want = {
+        r["c_mktsegment"]: (r["n_rows"], r["total"])
+        for r in incremental_group_agg(
+            events, cust.schema, "c_mktsegment", "c_acctbal"
+        ).collect()
+    }
+    assert got == want
+
+    # crash-replay of an applied epoch must be a no-op
+    maint.process_batch(spark.read.parquet(src), 0)
+    got2 = {
+        r["c_mktsegment"]: (r["n_rows"], r["total"])
+        for r in maint.current().collect()
+    }
+    assert got2 == got
