@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "lsh_embedding_near_dup",
     "ann_topk_cosine",
     "ivf_ann_topk",
+    "embedding_centroid_step",
     "text_stats_per_doc",
     "text_chunks",
     "corpus_split_counts",

@@ -324,6 +324,41 @@ WHERE op <> 'delete' AND valid_from_lsn <= l
 """
 
 
+def cdc_snapshot_diff_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/diff.py): old = the base customer
+    snapshot, new = the materialized post-CDC state; the diff must
+    recover exactly the NET changes the stream applied (updates on
+    surviving keys, deletes of removed/moved-away keys, inserts of
+    moved-to keys). Payload presence is summarized as booleans — the
+    op classification and key set are the contract."""
+    from bottledwater_pg_spark.operators.diff import snapshot_diff
+
+    cust = load_table(spark, sf_dir, "customer")
+    new_state = cdc_materialize_customer(spark, sf_dir)
+    d = snapshot_diff(cust, new_state, ["c_custkey"])
+    return d.select(
+        "key",
+        "op",
+        F.col("old_row").isNotNull().alias("has_old"),
+        F.col("new_row").isNotNull().alias("has_new"),
+    )
+
+
+# closed form of the net change set under the default MutationSpec
+CDC_DIFF_SQL = """
+WITH k AS (SELECT c_custkey AS k FROM customer)
+SELECT '{"c_custkey":' || k || '}' AS key, 'update' AS op,
+       TRUE AS has_old, TRUE AS has_new
+FROM k WHERE k % 5 = 0 AND k % 7 <> 0 AND k % 11 <> 0
+UNION ALL
+SELECT '{"c_custkey":' || k || '}', 'delete', TRUE, FALSE
+FROM k WHERE k % 7 = 0 OR k % 11 = 0
+UNION ALL
+SELECT '{"c_custkey":' || (k + 1000000) || '}', 'insert', FALSE, TRUE
+FROM k WHERE k % 11 = 0
+"""
+
+
 def cdc_merge_sink_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE upsert sink (Delta-style copy-on-write over bucketed
     parquet): apply the customer CDC stream in three lsn-ordered
@@ -379,6 +414,7 @@ QUERIES = {
     "cdc_merge_sink_customer": cdc_merge_sink_customer,
     "cdc_incremental_agg_customer": cdc_incremental_agg_customer,
     "cdc_scd2_as_of": cdc_scd2_as_of,
+    "cdc_snapshot_diff_customer": cdc_snapshot_diff_customer,
     "cdc_history_scd2": cdc_history_scd2,
     "cdc_kafka_sink_shape": cdc_kafka_sink_shape,
     "cdc_error_policy_log": cdc_error_policy_log,
@@ -392,6 +428,7 @@ ORACLES = {
     "cdc_merge_sink_customer": CDC_CUSTOMER_SQL,
     "cdc_incremental_agg_customer": CDC_IVM_SQL,
     "cdc_scd2_as_of": CDC_SCD2_ASOF_SQL,
+    "cdc_snapshot_diff_customer": CDC_DIFF_SQL,
     "cdc_history_scd2": CDC_SCD2_SQL,
     "cdc_kafka_sink_shape": CDC_SINK_SQL,
     "cdc_error_policy_log": CDC_ERRLOG_SQL,

@@ -751,3 +751,87 @@ GROUP BY source
 
 QUERIES["pii_redaction_stats"] = pii_redaction_stats
 ORACLES["pii_redaction_stats"] = PII_SQL
+
+
+# ------------------------------------------------- k-means centroid step
+
+
+def embedding_centroid_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact k-means iteration over the embedding corpus: assign
+    every vector to its nearest of 8 seed centroids (max integer-
+    quantized dot product, centroid-id tie-break), then recompute each
+    centroid component as the member mean — the E/M primitive behind
+    IVF index training and embedding clustering.
+
+    Determinism: assignment uses exact int64 dots; the mean is an exact
+    integer sum divided once in double — bit-identical across engines
+    and aggregation orders.
+
+    Scale: centroids broadcast (k x dim is tiny); assignment is a
+    narrow map over the corpus; the M-step is one shuffle keyed by
+    (centroid, dim) with partial aggregation. This is exactly how
+    k-means/IVF training distributes at 10^9 vectors.
+    """
+    from bottledwater_pg_spark.functions.vectors import dot_pre, quantized_vec
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select("vec_id", quantized_vec("embedding").alias("qv"))
+    cents = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    )
+    scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "dot", dot_pre("qv", "cv")
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cid", F.struct(F.col("dot"), (-F.col("cid")).alias("neg"))
+        ).alias("cid"),
+        F.first("qv").alias("qv"),
+    )
+    members = assign.select(
+        "cid", F.posexplode("qv").alias("dim", "qc")
+    ).select("cid", F.col("dim").cast("long").alias("dim"), "qc")
+    return members.groupBy("cid", "dim").agg(
+        (
+            F.sum("qc").cast("double") / (F.count("*") * F.lit(1_000_000.0))
+        ).alias("component")
+    )
+
+
+from bottledwater_pg_spark.functions.vectors import quantize, sql_dot_q  # noqa: E402
+
+CENTROID_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> {quantize('x')}) AS qv
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
+dots AS (
+  SELECT q.vec_id, c.cid,
+         CAST(list_sum(list_transform(list_zip(q.qv, c.cv),
+                                      p -> p[1] * p[2])) AS BIGINT) AS dot
+  FROM q CROSS JOIN c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cid) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+members AS (
+  SELECT a.cid, CAST(g.i - 1 AS BIGINT) AS dim, q.qv[g.i] AS qc
+  FROM assign a
+  JOIN q USING (vec_id),
+  LATERAL (SELECT unnest(generate_series(1, len(q.qv))) AS i) g
+)
+SELECT cid, dim,
+       CAST(SUM(qc) AS DOUBLE) / (COUNT(*) * 1000000.0) AS component
+FROM members
+GROUP BY cid, dim
+"""
+
+QUERIES["embedding_centroid_step"] = embedding_centroid_step
+ORACLES["embedding_centroid_step"] = CENTROID_SQL

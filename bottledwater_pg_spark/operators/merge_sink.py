@@ -139,6 +139,38 @@ class BucketedMergeSink:
             .parquet(self._state_path())
         )
 
+    # -- maintenance ------------------------------------------------
+    def expire_tombstones(self, min_live_lsn: int) -> int:
+        """Kafka-compaction-style grace-period cleanup: physically drop
+        tombstones with ``lsn < min_live_lsn`` — safe once no replay
+        can deliver events older than that watermark (the reference
+        relies on Kafka's ``delete.retention.ms`` for the same thing).
+
+        Rewrites ONLY buckets that contain expired tombstones; returns
+        how many buckets were rewritten. Run it off the hot path as a
+        maintenance job, like topic compaction.
+        """
+        state = self.state()
+        if state is None:
+            return 0
+        expired = (F.col("op") == "delete") & (F.col("lsn") < min_live_lsn)
+        affected = [
+            r["bucket"]
+            for r in state.filter(expired).select("bucket").distinct().collect()
+        ]
+        if not affected:
+            return 0
+        (
+            state.filter(F.col("bucket").isin(affected))
+            .filter(~expired)
+            .repartition("bucket")
+            .write.partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(self._state_path())
+        )
+        return len(affected)
+
     # -- streaming entry -------------------------------------------
     def start(self, events_stream: DataFrame, checkpoint_dir: str):
         """Maintain the state from a streaming envelope source; the

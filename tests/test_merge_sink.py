@@ -142,3 +142,21 @@ def test_state_read_partition_prunes_on_bucket(spark, tmp_path):
     assert set(
         r["bucket"] for r in pruned.select("bucket").distinct().collect()
     ) <= {3, 7}
+
+
+def test_expire_tombstones_drops_only_expired(spark, tmp_path):
+    events = customer_cdc(spark, SF_DIR)
+    sink = BucketedMergeSink(spark, str(tmp_path / "st"), n_buckets=16)
+    sink.merge_batch(events)
+    state = sink.state()
+    n_tomb = state.filter(F.col("op") == "delete").count()
+    n_live = state.filter(F.col("op") != "delete").count()
+    assert n_tomb > 0
+    cutoff = state.agg(F.max("lsn")).first()[0] + 1
+    rewritten = sink.expire_tombstones(cutoff)
+    assert rewritten > 0
+    after = sink.state()
+    assert after.filter(F.col("op") == "delete").count() == 0
+    assert after.filter(F.col("op") != "delete").count() == n_live
+    # a second expiry pass is a no-op
+    assert sink.expire_tombstones(cutoff) == 0
