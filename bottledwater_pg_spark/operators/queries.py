@@ -1752,3 +1752,50 @@ GROUP BY event_type
 
 QUERIES["variant_props_aggregation"] = variant_props_aggregation
 ORACLES["variant_props_aggregation"] = VARIANT_SQL
+
+
+# ------------------------------------------ theta join (tiny broadcast side)
+
+
+def orders_in_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join done the RIGHT way for a tiny build side:
+    8 reference price points joined to orders on a ±5% band condition.
+    With the band table broadcast, BroadcastNestedLoopJoin costs
+    O(|orders| x 8) — a narrow scan-side filter per price point, the
+    correct plan here. (When BOTH sides are large, this plan is fatal:
+    that regime is operators/rangejoin.py's bucketed decomposition —
+    the two queries together pin the decision boundary.)
+    """
+    orders = _t(spark, sf_dir, "orders")
+    bands = (
+        spark.range(1, 9)
+        .select(
+            F.col("id").alias("band_id"),
+            (F.col("id") * 25000).cast("double").alias("center"),
+        )
+    )
+    cond = (
+        F.col("o_totalprice") >= F.col("center") * 0.95
+    ) & (F.col("o_totalprice") <= F.col("center") * 1.05)
+    return (
+        orders.join(F.broadcast(bands), cond)
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_d("o_totalprice")).cast("double").alias("band_total"),
+        )
+    )
+
+
+THETA_SQL = f"""
+SELECT band_id, COUNT(*) AS n_orders,
+       CAST(SUM({_sql_d("o_totalprice")}) AS DOUBLE) AS band_total
+FROM orders
+JOIN (SELECT i AS band_id, CAST(i * 25000 AS DOUBLE) AS center
+      FROM (SELECT unnest(generate_series(1, 8)) AS i)) b
+  ON o_totalprice >= center * 0.95 AND o_totalprice <= center * 1.05
+GROUP BY band_id
+"""
+
+QUERIES["orders_in_price_band"] = orders_in_price_band
+ORACLES["orders_in_price_band"] = THETA_SQL
