@@ -1,0 +1,66 @@
+"""CLI for the engine: list/run driver-contract queries, show plans.
+
+Usage (from the repo root):
+
+    python -m bottledwater_pg_spark list
+    python -m bottledwater_pg_spark run q1_pricing_summary [--sf-dir DIR] [-n 20]
+    python -m bottledwater_pg_spark plan q1_pricing_summary [--sf-dir DIR]
+
+The reference's equivalent surface is the ``bwtest`` monitoring binary
+(client/bwtest.c) plus ``bottledwater --help``; here the query plane is
+the product, so the CLI fronts the same ``queries()`` registry the
+driver gate checks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="bottledwater_pg_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list", help="list every driver-contract query")
+    for name in ("run", "plan"):
+        p = sub.add_parser(name)
+        p.add_argument("query")
+        p.add_argument(
+            "--sf-dir", default=os.environ.get(
+                "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+            )
+        )
+        if name == "run":
+            p.add_argument("-n", type=int, default=20, help="rows to show")
+    args = ap.parse_args(argv)
+
+    sys.path.insert(0, os.getcwd())
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    if args.cmd == "list":
+        oracles = entry.oracle_sql()
+        for name in sorted(queries):
+            tag = "oracle" if name in oracles else "rows-only"
+            print(f"{name:40s} [{tag}]")
+        return 0
+
+    if args.query not in queries:
+        print(f"unknown query {args.query!r}; try `list`", file=sys.stderr)
+        return 2
+    from bottledwater_pg_spark.session import get_spark
+
+    spark = get_spark("bottledwater-cli")
+    df = queries[args.query](spark, args.sf_dir)
+    if args.cmd == "run":
+        df.show(args.n, truncate=False)
+    else:
+        from bottledwater_pg_spark.plans.inspect import formatted_plan
+
+        print(formatted_plan(df))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
