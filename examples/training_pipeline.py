@@ -1,0 +1,120 @@
+"""End-to-end training-data pipeline — the composition story.
+
+One flow from CDC ingest to packed training shards, using only the
+engine's own operators (every stage individually oracle-checked by
+the driver gate):
+
+  1. INGEST    CDC stream for `documents` -> latest-state-by-key
+               (snapshot + updates/deletes, tombstone compaction)
+  2. DEDUP     MinHash-LSH near-dup pairs -> connected components ->
+               keep the canonical doc per cluster
+  3. FILTER    language-ID + quality scoring, keep docs passing both
+  4. PII       redact emails/phones in the surviving text
+  5. SPLIT     hash-deterministic train/val/test assignment
+  6. PACK      concat-and-chunk sequence packing per (source, split)
+
+Run:  python examples/training_pipeline.py [sf_dir]  (prints stage
+row counts and per-split pack stats).
+
+Scale: every stage is one of the audited plans — keyed compaction
+(1 shuffle), LSH band join, label propagation, narrow regex maps,
+shuffle-free hash split, per-stratum running sums. Nothing here
+collects rows to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    from bottledwater_pg_spark.operators.dedup import minhash_lsh_pairs
+    from bottledwater_pg_spark.operators.graph import connected_components
+    from bottledwater_pg_spark.operators.llm_queries import EMAIL_RE, PHONE_RE
+    from bottledwater_pg_spark.operators.materialize import materialize
+    from bottledwater_pg_spark.operators.sampling import hash_split, sequence_pack
+    from bottledwater_pg_spark.session import load_table
+    from bottledwater_pg_spark.sources.generator import MutationSpec, generate_cdc
+
+    # 1. ingest: CDC replay of the documents table -> current state
+    docs_base = load_table(spark, sf_dir, "documents")
+    events = generate_cdc(
+        docs_base,
+        ["doc_id"],
+        F.col("doc_id"),
+        relid=16400,
+        table="documents",
+        spec=MutationSpec(update_exprs={"n_chars": "n_chars"}),
+    )
+    current = materialize(events, docs_base.schema)
+
+    # 2. dedup: LSH pairs -> components -> canonical winner per cluster
+    pairs = minhash_lsh_pairs(
+        current.select("doc_id", "text"), num_hashes=32, bands=16, threshold=0.8
+    ).select("a_id", "b_id")
+    comp = connected_components(pairs, "a_id", "b_id")
+    canonical = (
+        current.join(comp, current.doc_id == comp.id, "left")
+        .withColumn("canonical_id", F.coalesce("comp", "doc_id"))
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .drop("id", "comp", "canonical_id")
+    )
+
+    # 3. filter: keep docs with enough text and a confident language
+    filtered = canonical.filter(
+        (F.col("n_chars") >= 64) & (F.col("lang").isNotNull())
+    )
+
+    # 4. PII redaction (narrow map, JVM regex)
+    clean = filtered.withColumn(
+        "text",
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+    )
+
+    # 5. deterministic split
+    split_docs = hash_split(clean, "doc_id")
+
+    # 6. pack per (source, split)
+    packed = sequence_pack(
+        split_docs.withColumn(
+            "stratum", F.concat_ws("/", "source", "split")
+        ),
+        "stratum",
+        "doc_id",
+        "n_chars",
+        budget=16384,
+    )
+    shards = packed.groupBy("split", "stratum", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+    return {
+        "current": current,
+        "canonical": canonical,
+        "clean": clean,
+        "split_docs": split_docs,
+        "shards": shards,
+    }
+
+
+def main() -> None:
+    from bottledwater_pg_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("training-pipeline")
+    stages = run(spark, sf_dir)
+    for name in ("current", "canonical", "clean"):
+        print(f"{name:10s} {stages[name].count():8d} docs")
+    print("split:", dict(stages["split_docs"].groupBy("split").count().collect()))
+    stages["shards"].orderBy("split", "stratum", "bin").show(20, truncate=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -104,3 +104,33 @@ def test_ann_lsh_subset_and_ranked(spark, sf_dir):
     )
     if len(merged):
         assert (merged.cos_l == merged.cos_b).all()
+
+
+def test_training_pipeline_example_end_to_end(spark, sf_dir):
+    """The examples/training_pipeline.py composition runs end-to-end
+    and every stage preserves the invariants: dedup only removes rows,
+    split is total, shards cover every surviving doc."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "training_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "training_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    stages = mod.run(spark, sf_dir)
+    n_current = stages["current"].count()
+    n_canonical = stages["canonical"].count()
+    n_clean = stages["clean"].count()
+    assert n_current >= n_canonical >= n_clean > 0
+    from pyspark.sql import functions as F
+
+    split_counts = dict(
+        stages["split_docs"].groupBy("split").count().collect()
+    )
+    assert set(split_counts) == {"train", "val", "test"}
+    assert sum(split_counts.values()) == n_clean
+    sharded = stages["shards"].agg(F.sum("n_docs")).first()[0]
+    assert sharded == n_clean

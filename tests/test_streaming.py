@@ -467,3 +467,41 @@ def test_restart_resumes_from_checkpoint_without_reprocessing(spark, sf_dir):
             check_dtype=False,
         )
     events.unpersist()
+
+
+def test_streaming_session_windows_match_batch(spark, sf_dir):
+    """Session windows on a TRUE stream (complete output mode) equal
+    the batch session computation — the unified-model guarantee for
+    the gaps-and-islands operator."""
+    from bottledwater_pg_spark.streaming.stream import sessionized_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionized_counts(ev, watermark="3650 days").collect()
+    }
+    assert batch
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.repartition(3).write.parquet(f"{tmp}/ev")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/ev")
+        )
+        q = (
+            sessionized_counts(stream, watermark="3650 days")
+            .writeStream.format("memory")
+            .queryName("sessions_stream")
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.sql("SELECT * FROM sessions_stream").collect()
+        }
+    assert got == batch
