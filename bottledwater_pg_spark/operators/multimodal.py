@@ -93,3 +93,60 @@ def frame_sample(df: DataFrame, every_bytes: int = 64) -> DataFrame:
             ).alias("chunk_hash"),
         )
     )
+
+
+RESIZED_SCHEMA = "doc_id long, data binary, width long, height long"
+FEATURE_SCHEMA = "doc_id long, features array<double>"
+
+
+def resize_stub(df: DataFrame, width: int = 64, height: int = 48) -> DataFrame:
+    """'Resize' plumbing: binary in, (smaller) binary + new dims out,
+    via Arrow-batched mapInPandas. The transform itself is a
+    deterministic fake (byte striding to the target "pixel count") —
+    a real implementation swaps in PIL's ``Image.resize`` without
+    touching the Spark-side schema, batching, or partitioning."""
+    target = width * height // 64  # fake: bytes-per-"pixel block"
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def shrink(data: bytes) -> bytes:
+                if STRICT:
+                    raise NotImplementedError("no image codecs here")
+                stride = max(len(data) // max(target, 1), 1)
+                return data[::stride][:target]
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "data": pdf["data"].map(shrink),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(body, schema=RESIZED_SCHEMA)
+
+
+def extract_features_stub(df: DataFrame, dim: int = 8) -> DataFrame:
+    """'Feature extraction' plumbing: binary in, float vector out
+    (the embed-the-image stage). Deterministic fake: dim doubles
+    derived from the content digest; a real model call (CLIP et al.)
+    replaces only the function body — batch shape, Arrow transfer and
+    the array<double> output schema are what's being pinned."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def feats(data: bytes) -> list[float]:
+                if STRICT:
+                    raise NotImplementedError("no model runtime here")
+                d = hashlib.md5(data).digest()
+                return [
+                    int.from_bytes(d[2 * i : 2 * i + 2], "big") / 65535.0
+                    for i in range(dim)
+                ]
+
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "features": pdf["data"].map(feats)}
+            )
+
+    return df.mapInPandas(body, schema=FEATURE_SCHEMA)

@@ -134,3 +134,26 @@ def test_training_pipeline_example_end_to_end(spark, sf_dir):
     assert sum(split_counts.values()) == n_clean
     sharded = stages["shards"].agg(F.sum("n_docs")).first()[0]
     assert sharded == n_clean
+
+
+def test_multimodal_resize_and_feature_stubs(spark, sf_dir):
+    """Resize/feature-extract plumbing: Arrow batch transfer, output
+    schemas, determinism, and bounded output sizes."""
+    from bottledwater_pg_spark.operators import multimodal
+    from bottledwater_pg_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    binary = multimodal.with_binary_payload(docs)
+
+    resized = multimodal.resize_stub(binary, width=64, height=48)
+    rows = resized.collect()
+    assert len(rows) == 50
+    target = 64 * 48 // 64
+    assert all(len(r["data"]) <= target for r in rows)
+    assert all((r["width"], r["height"]) == (64, 48) for r in rows)
+
+    feats = multimodal.extract_features_stub(binary, dim=8)
+    a = {r["doc_id"]: tuple(r["features"]) for r in feats.collect()}
+    b = {r["doc_id"]: tuple(r["features"]) for r in feats.collect()}
+    assert a == b  # deterministic
+    assert all(len(v) == 8 and all(0 <= x <= 1 for x in v) for v in a.values())
