@@ -1799,3 +1799,79 @@ GROUP BY band_id
 
 QUERIES["orders_in_price_band"] = orders_in_price_band
 ORACLES["orders_in_price_band"] = THETA_SQL
+
+
+# ------------------------------------------ unpivot / lag analytics
+
+
+def unpivot_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt): per-segment metrics pivoted into
+    (segment, metric, value) rows — the inverse of pivot, used to feed
+    metric-agnostic sinks. JVM-side via the native unpivot operator
+    (one narrow expand, no shuffle beyond the source agg)."""
+    cust = _t(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_mktsegment").agg(
+        F.count("*").cast("double").alias("n_customers"),
+        F.sum(_d("c_acctbal")).cast("double").alias("total_acctbal"),
+        F.max("c_acctbal").alias("max_acctbal"),
+    )
+    return wide.unpivot(
+        ["c_mktsegment"],
+        ["n_customers", "total_acctbal", "max_acctbal"],
+        "metric",
+        "value",
+    )
+
+
+UNPIVOT_SQL = f"""
+WITH wide AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         CAST(SUM({_sql_d("c_acctbal")}) AS DOUBLE) AS total_acctbal,
+         MAX(c_acctbal) AS max_acctbal
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS value FROM wide
+UNION ALL
+SELECT c_mktsegment, 'total_acctbal', total_acctbal FROM wide
+UNION ALL
+SELECT c_mktsegment, 'max_acctbal', max_acctbal FROM wide
+"""
+
+
+def monthly_order_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: month-over-month order-count delta per
+    priority — the trend primitive. One shuffle (partition by
+    priority), arithmetic on adjacent frame rows."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+    ).agg(F.count("*").alias("n_orders"))
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "n_orders",
+        (F.col("n_orders") - F.lag("n_orders").over(w)).alias("mom_delta"),
+        F.lead("n_orders").over(w).alias("next_month_orders"),
+    )
+
+
+MOMENTUM_SQL = """
+WITH monthly AS (
+  SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, month, n_orders,
+       n_orders - lag(n_orders) OVER w AS mom_delta,
+       lead(n_orders) OVER w AS next_month_orders
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+"""
+
+QUERIES["unpivot_segment_metrics"] = unpivot_segment_metrics
+ORACLES["unpivot_segment_metrics"] = UNPIVOT_SQL
+QUERIES["monthly_order_momentum"] = monthly_order_momentum
+ORACLES["monthly_order_momentum"] = MOMENTUM_SQL
