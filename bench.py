@@ -101,10 +101,22 @@ def main() -> None:
     # CDC throughput: events generated+compacted+decoded per second,
     # from the materialize queries' event volumes and min timings
     # (SURVEY §7.3 step 9 calls for an events/sec figure)
-    from bottledwater_pg_spark.operators.cdc_queries import customer_cdc
+    # measure on the LARGEST materialized stream (events, composite key)
+    # so per-job fixed overhead doesn't dominate the rate
+    from pyspark.sql import functions as F
 
-    n_events = customer_cdc(spark, sf_dir).count()
-    cdc_eps = round(n_events / timings["cdc_materialize_customer"], 1)
+    from bottledwater_pg_spark.operators.cdc_queries import (
+        EVENTS_SPEC,
+        generate_cdc,
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    n_events = generate_cdc(
+        ev, ["user_id", "event_id"], F.col("event_id"), 16386, "events",
+        EVENTS_SPEC,
+    ).count()
+    cdc_eps = round(n_events / timings["cdc_materialize_events_composite"], 1)
 
     total = round(sum(timings.values()), 3)
     print(
