@@ -153,3 +153,45 @@ def test_observed_error_metrics_single_pass(spark):
     assert good.count() == 2  # tombstone passes, oversized dropped
     assert obs.get["n_oversized"] == 1
     assert obs.get["n_seen"] == 3
+
+
+def test_malformed_payload_decodes_null_and_is_countable(spark):
+    """A corrupt row payload must not kill the pipeline: from_json is
+    PERMISSIVE (null struct), compaction still works on the envelope
+    columns, and the bad rows are countable for the error policy —
+    the Spark rendering of the reference's log-and-skip."""
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.materialize import compact, decode_rows
+
+    rows = [
+        ('{"k":1}', "insert", 1, '{"a": 10, "b": "x"}'),
+        ('{"k":2}', "insert", 2, '{"a": oops not json'),
+        ('{"k":3}', "insert", 3, None),  # tombstone-like null
+    ]
+    df = spark.createDataFrame(rows, "key string, op string, lsn long, new_row string")
+    compacted = compact(df)
+    assert compacted.count() == 3  # compaction untouched by payload health
+    decoded = decode_rows(
+        compacted.filter(F.col("key") == '{"k":2}'),
+        __import__("pyspark.sql.types", fromlist=["x"]).StructType.fromDDL(
+            "a long, b string"
+        ),
+    )
+    row = decoded.first()
+    assert row["a"] is None and row["b"] is None  # PERMISSIVE null-out
+    # error accounting: malformed = non-null payload whose decode
+    # nulls out every field (PERMISSIVE nulls the FIELDS, not the
+    # struct, in Spark 4)
+    bad = (
+        compacted.withColumn(
+            "r", F.from_json("new_row", "a long, b string")
+        )
+        .filter(
+            F.col("new_row").isNotNull()
+            & F.col("r.a").isNull()
+            & F.col("r.b").isNull()
+        )
+        .count()
+    )
+    assert bad == 1
