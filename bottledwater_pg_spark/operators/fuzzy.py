@@ -38,19 +38,46 @@ def deletion_variants(col: str) -> F.Column:
     return F.array_union(F.array(F.col(col)), one_deleted)
 
 
+def deletion_variants_k2(col: str) -> F.Column:
+    """Array of the string, every 1-deletion, and every 2-deletion form.
+
+    Two strings at Levenshtein distance <= 2 share a common member of
+    their <=2-deletion neighborhoods (align the edit script; delete the
+    mismatched positions on each side), so this is a lossless blocking
+    key for radius 2. Expansion is O(len^2 / 2) keys per string —
+    ~170 for an 18-char name — which is the price of radius 2; keep the
+    blocked column short (names, codes), not whole documents.
+
+    ``sequence(a, b)`` in Spark generates DESCENDING sequences when
+    a > b, so both loops are guarded with ``if`` to yield empty arrays
+    at the string boundaries instead of phantom indices.
+    """
+    two_deleted = F.expr(
+        f"flatten(transform("
+        f"  if(length({col}) >= 2, sequence(1, length({col}) - 1), "
+        f"     array()), "
+        f"  i -> transform(sequence(i + 1, length({col})), "
+        f"    j -> concat(substring({col}, 1, i - 1), "
+        f"                substring({col}, i + 1, j - i - 1), "
+        f"                substring({col}, j + 1, length({col}))))))"
+    )
+    return F.array_union(deletion_variants(col), two_deleted)
+
+
 def edit_distance_pairs(
     df: DataFrame, id_col: str, str_col: str, max_dist: int = 1
 ) -> DataFrame:
     """All pairs (a, b), a.id < b.id, with levenshtein(a, b) <=
-    ``max_dist`` (must be 1 — the supported deletion-neighborhood
-    radius). Returns ``a_id, b_id, dist``.
+    ``max_dist`` (1 or 2 — the supported deletion-neighborhood
+    radii). Returns ``a_id, b_id, dist``.
     """
-    if max_dist != 1:
-        raise ValueError("deletion-neighborhood blocking supports max_dist=1")
+    if max_dist not in (1, 2):
+        raise ValueError("deletion-neighborhood blocking supports max_dist in (1, 2)")
+    variants = deletion_variants if max_dist == 1 else deletion_variants_k2
     keyed = df.select(
         F.col(id_col).alias("_id"),
         F.col(str_col).alias("_s"),
-        F.explode(deletion_variants(str_col)).alias("_block"),
+        F.explode(variants(str_col)).alias("_block"),
     )
     a = keyed.select(
         F.col("_id").alias("a_id"), F.col("_s").alias("_sa"), "_block"

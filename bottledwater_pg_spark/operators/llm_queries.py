@@ -367,6 +367,29 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_canonical_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering contract as ``dedup_cluster_canonical`` but via
+    the alternating large-star/small-star algorithm
+    (operators/graph.py ``connected_components_star``) — O(log^2 n)
+    rounds on adversarial long-chain graphs where min-label
+    propagation needs diameter rounds. Verified against the identical
+    WITH RECURSIVE transitive-closure oracle.
+    """
+    from bottledwater_pg_spark.operators.graph import connected_components_star
+
+    corpus = docs_with_near_dups(spark, sf_dir)
+    pairs = lsh_minhash_near_dup(spark, sf_dir).select("a_id", "b_id")
+    comp = connected_components_star(pairs, "a_id", "b_id")
+    return (
+        corpus.select("doc_id")
+        .join(comp, corpus.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+
+
 CLUSTER_SQL = f"""
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents
@@ -406,6 +429,7 @@ SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_cluster_canonical": dedup_cluster_canonical,
+    "dedup_cluster_canonical_star": dedup_cluster_canonical_star,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "lsh_minhash_near_dup": lsh_minhash_near_dup,
     "lsh_simhash_near_dup": lsh_simhash_near_dup,
@@ -424,6 +448,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_cluster_canonical": CLUSTER_SQL,
+    "dedup_cluster_canonical_star": CLUSTER_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "lsh_minhash_near_dup": DEDUP_JACCARD_SQL,
     "dedup_embedding_cosine": EMB_COS_SQL,

@@ -1698,11 +1698,34 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
 
+def fuzzy_supplier_pairs_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-2 supplier-name pairs via 2-deletion-neighborhood
+    blocking (operators/fuzzy.py ``deletion_variants_k2``) — radius-2
+    symmetric-delete; the oracle is the brute-force quadratic
+    levenshtein join, proving the O(len^2)-key blocking lossless at
+    radius 2 on this corpus.
+    """
+    from bottledwater_pg_spark.operators.fuzzy import edit_distance_pairs
+
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return edit_distance_pairs(supp, "s_suppkey", "s_name", max_dist=2)
+
+
+FUZZY_K2_SQL = """
+SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+FROM supplier a
+JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+"""
+
+
 QUERIES.update(
     {
         "value_histogram": value_histogram,
         "quantity_price_corr_exact": quantity_price_corr_exact,
         "fuzzy_supplier_pairs": fuzzy_supplier_pairs,
+        "fuzzy_supplier_pairs_k2": fuzzy_supplier_pairs_k2,
     }
 )
 
@@ -1711,6 +1734,7 @@ ORACLES.update(
         "value_histogram": HISTOGRAM_SQL,
         "quantity_price_corr_exact": CORR_SQL,
         "fuzzy_supplier_pairs": FUZZY_SQL,
+        "fuzzy_supplier_pairs_k2": FUZZY_K2_SQL,
     }
 )
 

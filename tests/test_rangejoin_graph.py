@@ -68,3 +68,41 @@ def test_connected_components_long_chain_converges(spark):
     comp = connected_components(edges)
     assert comp.select(F.countDistinct("comp")).first()[0] == 1
     assert {r["comp"] for r in comp.collect()} == {0}
+
+
+def test_star_cc_matches_propagation_on_chain_pair_and_random(spark):
+    from bottledwater_pg_spark.operators.graph import connected_components_star
+
+    # adversarial long chain (diameter 29) + separate pair + singleton-free
+    edges = [(i, i + 1) for i in range(30)] + [(100, 101)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    comp = {r["id"]: r["comp"] for r in connected_components_star(df).collect()}
+    assert all(comp[i] == 0 for i in range(31))
+    assert comp[100] == comp[101] == 100
+
+    # deterministic pseudo-random graph: star output == propagation output
+    import random
+
+    rng = random.Random(7)
+    redges = [(rng.randrange(60), rng.randrange(60)) for _ in range(45)]
+    rdf = spark.createDataFrame(redges, "src long, dst long").filter(
+        "src <> dst"
+    )
+    star = {
+        r["id"]: r["comp"] for r in connected_components_star(rdf).collect()
+    }
+    prop = {r["id"]: r["comp"] for r in connected_components(rdf).collect()}
+    assert star == prop
+
+
+def test_star_cc_round_count_logarithmic_on_chain(spark):
+    """A 64-node path must converge well under the 50-round cap —
+    star halving needs ~log2(64)+const rounds, propagation would need
+    63; max_iters=8 bounds the round count observably."""
+    from bottledwater_pg_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    comp = connected_components_star(df, max_iters=10)
+    assert {r["comp"] for r in comp.collect()} == {0}
