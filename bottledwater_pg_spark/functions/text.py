@@ -111,6 +111,49 @@ def sql_fingerprint(col: str = "text") -> str:
     return f"md5(regexp_replace(trim({col}), '\\s+', ' ', 'g'))"
 
 
+def kgram_hashes(col: str, k: int = 8) -> Column:
+    """Array of rolling character k-gram hashes (md5-prefix strings).
+
+    The winnowing scheme (Schleimer/Wilkerson/Aiken, "Winnowing: Local
+    Algorithms for Document Fingerprinting", SIGMOD'03) hashes every
+    k-gram; md5-prefix hex is the cross-engine-stable stand-in for the
+    polynomial rolling hash (md5 renders identically in Spark and
+    DuckDB, and string order = hex order, so window minima agree).
+    O(n*k) per document, computed once per row — Catalyst evaluates the
+    projected array a single time, and the window-min pass below binds
+    it rather than recomputing per window.
+    """
+    return F.expr(
+        f"transform(sequence(1, greatest(length({col}) - {k} + 1, 1)), "
+        f"i -> substring(md5(cast(substring({col}, i, {k}) as binary)), 1, 16))"
+    )
+
+
+def sql_kgram_hashes(col: str, k: int = 8) -> str:
+    return (
+        f"list_transform(range(1, greatest(length({col}) - {k} + 1, 1) + 1), "
+        f"i -> substr(md5(substring({col}, i, {k})), 1, 16))"
+    )
+
+
+def winnow_mins(grams_col: str, w: int = 4) -> Column:
+    """Per-window minima over a BOUND k-gram-hash array column — the
+    winnowing selection step. Always reference a projected column here,
+    never inline ``kgram_hashes`` into the lambda: expressions inside a
+    higher-order-function lambda re-evaluate per element (O(n^2))."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size({grams_col}) - {w} + 1, 1)), "
+        f"j -> array_min(slice({grams_col}, j, {w})))"
+    )
+
+
+def sql_winnow_mins(grams_col: str, w: int = 4) -> str:
+    return (
+        f"list_transform(range(1, greatest(len({grams_col}) - {w} + 1, 1) + 1), "
+        f"j -> list_min(list_slice({grams_col}, j, j + {w} - 1)))"
+    )
+
+
 def lang_scores(col: str = "text") -> dict[str, Column]:
     """Marker-stopword vote counts per language (n-gram heuristic)."""
     t = _TOKENS.format(col=col)

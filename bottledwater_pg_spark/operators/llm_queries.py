@@ -309,6 +309,50 @@ SELECT doc_id, {sql_predicted_lang("text")} AS lang_pred FROM documents
 """
 
 
+def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every character 8-gram, keep the minimum hash of each window
+    of 4 consecutive k-grams, emit the distinct (doc_id, fingerprint)
+    set. The standard plagiarism/near-dup fingerprint guaranteeing any
+    shared substring of length >= k + w - 1 yields a shared
+    fingerprint. Narrow per-doc compute (no shuffle until the final
+    distinct), embarrassingly parallel — the 100 TB path is a scan +
+    one distinct on (doc_id, fp).
+
+    The reference ships no text analysis (README.md:30-32 delegates
+    consumer-side processing); this is north-star LLM-pipeline
+    surface.
+    """
+    from bottledwater_pg_spark.functions.text import kgram_hashes, winnow_mins
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.withColumn("_g", kgram_hashes("text", 8))
+        .select("doc_id", F.explode(winnow_mins("_g", 4)).alias("fp"))
+        .distinct()
+    )
+
+
+def _winnow_sql() -> str:
+    from bottledwater_pg_spark.functions.text import (
+        sql_kgram_hashes,
+        sql_winnow_mins,
+    )
+
+    return f"""
+WITH g AS (
+  SELECT doc_id, {sql_kgram_hashes('text', 8)} AS grams FROM documents
+),
+w AS (
+  SELECT doc_id, unnest({sql_winnow_mins('grams', 4)}) AS fp FROM g
+)
+SELECT DISTINCT doc_id, fp FROM w
+"""
+
+
+WINNOW_SQL = _winnow_sql()
+
+
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.decode_metadata(multimodal.with_binary_payload(docs))
@@ -441,6 +485,7 @@ QUERIES = {
     "text_stats_per_doc": text_stats_per_doc,
     "text_quality_by_source": text_quality_by_source,
     "text_langid": text_langid,
+    "doc_fingerprint_winnow": doc_fingerprint_winnow,
     "multimodal_decode_meta": multimodal_decode_meta,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
@@ -457,6 +502,7 @@ ORACLES = {
     "text_stats_per_doc": TEXT_STATS_SQL,
     "text_quality_by_source": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
+    "doc_fingerprint_winnow": WINNOW_SQL,
     "multimodal_decode_meta": MULTIMODAL_META_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     # lsh_simhash_near_dup, lsh_ann_topk, ivf_ann_topk: rows-only

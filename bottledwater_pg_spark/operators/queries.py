@@ -1720,12 +1720,72 @@ WHERE levenshtein(a.s_name, b.s_name) <= 2
 """
 
 
+def median_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median order value per market segment via explicit rank
+    arithmetic — row_number over the value sort, pick the middle one
+    or two elements ((n+1) div 2 and (n+2) div 2), average them in
+    double. Built-in percentile/quantile_cont interpolate with
+    engine-specific float formulas and are never hash-parity-safe;
+    selecting the middle DECIMAL values and applying one identical
+    double expression is (the same discipline as the exact-corr
+    co-moment query).
+
+    Scale: one shuffle on the segment key + per-partition sort — the
+    same cost as any windowed rank; no driver-side collection.
+    """
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("v")
+    wn = Window.partitionBy("c_mktsegment")
+    r = j.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    mid = r.filter(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return mid.groupBy("c_mktsegment").agg(
+        (
+            (F.min("v").cast("double") + F.max("v").cast("double")) / F.lit(2.0)
+        ).alias("median_order_value"),
+        F.max("n").alias("n_orders"),
+    )
+
+
+MEDIAN_SQL = """
+WITH j AS (
+  SELECT c_mktsegment, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+r AS (
+  SELECT c_mktsegment, v,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM j
+)
+SELECT c_mktsegment,
+       (CAST(MIN(v) AS DOUBLE) + CAST(MAX(v) AS DOUBLE)) / 2
+         AS median_order_value,
+       MAX(n) AS n_orders
+FROM r
+WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES.update(
     {
         "value_histogram": value_histogram,
         "quantity_price_corr_exact": quantity_price_corr_exact,
         "fuzzy_supplier_pairs": fuzzy_supplier_pairs,
         "fuzzy_supplier_pairs_k2": fuzzy_supplier_pairs_k2,
+        "median_order_value_by_segment": median_order_value_by_segment,
     }
 )
 
@@ -1735,6 +1795,7 @@ ORACLES.update(
         "quantity_price_corr_exact": CORR_SQL,
         "fuzzy_supplier_pairs": FUZZY_SQL,
         "fuzzy_supplier_pairs_k2": FUZZY_K2_SQL,
+        "median_order_value_by_segment": MEDIAN_SQL,
     }
 )
 

@@ -157,3 +157,35 @@ def test_multimodal_resize_and_feature_stubs(spark, sf_dir):
     b = {r["doc_id"]: tuple(r["features"]) for r in feats.collect()}
     assert a == b  # deterministic
     assert all(len(v) == 8 and all(0 <= x <= 1 for x in v) for v in a.values())
+
+
+def test_winnow_guarantee_shared_substring_yields_shared_fingerprint(spark):
+    """Winnowing guarantee (Schleimer et al.): two docs sharing a
+    substring of length >= k + w - 1 (= 11 for k=8, w=4) share at
+    least one selected fingerprint; disjoint docs share none."""
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.functions.text import kgram_hashes, winnow_mins
+
+    common = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA " + common + " BBBB"),
+            (2, "cccc dddd " + common),
+            (3, "totally unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = (
+        docs.withColumn("_g", kgram_hashes("text", 8))
+        .select("doc_id", F.explode(winnow_mins("_g", 4)).alias("fp"))
+        .distinct()
+    )
+    sets = {
+        r["doc_id"]: set(r["fps"])
+        for r in fps.groupBy("doc_id")
+        .agg(F.collect_set("fp").alias("fps"))
+        .collect()
+    }
+    assert sets[1] & sets[2], "shared 25-char substring must share a fingerprint"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
