@@ -333,6 +333,81 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by winnowing-fingerprint overlap: two
+    docs are candidates when they share at least half of the smaller
+    doc's fingerprint set (integer comparison ``shared*2 >=
+    least(na, nb)`` — no float ratio, parity-safe). A third dedup
+    modality alongside MinHash (set Jaccard) and SimHash (Hamming):
+    winnowing overlap detects LOCAL shared passages, not just global
+    similarity.
+
+    Scale: equi-join on the fingerprint key + pair-count aggregation —
+    the MinHash-LSH shape. Very frequent fingerprints (boilerplate)
+    would skew the join at corpus scale; the production path drops
+    fps with document frequency above a cap first (same stop-shingle
+    discipline as MinHash), which only REMOVES candidate pairs the
+    verifier would re-check.
+    """
+    from bottledwater_pg_spark.functions.text import kgram_hashes, winnow_mins
+
+    corpus = docs_with_near_dups(spark, sf_dir)
+    fps = (
+        corpus.withColumn("_g", kgram_hashes("text", 8))
+        .select("doc_id", F.explode(winnow_mins("_g", 4)).alias("fp"))
+        .distinct()
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("nfp"))
+    a = fps.select(F.col("doc_id").alias("a_id"), "fp")
+    b = fps.select(F.col("doc_id").alias("b_id"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("nfp").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("nfp").alias("nb"))
+    return (
+        shared.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(F.col("shared") * 2 >= F.least("na", "nb"))
+        .select("a_id", "b_id", "shared")
+    )
+
+
+def _winnow_pairs_sql() -> str:
+    from bottledwater_pg_spark.functions.text import (
+        sql_kgram_hashes,
+        sql_winnow_mins,
+    )
+
+    return f"""{DOCS_NEAR_CTE.rstrip()},
+g AS (
+  SELECT doc_id, {sql_kgram_hashes('text', 8)} AS grams FROM corpus
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, unnest({sql_winnow_mins('grams', 4)}) AS fp FROM g
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id, shared
+FROM shared
+JOIN sizes sa ON sa.doc_id = a_id
+JOIN sizes sb ON sb.doc_id = b_id
+WHERE shared * 2 >= least(sa.nfp, sb.nfp)
+"""
+
+
+WINNOW_PAIRS_SQL = _winnow_pairs_sql()
+
+
 def _winnow_sql() -> str:
     from bottledwater_pg_spark.functions.text import (
         sql_kgram_hashes,
@@ -486,6 +561,7 @@ QUERIES = {
     "text_quality_by_source": text_quality_by_source,
     "text_langid": text_langid,
     "doc_fingerprint_winnow": doc_fingerprint_winnow,
+    "winnow_near_dup_pairs": winnow_near_dup_pairs,
     "multimodal_decode_meta": multimodal_decode_meta,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
@@ -503,6 +579,7 @@ ORACLES = {
     "text_quality_by_source": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "doc_fingerprint_winnow": WINNOW_SQL,
+    "winnow_near_dup_pairs": WINNOW_PAIRS_SQL,
     "multimodal_decode_meta": MULTIMODAL_META_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     # lsh_simhash_near_dup, lsh_ann_topk, ivf_ann_topk: rows-only
