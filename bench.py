@@ -56,7 +56,11 @@ BENCH_QUERIES = [
     "ivf_ann_topk",
     "embedding_centroid_step",
     "text_stats_per_doc",
+    "text_bpe_token_stats",
     "text_chunks",
+    "winnow_near_dup_pairs",
+    "dedup_cluster_canonical_star",
+    "median_order_value_by_segment",
     "corpus_split_counts",
     "sequence_pack_stats",
     "pii_redaction_stats",

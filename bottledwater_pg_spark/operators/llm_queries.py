@@ -309,6 +309,50 @@ SELECT doc_id, {sql_predicted_lang("text")} AS lang_pred FROM documents
 """
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single
+# non-alphanumeric marks — the GPT-2-style split restricted to regex
+# syntax that behaves identically in Java (Spark) and RE2 (DuckDB):
+# character classes + quantifiers + alternation only, no lookarounds.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex pre-tokenizer next to the
+    whitespace count — the SURVEY §2 north-star token-counting
+    surface. Emits per-source totals plus the bytes-per-token ratio
+    (the number a training-data pipeline budgets corpus size with).
+    Whole computation is JVM-side regexp_count/length — no Python in
+    the hot path; one partial-agg shuffle on source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.regexp_count("text", F.lit(BPE_ISH_PATTERN))
+    n_ws = F.size(F.split(F.trim("text"), r"\s+"))
+    return (
+        docs.select("source", F.length("text").alias("nch"), n_bpe.alias("nb"), n_ws.alias("nw"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nb").alias("bpe_tokens"),
+            F.sum("nw").alias("ws_tokens"),
+            (
+                F.sum("nch").cast("double") / F.sum("nb").cast("double")
+            ).alias("chars_per_bpe_token"),
+        )
+    )
+
+
+BPE_STATS_SQL = f"""
+SELECT source, COUNT(*) AS n_docs,
+       SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS bpe_tokens,
+       SUM(len(string_split_regex(trim(text), '\\s+'))) AS ws_tokens,
+       CAST(SUM(length(text)) AS DOUBLE)
+         / CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS DOUBLE)
+         AS chars_per_bpe_token
+FROM documents
+GROUP BY source
+"""
+
+
 def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     hash every character 8-gram, keep the minimum hash of each window
@@ -560,6 +604,7 @@ QUERIES = {
     "text_stats_per_doc": text_stats_per_doc,
     "text_quality_by_source": text_quality_by_source,
     "text_langid": text_langid,
+    "text_bpe_token_stats": text_bpe_token_stats,
     "doc_fingerprint_winnow": doc_fingerprint_winnow,
     "winnow_near_dup_pairs": winnow_near_dup_pairs,
     "multimodal_decode_meta": multimodal_decode_meta,
@@ -578,6 +623,7 @@ ORACLES = {
     "text_stats_per_doc": TEXT_STATS_SQL,
     "text_quality_by_source": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,
+    "text_bpe_token_stats": BPE_STATS_SQL,
     "doc_fingerprint_winnow": WINNOW_SQL,
     "winnow_near_dup_pairs": WINNOW_PAIRS_SQL,
     "multimodal_decode_meta": MULTIMODAL_META_SQL,
