@@ -518,6 +518,60 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def asof_click_to_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: for every click, the next
+    purchase by the same user at-or-after the click, kept only when it
+    lands within 7 days (attribution-window semantics). Same
+    union-and-carry composition as the backward variant but with a
+    ``first(..., ignorenulls)`` over the (currentRow,
+    unboundedFollowing) frame; the tolerance is applied AFTER nearest
+    selection (match nulled, click kept — left semantics), which is
+    exactly ``pd.merge_asof(direction='forward', tolerance=...)``.
+    Still ONE shuffle on user_id.
+    """
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("kind"), "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"), "event_id"
+    )
+    tagged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    p_ts = F.first(F.when(F.col("kind") == 1, F.col("ts")), ignorenulls=True)
+    p_id = F.first(
+        F.when(F.col("kind") == 1, F.col("event_id")), ignorenulls=True
+    )
+    within = F.col("_p_ts") <= F.col("ts") + F.expr("INTERVAL 7 DAYS")
+    return (
+        tagged.withColumn("_p_ts", p_ts.over(w))
+        .withColumn("_p_id", p_id.over(w))
+        .filter(F.col("kind") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(within, F.col("_p_ts")).alias("purchase_ts"),
+            F.when(within, F.col("_p_id")).alias("purchase_event_id"),
+        )
+    )
+
+
+ASOF_FWD_SQL = """
+SELECT c.event_id, c.user_id, c.ts,
+       CASE WHEN p.ts <= c.ts + INTERVAL 7 DAY THEN p.ts END AS purchase_ts,
+       CASE WHEN p.ts <= c.ts + INTERVAL 7 DAY THEN p.event_id END
+         AS purchase_event_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
 def json_props_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar JSON functions over the stringly-typed props column (the
     reference emits json/jsonb as strings, oid2avro.c:317-349; Spark
@@ -1758,6 +1812,79 @@ def median_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _quartile_cols() -> list[F.Column]:
+    cols = []
+    for tag, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+        # type-1 linear interpolation at rank (n-1)*p, computed with
+        # the SAME double expression in Spark and DuckDB: pick the two
+        # bracketing DECIMAL values by integer rank, then one
+        # deterministic float combine — bit-identical across engines.
+        # Inside the CASE, n/rn are row-level (n is constant per group
+        # by construction); at group level only aggregated min(n) is
+        # legal in either engine.
+        li = f"cast(floor((n - 1) * {p}) as bigint) + 1"
+        frac = f"((min(n) - 1) * {p}) - floor((min(n) - 1) * {p})"
+        lo = F.expr(f"min(case when rn = {li} then v end)").cast("double")
+        hi = F.expr(
+            f"min(case when rn = least({li} + 1, n) then v end)"
+        ).cast("double")
+        cols.append(
+            (lo * (F.lit(1.0) - F.expr(frac)) + hi * F.expr(frac)).alias(tag)
+        )
+    return cols
+
+
+def quartiles_order_value_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact interpolated quartiles (p25/p50/p75) of order value per
+    market segment — the rank-arithmetic generalization of the median
+    query. One windowed rank + one grouped conditional aggregation; no
+    percentile built-in (engine-specific interpolation) anywhere.
+    """
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    r = j.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("c_mktsegment").orderBy("v"))
+    ).withColumn("n", F.count("*").over(Window.partitionBy("c_mktsegment")))
+    return r.groupBy("c_mktsegment").agg(*_quartile_cols())
+
+
+def _quartile_sql_cols() -> str:
+    parts = []
+    for tag, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+        li = f"CAST(floor((n - 1) * {p}) AS BIGINT) + 1"
+        frac = f"((MIN(n) - 1) * {p}) - floor((MIN(n) - 1) * {p})"
+        lo = f"CAST(MIN(CASE WHEN rn = {li} THEN v END) AS DOUBLE)"
+        hi = f"CAST(MIN(CASE WHEN rn = least({li} + 1, n) THEN v END) AS DOUBLE)"
+        parts.append(f"{lo} * (1.0 - ({frac})) + {hi} * ({frac}) AS {tag}")
+    return ",\n       ".join(parts)
+
+
+QUARTILES_SQL = f"""
+WITH j AS (
+  SELECT c_mktsegment, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+r AS (
+  SELECT c_mktsegment, v,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM j
+)
+SELECT c_mktsegment,
+       {_quartile_sql_cols()}
+FROM r
+GROUP BY c_mktsegment
+"""
+
+
 MEDIAN_SQL = """
 WITH j AS (
   SELECT c_mktsegment, CAST(o_totalprice AS DECIMAL(18,2)) AS v
@@ -1786,6 +1913,8 @@ QUERIES.update(
         "fuzzy_supplier_pairs": fuzzy_supplier_pairs,
         "fuzzy_supplier_pairs_k2": fuzzy_supplier_pairs_k2,
         "median_order_value_by_segment": median_order_value_by_segment,
+        "quartiles_order_value_by_segment": quartiles_order_value_by_segment,
+        "asof_click_to_next_purchase": asof_click_to_next_purchase,
     }
 )
 
@@ -1796,6 +1925,8 @@ ORACLES.update(
         "fuzzy_supplier_pairs": FUZZY_SQL,
         "fuzzy_supplier_pairs_k2": FUZZY_K2_SQL,
         "median_order_value_by_segment": MEDIAN_SQL,
+        "quartiles_order_value_by_segment": QUARTILES_SQL,
+        "asof_click_to_next_purchase": ASOF_FWD_SQL,
     }
 )
 
