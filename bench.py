@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_cluster_canonical",
     "lsh_minhash_near_dup",
+    "prefix_jaccard_near_dup",
     "lsh_embedding_near_dup",
     "ann_topk_cosine",
     "ivf_ann_topk",

@@ -97,6 +97,83 @@ def jaccard_pairs(df: DataFrame, threshold: float, id_col: str = "doc_id",
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold, EXACT, via prefix
+    filtering (the AllPairs/PPJoin family — Bayardo et al. WWW'07,
+    Xiao et al. ICDE'08): order every document's shingles by global
+    document frequency (rarest first), keep only the first
+    ``sz - ceil(t*sz) + 1`` as the blocking prefix — two sets with
+    Jaccard >= t MUST share a prefix element — then verify candidates
+    with an exact array_intersect. Unlike MinHash-LSH this is
+    deterministic-exact with NO false-negative probability, at the
+    cost of the df-ranking shuffle; the equi-join touches only rare
+    shingles, so skew is structurally avoided (the most frequent
+    shingles never enter the join). The length filter
+    (``t*|x| <= |y| <= |x|/t``) prunes cross-size candidates first.
+
+    Prefix lengths are computed in exact DECIMAL arithmetic
+    (``ceil(sz * 0.8)`` as a double can round UP on exact multiples,
+    silently shortening the prefix and dropping true pairs).
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_table(df, id_col, text_col, n)  # distinct per doc
+    sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    w = Window.partitionBy("sid").orderBy("dfreq", "shingle")
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "sid")
+        .filter(F.col("rn") <= F.expr(f"sz - ceil(sz * {threshold}) + 1"))
+    )
+    a = prefix.select(
+        F.col("sid").alias("a_id"), "shingle", F.col("sz").alias("psz_a")
+    )
+    b = prefix.select(
+        F.col("sid").alias("b_id"), "shingle", F.col("sz").alias("psz_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.expr(f"psz_b >= psz_a * {threshold}"))
+        .filter(F.expr(f"psz_a >= psz_b * {threshold}"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    arrays = sh.groupBy("sid").agg(
+        F.collect_set("shingle").alias("shs"), F.count("*").alias("sz")
+    )
+    va = arrays.select(
+        F.col("sid").alias("a_id"),
+        F.col("shs").alias("sh_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    vb = arrays.select(
+        F.col("sid").alias("b_id"),
+        F.col("shs").alias("sh_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
 # -------------------------------------------------------- MinHash + LSH
 
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)

@@ -156,6 +156,16 @@ def lsh_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def prefix_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via prefix filtering (AllPairs/PPJoin) —
+    the deterministic scale path next to probabilistic MinHash-LSH:
+    same brute-force oracle, zero false-negative probability, join
+    restricted to each doc's rarest shingles."""
+    return dedup.prefix_filter_jaccard_pairs(
+        docs_with_near_dups(spark, sf_dir), JACCARD_THRESHOLD
+    )
+
+
 def lsh_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup. No SQL oracle: the signature depends on
     xxhash64, which DuckDB does not implement — driver does the
@@ -595,6 +605,7 @@ QUERIES = {
     "dedup_cluster_canonical_star": dedup_cluster_canonical_star,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "lsh_minhash_near_dup": lsh_minhash_near_dup,
+    "prefix_jaccard_near_dup": prefix_jaccard_near_dup,
     "lsh_simhash_near_dup": lsh_simhash_near_dup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "lsh_embedding_near_dup": lsh_embedding_near_dup,
@@ -617,6 +628,7 @@ ORACLES = {
     "dedup_cluster_canonical_star": CLUSTER_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "lsh_minhash_near_dup": DEDUP_JACCARD_SQL,
+    "prefix_jaccard_near_dup": DEDUP_JACCARD_SQL,
     "dedup_embedding_cosine": EMB_COS_SQL,
     "lsh_embedding_near_dup": EMB_COS_SQL,
     "ann_topk_cosine": ANN_SQL,
