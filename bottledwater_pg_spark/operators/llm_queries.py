@@ -854,6 +854,28 @@ FROM (
 GROUP BY source, floor(pack_offset / 16384)
 """
 
+def negative_pairs_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling (operators/
+    sampling.py ``negative_sample_pairs``): 3 hash-ring partners per
+    document — reproducible bit-for-bit across re-runs and cluster
+    sizes, unlike rand()-based draws."""
+    from bottledwater_pg_spark.operators.sampling import negative_sample_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return negative_sample_pairs(docs, "doc_id", k=3)
+
+
+def _negative_pairs_sql() -> str:
+    from bottledwater_pg_spark.operators.sampling import (
+        sql_negative_sample_pairs,
+    )
+
+    return sql_negative_sample_pairs("documents", "doc_id", k=3)
+
+
+QUERIES["negative_pairs_per_doc"] = negative_pairs_per_doc
+ORACLES["negative_pairs_per_doc"] = _negative_pairs_sql()
+
 QUERIES["corpus_split_counts"] = corpus_split_counts
 ORACLES["corpus_split_counts"] = SPLIT_SQL
 QUERIES["stratified_sample_docs"] = stratified_sample_docs

@@ -77,6 +77,87 @@ def stratified_sample(
     )
 
 
+def negative_sample_pairs(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: give
+    every row ``k`` pseudo-random partners via a hash ring — bucket
+    rows by their first md5 hex pair (256 buckets), order each bucket
+    by content hash, and pair row r with rows r+1..r+k cyclically.
+    Hash order is uniform, so partners are as good as random draws,
+    but the pairing is a pure function of (corpus, salt): re-runs,
+    retries, and cluster-size changes reproduce it bit-for-bit, and a
+    bumped salt redraws it.
+
+    Scale: the window sorts run per bucket (256-way parallel, no
+    global sort), the partner join is an equi-join on
+    (bucket, rank) — two shuffles total, both on keys Catalyst
+    hash-partitions freely. Raise the bucket-prefix length for more
+    parallelism at corpus scale.
+
+    Returns ``(id, neg_id, j)``, j = 1..k; self-pairs (buckets with
+    <= j rows) are dropped.
+    """
+    d = df.select(
+        F.col(id_col).alias("_id"), split_key(id_col, salt).alias("_h")
+    ).withColumn("_b", F.substring("_h", 1, 2))
+    w = Window.partitionBy("_b").orderBy("_h", "_id")
+    ranked = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("_b"))
+    )
+    withj = ranked.select(
+        "_id",
+        "_b",
+        "rn",
+        "cnt",
+        F.explode(F.expr(f"sequence(1, {k})")).alias("j"),
+    ).withColumn("prn", (F.col("rn") - 1 + F.col("j")) % F.col("cnt") + 1)
+    partners = ranked.select(
+        F.col("_b").alias("_b2"),
+        F.col("rn").alias("prn2"),
+        F.col("_id").alias("neg_id"),
+    )
+    return (
+        withj.join(
+            partners,
+            (F.col("_b") == F.col("_b2")) & (F.col("prn") == F.col("prn2")),
+        )
+        .filter(F.col("neg_id") != F.col("_id"))
+        .select(F.col("_id").alias("id"), "neg_id", "j")
+    )
+
+
+def sql_negative_sample_pairs(
+    table: str, id_col: str, k: int = 3, salt: str = "v1"
+) -> str:
+    """DuckDB twin of :func:`negative_sample_pairs`."""
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS id,
+         md5(concat_ws('|', '{salt}', CAST({id_col} AS VARCHAR))) AS h
+  FROM {table}
+),
+ranked AS (
+  SELECT id, substr(h, 1, 2) AS b,
+         ROW_NUMBER() OVER (PARTITION BY substr(h, 1, 2) ORDER BY h, id) AS rn,
+         COUNT(*) OVER (PARTITION BY substr(h, 1, 2)) AS cnt
+  FROM d
+),
+withj AS (
+  SELECT id, b, rn, cnt, j
+  FROM ranked, LATERAL (SELECT unnest(generate_series(1, {k})) AS j)
+)
+SELECT w.id AS id, p.id AS neg_id, w.j AS j
+FROM withj w
+JOIN ranked p
+  ON p.b = w.b AND p.rn = (w.rn - 1 + w.j) % w.cnt + 1
+WHERE p.id <> w.id
+"""
+
+
 def sequence_pack(
     df: DataFrame,
     stratum: str,
