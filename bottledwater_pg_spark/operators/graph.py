@@ -157,11 +157,16 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        changed = (
-            small.exceptAll(cur).count() + cur.exceptAll(small).count()
+        # convergence: both sides are DISTINCT sets, so equal counts +
+        # empty one-sided difference ⇒ equality — one exceptAll job
+        # instead of two (the count compare short-circuits the common
+        # still-shrinking rounds for free)
+        converged = (
+            small.count() == cur.count()
+            and small.exceptAll(cur).count() == 0
         )
         cur = small
-        if changed == 0:
+        if converged:
             break
     # stars: every remaining edge is (member, center); centers + any
     # node that lost all edges (singleton component) label themselves

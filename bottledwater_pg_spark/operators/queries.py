@@ -1812,6 +1812,93 @@ def median_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking window family over one keyed sort:
+    ``ntile(4)`` price bands per market segment with per-band order
+    counts and exact-decimal revenue — plus each band's boundary via
+    ``min``. Same single shuffle as any ranked window; completes the
+    ranking-function surface (row_number/rank/dense_rank are covered
+    by the top-k queries).
+    """
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("v", "o_orderkey")
+    return (
+        j.withColumn("band", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("v").cast("double").alias("band_revenue"),
+            F.min("v").cast("double").alias("band_floor"),
+        )
+    )
+
+
+NTILE_SQL = """
+WITH j AS (
+  SELECT c_mktsegment, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+r AS (
+  SELECT c_mktsegment, v,
+         NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY v, o_orderkey)
+           AS band
+  FROM j
+)
+SELECT c_mktsegment, band, COUNT(*) AS n_orders,
+       CAST(SUM(v) AS DOUBLE) AS band_revenue,
+       CAST(MIN(v) AS DOUBLE) AS band_floor
+FROM r
+GROUP BY c_mktsegment, band
+"""
+
+
+def supplier_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window family over supplier balances per nation:
+    ``percent_rank``/``cume_dist`` (exact rank ratios — deterministic
+    doubles from integer ranks, parity-safe) and ``nth_value`` (the
+    2nd-highest balance carried to every row of the frame).
+    """
+    from pyspark.sql import Window
+
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", F.col("s_acctbal").cast("decimal(18,2)").alias("bal")
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("bal"), "s_suppkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return supp.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.col("bal").cast("double").alias("acctbal"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("bal", 2).over(wf).cast("double").alias("second_highest"),
+    )
+
+
+PCTRANK_SQL = """
+SELECT s_suppkey, s_nationkey,
+       CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       CAST(NTH_VALUE(CAST(s_acctbal AS DECIMAL(18,2)), 2) OVER (
+         PARTITION BY s_nationkey
+         ORDER BY CAST(s_acctbal AS DECIMAL(18,2)) DESC, s_suppkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS DOUBLE) AS second_highest
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey
+             ORDER BY CAST(s_acctbal AS DECIMAL(18,2)) DESC, s_suppkey)
+"""
+
+
 def _quartile_cols() -> list[F.Column]:
     cols = []
     for tag, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
@@ -1915,6 +2002,8 @@ QUERIES.update(
         "median_order_value_by_segment": median_order_value_by_segment,
         "quartiles_order_value_by_segment": quartiles_order_value_by_segment,
         "asof_click_to_next_purchase": asof_click_to_next_purchase,
+        "ntile_price_bands": ntile_price_bands,
+        "supplier_balance_distribution": supplier_balance_distribution,
     }
 )
 
@@ -1927,6 +2016,8 @@ ORACLES.update(
         "median_order_value_by_segment": MEDIAN_SQL,
         "quartiles_order_value_by_segment": QUARTILES_SQL,
         "asof_click_to_next_purchase": ASOF_FWD_SQL,
+        "ntile_price_bands": NTILE_SQL,
+        "supplier_balance_distribution": PCTRANK_SQL,
     }
 )
 

@@ -77,3 +77,20 @@ def test_sequence_pack_bins_monotone_in_doc_order(spark):
         F.col("prev_bin").isNotNull() & (F.col("bin") < F.col("prev_bin"))
     )
     assert bad.count() == 0
+
+
+def test_negative_sampling_deterministic_self_free_and_salted(spark):
+    from bottledwater_pg_spark.operators.sampling import negative_sample_pairs
+
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    p1 = negative_sample_pairs(docs, "doc_id", k=3).collect()
+    p2 = negative_sample_pairs(docs, "doc_id", k=3).collect()
+    assert sorted(map(tuple, p1)) == sorted(map(tuple, p2))  # bit-stable
+    assert all(r["id"] != r["neg_id"] for r in p1)
+    per_doc = {}
+    for r in p1:
+        per_doc.setdefault(r["id"], set()).add(r["j"])
+    assert all(js <= {1, 2, 3} for js in per_doc.values())
+    # a different salt redraws the pairing
+    p3 = negative_sample_pairs(docs, "doc_id", k=3, salt="v2").collect()
+    assert sorted(map(tuple, p1)) != sorted(map(tuple, p3))
