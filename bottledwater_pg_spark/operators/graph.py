@@ -61,6 +61,7 @@ def connected_components(
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iters):
         neigh = (
             sym.join(labels, sym.b == labels.id)
@@ -85,7 +86,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently returning partial labels would split components —
+        # a correctness failure, not a performance one
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds the cap); raise max_iters or use "
+            "connected_components_star (O(log^2 n) rounds on any diameter)"
+        )
     return labels
 
 
@@ -168,6 +178,11 @@ def connected_components_star(
         cur = small
         if converged:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "rounds; raise max_iters"
+        )
     # stars: every remaining edge is (member, center); centers + any
     # node that lost all edges (singleton component) label themselves
     labels = cur.select(F.col("a").alias("id"), F.col("b").alias("comp"))

@@ -106,3 +106,13 @@ def test_star_cc_round_count_logarithmic_on_chain(spark):
     )
     comp = connected_components_star(df, max_iters=10)
     assert {r["comp"] for r in comp.collect()} == {0}
+
+
+def test_propagation_cc_raises_rather_than_returning_partial_labels(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=3)
