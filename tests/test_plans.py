@@ -114,3 +114,33 @@ def test_interval_join_is_hash_join_not_bnlj(spark, sf_dir):
     # nested-loop join over points x intervals
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_forward_is_single_shuffle_window(spark, sf_dir):
+    df = Q.asof_click_to_next_purchase(spark, sf_dir)
+    # union + carry composition: one exchange on user_id, no join at all
+    assert count_exchanges(df) == 1
+    plan = __import__(
+        "bottledwater_pg_spark.plans.inspect", fromlist=["formatted_plan"]
+    ).formatted_plan(df)
+    assert "Join" not in plan
+
+
+def test_prefix_jaccard_has_no_cartesian_and_prunes_to_prefix(spark, sf_dir):
+    from bottledwater_pg_spark.operators.llm_queries import (
+        prefix_jaccard_near_dup,
+    )
+    from bottledwater_pg_spark.plans.inspect import formatted_plan
+
+    df = prefix_jaccard_near_dup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_median_single_sort_shuffle_then_tiny_agg(spark, sf_dir):
+    df = Q.median_order_value_by_segment(spark, sf_dir)
+    # rank + filter before the final agg; the segment sort is the only
+    # wide exchange besides the (tiny, post-filter) group agg
+    assert count_exchanges(df) <= 3
+    assert has_partial_aggregation(df)
