@@ -95,12 +95,23 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     shards = packed.groupBy("split", "stratum", "bin").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars")
     )
+
+    # 7. contrastive negatives for the train split (hash-ring pairing —
+    # reproducible across re-runs/cluster sizes, redrawable by salt)
+    from bottledwater_pg_spark.operators.sampling import negative_sample_pairs
+
+    negatives = negative_sample_pairs(
+        split_docs.filter(F.col("split") == "train").select("doc_id"),
+        "doc_id",
+        k=2,
+    )
     return {
         "current": current,
         "canonical": canonical,
         "clean": clean,
         "split_docs": split_docs,
         "shards": shards,
+        "negatives": negatives,
     }
 
 

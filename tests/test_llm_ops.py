@@ -134,6 +134,16 @@ def test_training_pipeline_example_end_to_end(spark, sf_dir):
     assert sum(split_counts.values()) == n_clean
     sharded = stages["shards"].agg(F.sum("n_docs")).first()[0]
     assert sharded == n_clean
+    # negatives: train-split only, no self-pairs, <= 2 per doc
+    negs = stages["negatives"]
+    train_ids = {
+        r["doc_id"]
+        for r in stages["split_docs"].filter("split = 'train'").collect()
+    }
+    nrows = negs.collect()
+    assert nrows and all(r["id"] != r["neg_id"] for r in nrows)
+    assert {r["id"] for r in nrows} <= train_ids
+    assert negs.groupBy("id").count().agg(F.max("count")).first()[0] <= 2
 
 
 def test_multimodal_resize_and_feature_stubs(spark, sf_dir):
