@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bottledwater_pg_spark.session import load_table
 from bottledwater_pg_spark.streaming.stream import (
+    hierarchical_rollup,
     sessionized_counts,
     sliding_window_counts,
     windowed_event_counts,
@@ -26,6 +27,23 @@ def windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOWED_SQL = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def hierarchical_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-level continuous aggregate telescoped through minute and
+    hour partials (streaming/stream.py ``hierarchical_rollup``); the
+    oracle aggregates the raw events directly — decomposable
+    aggregates make the two identical."""
+    return hierarchical_rollup(load_table(spark, sf_dir, "events"))
+
+
+ROLLUP_HIER_SQL = """
+SELECT date_trunc('day', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
@@ -80,10 +98,12 @@ QUERIES = {
     "windowed_event_counts": windowed_counts_query,
     "session_window_counts": session_windows_query,
     "sliding_window_counts": sliding_windows_query,
+    "hierarchical_rollup_daily": hierarchical_rollup_query,
 }
 
 ORACLES = {
     "windowed_event_counts": WINDOWED_SQL,
     "session_window_counts": SESSION_SQL,
     "sliding_window_counts": SLIDING_SQL,
+    "hierarchical_rollup_daily": ROLLUP_HIER_SQL,
 }

@@ -238,6 +238,44 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def hierarchical_rollup(
+    events: DataFrame,
+    levels: tuple[str, ...] = ("1 minute", "1 hour", "1 day"),
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: the finest level
+    aggregates raw events ONCE; every coarser level re-aggregates the
+    previous level's partials (day from 24 hour rows, not 86400x the
+    raw events). count/sum are decomposable, so the telescoped result
+    is exactly the direct aggregate — sums stay DECIMAL until the
+    final cast so re-aggregation loses nothing. This is the
+    materialized-rollup pattern TimescaleDB/Druid run continuously;
+    in Spark each level is a trivially partial-aggregated shuffle
+    whose input shrinks by orders of magnitude per step, and
+    intermediate levels are exactly what a serving layer would
+    persist (the finest table answers any ad-hoc granularity).
+    Tumbling windows at every level are epoch-aligned, so each fine
+    window nests in exactly one coarse window by construction.
+    """
+    ev = _event_time_ready(events)
+    cur = ev.groupBy(F.window("ts", levels[0]).alias("w"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+    for lvl in levels[1:]:
+        cur = cur.groupBy(
+            F.window(F.col("w.start"), lvl).alias("w"), "event_type"
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    return cur.select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("total_value"),
+    )
+
+
 def sliding_window_counts(events: DataFrame, window: str = "2 hours",
                           slide: str = "30 minutes",
                           watermark: str = "2 hours") -> DataFrame:

@@ -505,3 +505,37 @@ def test_streaming_session_windows_match_batch(spark, sf_dir):
             for r in spark.sql("SELECT * FROM sessions_stream").collect()
         }
     assert got == batch
+
+
+def test_hierarchical_rollup_equals_direct_daily(spark, sf_dir):
+    """Telescoping invariant: day-from-hour-from-minute partials equal
+    the direct one-shot daily aggregate (decomposable aggregates +
+    epoch-aligned nesting)."""
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.session import load_table
+    from bottledwater_pg_spark.streaming.stream import (
+        _event_time_ready,
+        hierarchical_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rolled = hierarchical_rollup(ev)
+    direct = (
+        _event_time_ready(ev)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    assert rolled.exceptAll(direct).count() == 0
+    assert direct.exceptAll(rolled).count() == 0
