@@ -1812,6 +1812,52 @@ def median_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def top_orderkeys_csv_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: per market segment, the 3 highest-
+    value order keys as one CSV string — ``collect_list(struct)`` →
+    ``sort_array`` (struct order = lexicographic: value desc, key
+    desc) → ``slice`` → ``transform`` → ``array_join``, all JVM array
+    functions in a single partial-aggregated pass. The CSV projection
+    keeps the result scalar so the cross-engine value hash applies
+    (array columns hash engine-specifically).
+
+    Scale note: collect_list per group is bounded here by the later
+    slice(3); at warehouse scale cap the payload BEFORE aggregation
+    with a windowed rank filter (top3_orders_per_segment) — this query
+    exists to pin the ordered-collect surface itself.
+    """
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("v")
+    )
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("v"), F.col("o_orderkey"))), asc=False
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(arr.alias("_arr"))
+        .select(
+            "c_mktsegment",
+            F.array_join(
+                F.expr("transform(slice(_arr, 1, 3), s -> cast(s.o_orderkey as string))"),
+                ",",
+            ).alias("top3_orderkeys"),
+        )
+    )
+
+
+TOP_CSV_SQL = """
+SELECT c_mktsegment,
+       array_to_string(
+         (list(CAST(o_orderkey AS VARCHAR)
+               ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+                        o_orderkey DESC))[1:3], ',') AS top3_orderkeys
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-ranking window family over one keyed sort:
     ``ntile(4)`` price bands per market segment with per-band order
@@ -2004,6 +2050,7 @@ QUERIES.update(
         "asof_click_to_next_purchase": asof_click_to_next_purchase,
         "ntile_price_bands": ntile_price_bands,
         "supplier_balance_distribution": supplier_balance_distribution,
+        "top_orderkeys_csv_per_segment": top_orderkeys_csv_per_segment,
     }
 )
 
@@ -2018,6 +2065,7 @@ ORACLES.update(
         "asof_click_to_next_purchase": ASOF_FWD_SQL,
         "ntile_price_bands": NTILE_SQL,
         "supplier_balance_distribution": PCTRANK_SQL,
+        "top_orderkeys_csv_per_segment": TOP_CSV_SQL,
     }
 )
 
