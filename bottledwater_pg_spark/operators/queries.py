@@ -1812,6 +1812,41 @@ def median_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def clickers_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join over a NULLABLE key: users (including the NULL user
+    group) with clicks but no large purchase. Spark's ``left_anti`` keeps
+    rows whose key matches nothing, and a NULL key matches nothing —
+    which is exactly correlated ``NOT EXISTS`` semantics (NULL = NULL
+    is unknown, row kept). The same query via ``NOT IN`` would return
+    ZERO rows once the subquery contains one NULL — the classic
+    three-valued-logic trap; this pins the null-sane formulation on
+    both engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    big_purchases = ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("value").cast("double") >= 200.0)
+    ).select("user_id")
+    return (
+        clicks.join(big_purchases, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+
+
+ANTI_NULL_SQL = """
+SELECT user_id, COUNT(*) AS n_clicks
+FROM events c
+WHERE event_type = 'click'
+  AND NOT EXISTS (SELECT 1 FROM events p
+                  WHERE p.event_type = 'purchase'
+                    AND p.user_id = c.user_id
+                    AND CAST(p.value AS DOUBLE) >= 200.0)
+GROUP BY user_id
+"""
+
+
 def top_orderkeys_csv_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered array aggregation: per market segment, the 3 highest-
     value order keys as one CSV string — ``collect_list(struct)`` →
@@ -2051,6 +2086,7 @@ QUERIES.update(
         "ntile_price_bands": ntile_price_bands,
         "supplier_balance_distribution": supplier_balance_distribution,
         "top_orderkeys_csv_per_segment": top_orderkeys_csv_per_segment,
+        "clickers_never_purchased": clickers_never_purchased,
     }
 )
 
@@ -2066,6 +2102,7 @@ ORACLES.update(
         "ntile_price_bands": NTILE_SQL,
         "supplier_balance_distribution": PCTRANK_SQL,
         "top_orderkeys_csv_per_segment": TOP_CSV_SQL,
+        "clickers_never_purchased": ANTI_NULL_SQL,
     }
 )
 
