@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "windowed_event_counts",
     "sliding_window_counts",
     "session_window_counts",
+    "hierarchical_rollup_daily",
+    # relational additions
+    "clickers_never_purchased",
+    "ntile_price_bands",
+    "quartiles_order_value_by_segment",
     # LLM pipeline
     "dedup_exact",
     "dedup_cluster_canonical",
