@@ -118,3 +118,85 @@ def test_ivm_count_matches_model(spark, raw):
     ).collect()
     got = out[0]["n_rows"] if out else 0
     assert got == model_count
+
+
+def test_deletion_neighborhood_blocking_is_complete_for_random_edits(spark):
+    """Completeness property of symmetric-delete blocking: for 150
+    randomized (base, edited) pairs with <= 2 random edits applied
+    (substitution / insertion / deletion), every pair whose true
+    levenshtein is <= 2 MUST appear in edit_distance_pairs(max_dist=2).
+    All cases run as ONE Spark job."""
+    import random
+    import string
+
+    from bottledwater_pg_spark.operators.fuzzy import edit_distance_pairs
+
+    rng = random.Random(42)
+    alphabet = string.ascii_lowercase
+    rows, expected = [], set()
+    for i in range(150):
+        base = "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 14)))
+        edited = list(base)
+        for _ in range(rng.randint(0, 2)):
+            kind = rng.choice(["sub", "ins", "del"])
+            if kind == "sub" and edited:
+                edited[rng.randrange(len(edited))] = rng.choice(alphabet)
+            elif kind == "ins":
+                edited.insert(rng.randrange(len(edited) + 1), rng.choice(alphabet))
+            elif kind == "del" and len(edited) > 1:
+                del edited[rng.randrange(len(edited))]
+        a_id, b_id = 2 * i, 2 * i + 1
+        rows += [(a_id, base), (b_id, "".join(edited))]
+        expected.add((a_id, b_id))
+    df = spark.createDataFrame(rows, "sid long, s string")
+    found = {
+        (r["a_id"], r["b_id"])
+        for r in edit_distance_pairs(df, "sid", "s", max_dist=2).collect()
+    }
+    # every constructed same-pair (distance <= 2 by construction,
+    # excluding identical strings which still qualify at distance 0)
+    missing = expected - found
+    # pairs where the edit script happened to produce the identical
+    # string are still distance 0 <= 2 and must be found too
+    assert not missing, f"blocking missed {len(missing)} true pairs: {sorted(missing)[:5]}"
+
+
+def test_winnow_guarantee_holds_for_random_embedded_passages(spark):
+    """Winnowing guarantee property: 100 randomized doc pairs sharing
+    an embedded passage of length >= k + w - 1 (k=8, w=4 -> 11) must
+    each share >= 1 selected fingerprint. One Spark job."""
+    import random
+    import string
+
+    from bottledwater_pg_spark.functions.text import kgram_hashes, winnow_mins
+
+    rng = random.Random(7)
+
+    def rand_text(n):
+        return "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(n))
+
+    rows = []
+    for i in range(100):
+        passage = rand_text(rng.randint(11, 40))
+        rows.append((2 * i, rand_text(rng.randint(0, 30)) + passage + rand_text(rng.randint(0, 30))))
+        rows.append((2 * i + 1, rand_text(rng.randint(0, 30)) + passage + rand_text(rng.randint(0, 30))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = (
+        docs.withColumn("_g", kgram_hashes("text", 8))
+        .select("doc_id", F.explode(winnow_mins("_g", 4)).alias("fp"))
+        .distinct()
+    )
+    pair = (F.col("doc_id") / 2).cast("long")
+    shared_pairs = {
+        r["p"]
+        for r in fps.withColumn("p", pair)
+        .groupBy("p", "fp")
+        .count()
+        .filter(F.col("count") == 2)
+        .select("p")
+        .distinct()
+        .collect()
+    }
+    assert shared_pairs == set(range(100)), (
+        f"pairs missing a shared fingerprint: {sorted(set(range(100)) - shared_pairs)[:5]}"
+    )
