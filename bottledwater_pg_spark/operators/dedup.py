@@ -121,9 +121,16 @@ def prefix_filter_jaccard_pairs(
     (``ceil(sz * 0.8)`` as a double can round UP on exact multiples,
     silently shortening the prefix and dropping true pairs).
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    sh = shingle_table(df, id_col, text_col, n)  # distinct per doc
+    # the exploded shingle table feeds the df-ranking, the prefix
+    # blocking join AND the verify arrays — persist it once instead of
+    # re-tokenizing the corpus four times (the cluster-scale analog is
+    # a checkpointed intermediate dataset)
+    sh = shingle_table(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )  # distinct per doc
     sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
     w = Window.partitionBy("sid").orderBy("dfreq", "shingle")
@@ -447,7 +454,15 @@ def hyperplane_lsh_near_dup(df: DataFrame, threshold: float = 0.99,
     Candidates are deduped as ID PAIRS before any vector data is
     attached — shuffling and hashing 64-float arrays through the
     distinct would dominate at scale."""
-    banded = banded_srp(df, num_bits, bands, id_col, vec_col)
+    from pyspark import StorageLevel
+
+    # the SRP signature projection (num_bits dot products per vector)
+    # feeds both sides of the band self-join; the quantized vectors
+    # feed both sides of the verify — persist each once instead of
+    # recomputing per join side
+    banded = banded_srp(df, num_bits, bands, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bval"])
@@ -455,7 +470,9 @@ def hyperplane_lsh_near_dup(df: DataFrame, threshold: float = 0.99,
         .select(F.col("a.sid").alias("a_id"), F.col("b.sid").alias("b_id"))
         .distinct()
     )
-    q = quantized_vectors(df, id_col, vec_col)
+    q = quantized_vectors(df, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return (
         cand.join(
             q.select(F.col("sid").alias("a_id"), F.col("qvec").alias("qa"),

@@ -302,7 +302,7 @@ WITH scored AS (
               THEN 1 ELSE 0 END AS q
   FROM documents
 )
-SELECT source, COUNT(*) AS n_docs, SUM(q) AS n_quality,
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(q) AS BIGINT) AS n_quality,
        CAST(SUM(q) AS DOUBLE) / COUNT(*) AS quality_share,
        CAST(SUM(ntok) AS DOUBLE) / COUNT(*) AS avg_tokens
 FROM scored GROUP BY source
@@ -353,8 +353,10 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_STATS_SQL = f"""
 SELECT source, COUNT(*) AS n_docs,
-       SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS bpe_tokens,
-       SUM(len(string_split_regex(trim(text), '\\s+'))) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')))
+            AS BIGINT) AS bpe_tokens,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+            AS BIGINT) AS ws_tokens,
        CAST(SUM(length(text)) AS DOUBLE)
          / CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}'))) AS DOUBLE)
          AS chars_per_bpe_token
@@ -407,13 +409,19 @@ def winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full sets) — the standard stop-shingle discipline, measured
     ~7x on this corpus at sf0.1 and structurally necessary at 100 TB.
     """
+    from pyspark import StorageLevel
+
     from bottledwater_pg_spark.functions.text import kgram_hashes, winnow_mins
 
     corpus = docs_with_near_dups(spark, sf_dir)
+    # the fingerprint table feeds the df-filter AND both join sides;
+    # the md5 k-gram hashing is the dominant per-row cost, so compute
+    # it once (cluster-scale analog: a checkpointed fingerprint table)
     fps = (
         corpus.withColumn("_g", kgram_hashes("text", 8))
         .select("doc_id", F.explode(winnow_mins("_g", 4)).alias("fp"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     rare = fps.join(
         fps.groupBy("fp")
@@ -421,7 +429,7 @@ def winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_df") <= WINNOW_DF_CAP)
         .select("fp"),
         "fp",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # reused by sizes + both join sides
     sizes = rare.groupBy("doc_id").agg(F.count("*").alias("nfp"))
     a = rare.select(F.col("doc_id").alias("a_id"), "fp")
     b = rare.select(F.col("doc_id").alias("b_id"), "fp")
@@ -803,7 +811,7 @@ from bottledwater_pg_spark.operators.sampling import sql_hash_split  # noqa: E40
 
 SPLIT_SQL = f"""
 SELECT source, {sql_hash_split("doc_id")} AS split,
-       COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY source, {sql_hash_split("doc_id")}
 """
@@ -856,7 +864,7 @@ def sequence_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PACK_SQL = """
 SELECT source, CAST(floor(pack_offset / 16384) AS BIGINT) AS bin,
-       COUNT(*) AS n_docs, SUM(n_chars) AS chars_in_bin,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_in_bin,
        MIN(doc_id) AS first_doc
 FROM (
   SELECT doc_id, source, n_chars,
@@ -985,9 +993,10 @@ WITH with_pii AS (
                         '{PHONE_RE}', '<PHONE>', 'g') AS redacted
   FROM with_pii
 )
-SELECT source, SUM(n_emails) AS total_emails, SUM(n_phones) AS total_phones,
+SELECT source, CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       CAST(SUM(n_phones) AS BIGINT) AS total_phones,
        COUNT(CASE WHEN n_emails + n_phones > 0 THEN 1 END) AS docs_with_pii,
-       SUM(len(redacted)) AS redacted_chars
+       CAST(SUM(len(redacted)) AS BIGINT) AS redacted_chars
 FROM red
 GROUP BY source
 """

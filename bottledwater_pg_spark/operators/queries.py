@@ -593,7 +593,10 @@ def json_props_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       -- outer CAST: DuckDB SUM(BIGINT) is HUGEINT, which fetches as
+       -- float64 and breaks the driver's exact value-hash
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -770,10 +773,10 @@ def shipmode_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_returnflag,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS high_line_count,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-    AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag
 """
@@ -1011,7 +1014,7 @@ def pg_array_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PG_ARRAY_SQL = """
 SELECT l_orderkey, COUNT(*) AS n_items,
-       SUM(l_linenumber) AS sum_linenumbers
+       CAST(SUM(l_linenumber) AS BIGINT) AS sum_linenumbers
 FROM lineitem GROUP BY l_orderkey
 """
 
@@ -2135,7 +2138,8 @@ def variant_props_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VARIANT_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
          AS distinct_k
 FROM events
