@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "clickers_never_purchased",
     "ntile_price_bands",
     "quartiles_order_value_by_segment",
+    "q22_idle_balance_by_nation",
     # LLM pipeline
     "dedup_exact",
     "dedup_cluster_canonical",
@@ -71,6 +72,9 @@ BENCH_QUERIES = [
     "sequence_pack_stats",
     "pii_redaction_stats",
     "multimodal_decode_meta",
+    "doc_repetition_stats",
+    "passage_dedup_stats",
+    "corpus_shuffle_positions",
 ]
 
 

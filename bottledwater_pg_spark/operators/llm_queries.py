@@ -1087,3 +1087,187 @@ GROUP BY cid, dim
 
 QUERIES["embedding_centroid_step"] = embedding_centroid_step
 ORACLES["embedding_centroid_step"] = CENTROID_SQL
+
+
+# ------------------------------------------ repetition quality signals
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): per
+    source, how many documents are dominated by repeated tokens. Per
+    doc the token multiset reduces to (total, distinct, top-token
+    count); a doc is "repetitive" when its most frequent token covers
+    >= 20% of it (integer comparison ``top*5 >= total`` — parity-safe,
+    no float threshold). The duplicate-token share aggregates the
+    integer counts and divides ONCE at the end, so the double is
+    bit-deterministic.
+
+    Scale: explode -> two-level aggregation, both with map-side
+    partial combine; the shuffle carries (doc, token) counts, never
+    raw text. No Python in the path.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    per_tok = tok.groupBy("doc_id", "source", "tok").agg(
+        F.count("*").alias("c")
+    )
+    per_doc = per_tok.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("ntok"),
+        F.count("*").alias("ndistinct"),
+        F.max("c").alias("top_tok"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("top_tok") * 5 >= F.col("ntok"), 1).otherwise(0)
+        ).alias("n_repetitive"),
+        F.sum("ntok").alias("total_tokens"),
+        F.sum(F.col("ntok") - F.col("ndistinct")).alias("dup_tokens"),
+        (
+            F.sum(F.col("ntok") - F.col("ndistinct")).cast("double")
+            / F.sum("ntok").cast("double")
+        ).alias("dup_share"),
+    )
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+), per_tok AS (
+  SELECT doc_id, source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT doc_id, source, CAST(SUM(c) AS BIGINT) AS ntok,
+         COUNT(*) AS ndistinct, CAST(MAX(c) AS BIGINT) AS top_tok
+  FROM per_tok GROUP BY 1, 2
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN top_tok * 5 >= ntok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitive,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+       CAST(SUM(ntok - ndistinct) AS BIGINT) AS dup_tokens,
+       CAST(SUM(ntok - ndistinct) AS DOUBLE) / CAST(SUM(ntok) AS DOUBLE)
+         AS dup_share
+FROM per_doc GROUP BY source
+"""
+
+QUERIES["doc_repetition_stats"] = doc_repetition_stats
+ORACLES["doc_repetition_stats"] = REPETITION_SQL
+
+
+# --------------------------------------- sub-document (passage) dedup
+
+
+PASSAGE_CHARS = 100  # non-overlapping passage size
+
+
+def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style sub-document dedup: documents are cut
+    into fixed non-overlapping passages, each passage is content-
+    hashed, and a passage instance SURVIVES iff it is the corpus-wide
+    first occurrence of its hash (minimum (doc_id, start) — a total
+    order, so "first" is well-defined and deterministic). Reported
+    per source as kept/dropped counts — the paragraph-granularity
+    dedup that catches boilerplate shared across distinct documents,
+    which whole-document dedup cannot.
+
+    Scale: explode -> min_by per hash (one shuffle keyed on the
+    passage hash) -> broadcast-size join back? No: the winners table
+    is |distinct passages| — same order as the corpus — so the
+    survivor check is an equi-JOIN on the hash, shuffle-co-partitioned
+    with the instance table. Text never shuffles; only (hash, ids).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    inst = (
+        docs.withColumn(
+            "start",
+            F.explode(
+                F.expr(
+                    f"sequence(0, greatest(length(text) - 1, 0), {PASSAGE_CHARS})"
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "start",
+            F.md5(
+                F.expr(f"substring(text, start + 1, {PASSAGE_CHARS})")
+            ).alias("h"),
+        )
+    )
+    winners = inst.groupBy("h").agg(
+        F.min(
+            F.struct(F.col("doc_id").alias("w_doc"), F.col("start").alias("w_start"))
+        ).alias("w")
+    )
+    return (
+        inst.join(winners, "h")
+        .withColumn(
+            "kept",
+            ((F.col("doc_id") == F.col("w.w_doc")) & (F.col("start") == F.col("w.w_start"))).cast("int"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum("kept").alias("n_kept"),
+            (F.count("*") - F.sum("kept")).alias("n_dropped"),
+        )
+    )
+
+
+PASSAGE_SQL = f"""
+WITH inst AS (
+  SELECT doc_id, source, start,
+         md5(substring(text, CAST(start AS INT) + 1, {PASSAGE_CHARS})) AS h
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0,
+          greatest(length(text) - 1, 0), {PASSAGE_CHARS})) AS start)
+), winners AS (
+  SELECT h, MIN(ROW(doc_id, start)) AS w FROM inst GROUP BY h
+)
+SELECT source, COUNT(*) AS n_passages,
+       CAST(SUM(CASE WHEN ROW(doc_id, start) = w THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(COUNT(*) - SUM(CASE WHEN ROW(doc_id, start) = w THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM inst JOIN winners USING (h)
+GROUP BY source
+"""
+
+QUERIES["passage_dedup_stats"] = passage_dedup_stats
+ORACLES["passage_dedup_stats"] = PASSAGE_SQL
+
+
+# --------------------------------------- deterministic global shuffle
+
+
+def corpus_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle order (operators/sampling.py
+    ``global_shuffle_index``): dense position per document, ordered by
+    salted content hash — computed WITHOUT a global sort (256
+    hash-range buckets, driver-side prefix sum of bucket counts,
+    partition-local ranking). The oracle is the single ROW_NUMBER the
+    two-phase plan must reproduce bit-exactly."""
+    from bottledwater_pg_spark.operators.sampling import global_shuffle_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return global_shuffle_index(docs, "doc_id").select("doc_id", "pos")
+
+
+from bottledwater_pg_spark.operators.sampling import (  # noqa: E402
+    sql_global_shuffle_positions,
+)
+
+SHUFFLE_POS_SQL = f"""
+SELECT doc_id, {sql_global_shuffle_positions("doc_id")} AS pos
+FROM documents
+"""
+
+QUERIES["corpus_shuffle_positions"] = corpus_shuffle_positions
+ORACLES["corpus_shuffle_positions"] = SHUFFLE_POS_SQL

@@ -2271,3 +2271,61 @@ QUERIES["unpivot_segment_metrics"] = unpivot_segment_metrics
 ORACLES["unpivot_segment_metrics"] = UNPIVOT_SQL
 QUERIES["monthly_order_momentum"] = monthly_order_momentum
 ORACLES["monthly_order_momentum"] = MOMENTUM_SQL
+
+
+# ------------------------------------------------- TPC-H Q22 shape
+
+
+def q22_idle_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): an uncorrelated
+    scalar-AVG subquery gates the probe side, a NOT EXISTS anti-join
+    removes customers with open orders, and the survivors aggregate by a
+    small code (here nation, standing in for the phone prefix — the
+    synthetic customer table carries no phone column).
+
+    Scale: the scalar average is one tiny aggregate broadcast to every
+    probe task (a 1-row cross join — Catalyst plans it as a broadcast
+    nested loop, cost O(|customer|)); the anti-join shuffles on
+    custkey, the natural key; the final agg groups on ~7 codes. The
+    average is computed decimal-exact then cast, so the > comparison
+    is bit-deterministic against the oracle.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    open_orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    elig = cust.filter(F.col("c_nationkey").isin(codes))
+    avg_bal = elig.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_d("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        elig.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(open_orders, elig.c_custkey == open_orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_d("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = f"""
+WITH elig AS (
+  SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+), avg_b AS (
+  SELECT CAST(SUM({_sql_d("c_acctbal")}) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM elig WHERE c_acctbal > 0.0
+)
+SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, COUNT(*) AS numcust,
+       CAST(SUM({_sql_d("c_acctbal")}) AS DOUBLE) AS totacctbal
+FROM elig, avg_b
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+GROUP BY c_nationkey
+"""
+
+QUERIES["q22_idle_balance_by_nation"] = q22_idle_balance_by_nation
+ORACLES["q22_idle_balance_by_nation"] = Q22_SQL

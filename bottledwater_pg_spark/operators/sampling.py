@@ -189,3 +189,59 @@ def sequence_pack(
     return df.withColumn("pack_offset", offset).withColumn(
         "bin", F.floor(F.col("pack_offset") / F.lit(budget)).cast("long")
     )
+
+
+_SHUFFLE_BUCKETS = 256  # first md5 byte — fixed by the bucketing expr
+
+
+def global_shuffle_index(
+    df: DataFrame, id_col: str, salt: str = "v1"
+) -> DataFrame:
+    """Deterministic global shuffle order for training-data emission:
+    every row gets a dense position ``pos`` in [0, n) ordered by a
+    salted content hash — the "shuffle once, read sequentially"
+    discipline pretraining loaders rely on, reproducible on any
+    cluster size and re-saltable per epoch.
+
+    Scale path (NO global window, NO single-partition sort): the hash's
+    first byte range-buckets rows into 256 ordered buckets;
+    per-bucket counts (256 small ints — driver-safe at any data
+    scale) prefix-sum into bucket base offsets, broadcast back; each
+    bucket independently ranks by (hash, id) and adds its base. The
+    global sort becomes n_buckets independent partition-local sorts —
+    the same two-phase shape as Spark's own range-partitioned orderBy,
+    but with deterministic hash-derived boundaries instead of sampled
+    ones, so positions are bit-stable across runs and cluster layouts.
+    """
+    h = split_key(id_col, salt)
+    bucketed = df.withColumn("_h", h).withColumn(
+        "_bkt", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int")
+    )
+    counts = {
+        r["_bkt"]: r["c"]
+        for r in bucketed.groupBy("_bkt").agg(F.count("*").alias("c")).collect()
+    }
+    bases, acc = {}, 0
+    for b in range(_SHUFFLE_BUCKETS):
+        bases[b] = acc
+        acc += counts.get(b, 0)
+    base_df = df.sparkSession.createDataFrame(
+        [(b, bases[b]) for b in range(_SHUFFLE_BUCKETS)], "_bkt int, _base long"
+    )
+    w = Window.partitionBy("_bkt").orderBy("_h", id_col)
+    return (
+        bucketed.join(F.broadcast(base_df), "_bkt")
+        .withColumn(
+            "pos", (F.col("_base") + F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("_h", "_bkt", "_base")
+    )
+
+
+def sql_global_shuffle_positions(id_col: str, salt: str = "v1") -> str:
+    """Oracle fragment: the dense global rank the two-phase plan must
+    reproduce exactly."""
+    return (
+        f"CAST(ROW_NUMBER() OVER (ORDER BY md5('{salt}' || '|' || "
+        f"CAST({id_col} AS VARCHAR)), {id_col}) - 1 AS BIGINT)"
+    )

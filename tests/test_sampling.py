@@ -94,3 +94,25 @@ def test_negative_sampling_deterministic_self_free_and_salted(spark):
     # a different salt redraws the pairing
     p3 = negative_sample_pairs(docs, "doc_id", k=3, salt="v2").collect()
     assert sorted(map(tuple, p1)) != sorted(map(tuple, p3))
+
+
+def test_global_shuffle_index_is_dense_permutation(spark):
+    from bottledwater_pg_spark.operators.sampling import global_shuffle_index
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    n = docs.count()
+    out = global_shuffle_index(docs, "doc_id")
+    rows = out.select("pos").collect()
+    assert sorted(r["pos"] for r in rows) == list(range(n))  # dense 0..n-1
+    # deterministic across runs
+    again = global_shuffle_index(docs, "doc_id").select("doc_id", "pos")
+    assert out.select("doc_id", "pos").subtract(again).count() == 0
+
+
+def test_global_shuffle_index_salt_reshuffles(spark):
+    from bottledwater_pg_spark.operators.sampling import global_shuffle_index
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    a = global_shuffle_index(docs, "doc_id", salt="v1").select("doc_id", "pos")
+    b = global_shuffle_index(docs, "doc_id", salt="v2").select("doc_id", "pos")
+    assert a.subtract(b).count() > 0
