@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "doc_repetition_stats",
     "passage_dedup_stats",
     "corpus_shuffle_positions",
+    "budget_mix_counts",
 ]
 
 

@@ -1271,3 +1271,46 @@ FROM documents
 
 QUERIES["corpus_shuffle_positions"] = corpus_shuffle_positions
 ORACLES["corpus_shuffle_positions"] = SHUFFLE_POS_SQL
+
+
+# ------------------------------------------------ data-mixture sampling
+
+
+MIX_BUDGET_CHARS = 30000  # per-source character budget
+
+
+def budget_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mixture construction (operators/sampling.py
+    ``budget_mix``): per source, keep documents in salted-hash order
+    until ~30k chars are taken; report the kept doc/char counts. The
+    exclusive-prefix-sum cut keeps selection deterministic and lets
+    exactly one doc straddle each source's boundary."""
+    from bottledwater_pg_spark.operators.sampling import budget_mix
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    kept = budget_mix(docs, "source", "doc_id", "n_chars", MIX_BUDGET_CHARS)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+from bottledwater_pg_spark.operators.sampling import (  # noqa: E402
+    sql_budget_mix_cte,
+)
+
+BUDGET_MIX_SQL = (
+    sql_budget_mix_cte("source", "doc_id", "n_chars", MIX_BUDGET_CHARS)
+    + """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+       MIN(doc_id) AS min_doc
+FROM kept GROUP BY source
+"""
+)
+
+QUERIES["budget_mix_counts"] = budget_mix_counts
+ORACLES["budget_mix_counts"] = BUDGET_MIX_SQL

@@ -245,3 +245,60 @@ def sql_global_shuffle_positions(id_col: str, salt: str = "v1") -> str:
         f"CAST(ROW_NUMBER() OVER (ORDER BY md5('{salt}' || '|' || "
         f"CAST({id_col} AS VARCHAR)), {id_col}) - 1 AS BIGINT)"
     )
+
+
+def budget_mix(
+    df: DataFrame,
+    stratum: str,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic data-mixture construction: within each stratum
+    (source shard), take documents in salted-content-hash order until
+    the stratum's cumulative size reaches ``budget`` units — the
+    "sample X tokens per source" step that turns per-source corpora
+    into a pretraining mixture. Greedy-by-hash makes the selection a
+    pure function of (corpus, salt): re-runs, retries, and cluster
+    changes keep the mixture identical, and bumping the salt redraws
+    it.
+
+    The cut rule uses the EXCLUSIVE prefix sum (a doc is kept iff the
+    size already taken before it is < budget), so exactly one doc
+    straddles the boundary — same discipline as :func:`sequence_pack`.
+
+    Scale: one shuffle on the stratum; the running sum is a linear
+    per-stratum scan. Keeps/filters are decided row-locally from the
+    window result — no driver involvement, no collect.
+    """
+    w = (
+        Window.partitionBy(stratum)
+        .orderBy(split_key(id_col, salt), id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    taken_before = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    return (
+        df.withColumn("_taken_before", taken_before)
+        .filter(F.col("_taken_before") < budget)
+        .drop("_taken_before")
+    )
+
+
+def sql_budget_mix_cte(
+    stratum: str, id_col: str, size_col: str, budget: int,
+    table: str = "documents", salt: str = "v1",
+) -> str:
+    """Oracle CTE producing the same kept set."""
+    return f"""
+WITH ranked AS (
+  SELECT *,
+         COALESCE(SUM({size_col}) OVER (
+           PARTITION BY {stratum}
+           ORDER BY md5('{salt}' || '|' || CAST({id_col} AS VARCHAR)), {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS _taken_before
+  FROM {table}
+), kept AS (
+  SELECT * FROM ranked WHERE _taken_before < {budget}
+)"""

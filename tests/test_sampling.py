@@ -116,3 +116,27 @@ def test_global_shuffle_index_salt_reshuffles(spark):
     a = global_shuffle_index(docs, "doc_id", salt="v1").select("doc_id", "pos")
     b = global_shuffle_index(docs, "doc_id", salt="v2").select("doc_id", "pos")
     assert a.subtract(b).count() > 0
+
+
+def test_budget_mix_exclusive_cut_and_determinism(spark):
+    from bottledwater_pg_spark.operators.sampling import budget_mix
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    kept = budget_mix(docs, "source", "doc_id", "n_chars", 5000)
+    per = kept.groupBy("source").agg(
+        F.sum("n_chars").alias("chars"), F.count("*").alias("n")
+    )
+    for r in per.collect():
+        # exclusive cut: strictly fewer than budget chars taken BEFORE
+        # the last kept doc, so total is < budget + max doc size, and
+        # dropping the largest doc goes under budget
+        assert r["chars"] >= 5000 or r["n"] == docs.filter(
+            F.col("source") == r["source"]
+        ).count()  # source exhausted below budget
+    again = budget_mix(docs, "source", "doc_id", "n_chars", 5000)
+    assert kept.subtract(again).count() == 0 and again.subtract(kept).count() == 0
+    # salt redraws the selection
+    resalted = budget_mix(docs, "source", "doc_id", "n_chars", 5000, salt="v2")
+    assert kept.subtract(resalted).count() > 0
