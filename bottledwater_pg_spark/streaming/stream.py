@@ -472,3 +472,96 @@ def console_sink(events_stream: DataFrame, truncate: bool = False):
         .outputMode("append")
         .start()
     )
+
+
+def tws_available() -> bool:
+    """``transformWithStateInPandas`` needs the protobuf wire between
+    the JVM and the long-lived Python state server; absent protobuf
+    (not in this image), the runner crashes at query start."""
+    try:  # pragma: no cover - environment probe
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_latest_by_key_tws(events_stream: DataFrame):
+    """Latest-by-key on the Spark 4 ``transformWithStateInPandas`` API
+    (StatefulProcessor + typed ValueState) — the modern successor to
+    :func:`stateful_latest_by_key`'s ``applyInPandasWithState``: state
+    variables are named and typed, TTL/timers/state-schema-evolution
+    come from the runtime instead of hand-rolled tuple packing, and
+    the same processor can later grow ListState/MapState without a
+    state rewrite. Semantics are identical (max-lsn wins; replays and
+    late events lose): where the environment provides protobuf, the
+    gated test pins it to the same batch-compaction result as the
+    ``applyInPandasWithState`` twin.
+
+    Raises :class:`NotImplementedError` when the runtime cannot host
+    the operator (mirrors the gated Kafka/Avro paths — the plumbing is
+    real, the missing piece is an environment dependency).
+    """
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf, which "
+            "is not installed in this image; use stateful_latest_by_key "
+            "(applyInPandasWithState) instead"
+        )
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("new_row", T.StringType()),
+        ]
+    )
+
+    class LatestByKey(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._latest = handle.getValueState(
+                "latest", "lsn long, op string, new_row string"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._latest.get() if self._latest.exists() else None
+            best_lsn = cur[0] if cur is not None else None
+            best_op = cur[1] if cur is not None else None
+            best_row = cur[2] if cur is not None else None
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                r = pdf.loc[pdf["lsn"].idxmax()]
+                if best_lsn is None or int(r["lsn"]) > best_lsn:
+                    best_lsn = int(r["lsn"])
+                    best_op = r["op"]
+                    best_row = r["new_row"]
+            self._latest.update((best_lsn, best_op, best_row))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "op": [best_op],
+                    "lsn": [best_lsn],
+                    "new_row": [best_row],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    dml = events_stream.filter(
+        F.col("op").isin("insert", "update", "delete") & F.col("key").isNotNull()
+    ).select("key", "op", "lsn", "new_row")
+    return dml.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=LatestByKey(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -539,3 +539,59 @@ def test_hierarchical_rollup_equals_direct_daily(spark, sf_dir):
     )
     assert rolled.exceptAll(direct).count() == 0
     assert direct.exceptAll(rolled).count() == 0
+
+
+def test_transform_with_state_gated(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas twin of stateful_latest_by_key:
+    runs (and must converge to batch compaction) where protobuf exists;
+    raises the documented NotImplementedError here (protobuf absent)."""
+    import pytest
+
+    from bottledwater_pg_spark.streaming.stream import (
+        stateful_latest_by_key_tws,
+        tws_available,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    events = generate_cdc(
+        cust, ["c_custkey"], F.col("c_custkey"), 16385, "customer", SPEC
+    )
+    if not tws_available():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stateful_latest_by_key_tws(events)
+        return
+    from bottledwater_pg_spark.operators.materialize import compact  # pragma: no cover
+
+    expected = compact(events).toPandas().sort_values("key").reset_index(drop=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        write_envelope_stream(events, f"{tmp}/ev", num_files=4)
+        stream = read_envelope_stream(spark, f"{tmp}/ev", files_per_trigger=1)
+        q = (
+            stateful_latest_by_key_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_latest")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = (
+            spark.sql(
+                """
+                SELECT key, op, lsn, new_row FROM (
+                  SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY key ORDER BY lsn DESC) AS rn
+                  FROM tws_latest) WHERE rn = 1
+                """
+            )
+            .toPandas()
+            .sort_values("key")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            got[["key", "op", "lsn", "new_row"]],
+            expected[["key", "op", "lsn", "new_row"]],
+        )
