@@ -76,6 +76,9 @@ BENCH_QUERIES = [
     "passage_dedup_stats",
     "corpus_shuffle_positions",
     "budget_mix_counts",
+    "inverted_index_postings",
+    "bm25_topk_docs",
+    "fraud_rolling_anomalies",
 ]
 
 

@@ -1314,3 +1314,190 @@ FROM kept GROUP BY source
 
 QUERIES["budget_mix_counts"] = budget_mix_counts
 ORACLES["budget_mix_counts"] = BUDGET_MIX_SQL
+
+
+# ------------------------------------------- search-index consumer use
+
+
+INDEX_MIN_DF = 100  # keep postings for terms seen in >= 100 docs
+POSTINGS_HEAD = 20  # first-k doc ids carried per posting row
+
+
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the first consumer use the reference
+    names for its stream ("build search indexes", README.md:30-32).
+    Per term: document frequency, total term frequency, and the head
+    of the doc-id-sorted posting list (CSV, deterministic order).
+
+    Scale: explode -> (term, doc) tf aggregation -> per-term rollup,
+    map-side combine on both; the posting-list head is bounded
+    (sort_array + slice), so no term row grows with corpus size — the
+    full posting list at warehouse scale would instead be written
+    bucketed by term, this query materializes the index STATS.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_HEAD
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= INDEX_MIN_DF)
+    )
+
+
+INVERTED_INDEX_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+)
+SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+       array_to_string(
+         list_slice(list(doc_id ORDER BY doc_id), 1, {POSTINGS_HEAD}), ','
+       ) AS postings_head
+FROM tf GROUP BY term
+HAVING COUNT(*) >= {INDEX_MIN_DF}
+"""
+
+QUERIES["inverted_index_postings"] = inverted_index_postings
+ORACLES["inverted_index_postings"] = INVERTED_INDEX_SQL
+
+
+BM25_TERMS = ("spark", "window", "merge")  # fixed query, summed in order
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 15
+
+
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-shaped ranked retrieval for a fixed 3-term query — the
+    scoring half of the search-index consumer use. One deliberate
+    deviation from textbook BM25: the idf factor is the RATIONAL form
+    ``(N - df + 0.5) / (df + 0.5)`` without the log. The log is a
+    per-term monotone transform whose libm rounding differs across
+    engines (JVM StrictMath vs DuckDB's libc), which would poison the
+    bit-exact oracle; dropping it keeps every arithmetic step IEEE-
+    deterministic (+ * / on doubles in a fixed, parenthesized order).
+
+    Determinism discipline: per-term scores land in fixed COLUMNS
+    (conditional max-aggregation), and the final score adds the three
+    columns in program order — never a SUM over rows, whose float
+    addition order the engine chooses. Top-k ties break on doc_id.
+
+    Scale: tf explode + two map-side-combined aggregations; N / avgdl
+    are one tiny broadcast scalar row; the ranking sorts only scored
+    docs (those containing a query term).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tok = toks.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*BM25_TERMS)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            (
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (
+                (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * (F.col("dl") / F.col("avgdl")))
+                )
+            ),
+        )
+    )
+    per_term_cols = [
+        F.max(F.when(F.col("term") == t, F.col("term_score"))).alias(f"s{i}")
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    pivoted = scored.groupBy("doc_id").agg(*per_term_cols)
+    score = (
+        F.coalesce(F.col("s0"), F.lit(0.0))
+        + F.coalesce(F.col("s1"), F.lit(0.0))
+        + F.coalesce(F.col("s2"), F.lit(0.0))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        pivoted.withColumn("score", score)
+        .select("doc_id", "score")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BM25_TOPK)
+    )
+
+
+def _bm25_sql() -> str:
+    term_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    score_cols = " + ".join(f"COALESCE(s{i}, 0.0)" for i in range(len(BM25_TERMS)))
+    per_term = ", ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN term_score END) AS s{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks
+), stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ({term_list}) GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  -- every literal cast to DOUBLE: DuckDB types bare numeric literals
+  -- as DECIMAL, whose intermediate rounding drifts a ulp from the
+  -- Spark double pipeline
+  SELECT tf.doc_id, tf.term,
+         ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+           * ((tf * (CAST({BM25_K1} AS DOUBLE) + 1))
+              / (tf + CAST({BM25_K1} AS DOUBLE)
+                 * (1 - CAST({BM25_B} AS DOUBLE)
+                    + CAST({BM25_B} AS DOUBLE) * (dl / avgdl)))) AS term_score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+), pivoted AS (
+  SELECT doc_id, {per_term} FROM scored GROUP BY doc_id
+), final AS (
+  SELECT doc_id, {score_cols} AS score FROM pivoted
+)
+SELECT doc_id, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM final
+QUALIFY rank <= {BM25_TOPK}
+"""
+
+
+QUERIES["bm25_topk_docs"] = bm25_topk_docs
+ORACLES["bm25_topk_docs"] = _bm25_sql()

@@ -2329,3 +2329,78 @@ GROUP BY c_nationkey
 
 QUERIES["q22_idle_balance_by_nation"] = q22_idle_balance_by_nation
 ORACLES["q22_idle_balance_by_nation"] = Q22_SQL
+
+
+# ------------------------------------------- fraud monitoring consumer use
+
+
+def fraud_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraud monitoring — a consumer use the reference names for its
+    stream ("monitor it for fraud", README.md:30-32): flag events
+    whose value deviates > 3 sigma from the SAME USER's trailing
+    10-event window (a self-excluding frame, so the scored event never
+    contaminates its own baseline). Reported per event type.
+
+    Determinism discipline: the window sums run in DECIMAL (exact,
+    associative — safe under any frame-evaluation order or engine
+    algorithm, unlike float sums where e.g. DuckDB's segment-tree
+    sliding windows add in a different order than Spark's running
+    frame); mean/variance convert to double only at the final, fixed
+    arithmetic. The 3-sigma test squares instead of sqrt-ing:
+    (v-mean)^2 > 9*var — same predicate, one less libm call to agree
+    on.
+
+    Scale: ONE shuffle on user_id; the frame is 10 rows, state O(1)
+    per row. The streaming form of this exact operator is
+    applyInPandasWithState holding the trailing deque per user.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    vdec = F.col("value").cast("decimal(18,4)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    cnt = F.count("value").over(w)
+    s = F.sum(vdec).over(w).cast("double")
+    s2 = F.sum((vdec * vdec).cast("decimal(38,8)")).over(w).cast("double")
+    mean = s / cnt
+    var = (s2 - (s * s) / cnt) / cnt
+    dev = F.col("value") - mean
+    anomalous = (cnt >= 5) & (dev * dev > 9 * var)
+    return (
+        ev.withColumn("anom", anomalous.cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("anom").alias("n_anomalies"),
+        )
+    )
+
+
+FRAUD_SQL = """
+WITH scored AS (
+  SELECT event_type, value,
+         COUNT(value) OVER w AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,4))
+                       * CAST(value AS DECIMAL(18,4)) AS DECIMAL(38,8)))
+              OVER w AS DOUBLE) AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN cnt >= 5
+                      AND (value - s / cnt) * (value - s / cnt)
+                          > 9 * ((s2 - (s * s) / cnt) / cnt)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM scored GROUP BY event_type
+"""
+
+QUERIES["fraud_rolling_anomalies"] = fraud_rolling_anomalies
+ORACLES["fraud_rolling_anomalies"] = FRAUD_SQL
