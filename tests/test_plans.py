@@ -144,3 +144,29 @@ def test_median_single_sort_shuffle_then_tiny_agg(spark, sf_dir):
     # wide exchange besides the (tiny, post-filter) group agg
     assert count_exchanges(df) <= 3
     assert has_partial_aggregation(df)
+
+
+def test_q22_broadcasts_scalar_and_antijoins(spark, sf_dir):
+    df = Q.q22_idle_balance_by_nation(spark, sf_dir)
+    # the 1-row scalar average must broadcast, never shuffle the probe
+    assert count_broadcast_joins(df) >= 1
+    assert any("c_nationkey" in f for f in pushed_filters(df))
+
+
+def test_fraud_anomalies_single_user_shuffle(spark, sf_dir):
+    df = Q.fraud_rolling_anomalies(spark, sf_dir)
+    # one exchange for the per-user window + one (tiny) final agg
+    assert count_exchanges(df) <= 2
+    assert has_partial_aggregation(df)
+
+
+def test_global_shuffle_positions_no_single_partition_sort(spark, sf_dir):
+    from bottledwater_pg_spark.operators.llm_queries import (
+        corpus_shuffle_positions,
+    )
+    from bottledwater_pg_spark.plans.inspect import formatted_plan
+
+    df = corpus_shuffle_positions(spark, sf_dir)
+    # the whole point: NO Exchange SinglePartition anywhere — ranking
+    # runs per hash bucket, the classic global-window plan is banned
+    assert "SinglePartition" not in formatted_plan(df)
