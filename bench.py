@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "cdc_history_scd2",
     "cdc_merge_sink_customer",
     "cdc_incremental_agg_customer",
+    "cdc_stream_table_join",
     # relational plane
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -409,6 +409,67 @@ GROUP BY c_mktsegment
 """
 
 
+def cdc_stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-table join after routing — THE consumer scenario the
+    reference's key-hash partitioning exists to serve (README.md:384-398
+    and the partitioner comment, kafka/bottledwater.c:800-807: "a
+    consumer relying on seeing all updates relating to a given key,
+    e.g. for a stream-table join").
+
+    One interleaved envelope stream carries BOTH customer and orders
+    changes; routing splits it by relid (R1), each side materializes
+    latest-state-by-key independently, and the two states join on
+    custkey — open orders priced per market segment. The oracle
+    computes both final states from the mutation contract and joins
+    them in SQL, so a defect anywhere (routing, either compaction,
+    tombstone handling, the join) mismatches.
+
+    Scale: the relid filters prune each branch to its table's events
+    before any shuffle; each compaction is the single-shuffle max_by
+    plan; the join shuffles on custkey (or broadcasts the customer
+    state when it fits — AQE's call at runtime).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    stream = generate_cdc(
+        cust, ["c_custkey"], F.col("c_custkey"), 16385, "customer", CUSTOMER_SPEC
+    ).unionByName(
+        generate_cdc(
+            orders, ["o_orderkey"], F.col("o_orderkey"), 16388, "orders",
+            ORDERS_SPEC,
+        )
+    )
+    cust_state = materialize(stream.filter(F.col("relid") == 16385), cust.schema)
+    ord_state = materialize(stream.filter(F.col("relid") == 16388), orders.schema)
+    return (
+        ord_state.filter(F.col("o_orderstatus") == "O")
+        .join(cust_state, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_open_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("open_total"),
+        )
+    )
+
+
+CDC_ORDERS_SQL = oracle_final_state_sql(
+    "orders", ["o_orderkey"], "o_orderkey", ORDERS_COLS, ORDERS_SPEC
+)
+
+CDC_STREAM_TABLE_JOIN_SQL = f"""
+WITH cust_final AS ({CDC_CUSTOMER_SQL}),
+ord_final AS ({CDC_ORDERS_SQL})
+SELECT c_mktsegment, COUNT(*) AS n_open_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS open_total
+FROM ord_final JOIN cust_final ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O'
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "cdc_materialize_customer": cdc_materialize_customer,
     "cdc_merge_sink_customer": cdc_merge_sink_customer,
@@ -421,6 +482,7 @@ QUERIES = {
     "cdc_materialize_events_composite": cdc_materialize_events_composite,
     "cdc_append_unkeyed": cdc_append_unkeyed,
     "cdc_topic_routing_counts": cdc_topic_routing_counts,
+    "cdc_stream_table_join": cdc_stream_table_join,
 }
 
 ORACLES = {
@@ -435,4 +497,5 @@ ORACLES = {
     "cdc_materialize_events_composite": CDC_EVENTS_SQL,
     "cdc_append_unkeyed": CDC_UNKEYED_SQL,
     "cdc_topic_routing_counts": CDC_ROUTING_SQL,
+    "cdc_stream_table_join": CDC_STREAM_TABLE_JOIN_SQL,
 }
