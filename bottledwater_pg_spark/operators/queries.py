@@ -2404,3 +2404,54 @@ FROM scored GROUP BY event_type
 
 QUERIES["fraud_rolling_anomalies"] = fraud_rolling_anomalies
 ORACLES["fraud_rolling_anomalies"] = FRAUD_SQL
+
+
+# ------------------------------------------------ recursive CTE surface
+
+
+def recursive_hierarchy_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native recursive CTE (Spark 4's WITH RECURSIVE): walk the
+    implicit binary hierarchy parent(k) = k div 2 over the low
+    customer keys and report node counts per depth. This is the
+    iterative-fixpoint surface expressed IN SQL — the same class of
+    computation operators/graph.py drives imperatively, here delegated
+    to the engine's recursion operator (each recursion step is one
+    join against the frontier, exactly the propagation round's plan).
+
+    Scale: frontier-sized intermediate per step, depth = log2(keys);
+    the per-step join keys on the parent id. Integer-only outputs.
+    """
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_rv")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT CAST(c_custkey AS BIGINT) AS k, 0 AS depth
+          FROM customer_rv WHERE c_custkey = 1
+          UNION ALL
+          SELECT CAST(c.c_custkey AS BIGINT) AS k, chain.depth + 1
+          FROM customer_rv c JOIN chain ON c.c_custkey DIV 2 = chain.k
+          WHERE c.c_custkey BETWEEN 2 AND 511
+        )
+        SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_nodes,
+               MIN(k) AS min_k, MAX(k) AS max_k
+        FROM chain GROUP BY depth
+        """
+    )
+
+
+RECURSIVE_SQL = """
+WITH RECURSIVE chain AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k, 0 AS depth
+  FROM customer WHERE c_custkey = 1
+  UNION ALL
+  SELECT CAST(c.c_custkey AS BIGINT) AS k, chain.depth + 1
+  FROM customer c JOIN chain ON c.c_custkey // 2 = chain.k
+  WHERE c.c_custkey BETWEEN 2 AND 511
+)
+SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_nodes,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM chain GROUP BY depth
+"""
+
+QUERIES["recursive_hierarchy_depths"] = recursive_hierarchy_depths
+ORACLES["recursive_hierarchy_depths"] = RECURSIVE_SQL
