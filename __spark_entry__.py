@@ -47,6 +47,7 @@ _FAMILY_SPREAD = [
     "cdc_kafka_sink_shape", "cdc_error_policy_log",
     "cdc_materialize_events_composite", "cdc_append_unkeyed",
     "cdc_topic_routing_counts", "cdc_stream_table_join",
+    "cdc_schema_evolution_customer",
     # relational / TPC-H shapes
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "shipmode_case_agg",

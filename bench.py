@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "cdc_merge_sink_customer",
     "cdc_incremental_agg_customer",
     "cdc_stream_table_join",
+    "cdc_schema_evolution_customer",
     # relational plane
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -470,6 +470,75 @@ GROUP BY c_mktsegment
 """
 
 
+def cdc_schema_evolution_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream schema evolution, oracle-checked end-to-end (the
+    SURVEY §7.4 hard part as a driver-contract query, not only a
+    test): the customer stream starts under schema v1, then a v2
+    TableSchema control event adds a ``c_tier`` column and every third
+    customer re-arrives with it populated. Materialization re-resolves
+    the newest schema from the in-band control events
+    (schema_tracker.py — the reference's protocol_client.c:313-350
+    re-parse) and decodes ALL surviving rows with it, so pre-evolution
+    rows read null for the added column — exactly the reference's
+    ALTER TABLE ADD COLUMN matrix (topic_spec.rb:113-274).
+
+    Scale: control events are a per-table trickle (collecting them is
+    O(#tables)); the compaction is the standard single-shuffle max_by;
+    decode happens once per surviving key.
+    """
+    from bottledwater_pg_spark.operators.materialize import (
+        decode_rows,
+        latest_by_key,
+    )
+    from bottledwater_pg_spark.schema_tracker import (
+        resolve_schemas,
+        table_schema_events,
+    )
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+
+    relid = 16391
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    v1_rows = snapshot_events(
+        base, ["c_custkey"], F.col("c_custkey"), relid, "customer"
+    )
+    v2_base = base.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.upper(F.substring("c_mktsegment", 1, 3)).alias("c_tier"),
+    )
+    # v2 re-sends as updates one lsn later than the key's snapshot event
+    v2_rows = (
+        snapshot_events(v2_base, ["c_custkey"], F.col("c_custkey"), relid,
+                        "customer")
+        .withColumn("lsn", F.col("lsn") + 1)
+        .withColumn("op", F.lit("update"))
+    )
+    stream = (
+        table_schema_events(base, relid, "customer", lsn=0)
+        .unionByName(v1_rows)
+        .unionByName(table_schema_events(v2_base, relid, "customer", lsn=1))
+        .unionByName(v2_rows)
+    )
+    tracker = resolve_schemas(stream)
+    # single-table stream: compact, then decode every survivor with the
+    # newest schema the control events announced (v2 here) —
+    # from_json reads pre-evolution payloads with null c_tier
+    return decode_rows(latest_by_key(stream), tracker.current(relid)).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_tier"
+    )
+
+
+CDC_EVOLUTION_SQL = """
+SELECT c_custkey, c_name, c_mktsegment,
+       CASE WHEN c_custkey % 3 = 0
+            THEN upper(substring(c_mktsegment, 1, 3)) END AS c_tier
+FROM customer
+"""
+
+
 QUERIES = {
     "cdc_materialize_customer": cdc_materialize_customer,
     "cdc_merge_sink_customer": cdc_merge_sink_customer,
@@ -483,6 +552,7 @@ QUERIES = {
     "cdc_append_unkeyed": cdc_append_unkeyed,
     "cdc_topic_routing_counts": cdc_topic_routing_counts,
     "cdc_stream_table_join": cdc_stream_table_join,
+    "cdc_schema_evolution_customer": cdc_schema_evolution_customer,
 }
 
 ORACLES = {
@@ -498,4 +568,5 @@ ORACLES = {
     "cdc_append_unkeyed": CDC_UNKEYED_SQL,
     "cdc_topic_routing_counts": CDC_ROUTING_SQL,
     "cdc_stream_table_join": CDC_STREAM_TABLE_JOIN_SQL,
+    "cdc_schema_evolution_customer": CDC_EVOLUTION_SQL,
 }
