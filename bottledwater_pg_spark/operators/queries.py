@@ -2354,11 +2354,27 @@ def fraud_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row. The streaming form of this exact operator is
     applyInPandasWithState holding the trailing deque per user.
     """
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type", "value"
     )
+    return (
+        fraud_flag_events(ev)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("anom").alias("n_anomalies"),
+        )
+    )
+
+
+def fraud_flag_events(ev: DataFrame) -> DataFrame:
+    """Per-event anomaly flag (``anom`` 0/1) against the same user's
+    trailing 10-event window — the scoring core of
+    :func:`fraud_rolling_anomalies`, exposed so the true-streaming
+    deque operator (streaming/queries.py ``streaming_fraud_anomalies``)
+    can be pinned to identical flags."""
+    from pyspark.sql import Window
+
     vdec = F.col("value").cast("decimal(18,4)")
     w = (
         Window.partitionBy("user_id")
@@ -2372,14 +2388,7 @@ def fraud_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (s2 - (s * s) / cnt) / cnt
     dev = F.col("value") - mean
     anomalous = (cnt >= 5) & (dev * dev > 9 * var)
-    return (
-        ev.withColumn("anom", anomalous.cast("int"))
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum("anom").alias("n_anomalies"),
-        )
-    )
+    return ev.withColumn("anom", anomalous.cast("int"))
 
 
 FRAUD_SQL = """

@@ -107,3 +107,83 @@ ORACLES = {
     "sliding_window_counts": SLIDING_SQL,
     "hierarchical_rollup_daily": ROLLUP_HIER_SQL,
 }
+
+
+def streaming_fraud_anomalies(events_stream: "DataFrame"):
+    """TRUE streaming form of the fraud monitor
+    (operators/queries.py ``fraud_rolling_anomalies``): per-user state
+    holds the trailing 10 event values as a bounded deque
+    (applyInPandasWithState); each arriving event is scored against
+    the deque BEFORE being pushed — the same self-excluding baseline
+    as the batch window, evaluated incrementally with O(1) state per
+    user.
+
+    Emits only flagged events. The batch query is this operator's
+    oracle: replaying a bounded stream through it must flag exactly
+    the events the batch window flags (pinned in
+    tests/test_skew_and_watermark.py).
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("n_baseline", T.IntegerType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("window_vals", T.ArrayType(T.DoubleType()))]
+    )
+
+    def score_fn(key, pdfs, state):
+        vals: list = list(state.get[0]) if state.exists else []
+        flagged_ids, flagged_vals, flagged_n = [], [], []
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                pdf.sort_values(["ts", "event_id"]).itertuples(index=False)
+            )
+        for r in rows:
+            n = len(vals)
+            if n >= 5:
+                # exact rational moments over <= 10 floats: order fixed
+                # by the deque, so bit-stable under replay
+                s = sum(vals)
+                s2 = sum(v * v for v in vals)
+                mean = s / n
+                var = (s2 - s * s / n) / n
+                dev = r.value - mean
+                if dev * dev > 9 * var:
+                    flagged_ids.append(int(r.event_id))
+                    flagged_vals.append(float(r.value))
+                    flagged_n.append(n)
+            vals.append(float(r.value))
+            if len(vals) > 10:
+                vals.pop(0)
+        state.update((vals,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(flagged_ids),
+                "event_id": flagged_ids,
+                "value": flagged_vals,
+                "n_baseline": flagged_n,
+            }
+        )
+
+    return (
+        events_stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            score_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

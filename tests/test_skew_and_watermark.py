@@ -107,3 +107,57 @@ def test_watermark_drops_late_events(spark):
         # event_id=4 (10:30, behind the watermark) was dropped
         ten_oclock = [n for (w, n) in got if w.startswith("2024-01-01 10:00")]
         assert ten_oclock == [2], f"got emitted windows {got}"
+
+
+def test_streaming_fraud_matches_batch_flags(spark):
+    """The stateful deque scorer must flag exactly the events the
+    batch window formulation flags (self-excluding trailing-10
+    baseline, >= 5 observations, 3-sigma squared test)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.queries import fraud_flag_events
+    from bottledwater_pg_spark.session import load_table
+    from bottledwater_pg_spark.streaming.queries import (
+        streaming_fraud_anomalies,
+    )
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.01", "events")
+        .filter(F.col("user_id") < 80)
+        .select("event_id", "user_id", "ts", "value")
+    )
+    expected = {
+        r["event_id"]
+        for r in fraud_flag_events(ev).filter(F.col("anom") == 1).collect()
+    }
+    assert expected, "fixture subset must contain at least one anomaly"
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events"
+        # two chronological chunks -> at least two micro-batches, so
+        # deque state genuinely carries across batch boundaries
+        cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+        ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(src)
+        ev.filter(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_fraud_anomalies(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("fraud_stream")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r["event_id"]
+            for r in spark.sql("SELECT event_id FROM fraud_stream").collect()
+        }
+    assert got == expected
