@@ -548,10 +548,19 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard pair set (LSH pair recall is exactly 1.0 on this
     corpus, proven by the lsh_minhash_near_dup oracle match).
     """
+    from pyspark import StorageLevel
+
     from bottledwater_pg_spark.operators.graph import connected_components
 
     corpus = docs_with_near_dups(spark, sf_dir)
-    pairs = lsh_minhash_near_dup(spark, sf_dir).select("a_id", "b_id")
+    # the pair set seeds BOTH the node universe and the initial edge
+    # frontier inside CC — persist it so the LSH pipeline (shingle,
+    # signature, band join, verify) runs once, not per consumer
+    pairs = (
+        lsh_minhash_near_dup(spark, sf_dir)
+        .select("a_id", "b_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     comp = connected_components(pairs, "a_id", "b_id")
     return (
         corpus.select("doc_id")
@@ -571,10 +580,18 @@ def dedup_cluster_canonical_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation needs diameter rounds. Verified against the identical
     WITH RECURSIVE transitive-closure oracle.
     """
+    from pyspark import StorageLevel
+
     from bottledwater_pg_spark.operators.graph import connected_components_star
 
     corpus = docs_with_near_dups(spark, sf_dir)
-    pairs = lsh_minhash_near_dup(spark, sf_dir).select("a_id", "b_id")
+    # same persisted pair set as dedup_cluster_canonical — identical
+    # plan, so the second cluster query reuses the cached result
+    pairs = (
+        lsh_minhash_near_dup(spark, sf_dir)
+        .select("a_id", "b_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     comp = connected_components_star(pairs, "a_id", "b_id")
     return (
         corpus.select("doc_id")
