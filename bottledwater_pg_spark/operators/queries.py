@@ -2464,3 +2464,62 @@ FROM chain GROUP BY depth
 
 QUERIES["recursive_hierarchy_depths"] = recursive_hierarchy_depths
 ORACLES["recursive_hierarchy_depths"] = RECURSIVE_SQL
+
+
+# ------------------------------------------ array higher-order functions
+
+
+def order_quantity_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface over grouped data: per
+    order, the sorted quantity vector and derived profiles — filtered
+    count (HOF ``filter``), discounted total (``transform`` +
+    ``aggregate`` in exact integer cents), and pairwise quantity gaps
+    (``zip_with`` on the array against its own tail). All JVM-side
+    lambda expressions; integer outputs so the oracle is exact.
+
+    Scale: one groupBy(orderkey) collect_list (bounded — 7 lineitems
+    max per order) then narrow per-row array compute.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.col("l_quantity").cast("long"))
+        ).alias("qtys")
+    )
+    return grouped.select(
+        "l_orderkey",
+        F.size("qtys").cast("long").alias("n_items"),
+        F.expr("CAST(size(filter(qtys, q -> q >= 25)) AS BIGINT)").alias(
+            "n_bulk"
+        ),
+        F.expr(
+            "CAST(aggregate(transform(qtys, q -> q * 100L), 0L,"
+            " (acc, x) -> acc + x) AS BIGINT)"
+        ).alias("total_cents"),
+        F.expr(
+            "CAST(aggregate(zip_with(slice(qtys, 2, size(qtys)),"
+            " slice(qtys, 1, size(qtys) - 1), (a, b) -> a - b),"
+            " 0L, (acc, x) -> acc + x) AS BIGINT)"
+        ).alias("qty_span"),
+    )
+
+
+HOF_SQL = """
+WITH grouped AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey, CAST(len(qtys) AS BIGINT) AS n_items,
+       CAST(len(list_filter(qtys, q -> q >= 25)) AS BIGINT) AS n_bulk,
+       CAST(list_sum(list_transform(qtys, q -> q * 100)) AS BIGINT)
+         AS total_cents,
+       -- the Spark side sums consecutive zip_with gaps; on a sorted
+       -- array that telescopes to max - min, which DuckDB (no list
+       -- zip HOF) computes directly — same value, independent route
+       CAST(qtys[len(qtys)] - qtys[1] AS BIGINT) AS qty_span
+FROM grouped
+"""
+
+QUERIES["order_quantity_profiles"] = order_quantity_profiles
+ORACLES["order_quantity_profiles"] = HOF_SQL
