@@ -101,7 +101,7 @@ class BucketedMergeSink:
         if not self._has_state():
             (
                 compacted.select(*STATE_COLS, "bucket")
-                .repartition("bucket")
+                .repartition(self.n_buckets, "bucket")
                 .write.partitionBy("bucket")
                 .mode("overwrite")
                 .parquet(self._state_path())
@@ -132,7 +132,7 @@ class BucketedMergeSink:
             )
         )
         (
-            merged.repartition("bucket")
+            merged.repartition(self.n_buckets, "bucket")
             .write.partitionBy("bucket")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
@@ -163,7 +163,7 @@ class BucketedMergeSink:
         (
             state.filter(F.col("bucket").isin(affected))
             .filter(~expired)
-            .repartition("bucket")
+            .repartition(self.n_buckets, "bucket")
             .write.partitionBy("bucket")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
