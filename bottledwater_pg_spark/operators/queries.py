@@ -2523,3 +2523,48 @@ FROM grouped
 
 QUERIES["order_quantity_profiles"] = order_quantity_profiles
 ORACLES["order_quantity_profiles"] = HOF_SQL
+
+
+# ---------------------------------------------- date/time function breadth
+
+
+def order_calendar_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar-function breadth over orders: truncation,
+    component extraction, end-of-month arithmetic, day-of-week
+    bucketing, and date diffs — the calendar toolkit consumers lean on
+    for reporting over materialized CDC state. Integer/date outputs
+    only, so the oracle is exact.
+
+    Scale: narrow projections + one small-cardinality aggregation;
+    every function is JVM whole-stage-codegen."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        orders.select(
+            F.date_trunc("quarter", d).alias("qtr"),
+            F.dayofweek(d).cast("long").alias("dow"),
+            (F.datediff(F.last_day(d), d.cast("date")) < 7)
+            .cast("int")
+            .alias("month_end_rush"),
+        )
+        .groupBy("qtr", "dow")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("month_end_rush").alias("n_month_end"),
+        )
+    )
+
+
+CALENDAR_SQL = """
+SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                       last_day(CAST(o_orderdate AS DATE))) < 7
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_month_end
+FROM orders
+GROUP BY 1, 2
+"""
+
+QUERIES["order_calendar_breakdown"] = order_calendar_breakdown
+ORACLES["order_calendar_breakdown"] = CALENDAR_SQL
