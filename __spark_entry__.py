@@ -80,11 +80,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from bottledwater_pg_spark.operators import queries as relational
     from bottledwater_pg_spark.streaming import queries as streaming_queries
 
+    from bottledwater_pg_spark.session import release_persisted
+
     merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     merged.update(cdc_queries.QUERIES)
     merged.update(relational.QUERIES)
     merged.update(llm_queries.QUERIES)
     merged.update(streaming_queries.QUERIES)
+
+    def _released(fn):
+        # Queries run sequentially; by the time query N+1 is built,
+        # query N's action has finished — drop its tracked persisted
+        # intermediates so cache pressure doesn't accumulate across a
+        # 100+ query run.
+        def wrapped(spark, sf_dir, _fn=fn):
+            release_persisted()
+            return _fn(spark, sf_dir)
+
+        return wrapped
+
+    merged = {n: _released(f) for n, f in merged.items()}
     out = {n: merged[n] for n in _FAMILY_SPREAD if n in merged}
     out.update({n: f for n, f in merged.items() if n not in out})
     return out

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bottledwater_pg_spark.functions.text import fingerprint, word_shingles
+from bottledwater_pg_spark.session import persist_tracked
 from bottledwater_pg_spark.functions.vectors import (
     cosine_pre,
     norm_pre,
@@ -128,8 +129,8 @@ def prefix_filter_jaccard_pairs(
     # blocking join AND the verify arrays — persist it once instead of
     # re-tokenizing the corpus four times (the cluster-scale analog is
     # a checkpointed intermediate dataset)
-    sh = shingle_table(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh = persist_tracked(
+        shingle_table(df, id_col, text_col, n), StorageLevel.MEMORY_AND_DISK
     )  # distinct per doc
     sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
@@ -242,8 +243,8 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
     # cached/checkpointed intermediate dataset)
     from pyspark import StorageLevel
 
-    sh_cached = shingle_table(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sh_cached = persist_tracked(
+        shingle_table(df, id_col, text_col, n), StorageLevel.MEMORY_AND_DISK
     )
     sig = _signatures_from_shingles(sh_cached, num_hashes)
     band_structs = F.array(
@@ -460,8 +461,9 @@ def hyperplane_lsh_near_dup(df: DataFrame, threshold: float = 0.99,
     # feeds both sides of the band self-join; the quantized vectors
     # feed both sides of the verify — persist each once instead of
     # recomputing per join side
-    banded = banded_srp(df, num_bits, bands, id_col, vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    banded = persist_tracked(
+        banded_srp(df, num_bits, bands, id_col, vec_col),
+        StorageLevel.MEMORY_AND_DISK,
     )
     cand = (
         banded.alias("a")
@@ -470,8 +472,8 @@ def hyperplane_lsh_near_dup(df: DataFrame, threshold: float = 0.99,
         .select(F.col("a.sid").alias("a_id"), F.col("b.sid").alias("b_id"))
         .distinct()
     )
-    q = quantized_vectors(df, id_col, vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    q = persist_tracked(
+        quantized_vectors(df, id_col, vec_col), StorageLevel.MEMORY_AND_DISK
     )
     return (
         cand.join(

@@ -167,13 +167,16 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        # convergence: both sides are DISTINCT sets, so equal counts +
-        # empty one-sided difference ⇒ equality — one exceptAll job
-        # instead of two (the count compare short-circuits the common
-        # still-shrinking rounds for free)
+        # convergence: both sides are DISTINCT sets, so set equality ==
+        # empty symmetric difference — ONE job (full-outer join on the
+        # edge, count the one-sided rows) instead of the former
+        # count() + exceptAll().count() pair per round
         converged = (
-            small.count() == cur.count()
-            and small.exceptAll(cur).count() == 0
+            cur.withColumn("_o", F.lit(1))
+            .join(small.withColumn("_n", F.lit(1)), ["a", "b"], "full_outer")
+            .filter(F.col("_o").isNull() | F.col("_n").isNull())
+            .count()
+            == 0
         )
         cur = small
         if converged:

@@ -28,7 +28,7 @@ from bottledwater_pg_spark.functions.text import (
     token_count,
 )
 from bottledwater_pg_spark.operators import dedup, multimodal, similarity
-from bottledwater_pg_spark.session import load_table
+from bottledwater_pg_spark.session import load_table, persist_tracked
 
 EXACT_COPY_MOD = 3
 NEAR_COPY_MOD = 10
@@ -421,15 +421,16 @@ def winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.withColumn("_g", kgram_hashes("text", 8))
         .select("doc_id", F.explode(winnow_mins("_g", 4)).alias("fp"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    fps = persist_tracked(fps, StorageLevel.MEMORY_AND_DISK)
     rare = fps.join(
         fps.groupBy("fp")
         .agg(F.count("*").alias("_df"))
         .filter(F.col("_df") <= WINNOW_DF_CAP)
         .select("fp"),
         "fp",
-    ).persist(StorageLevel.MEMORY_AND_DISK)  # reused by sizes + both join sides
+    )
+    rare = persist_tracked(rare, StorageLevel.MEMORY_AND_DISK)  # reused by sizes + both join sides
     sizes = rare.groupBy("doc_id").agg(F.count("*").alias("nfp"))
     a = rare.select(F.col("doc_id").alias("a_id"), "fp")
     b = rare.select(F.col("doc_id").alias("b_id"), "fp")
@@ -556,10 +557,9 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pair set seeds BOTH the node universe and the initial edge
     # frontier inside CC — persist it so the LSH pipeline (shingle,
     # signature, band join, verify) runs once, not per consumer
-    pairs = (
-        lsh_minhash_near_dup(spark, sf_dir)
-        .select("a_id", "b_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = persist_tracked(
+        lsh_minhash_near_dup(spark, sf_dir).select("a_id", "b_id"),
+        StorageLevel.MEMORY_AND_DISK,
     )
     comp = connected_components(pairs, "a_id", "b_id")
     return (
@@ -587,10 +587,9 @@ def dedup_cluster_canonical_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs_with_near_dups(spark, sf_dir)
     # same persisted pair set as dedup_cluster_canonical — identical
     # plan, so the second cluster query reuses the cached result
-    pairs = (
-        lsh_minhash_near_dup(spark, sf_dir)
-        .select("a_id", "b_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = persist_tracked(
+        lsh_minhash_near_dup(spark, sf_dir).select("a_id", "b_id"),
+        StorageLevel.MEMORY_AND_DISK,
     )
     comp = connected_components_star(pairs, "a_id", "b_id")
     return (
@@ -1347,30 +1346,47 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the doc-id-sorted posting list (CSV, deterministic order).
 
     Scale: explode -> (term, doc) tf aggregation -> per-term rollup,
-    map-side combine on both; the posting-list head is bounded
-    (sort_array + slice), so no term row grows with corpus size — the
-    full posting list at warehouse scale would instead be written
-    bucketed by term, this query materializes the index STATS.
+    map-side combine on both.  The posting-list head is computed as a
+    TWO-PHASE bounded top-k so no aggregation buffer (and no single
+    task) ever holds a hot term's full posting list: phase 1 groups by
+    (term, input partition) and keeps only the first-POSTINGS_HEAD doc
+    ids of each partition's slice — buffers bounded by the partition,
+    not the corpus; phase 2 merges the <=P bounded arrays per term
+    (buffer <= P * POSTINGS_HEAD).  df / total_tf ride the ordinary
+    scalar aggregation.  The full posting list at warehouse scale
+    would instead be written bucketed by term; this query materializes
+    the index STATS.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
     )
     tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
-    return (
+    stats = (
         tf.groupBy("term")
-        .agg(
-            F.count("*").alias("df"),
-            F.sum("tf").alias("total_tf"),
-            F.array_join(
-                F.slice(
-                    F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_HEAD
-                ),
-                ",",
-            ).alias("postings_head"),
-        )
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf"))
         .filter(F.col("df") >= INDEX_MIN_DF)
     )
+    partial = (
+        tf.groupBy("term", F.spark_partition_id().alias("_pid"))
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_HEAD
+            ).alias("_head")
+        )
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.flatten(F.collect_list("_head"))),
+                    1,
+                    POSTINGS_HEAD,
+                ),
+                ",",
+            ).alias("postings_head")
+        )
+    )
+    return stats.join(partial, "term")
 
 
 INVERTED_INDEX_SQL = f"""

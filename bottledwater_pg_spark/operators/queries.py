@@ -1777,31 +1777,97 @@ WHERE levenshtein(a.s_name, b.s_name) <= 2
 """
 
 
-def median_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median order value per market segment via explicit rank
-    arithmetic — row_number over the value sort, pick the middle one
-    or two elements ((n+1) div 2 and (n+2) div 2), average them in
-    double. Built-in percentile/quantile_cont interpolate with
-    engine-specific float formulas and are never hash-parity-safe;
-    selecting the middle DECIMAL values and applying one identical
-    double expression is (the same discipline as the exact-corr
-    co-moment query).
+_RANK_BUCKETS = 256
 
-    Scale: one shuffle on the segment key + per-partition sort — the
-    same cost as any windowed rank; no driver-side collection.
+
+def _bucketed_group_ranks(j: DataFrame, group_col: str, rank_exprs: list[str]) -> DataFrame:
+    """Two-phase exact rank extraction: per ``group_col``, return the
+    rows holding the 1-based ranks named by ``rank_exprs`` (SQL
+    expressions over the group size ``n``), each row carrying its
+    global in-group rank ``rn`` (ordered by ``v``) and ``n``.
+
+    Scale path (NO single-partition-per-group sort): ``v``'s range is
+    split into 256 monotone buckets per group; per-(group, bucket)
+    counts — a groups x 256 table, independent of data size —
+    prefix-sum into exclusive bucket bases; only the buckets that
+    straddle a requested rank are ranked, with a window partitioned by
+    (group, bucket) so the sort unit is a bucket (~n/256 rows), not
+    the whole group.  With 5 groups the naive windowed rank caps
+    parallelism at 5 tasks regardless of cluster size; this plan runs
+    groups x straddling-buckets tasks and touches ~1/256 of the rows
+    in the rank stage.  Same discipline as the deterministic global
+    shuffle (sampling.py ``global_shuffle_index``), but with NO driver
+    collect at all — the count table stays distributed.
     """
     from pyspark.sql import Window
 
+    stats = j.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.min("v").cast("double").alias("_lo"),
+        F.max("v").cast("double").alias("_hi"),
+    )
+    # monotone range->bucket map: equal v always same bucket, v1 <= v2
+    # implies bkt1 <= bkt2 (double ops are monotone), so per-bucket
+    # rank + bucket base reconstructs the exact global rank
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(_RANK_BUCKETS))
+    b = j.join(F.broadcast(stats), group_col).withColumn(
+        "_bkt",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(_RANK_BUCKETS - 1),
+                F.floor(
+                    (F.col("v").cast("double") - F.col("_lo")) / width
+                ).cast("int"),
+            )
+        ),
+    )
+    cnts = b.groupBy(group_col, "_bkt").agg(F.count("*").alias("_cnt"))
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cnts = cnts.withColumn(
+        "_bbase", F.coalesce(F.sum("_cnt").over(wb), F.lit(0)).cast("long")
+    ).join(stats.select(group_col, "n"), group_col)
+    wanted_pred = None
+    for e in rank_exprs:
+        p = (F.col("_bbase") < F.expr(e)) & (
+            (F.col("_bbase") + F.col("_cnt")) >= F.expr(e)
+        )
+        wanted_pred = p if wanted_pred is None else (wanted_pred | p)
+    wanted = cnts.filter(wanted_pred).select(group_col, "_bkt", "_bbase")
+    wloc = Window.partitionBy(group_col, "_bkt").orderBy("v")
+    return (
+        b.join(F.broadcast(wanted), [group_col, "_bkt"])
+        .withColumn(
+            "rn", (F.col("_bbase") + F.row_number().over(wloc)).cast("long")
+        )
+        .select(group_col, "v", "rn", "n")
+    )
+
+
+def median_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median order value per market segment via explicit rank
+    arithmetic — pick the middle one or two elements ((n+1) div 2 and
+    (n+2) div 2), average them in double. Built-in
+    percentile/quantile_cont interpolate with engine-specific float
+    formulas and are never hash-parity-safe; selecting the middle
+    DECIMAL values and applying one identical double expression is
+    (the same discipline as the exact-corr co-moment query).
+
+    Scale: rank extraction via :func:`_bucketed_group_ranks` — the
+    sort unit is a 1/256 value-range bucket, never the whole segment,
+    so parallelism is NOT capped at the 5 distinct segments.
+    """
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "c_mktsegment",
         F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
     )
-    w = Window.partitionBy("c_mktsegment").orderBy("v")
-    wn = Window.partitionBy("c_mktsegment")
-    r = j.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(wn)
+    r = _bucketed_group_ranks(
+        j, "c_mktsegment", ["(n + 1) div 2", "(n + 2) div 2"]
     )
     mid = r.filter(
         (F.col("rn") == F.expr("(n + 1) div 2"))
@@ -2010,20 +2076,22 @@ def quartiles_order_value_by_segment(
 ) -> DataFrame:
     """Exact interpolated quartiles (p25/p50/p75) of order value per
     market segment — the rank-arithmetic generalization of the median
-    query. One windowed rank + one grouped conditional aggregation; no
-    percentile built-in (engine-specific interpolation) anywhere.
+    query. Rank extraction via the two-phase bucketed plan
+    (:func:`_bucketed_group_ranks`, six target ranks), then one
+    grouped conditional aggregation; no percentile built-in
+    (engine-specific interpolation) anywhere.
     """
-    from pyspark.sql import Window
-
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "c_mktsegment",
         F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
     )
-    r = j.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("c_mktsegment").orderBy("v"))
-    ).withColumn("n", F.count("*").over(Window.partitionBy("c_mktsegment")))
+    exprs = []
+    for p in (0.25, 0.5, 0.75):
+        li = f"cast(floor((n - 1) * {p}) as bigint) + 1"
+        exprs += [li, f"least(({li}) + 1, n)"]
+    r = _bucketed_group_ranks(j, "c_mktsegment", exprs)
     return r.groupBy("c_mktsegment").agg(*_quartile_cols())
 
 

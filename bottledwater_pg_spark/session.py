@@ -63,6 +63,41 @@ def get_spark(
     return spark
 
 
+# ------------------------------------------------------------------
+# Tracked persists.  Query builders persist shared intermediates
+# (shingle tables, SRP sketches, LSH pair sets) that are reused by
+# several branches of ONE query's action.  Left alone they would
+# accumulate in executor storage for the life of the session across a
+# 100+ query run, competing with later queries for cache space
+# (MEMORY_AND_DISK spills, so correctness is safe — but eviction
+# pressure grows monotonically).  persist_tracked() registers each
+# one; release_persisted() drops them all, and is called between
+# query invocations (bench.py, __spark_entry__.queries() wrappers) —
+# i.e. after the previous query's consuming action has finished.
+
+_TRACKED_PERSISTS: list = []
+
+
+def persist_tracked(df, level=None):
+    """persist() + register for release after the query's action."""
+    from pyspark import StorageLevel
+
+    df = df.persist(level or StorageLevel.MEMORY_AND_DISK)
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked intermediate; returns how many."""
+    n = len(_TRACKED_PERSISTS)
+    while _TRACKED_PERSISTS:
+        try:
+            _TRACKED_PERSISTS.pop().unpersist(blocking=False)
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
+
 # Columns stored as TIMESTAMP(NANOS) in the fixture parquet; read as
 # long ns (legacy.parquet.nanosAsLong) and truncated to µs on load,
 # matching what DuckDB's reader does.

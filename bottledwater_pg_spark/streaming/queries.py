@@ -122,7 +122,20 @@ def streaming_fraud_anomalies(events_stream: "DataFrame"):
     oracle: replaying a bounded stream through it must flag exactly
     the events the batch window flags (pinned in
     tests/test_skew_and_watermark.py).
+
+    Bit-parity with the batch formulation: the batch window sums the
+    values as decimal(18,4) (and their products as decimal(38,8))
+    exactly, converting to double only for the final fixed
+    mean/variance arithmetic.  The scorer reproduces that here —
+    each deque value is re-quantized to 4 decimal places with the
+    same HALF_UP rule Spark's double→decimal cast uses
+    (java BigDecimal.valueOf == repr round-trip), summed exactly as
+    Python Decimals, then floated — so both paths compute identical
+    doubles and the 3-sigma flag can never diverge on a borderline
+    event.
     """
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
     import pandas as pd  # noqa: PLC0415 — executor-side import
 
     from pyspark.sql import functions as F
@@ -141,21 +154,37 @@ def streaming_fraud_anomalies(events_stream: "DataFrame"):
         [T.StructField("window_vals", T.ArrayType(T.DoubleType()))]
     )
 
+    q4 = Decimal("0.0001")
+
+    def _dec4(v: float) -> Decimal:
+        # Spark's double→decimal(18,4) cast: shortest round-trip
+        # string (BigDecimal.valueOf) then setScale(4, HALF_UP).
+        return Decimal(repr(float(v))).quantize(q4, rounding=ROUND_HALF_UP)
+
     def score_fn(key, pdfs, state):
         vals: list = list(state.get[0]) if state.exists else []
         flagged_ids, flagged_vals, flagged_n = [], [], []
-        rows = []
-        for pdf in pdfs:
-            rows.extend(
-                pdf.sort_values(["ts", "event_id"]).itertuples(index=False)
+        # A user's micro-batch rows may span several Arrow record
+        # batches (arrow.maxRecordsPerBatch); sorting each chunk
+        # independently would interleave out of (ts, event_id) order,
+        # so concatenate FIRST and sort the whole group once.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"], kind="mergesort"
             )
+            rows = list(allpdf.itertuples(index=False))
+        else:
+            rows = []
         for r in rows:
             n = len(vals)
             if n >= 5:
-                # exact rational moments over <= 10 floats: order fixed
-                # by the deque, so bit-stable under replay
-                s = sum(vals)
-                s2 = sum(v * v for v in vals)
+                # exact decimal moments over <= 10 values, floated at
+                # the same point the batch window casts to double —
+                # identical doubles in, identical flag out
+                dvals = [_dec4(v) for v in vals]
+                s = float(sum(dvals))
+                s2 = float(sum(d * d for d in dvals))
                 mean = s / n
                 var = (s2 - s * s / n) / n
                 dev = r.value - mean
