@@ -539,6 +539,228 @@ FROM customer
 """
 
 
+def cdc_schema_evolution_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream DROP COLUMN, oracle-checked end-to-end — the other
+    half of the reference's DDL matrix (spec/functional/
+    schema_spec.rb:359-467 drops columns and keeps replicating;
+    topic_spec.rb:113-274 re-announces the schema in-band).
+
+    The customer stream starts under schema v1 (with ``c_acctbal``);
+    a v2 TableSchema control event drops the column and every fourth
+    customer re-arrives under v2 with an upper-cased name.
+    Materialization resolves the NEWEST schema from the in-band
+    control events and decodes ALL survivors with it: v1 payloads
+    still parse (from_json ignores the extra dropped field), so the
+    dropped column vanishes for every row — exactly PG's post-DROP
+    read behavior — while the v2 updates land.
+
+    Scale: same single-shuffle compaction as every materialization;
+    the control-event collect is O(#schema changes).
+    """
+    from bottledwater_pg_spark.operators.materialize import (
+        decode_rows,
+        latest_by_key,
+    )
+    from bottledwater_pg_spark.schema_tracker import (
+        resolve_schemas,
+        table_schema_events,
+    )
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+
+    relid = 16392
+    v1_base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    v1_rows = snapshot_events(
+        v1_base, ["c_custkey"], F.col("c_custkey"), relid, "customer"
+    )
+    v2_base = v1_base.filter(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey", F.upper("c_name").alias("c_name"), "c_mktsegment"
+    )
+    v2_rows = (
+        snapshot_events(
+            v2_base, ["c_custkey"], F.col("c_custkey"), relid, "customer"
+        )
+        .withColumn("lsn", F.col("lsn") + 1)
+        .withColumn("op", F.lit("update"))
+    )
+    stream = (
+        table_schema_events(v1_base, relid, "customer", lsn=0)
+        .unionByName(v1_rows)
+        .unionByName(table_schema_events(v2_base, relid, "customer", lsn=1))
+        .unionByName(v2_rows)
+    )
+    tracker = resolve_schemas(stream)
+    return decode_rows(latest_by_key(stream), tracker.current(relid)).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+CDC_EVOLUTION_DROP_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 4 = 0 THEN upper(c_name) ELSE c_name END AS c_name,
+       c_mktsegment
+FROM customer
+"""
+
+
+def cdc_schema_evolution_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream ALTER TABLE RENAME, oracle-checked end-to-end
+    (spec/functional/topic_spec.rb "renaming a table" — after the
+    rename, events route to the NEW table's topic while the relid —
+    PG keeps it across RENAME — still identifies the stream).
+
+    The table starts as ``custmr``; a rename re-announces the schema
+    under topic ``customer_renamed`` and every fifth customer then
+    receives a balance update routed to the new topic.  The
+    materialization keys on relid (so state is continuous across the
+    rename) and reports, per surviving key, the topic of its LAST
+    event — renamed for the post-rename updates, original otherwise.
+    """
+    from bottledwater_pg_spark.plans.envelope import DML_OPS, OP_DELETE
+    from bottledwater_pg_spark.schema_tracker import table_schema_events
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+
+    relid = 16393
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    v1_rows = snapshot_events(
+        base, ["c_custkey"], F.col("c_custkey"), relid, "custmr"
+    )
+    upd_base = base.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+    )
+    upd_rows = (
+        snapshot_events(
+            upd_base, ["c_custkey"], F.col("c_custkey"), relid,
+            "customer_renamed",
+        )
+        .withColumn("lsn", F.col("lsn") + 1)
+        .withColumn("op", F.lit("update"))
+    )
+    stream = (
+        table_schema_events(base, relid, "custmr", lsn=0)
+        .unionByName(v1_rows)
+        .unionByName(table_schema_events(base, relid, "customer_renamed", lsn=1))
+        .unionByName(upd_rows)
+    )
+    dml = stream.filter(F.col("op").isin(*DML_OPS) & F.col("key").isNotNull())
+    latest = dml.groupBy("key").agg(
+        F.max_by(F.struct("op", "lsn", "new_row", "topic"), F.col("lsn")).alias(
+            "last"
+        )
+    )
+    survivors = latest.filter(
+        (F.col("last.op") != OP_DELETE) & F.col("last.new_row").isNotNull()
+    )
+    from bottledwater_pg_spark.plans.envelope import ROW_JSON_OPTIONS
+
+    return survivors.select(
+        F.from_json(F.col("last.new_row"), base.schema, ROW_JSON_OPTIONS).alias(
+            "r"
+        ),
+        F.col("last.topic").alias("last_topic"),
+    ).select("r.*", "last_topic")
+
+
+CDC_EVOLUTION_RENAME_SQL = """
+SELECT c_custkey, c_name,
+       CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END
+         AS c_acctbal,
+       CASE WHEN c_custkey % 5 = 0 THEN 'customer_renamed' ELSE 'custmr' END
+         AS last_topic
+FROM customer
+"""
+
+
+def cdc_zero_column_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-column table round trip (spec/functional/schema_spec.rb:
+    359-467: a table whose columns are all dropped — or created with
+    none — keeps replicating; Avro rejects empty records, so the
+    schema carries a dummy null-boolean field, oid2avro.c:153-163).
+
+    One empty-record insert per customer row flows through the in-band
+    TableSchema announcement (built from the dummy schema exactly as
+    ``schema_for_pg_columns([])`` generates it), the unkeyed
+    append-only path (a zero-column table cannot have a PK), and the
+    JSON decode — surviving as N rows of a single null ``dummy``
+    column.
+    """
+    from bottledwater_pg_spark.operators.materialize import append_only
+    from bottledwater_pg_spark.plans.envelope import ENVELOPE_SCHEMA
+    from bottledwater_pg_spark.schema_tracker import SchemaTracker
+    from bottledwater_pg_spark.types import schema_for_pg_columns
+
+    relid = 16394
+    dummy_schema = schema_for_pg_columns([])
+    ctl = spark.createDataFrame(
+        [("table_schema", relid, 0, 0, None, None, None, dummy_schema.json(),
+          "empty_table")],
+        schema=ENVELOPE_SCHEMA,
+    )
+    base = load_table(spark, sf_dir, "customer").select("c_custkey")
+    rows = base.select(
+        F.lit("insert").alias("op"),
+        F.lit(relid).cast("long").alias("relid"),
+        F.lit(0).cast("long").alias("xid"),
+        (F.col("c_custkey").cast("long") * 10).alias("lsn"),
+        F.lit(None).cast("string").alias("key"),
+        F.lit(None).cast("string").alias("old_row"),
+        F.lit("{}").alias("new_row"),
+        F.lit(None).cast("string").alias("schema_json"),
+        F.lit("empty_table").alias("topic"),
+    )
+    stream = ctl.unionByName(rows)
+    tracker = SchemaTracker()
+    for r in stream.filter(F.col("op") == "table_schema").collect():
+        tracker.observe(r["relid"], r["schema_json"])
+    return append_only(stream, tracker.current(relid))
+
+
+CDC_ZERO_COLUMN_SQL = """
+SELECT CAST(NULL AS BOOLEAN) AS dummy FROM customer
+"""
+
+
+def cdc_skip_snapshot_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``--skip-snapshot`` startup mode (S3 config switch;
+    spec/functional/snapshot_spec.rb:55-61): the slot starts streaming
+    WITHOUT the initial snapshot, so the materialized state contains
+    only keys the stream itself touched — updated keys that survive,
+    and moved-to keys; delete tombstones for never-snapshotted keys
+    compact away to nothing.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    stream = generate_cdc(
+        cust,
+        ["c_custkey"],
+        F.col("c_custkey"),
+        relid=16385,
+        table="customer",
+        spec=CUSTOMER_SPEC,
+        skip_snapshot=True,
+    )
+    return materialize(stream, cust.schema)
+
+
+# stream-only survivors: k%5 updated rows unless later deleted/moved
+# away; k%11 moved-to keys (with the update applied when also k%5)
+CDC_SKIP_SNAPSHOT_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+       c_mktsegment
+FROM customer
+WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0 AND c_custkey % 11 <> 0
+UNION ALL
+SELECT c_custkey + 1000000, c_name, c_nationkey,
+       CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END,
+       c_mktsegment
+FROM customer WHERE c_custkey % 11 = 0
+"""
+
+
 QUERIES = {
     "cdc_materialize_customer": cdc_materialize_customer,
     "cdc_merge_sink_customer": cdc_merge_sink_customer,
@@ -553,6 +775,10 @@ QUERIES = {
     "cdc_topic_routing_counts": cdc_topic_routing_counts,
     "cdc_stream_table_join": cdc_stream_table_join,
     "cdc_schema_evolution_customer": cdc_schema_evolution_customer,
+    "cdc_schema_evolution_drop": cdc_schema_evolution_drop,
+    "cdc_schema_evolution_rename": cdc_schema_evolution_rename,
+    "cdc_zero_column_table": cdc_zero_column_table,
+    "cdc_skip_snapshot_customer": cdc_skip_snapshot_customer,
 }
 
 ORACLES = {
@@ -569,4 +795,8 @@ ORACLES = {
     "cdc_topic_routing_counts": CDC_ROUTING_SQL,
     "cdc_stream_table_join": CDC_STREAM_TABLE_JOIN_SQL,
     "cdc_schema_evolution_customer": CDC_EVOLUTION_SQL,
+    "cdc_schema_evolution_drop": CDC_EVOLUTION_DROP_SQL,
+    "cdc_schema_evolution_rename": CDC_EVOLUTION_RENAME_SQL,
+    "cdc_zero_column_table": CDC_ZERO_COLUMN_SQL,
+    "cdc_skip_snapshot_customer": CDC_SKIP_SNAPSHOT_SQL,
 }

@@ -314,19 +314,32 @@ def generate_cdc(
     namespace: str = "public",
     topic_prefix: str | None = None,
     include_txn_markers: bool = False,
+    skip_snapshot: bool = False,
 ) -> DataFrame:
     """Full CDC replay: snapshot inserts + deterministic mutations.
 
     ``pk_num`` is an integer-valued Column used for the deterministic
     mutation rules and lsn assignment; for composite keys pass a fused
     expression (e.g. ``l_orderkey*8 + l_linenumber``).
+
+    ``skip_snapshot`` mirrors the reference's ``--skip-snapshot`` /
+    ``skip_snapshot=true`` startup option (bottledwater.c option table;
+    spec/functional/snapshot_spec.rb:55-61 — "doesn't emit a snapshot
+    when skip snapshot is configured"): the replication slot is created
+    but no initial snapshot is streamed, so consumers see ONLY keys the
+    stream subsequently mutates.
     """
     spec = spec or MutationSpec()
-    snap = snapshot_events(df, pk_cols, pk_num, relid, table, namespace, topic_prefix)
     muts = mutation_events(
         df, pk_cols, pk_num, relid, table, spec, namespace, topic_prefix
     )
-    out = snap.unionByName(muts)
+    if skip_snapshot:
+        out = muts
+    else:
+        snap = snapshot_events(
+            df, pk_cols, pk_num, relid, table, namespace, topic_prefix
+        )
+        out = snap.unionByName(muts)
     if include_txn_markers:
         spark = df.sparkSession
         xids = [XID_SNAPSHOT, XID_UPDATE, XID_PKCHANGE, XID_DELETE]

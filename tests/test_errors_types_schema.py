@@ -195,3 +195,70 @@ def test_malformed_payload_decodes_null_and_is_countable(spark):
         .count()
     )
     assert bad == 1
+
+
+# ---------------------------- schema-evolution DDL matrix, end-to-end
+
+
+def test_schema_evolution_drop_column_end_to_end(spark, sf_dir, duck):
+    """schema_spec.rb:359-467 drop-column: survivors decode under the
+    NEWEST (narrower) schema; v1 payloads' dropped field is ignored."""
+    from bottledwater_pg_spark.operators.cdc_queries import (
+        CDC_EVOLUTION_DROP_SQL,
+        cdc_schema_evolution_drop,
+    )
+    from tests.conftest import assert_df_matches_oracle
+
+    out = cdc_schema_evolution_drop(spark, sf_dir)
+    assert "c_acctbal" not in out.columns  # column really dropped
+    assert_df_matches_oracle(out, duck, CDC_EVOLUTION_DROP_SQL)
+
+
+def test_schema_evolution_rename_end_to_end(spark, sf_dir, duck):
+    """topic_spec.rb rename: state continuous across the rename (keyed
+    by relid), post-rename events route to the new topic."""
+    from bottledwater_pg_spark.operators.cdc_queries import (
+        CDC_EVOLUTION_RENAME_SQL,
+        cdc_schema_evolution_rename,
+    )
+    from tests.conftest import assert_df_matches_oracle
+
+    out = cdc_schema_evolution_rename(spark, sf_dir)
+    topics = {r["last_topic"] for r in out.select("last_topic").distinct().collect()}
+    assert topics == {"custmr", "customer_renamed"}
+    assert_df_matches_oracle(out, duck, CDC_EVOLUTION_RENAME_SQL)
+
+
+def test_zero_column_table_roundtrip(spark, sf_dir, duck):
+    """schema_spec.rb zero-column table: dummy-boolean schema parity
+    (oid2avro.c:153-163) driven end-to-end through the unkeyed path."""
+    from bottledwater_pg_spark.operators.cdc_queries import (
+        CDC_ZERO_COLUMN_SQL,
+        cdc_zero_column_table,
+    )
+    from tests.conftest import assert_df_matches_oracle
+
+    out = cdc_zero_column_table(spark, sf_dir)
+    assert out.columns == ["dummy"]
+    assert_df_matches_oracle(out, duck, CDC_ZERO_COLUMN_SQL)
+
+
+def test_skip_snapshot_stream_only(spark, sf_dir, duck):
+    """snapshot_spec.rb:55-61 --skip-snapshot: only stream-touched keys
+    materialize; a tombstone for a never-snapshotted key is a no-op."""
+    from bottledwater_pg_spark.operators.cdc_queries import (
+        CDC_SKIP_SNAPSHOT_SQL,
+        cdc_skip_snapshot_customer,
+    )
+    from bottledwater_pg_spark.sources.generator import generate_cdc
+    from tests.conftest import assert_df_matches_oracle
+
+    out = cdc_skip_snapshot_customer(spark, sf_dir)
+    assert_df_matches_oracle(out, duck, CDC_SKIP_SNAPSHOT_SQL)
+    # the skip-snapshot stream carries NO xid-0 snapshot events at all
+    cust = load_table(spark, sf_dir, "customer")
+    stream = generate_cdc(
+        cust, ["c_custkey"], F.col("c_custkey"), 1, "customer",
+        skip_snapshot=True,
+    )
+    assert stream.filter(F.col("xid") == 0).count() == 0
