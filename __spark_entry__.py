@@ -34,13 +34,46 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# Dict order is meaningful: a time-bounded checker that walks queries()
-# in order should see every family early — CDC plane, TPC-H shapes,
-# consumer uses (routing/join/fraud/search), LLM pipeline (dedup /
-# similarity / text / sampling), streaming-in-batch — before the long
-# tail of variants.
+# Dict order is meaningful: the driver's correctness gate hashes the
+# FIRST 50 entries each round. Rounds 1-3 certified 71 of the 113
+# queries; this round rotates the window so that (a) the 42 queries no
+# driver round has ever hashed, (b) the 4 new schema-evolution /
+# skip-snapshot queries, and (c) the queries whose implementation
+# changed this round (two-phase ranked median, tracked-persist dedup
+# pipeline) land inside it. The 63 previously-green queries keep their
+# r1-r3 records; scripts/exact_gate.py re-certifies all 117 locally
+# (EXACTGATE_r4.json).
 _FAMILY_SPREAD = [
-    # CDC plane
+    # new this round: DDL matrix + startup mode (CDC plane)
+    "cdc_schema_evolution_drop", "cdc_schema_evolution_rename",
+    "cdc_zero_column_table", "cdc_skip_snapshot_customer",
+    # never driver-checked: relational / TPC-H-adjacent shapes
+    "important_part_values", "value_histogram",
+    "quantity_price_corr_exact", "fuzzy_supplier_pairs",
+    "fuzzy_supplier_pairs_k2", "quartiles_order_value_by_segment",
+    "asof_click_to_next_purchase", "ntile_price_bands",
+    "supplier_balance_distribution", "top_orderkeys_csv_per_segment",
+    "clickers_never_purchased", "orders_in_price_band",
+    "unpivot_segment_metrics", "monthly_order_momentum",
+    "order_quantity_profiles", "order_calendar_breakdown",
+    # re-implemented this round (re-certify under the new plan)
+    "median_order_value_by_segment",
+    # never driver-checked: LLM pipeline
+    "dedup_cluster_canonical_star", "dedup_ngram_jaccard",
+    "lsh_simhash_near_dup", "lsh_embedding_near_dup",
+    "lsh_ann_topk", "ivf_ann_topk",
+    "text_quality_by_source", "text_langid", "text_bpe_token_stats",
+    "doc_fingerprint_winnow", "multimodal_frame_sample", "text_chunks",
+    "vocab_top_terms", "negative_pairs_per_doc", "stratified_sample_docs",
+    "corpus_shuffle_positions", "budget_mix_counts", "sequence_pack_stats",
+    "inverted_index_postings", "bm25_topk_docs", "multimodal_decode_meta",
+    "cross_set_contamination",
+    # changed this round (tracked persists on the shared LSH pair set)
+    "lsh_minhash_near_dup", "dedup_cluster_canonical",
+    # never driver-checked: streaming ops in batch mode
+    "windowed_event_counts", "session_window_counts",
+    "sliding_window_counts", "hierarchical_rollup_daily",
+    # ---- 50-entry window boundary (everything below has r1-r3 records)
     "cdc_materialize_customer", "cdc_merge_sink_customer",
     "cdc_incremental_agg_customer", "cdc_scd2_as_of",
     "cdc_snapshot_diff_customer", "cdc_history_scd2",
@@ -48,7 +81,6 @@ _FAMILY_SPREAD = [
     "cdc_materialize_events_composite", "cdc_append_unkeyed",
     "cdc_topic_routing_counts", "cdc_stream_table_join",
     "cdc_schema_evolution_customer",
-    # relational / TPC-H shapes
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "shipmode_case_agg",
     "market_share_by_year", "part_profit_by_nation", "sole_late_suppliers",
@@ -57,19 +89,11 @@ _FAMILY_SPREAD = [
     "customers_in_both_statuses", "asof_purchase_to_click",
     "interval_window_counts", "json_props_aggregation",
     "variant_props_aggregation", "skewed_agg_salted", "pg_array_roundtrip",
-    "hstore_roundtrip", "median_order_value_by_segment",
-    "fraud_rolling_anomalies",
-    # LLM pipeline
-    "dedup_exact", "lsh_minhash_near_dup", "prefix_jaccard_near_dup",
-    "dedup_cluster_canonical", "winnow_near_dup_pairs",
+    "hstore_roundtrip", "fraud_rolling_anomalies",
+    "dedup_exact", "prefix_jaccard_near_dup", "winnow_near_dup_pairs",
     "dedup_embedding_cosine", "ann_topk_cosine", "embedding_centroid_step",
     "text_stats_per_doc", "doc_repetition_stats", "passage_dedup_stats",
-    "pii_redaction_stats", "corpus_split_counts", "corpus_shuffle_positions",
-    "budget_mix_counts", "sequence_pack_stats", "inverted_index_postings",
-    "bm25_topk_docs", "multimodal_decode_meta", "cross_set_contamination",
-    # streaming ops in batch mode
-    "windowed_event_counts", "session_window_counts",
-    "hierarchical_rollup_daily",
+    "pii_redaction_stats", "corpus_split_counts",
 ]
 
 

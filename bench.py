@@ -28,6 +28,8 @@ BENCH_QUERIES = [
     "cdc_incremental_agg_customer",
     "cdc_stream_table_join",
     "cdc_schema_evolution_customer",
+    "cdc_schema_evolution_drop",
+    "cdc_skip_snapshot_customer",
     # relational plane
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -139,6 +141,25 @@ def main() -> None:
     cdc_eps = round(n_events / timings["cdc_materialize_events_composite"], 1)
 
     total = round(sum(timings.values()), 3)
+    # Host-speed calibration, recorded IN the bench output so
+    # cross-round normalization is mechanical (BASELINE.md: r1->r2
+    # drifted 2.7x with zero code change). The three control queries
+    # have been code-identical since round 1; `r01` holds their
+    # round-1 driver timings. host_speed_ratio ~ 1.0 means an
+    # r1-speed host; ~2 means this host runs identical plans 2x
+    # slower, and other timings should be divided by it before
+    # comparing to the baseline.
+    controls_r01 = {
+        "cdc_materialize_customer": 0.846,
+        "q1_pricing_summary": 0.749,
+        "pii_redaction_stats": 0.269,
+    }
+    ratios = sorted(
+        timings[name] / r01
+        for name, r01 in controls_r01.items()
+        if name in timings
+    )
+    host_ratio = round(ratios[len(ratios) // 2], 3) if ratios else None
     print(
         json.dumps(
             {
@@ -148,6 +169,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cdc_events_per_sec": cdc_eps,
+                "controls": {
+                    "r01_sec": controls_r01,
+                    "this_run_sec": {
+                        n: timings.get(n) for n in controls_r01
+                    },
+                    "host_speed_ratio_vs_r01": host_ratio,
+                },
             }
         )
     )

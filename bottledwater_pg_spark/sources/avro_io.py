@@ -52,3 +52,18 @@ def encode_avro(col: Column) -> Column:
 
 def encode_rows(df: DataFrame, cols: list[str], out: str = "avro_bytes") -> DataFrame:
     return df.withColumn(out, encode_avro(F.struct(*cols)))
+
+
+def decode_avro(col: Column, avro_schema_json: str) -> Column:
+    """Avro binary -> struct, when the data source is loaded — the
+    consumer-side half of the envelope (the reference's
+    avro_binary_value decode, client/protocol_client.c:94-294)."""
+    if not avro_available():
+        raise NotImplementedError(
+            "Avro decode needs the spark-avro data source on the "
+            "classpath; this image ships only the core avro jars "
+            "(see encode_avro)"
+        )
+    from pyspark.sql.avro.functions import from_avro
+
+    return from_avro(col, avro_schema_json)

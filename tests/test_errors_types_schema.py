@@ -262,3 +262,50 @@ def test_skip_snapshot_stream_only(spark, sf_dir, duck):
         skip_snapshot=True,
     )
     assert stream.filter(F.col("xid") == 0).count() == 0
+
+
+# ------------------------------------------------ Avro envelope (E1)
+
+
+def test_avro_envelope_roundtrip_or_gate(spark, sf_dir):
+    """E1: when the spark-avro data source is present, the full binary
+    envelope must round-trip (encode customer rows -> Avro bytes ->
+    decode -> identical values). In this image the data source is
+    absent, so the capability gate must raise with the explanatory
+    message instead of failing cryptically at execution time. The SAME
+    test passes in both environments — it lights up automatically with
+    the jar (kafka/registry.c:63-87 framing is the reference analog).
+    """
+    from bottledwater_pg_spark.sources.avro_io import (
+        avro_available,
+        decode_avro,
+        encode_rows,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    if avro_available():
+        enc = encode_rows(cust, ["c_custkey", "c_name"])
+        avro_schema = {
+            "type": "record",
+            "name": "customer",
+            "fields": [
+                {"name": "c_custkey", "type": ["null", "long"]},
+                {"name": "c_name", "type": ["null", "string"]},
+            ],
+        }
+        dec = enc.select(
+            F.col("c_custkey").alias("orig_key"),
+            decode_avro(F.col("avro_bytes"), __import__("json").dumps(avro_schema)).alias("r"),
+        )
+        mismatches = dec.filter(F.col("orig_key") != F.col("r.c_custkey")).count()
+        assert mismatches == 0
+        assert dec.count() == cust.count()
+    else:
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            encode_rows(cust, ["c_custkey", "c_name"]).collect()
+        with pytest.raises(NotImplementedError, match="spark-avro|avro"):
+            cust.select(decode_avro(F.lit(b""), "{}")).collect()

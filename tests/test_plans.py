@@ -138,12 +138,37 @@ def test_prefix_jaccard_has_no_cartesian_and_prunes_to_prefix(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_median_single_sort_shuffle_then_tiny_agg(spark, sf_dir):
+def test_median_two_phase_no_group_partitioned_sort(spark, sf_dir):
+    from bottledwater_pg_spark.plans.inspect import formatted_plan
+
     df = Q.median_order_value_by_segment(spark, sf_dir)
-    # rank + filter before the final agg; the segment sort is the only
-    # wide exchange besides the (tiny, post-filter) group agg
-    assert count_exchanges(df) <= 3
+    plan = formatted_plan(df)
+    # the point of the two-phase bucketed rank: the ONLY window sort
+    # over data rows is partitioned by (segment, bucket), never by the
+    # 5-value segment alone — no "partial window" whose partition spec
+    # is just c_mktsegment ranking raw rows. The c_mktsegment-only
+    # windows that remain operate on the 5x256-row bucket-count table.
+    import re
+
+    row_windows = [
+        ln for ln in plan.splitlines()
+        if "row_number" in ln and "windowspecdefinition" in ln
+    ]
+    assert row_windows, "expected a row_number window in the plan"
+    assert all("_bkt" in ln for ln in row_windows), row_windows
     assert has_partial_aggregation(df)
+
+
+def test_quartiles_two_phase_no_group_partitioned_sort(spark, sf_dir):
+    from bottledwater_pg_spark.plans.inspect import formatted_plan
+
+    df = Q.quartiles_order_value_by_segment(spark, sf_dir)
+    plan = formatted_plan(df)
+    row_windows = [
+        ln for ln in plan.splitlines()
+        if "row_number" in ln and "windowspecdefinition" in ln
+    ]
+    assert row_windows and all("_bkt" in ln for ln in row_windows)
 
 
 def test_q22_broadcasts_scalar_and_antijoins(spark, sf_dir):
