@@ -1925,26 +1925,37 @@ def top_orderkeys_csv_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame
     keeps the result scalar so the cross-engine value hash applies
     (array columns hash engine-specifically).
 
-    Scale note: collect_list per group is bounded here by the later
-    slice(3); at warehouse scale cap the payload BEFORE aggregation
-    with a windowed rank filter (top3_orders_per_segment) — this query
-    exists to pin the ordered-collect surface itself.
+    Scale note: the collect is TWO-PHASE bounded — phase 1 groups by
+    (segment, input partition) and keeps only each partition's top-3
+    structs, so no aggregation buffer ever holds a segment's full
+    order list; phase 2 merges the <=P three-element arrays. Same
+    bounded-top-k shape as inverted_index_postings' posting heads.
     """
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("v")
     )
     j = orders.join(cust, orders.o_custkey == cust.c_custkey)
-    arr = F.sort_array(
-        F.collect_list(F.struct(F.col("v"), F.col("o_orderkey"))), asc=False
+    arr = F.slice(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("v"), F.col("o_orderkey"))), asc=False
+        ),
+        1,
+        3,
     )
     return (
-        j.groupBy("c_mktsegment")
-        .agg(arr.alias("_arr"))
+        j.groupBy("c_mktsegment", F.spark_partition_id().alias("_pid"))
+        .agg(arr.alias("_part"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("_part")), asc=False), 1, 3
+            ).alias("_arr")
+        )
         .select(
             "c_mktsegment",
             F.array_join(
-                F.expr("transform(slice(_arr, 1, 3), s -> cast(s.o_orderkey as string))"),
+                F.expr("transform(_arr, s -> cast(s.o_orderkey as string))"),
                 ",",
             ).alias("top3_orderkeys"),
         )
