@@ -1798,6 +1798,12 @@ def _bucketed_group_ranks(j: DataFrame, group_col: str, rank_exprs: list[str]) -
     in the rank stage.  Same discipline as the deterministic global
     shuffle (sampling.py ``global_shuffle_index``), but with NO driver
     collect at all — the count table stays distributed.
+
+    The stats/wanted sides are broadcast explicitly: they are
+    groups-sized (and wanted is further capped at straddling buckets
+    only, <= 2 per requested rank), always orders of magnitude
+    smaller than the data side; at extreme group cardinality (say
+    >10M groups) drop the hints and AQE picks the join strategy.
     """
     from pyspark.sql import Window
 

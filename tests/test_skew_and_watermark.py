@@ -161,3 +161,72 @@ def test_streaming_fraud_matches_batch_flags(spark):
             for r in spark.sql("SELECT event_id FROM fraud_stream").collect()
         }
     assert got == expected
+
+
+def test_streaming_fraud_multichunk_arrow_parity(spark):
+    """A user's rows inside ONE micro-batch must score identically even
+    when Arrow splits the group across many record batches and the
+    rows arrive unsorted: the scorer concatenates all chunks before
+    its single (ts, event_id) sort, and its decimal(18,4) moment
+    arithmetic mirrors the batch window bit-for-bit — so borderline
+    3-sigma events cannot flip between the two formulations."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.queries import fraud_flag_events
+    from bottledwater_pg_spark.streaming.queries import (
+        streaming_fraud_anomalies,
+    )
+
+    # deterministic synthetic stream: 3 users x 60 events, values with
+    # 6 decimal digits (stresses the decimal quantization) and an
+    # occasional spike whose deviation sits near the 3-sigma edge
+    rows = []
+    for u in range(3):
+        for i in range(60):
+            v = 100.0 + ((i * 7919 + u * 104729) % 1000) / 997.0
+            if i % 17 == 0:
+                v += 2.9 + (i % 5) * 0.05  # straddles the flag boundary
+            ts = 1_700_000_000_000_000 + i * 1_000_000 + u
+            rows.append((u, u * 1000 + i, ts, v))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, value double"
+    ).select(
+        "user_id", "event_id",
+        F.timestamp_micros("ts").alias("ts"), "value",
+    )
+    expected = {
+        r["event_id"]
+        for r in fraud_flag_events(ev).filter(F.col("anom") == 1).collect()
+    }
+    assert expected, "synthetic stream must contain at least one anomaly"
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            src = f"{tmp}/events"
+            # one file (one micro-batch), rows written in SHUFFLED
+            # order so chunk-local sorting would interleave wrongly
+            ev.orderBy(F.expr("hash(event_id)")).coalesce(1).write.parquet(src)
+            stream = spark.readStream.schema(ev.schema).parquet(src)
+            q = (
+                streaming_fraud_anomalies(stream)
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName("fraud_multichunk")
+                .option("checkpointLocation", f"{tmp}/ck")
+                .start()
+            )
+            q.processAllAvailable()
+            got = {
+                r["event_id"]
+                for r in spark.sql(
+                    "SELECT event_id FROM fraud_multichunk"
+                ).collect()
+            }
+            q.stop()
+        assert got == expected
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
