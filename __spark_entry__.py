@@ -73,6 +73,8 @@ _FAMILY_SPREAD = [
     # never driver-checked: streaming ops in batch mode
     "windowed_event_counts", "session_window_counts",
     "sliding_window_counts", "hierarchical_rollup_daily",
+    # new this round: n-gram overlap decontamination
+    "ngram_contamination",
     # ---- 50-entry window boundary (everything below has r1-r3 records)
     "cdc_materialize_customer", "cdc_merge_sink_customer",
     "cdc_incremental_agg_customer", "cdc_scd2_as_of",

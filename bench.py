@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "text_chunks",
     "winnow_near_dup_pairs",
     "dedup_cluster_canonical_star",
+    "ngram_contamination",
     "median_order_value_by_segment",
     "corpus_split_counts",
     "sequence_pack_stats",

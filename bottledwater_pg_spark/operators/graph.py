@@ -68,23 +68,30 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("ncomp"))
         )
+        # carry the changed flag THROUGH the checkpoint and keep the
+        # checkpoint lazy: the convergence count below is then the
+        # round's ONLY job — it materializes the checkpoint and reads
+        # the flag in one pass (eager checkpoint + separate
+        # old-vs-new join used to cost 2-3 jobs per round, pure
+        # scheduling overhead on the typically tiny label table)
         new_labels = (
             labels.join(neigh, labels.id == neigh.a, "left")
             .select(
                 labels.id,
                 F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias(
-                    "comp"
+                    "ncomp2"
                 ),
+                F.col("comp").alias("oldcomp"),
             )
-            .localCheckpoint()
+            .select(
+                "id",
+                F.col("ncomp2").alias("comp"),
+                (F.col("ncomp2") != F.col("oldcomp")).alias("changed"),
+            )
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             converged = True
             break
@@ -165,12 +172,13 @@ def connected_components_star(
                 F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
             )
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # convergence: both sides are DISTINCT sets, so set equality ==
         # empty symmetric difference — ONE job (full-outer join on the
         # edge, count the one-sided rows) instead of the former
-        # count() + exceptAll().count() pair per round
+        # count() + exceptAll().count() pair per round; the lazy
+        # checkpoint of `small` materializes inside this same job
         converged = (
             cur.withColumn("_o", F.lit(1))
             .join(small.withColumn("_n", F.lit(1)), ["a", "b"], "full_outer")

@@ -26,6 +26,7 @@ from bottledwater_pg_spark.functions.text import (
     sql_word_shingles,
     stopword_count,
     token_count,
+    word_shingles,
 )
 from bottledwater_pg_spark.operators import dedup, multimodal, similarity
 from bottledwater_pg_spark.session import load_table, persist_tracked
@@ -371,9 +372,11 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 4 consecutive k-grams, emit the distinct (doc_id, fingerprint)
     set. The standard plagiarism/near-dup fingerprint guaranteeing any
     shared substring of length >= k + w - 1 yields a shared
-    fingerprint. Narrow per-doc compute (no shuffle until the final
-    distinct), embarrassingly parallel — the 100 TB path is a scan +
-    one distinct on (doc_id, fp).
+    fingerprint. Fully narrow per-doc compute: the per-doc repeats
+    (consecutive windows sharing a minimum) are removed by
+    array_distinct BEFORE the explode, so (doc_id, fp) is distinct by
+    construction and the operator has NO shuffle at all —
+    embarrassingly parallel at 100 TB.
 
     The reference ships no text analysis (README.md:30-32 delegates
     consumer-side processing); this is north-star LLM-pipeline
@@ -382,10 +385,9 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bottledwater_pg_spark.functions.text import kgram_hashes, winnow_mins
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return (
-        docs.withColumn("_g", kgram_hashes("text", 8))
-        .select("doc_id", F.explode(winnow_mins("_g", 4)).alias("fp"))
-        .distinct()
+    return docs.withColumn("_g", kgram_hashes("text", 8)).select(
+        "doc_id",
+        F.explode(F.array_distinct(winnow_mins("_g", 4))).alias("fp"),
     )
 
 
@@ -410,25 +412,26 @@ def winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~7x on this corpus at sf0.1 and structurally necessary at 100 TB.
     """
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
     from bottledwater_pg_spark.functions.text import kgram_hashes, winnow_mins
 
     corpus = docs_with_near_dups(spark, sf_dir)
-    # the fingerprint table feeds the df-filter AND both join sides;
-    # the md5 k-gram hashing is the dominant per-row cost, so compute
-    # it once (cluster-scale analog: a checkpointed fingerprint table)
-    fps = (
-        corpus.withColumn("_g", kgram_hashes("text", 8))
-        .select("doc_id", F.explode(winnow_mins("_g", 4)).alias("fp"))
-        .distinct()
+    # dedupe INSIDE the row: winnowing emits the same minimum for many
+    # consecutive windows, so array_distinct before the explode removes
+    # per-doc repeats narrowly — (doc, fp) is then globally distinct by
+    # construction and the full-table distinct shuffle disappears
+    fps = corpus.withColumn("_g", kgram_hashes("text", 8)).select(
+        "doc_id",
+        F.explode(F.array_distinct(winnow_mins("_g", 4))).alias("fp"),
     )
-    fps = persist_tracked(fps, StorageLevel.MEMORY_AND_DISK)
-    rare = fps.join(
-        fps.groupBy("fp")
-        .agg(F.count("*").alias("_df"))
+    # document frequency as a window count over fp: ONE shuffle of the
+    # fingerprint table (vs groupBy(fp) + join-back = two), and the
+    # output is already partitioned by fp for the self-join below
+    rare = (
+        fps.withColumn("_df", F.count("*").over(Window.partitionBy("fp")))
         .filter(F.col("_df") <= WINNOW_DF_CAP)
-        .select("fp"),
-        "fp",
+        .drop("_df")
     )
     rare = persist_tracked(rare, StorageLevel.MEMORY_AND_DISK)  # reused by sizes + both join sides
     sizes = rare.groupBy("doc_id").agg(F.count("*").alias("nfp"))
@@ -799,10 +802,87 @@ FROM train JOIN eval_set USING (fp)
 GROUP BY eval_id
 """
 
+NGRAM_CONTAM_N = 8  # word n-gram length (the 13-gram idea, doc-sized)
+NGRAM_CONTAM_DF_CAP = 50  # drop grams in > 50 train docs (boilerplate)
+
+
+def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram overlap decontamination — the standard eval-set
+    contamination test for LLM training corpora (verbatim-fingerprint
+    matching misses partial inclusions; overlap on long word n-grams
+    catches a benchmark question embedded inside a larger page). Same
+    eval/train construction as ``cross_set_contamination``; reports,
+    per eval doc, how many of its distinct word 8-grams occur in the
+    training corpus and how many distinct train docs share one.
+
+    Scale path: explode to (doc, gram) pairs — grams are DISTINCT per
+    doc (array_distinct), so the per-gram count IS document frequency;
+    a df-cap drops boilerplate grams before the join, which is also
+    the skew guard (a viral phrase would otherwise hot-key the
+    shuffle). The join keys on the gram; eval-side grams are a tiny
+    fraction, so AQE broadcasts them. At warehouse scale hash the
+    grams (xxhash64) first so the shuffle moves 8 bytes, not strings
+    — kept textual here because the DuckDB oracle must compute the
+    identical join.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 500000).alias("eval_id"), "text"
+    )
+    contam = docs.filter(F.col("doc_id") % 27 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 9 != 0).unionByName(contam)
+    ev_g = eval_set.select(
+        "eval_id",
+        F.explode(word_shingles("text", NGRAM_CONTAM_N)).alias("gram"),
+    )
+    tr_g = train.select(
+        "doc_id",
+        F.explode(word_shingles("text", NGRAM_CONTAM_N)).alias("gram"),
+    )
+    rare = (
+        tr_g.groupBy("gram")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= NGRAM_CONTAM_DF_CAP)
+        .select("gram")
+    )
+    hits = tr_g.join(rare, "gram").join(ev_g, "gram")
+    return hits.groupBy("eval_id").agg(
+        F.count_distinct("gram").alias("n_shared_grams"),
+        F.count_distinct("doc_id").alias("n_train_docs"),
+    )
+
+
+NGRAM_CONTAM_SQL = f"""
+WITH eval_set AS (
+  SELECT doc_id + 500000 AS eval_id, text FROM documents WHERE doc_id % 9 = 0
+), train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 0
+  UNION ALL
+  SELECT doc_id + 600000, text FROM documents WHERE doc_id % 27 = 0
+), ev_g AS (
+  SELECT eval_id, unnest({sql_word_shingles("text", NGRAM_CONTAM_N)}) AS gram
+  FROM eval_set
+), tr_g AS (
+  SELECT doc_id, unnest({sql_word_shingles("text", NGRAM_CONTAM_N)}) AS gram
+  FROM train
+), rare AS (
+  SELECT gram FROM tr_g GROUP BY gram
+  HAVING COUNT(*) <= {NGRAM_CONTAM_DF_CAP}
+)
+SELECT eval_id, COUNT(DISTINCT gram) AS n_shared_grams,
+       COUNT(DISTINCT doc_id) AS n_train_docs
+FROM tr_g JOIN rare USING (gram) JOIN ev_g USING (gram)
+GROUP BY eval_id
+"""
+
 QUERIES["vocab_top_terms"] = vocab_top_terms
 ORACLES["vocab_top_terms"] = VOCAB_SQL
 QUERIES["cross_set_contamination"] = cross_set_contamination
 ORACLES["cross_set_contamination"] = CONTAM_SQL
+QUERIES["ngram_contamination"] = ngram_contamination
+ORACLES["ngram_contamination"] = NGRAM_CONTAM_SQL
 
 
 # ------------------------------------------ sampling / splitting / packing
