@@ -44,9 +44,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # r1-r3 records; scripts/exact_gate.py re-certifies all 117 locally
 # (EXACTGATE_r4.json).
 _FAMILY_SPREAD = [
-    # new this round: DDL matrix + startup mode (CDC plane)
+    # new this round: DDL matrix + startup mode + export entry (CDC plane)
     "cdc_schema_evolution_drop", "cdc_schema_evolution_rename",
     "cdc_zero_column_table", "cdc_skip_snapshot_customer",
+    "cdc_export_snapshot_counts",
     # never driver-checked: relational / TPC-H-adjacent shapes
     "important_part_values", "value_histogram",
     "quantity_price_corr_exact", "fuzzy_supplier_pairs",
@@ -68,8 +69,8 @@ _FAMILY_SPREAD = [
     "corpus_shuffle_positions", "budget_mix_counts", "sequence_pack_stats",
     "inverted_index_postings", "bm25_topk_docs", "multimodal_decode_meta",
     "cross_set_contamination",
-    # changed this round (tracked persists on the shared LSH pair set)
-    "lsh_minhash_near_dup", "dedup_cluster_canonical",
+    # changed this round (single-job CC convergence on the shared pair set)
+    "dedup_cluster_canonical",
     # never driver-checked: streaming ops in batch mode
     "windowed_event_counts", "session_window_counts",
     "sliding_window_counts", "hierarchical_rollup_daily",

@@ -761,6 +761,35 @@ FROM customer WHERE c_custkey % 11 = 0
 """
 
 
+def cdc_export_snapshot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.2 one-call export entry (``SELECT bottledwater_export(
+    '%', allow_unkeyed := true)``) driven end-to-end: snapshot every
+    fixture table into one interleaved envelope stream — per-table
+    TableSchema piggybacked before the first row, every row an Insert
+    frame with xid=0, keys resolved per the replica-identity registry
+    (unkeyed tables captured with null keys) — and report the frame
+    inventory per (topic, op). The oracle is the closed-form count:
+    one schema frame + row-count insert frames per table.
+    """
+    from bottledwater_pg_spark.sources.catalog import export_snapshot
+
+    frames = export_snapshot(spark, sf_dir, "%", allow_unkeyed=True)
+    return frames.groupBy("topic", "op").agg(F.count("*").alias("n_frames"))
+
+
+_EXPORT_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+CDC_EXPORT_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS topic, 'insert' AS op, COUNT(*) AS n_frames FROM {t}\n"
+    f"UNION ALL\n"
+    f"SELECT '{t}', 'table_schema', 1"
+    for t in _EXPORT_TABLES
+)
+
+
 QUERIES = {
     "cdc_materialize_customer": cdc_materialize_customer,
     "cdc_merge_sink_customer": cdc_merge_sink_customer,
@@ -779,6 +808,7 @@ QUERIES = {
     "cdc_schema_evolution_rename": cdc_schema_evolution_rename,
     "cdc_zero_column_table": cdc_zero_column_table,
     "cdc_skip_snapshot_customer": cdc_skip_snapshot_customer,
+    "cdc_export_snapshot_counts": cdc_export_snapshot_counts,
 }
 
 ORACLES = {
@@ -799,4 +829,5 @@ ORACLES = {
     "cdc_schema_evolution_rename": CDC_EVOLUTION_RENAME_SQL,
     "cdc_zero_column_table": CDC_ZERO_COLUMN_SQL,
     "cdc_skip_snapshot_customer": CDC_SKIP_SNAPSHOT_SQL,
+    "cdc_export_snapshot_counts": CDC_EXPORT_SQL,
 }

@@ -109,3 +109,78 @@ def fnmatch_tables(sf_dir: str, glob_pattern: str) -> list[str]:
         f[:-8] for f in os.listdir(sf_dir) if f.endswith(".parquet")
     )
     return [n for n in names if fnmatch.fnmatch(n, glob_pattern)]
+
+
+# integer expression used for snapshot lsn assignment per fixture table
+# (the reference's snapshot rows are ordered by cursor position; here a
+# deterministic per-row integer plays that role). lineitem's composite
+# fuse mirrors the events-composite convention.
+TABLE_PKNUM_SQL: dict[str, str] = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey * 8 + l_linenumber",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def export_snapshot(
+    spark,
+    sf_dir: str,
+    pattern: str = "%",
+    allow_unkeyed: bool = False,
+    namespace: str = "public",
+    topic_prefix: str | None = None,
+):
+    """The §3.2 SQL entry point as one call — the Spark analog of
+    ``SELECT bottledwater_export(pattern, allow_unkeyed, ...)``
+    (/root/reference/ext/bottledwater--0.1.sql:21-26,
+    snapshot.c:103-189): enumerate every capturable table matching the
+    LIKE pattern (S2, key resolution + unkeyed refusal), and return
+    ONE interleaved envelope DataFrame in which each table contributes
+    its TableSchema control event (piggybacked before the first row,
+    protocol_server.c:78-99) followed by every row as an Insert frame
+    with xid=0.
+
+    Scale: a union of per-table narrow projections — no shuffle at
+    all; each table's scan parallelizes over its own splits, exactly
+    the reference's one-cursor-per-table pull loop re-expressed as
+    Spark's iterator model.
+    """
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.schema_tracker import table_schema_events
+    from bottledwater_pg_spark.session import load_table
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+    from bottledwater_pg_spark.routing import topic_name
+
+    parts = []
+    for t in get_table_list(sf_dir, pattern, allow_unkeyed):
+        df = load_table(spark, sf_dir, t.name)
+        pk_num = F.expr(TABLE_PKNUM_SQL[t.name])
+        topic = topic_name(t.name, namespace, topic_prefix)
+        ctl = table_schema_events(df, t.relid, topic, lsn=-1)
+        parts.append(
+            ctl.unionByName(
+                snapshot_events(
+                    df,
+                    list(t.key_columns),
+                    pk_num,
+                    t.relid,
+                    t.name,
+                    namespace,
+                    topic_prefix,
+                )
+            )
+        )
+    if not parts:
+        raise LookupError(f"no tables match pattern {pattern!r}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

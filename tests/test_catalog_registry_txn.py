@@ -160,3 +160,36 @@ def test_avro_path_gated(spark):
     else:
         with pytest.raises(NotImplementedError, match="spark-avro"):
             encode_avro(F.struct(F.lit(1)))
+
+
+def test_export_snapshot_one_call_entry(spark, sf_dir, duck):
+    """§3.2 bottledwater_export as one call: every matching table
+    contributes a piggybacked TableSchema frame then all rows as
+    xid-0 Insert frames; unkeyed tables refuse without allow_unkeyed."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.cdc_queries import (
+        CDC_EXPORT_SQL,
+        cdc_export_snapshot_counts,
+    )
+    from bottledwater_pg_spark.sources.catalog import (
+        UnkeyedTableError,
+        export_snapshot,
+    )
+    from tests.conftest import assert_df_matches_oracle
+
+    with pytest.raises(UnkeyedTableError):
+        export_snapshot(spark, sf_dir, "%")  # lineitem/events unkeyed
+
+    frames = export_snapshot(spark, sf_dir, "c%", allow_unkeyed=False)
+    # customer only; schema frame precedes every row frame (lsn -1)
+    first = frames.orderBy("lsn").first()
+    assert first["op"] == "table_schema" and first["schema_json"]
+    rows = frames.filter(F.col("op") == "insert")
+    assert rows.filter(F.col("xid") != 0).count() == 0
+    assert rows.filter(F.col("key").isNull()).count() == 0
+
+    assert_df_matches_oracle(
+        cdc_export_snapshot_counts(spark, sf_dir), duck, CDC_EXPORT_SQL
+    )
