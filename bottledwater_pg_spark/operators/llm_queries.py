@@ -841,13 +841,19 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(word_shingles("text", NGRAM_CONTAM_N)).alias("gram"),
     )
-    rare = (
-        tr_g.groupBy("gram")
-        .agg(F.count("*").alias("_df"))
+    # document frequency as a window count over the gram: the train
+    # explode runs ONCE and shuffles once (groupBy(gram) + join-back
+    # would explode it twice), and the output is already partitioned
+    # by gram for the eval join
+    from pyspark.sql import Window
+
+    hits = (
+        tr_g.withColumn(
+            "_df", F.count("*").over(Window.partitionBy("gram"))
+        )
         .filter(F.col("_df") <= NGRAM_CONTAM_DF_CAP)
-        .select("gram")
+        .join(ev_g, "gram")
     )
-    hits = tr_g.join(rare, "gram").join(ev_g, "gram")
     return hits.groupBy("eval_id").agg(
         F.count_distinct("gram").alias("n_shared_grams"),
         F.count_distinct("doc_id").alias("n_train_docs"),
