@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "hierarchical_rollup_daily",
     # relational additions
     "clickers_never_purchased",
+    "funnel_session_conversion",
+    "user_retention_cohorts",
     "ntile_price_bands",
     "quartiles_order_value_by_segment",
     "q22_idle_balance_by_nation",

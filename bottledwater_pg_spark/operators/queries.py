@@ -2496,6 +2496,158 @@ SELECT event_type, COUNT(*) AS n_events,
 FROM scored GROUP BY event_type
 """
 
+# ----------------------------------------- consumer analytics: funnel
+
+
+def funnel_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized click→purchase funnel — the 'calculate analytics'
+    consumer use the reference names for its stream (README.md:30-32):
+    events sessionize per user on a 30-minute inactivity gap
+    (gaps-and-islands), and a session converts when a purchase occurs
+    at-or-after its first click. Daily rollup of sessions / sessions
+    with a click / converted sessions.
+
+    Determinism: every comparison runs on integer epoch MICROseconds
+    (unix_micros) — never casting timestamps to seconds, which
+    truncates sub-second gaps differently than an interval compare.
+
+    Scale: ONE shuffle on user_id serves the lag, the session number,
+    and the per-session windows (same partitioning); the rollup
+    shuffles only session-level rows. The streaming twin of this
+    sessionization is session_window + watermark (streaming/stream.py).
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type",
+        # ntz -> timestamp is identity under the UTC session timezone
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_no")
+    scored = sess.withColumn(
+        "first_click_us",
+        F.min(F.when(F.col("event_type") == "click", F.col("us"))).over(ws),
+    ).withColumn(
+        "conv",
+        (
+            (F.col("event_type") == "purchase")
+            & F.col("first_click_us").isNotNull()
+            & (F.col("us") >= F.col("first_click_us"))
+        ).cast("int"),
+    )
+    per_session = scored.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("start_ts"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("has_click"),
+        F.max("conv").alias("converted"),
+    )
+    return (
+        per_session.groupBy(F.date_trunc("day", "start_ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("has_click").alias("n_with_click"),
+            F.sum("converted").alias("n_converted"),
+        )
+    )
+
+
+FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us FROM events
+), marked AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w > 1800000000
+            THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+), scored AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'click' THEN us END)
+           OVER (PARTITION BY user_id, session_no) AS first_click_us
+  FROM sess
+), per_session AS (
+  SELECT user_id, session_no, MIN(ts) AS start_ts,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+         MAX(CASE WHEN event_type = 'purchase' AND first_click_us IS NOT NULL
+                   AND us >= first_click_us THEN 1 ELSE 0 END) AS converted
+  FROM scored GROUP BY user_id, session_no
+)
+SELECT date_trunc('day', start_ts) AS day,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(has_click) AS BIGINT) AS n_with_click,
+       CAST(SUM(converted) AS BIGINT) AS n_converted
+FROM per_session GROUP BY 1
+"""
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — per (first-activity week, weeks-since)
+    distinct active users; the classic warehouse retention triangle
+    over the CDC-fed events stream.
+
+    Scale: one shuffle to find each user's first event (map-side
+    partially aggregated min), one distinct on (user, week), one
+    broadcast-or-shuffle join on user_id, and a count-distinct rollup
+    whose key space is weeks² — tiny. Week arithmetic stays on whole
+    days (datediff of week-truncated timestamps, exactly divisible by
+    7) — integer-exact in both engines.
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    return (
+        activity.join(first, "user_id")
+        .withColumn(
+            "week_no",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week"))
+                / F.lit(7)
+            ).cast("long"),
+        )
+        .groupBy("cohort_week", "week_no")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT cohort_week,
+       CAST(datediff('day', cohort_week, week) // 7 AS BIGINT) AS week_no,
+       COUNT(DISTINCT user_id) AS n_users
+FROM activity JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+QUERIES["funnel_session_conversion"] = funnel_session_conversion
+ORACLES["funnel_session_conversion"] = FUNNEL_SQL
+QUERIES["user_retention_cohorts"] = user_retention_cohorts
+ORACLES["user_retention_cohorts"] = RETENTION_SQL
+
+
 QUERIES["fraud_rolling_anomalies"] = fraud_rolling_anomalies
 ORACLES["fraud_rolling_anomalies"] = FRAUD_SQL
 
