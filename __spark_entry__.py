@@ -67,7 +67,7 @@ _FAMILY_SPREAD = [
     "doc_fingerprint_winnow", "multimodal_frame_sample", "text_chunks",
     "vocab_top_terms", "negative_pairs_per_doc", "stratified_sample_docs",
     "corpus_shuffle_positions", "budget_mix_counts", "sequence_pack_stats",
-    "inverted_index_postings", "bm25_topk_docs", "multimodal_decode_meta",
+    "inverted_index_postings", "bm25_topk_docs", "multimodal_ppm_stats",
     "cross_set_contamination",
     # never driver-checked: streaming ops in batch mode
     "windowed_event_counts", "session_window_counts",
@@ -79,6 +79,7 @@ _FAMILY_SPREAD = [
     # paths are certified inside the window via quartiles_* / *_star, and
     # both are green in EXACTGATE_r4.json)
     "median_order_value_by_segment", "dedup_cluster_canonical",
+    "multimodal_decode_meta",
     "cdc_materialize_customer", "cdc_merge_sink_customer",
     "cdc_incremental_agg_customer", "cdc_scd2_as_of",
     "cdc_snapshot_diff_customer", "cdc_history_scd2",

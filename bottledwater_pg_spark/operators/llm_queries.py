@@ -524,6 +524,37 @@ FROM documents
 """
 
 
+def multimodal_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end (no codec stubs): per doc a binary
+    P6 PPM image is synthesized whose dimensions and pixel bytes are
+    pure functions of doc_id (operators/multimodal.py
+    ``synth_ppm_payloads``), then genuinely decoded — header parse,
+    numpy pixel-buffer reshape, exact int64 per-channel sums
+    (``ppm_channel_stats``). The oracle predicts every decoded value
+    arithmetically: byte i of image doc_id is (doc_id%251 + i) % 256
+    and channel(i) = i % 3, so the channel sums are a lateral
+    generate_series aggregation. Proves the Arrow plumbing AND an
+    actual raster decode, not a deterministic fake.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.ppm_channel_stats(multimodal.synth_ppm_payloads(docs))
+
+
+MULTIMODAL_PPM_SQL = """
+WITH p AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+         doc_id % 251 AS base
+  FROM documents
+)
+SELECT doc_id, w AS width, h AS height,
+  CAST(SUM(CASE WHEN i % 3 = 0 THEN (base + i) % 256 END) AS BIGINT) AS sum_r,
+  CAST(SUM(CASE WHEN i % 3 = 1 THEN (base + i) % 256 END) AS BIGINT) AS sum_g,
+  CAST(SUM(CASE WHEN i % 3 = 2 THEN (base + i) % 256 END) AS BIGINT) AS sum_b
+FROM p, LATERAL (SELECT unnest(generate_series(0, w * h * 3 - 1)) AS i) t
+GROUP BY doc_id, w, h
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.frame_sample(multimodal.with_binary_payload(docs))
@@ -661,6 +692,7 @@ QUERIES = {
     "doc_fingerprint_winnow": doc_fingerprint_winnow,
     "winnow_near_dup_pairs": winnow_near_dup_pairs,
     "multimodal_decode_meta": multimodal_decode_meta,
+    "multimodal_ppm_stats": multimodal_ppm_stats,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
@@ -681,6 +713,7 @@ ORACLES = {
     "doc_fingerprint_winnow": WINNOW_SQL,
     "winnow_near_dup_pairs": WINNOW_PAIRS_SQL,
     "multimodal_decode_meta": MULTIMODAL_META_SQL,
+    "multimodal_ppm_stats": MULTIMODAL_PPM_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
     # lsh_simhash_near_dup, lsh_ann_topk, ivf_ann_topk: rows-only
     # (xxhash64-based / approximate by design) — semantics asserted in

@@ -199,3 +199,54 @@ def test_winnow_guarantee_shared_substring_yields_shared_fingerprint(spark):
     }
     assert sets[1] & sets[2], "shared 25-char substring must share a fingerprint"
     assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+
+
+def test_ppm_codec_real_roundtrip(spark, sf_dir):
+    """The PPM codec is a REAL decode: whitespace-looking pixel bytes
+    survive (the str.split trap), encode->decode round-trips exactly,
+    and the nearest-neighbor resize computes actual resampling."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_ppm,
+        synth_ppm_payloads,
+    )
+
+    # pixel buffer starting with whitespace bytes (0x20, 0x0A)
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    px[0, 0] = (0x20, 0x0A, 0x09)
+    data = encode_ppm(6, 4, px)
+    w, h, back = decode_ppm(data)
+    assert (w, h) == (6, 4) and np.array_equal(back, px)
+
+    # nearest-neighbor resize: exact index-striding semantics
+    w2, h2, small = decode_ppm(
+        bytes(
+            resize_ppm(
+                spark.createDataFrame([(1, bytearray(data))], "doc_id long, data binary"),
+                width=3, height=2,
+            ).first()["data"]
+        )
+    )
+    xs = (np.arange(3) * 6 // 3).clip(0, 5)
+    ys = (np.arange(2) * 4 // 2).clip(0, 3)
+    assert (w2, h2) == (3, 2)
+    assert np.array_equal(small, px[np.ix_(ys, xs)])
+
+    # synthesized corpus payloads decode to the closed-form dims
+    docs = spark.createDataFrame([(17,), (40,)], "doc_id long")
+    out = {
+        r["doc_id"]: r
+        for r in synth_ppm_payloads(docs)
+        .select("doc_id", "data")
+        .collect()
+    }
+    for doc_id in (17, 40):
+        w3, h3, arr = decode_ppm(bytes(out[doc_id]["data"]))
+        assert (w3, h3) == (8 + doc_id % 9, 8 + doc_id % 7)
+        flat = arr.reshape(-1).astype(int)
+        assert flat[0] == doc_id % 251 % 256
+        assert flat[-1] == (doc_id % 251 + len(flat) - 1) % 256
