@@ -5,6 +5,8 @@ Usage (from the repo root):
     python -m bottledwater_pg_spark list
     python -m bottledwater_pg_spark run q1_pricing_summary [--sf-dir DIR] [-n 20]
     python -m bottledwater_pg_spark plan q1_pricing_summary [--sf-dir DIR]
+    python -m bottledwater_pg_spark export '%' --out /tmp/frames \\
+        [--sf-dir DIR] [--allow-unkeyed] [--topic-prefix P]
 
 The reference's equivalent surface is the ``bwtest`` monitoring binary
 (client/bwtest.c) plus ``bottledwater --help``; here the query plane is
@@ -33,6 +35,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         if name == "run":
             p.add_argument("-n", type=int, default=20, help="rows to show")
+    pe = sub.add_parser(
+        "export",
+        help="one-call snapshot export (the bottledwater_export analog): "
+        "write the envelope frame stream of every LIKE-matching table",
+    )
+    pe.add_argument("pattern", nargs="?", default="%")
+    pe.add_argument("--out", required=True, help="output parquet directory")
+    pe.add_argument(
+        "--sf-dir", default=os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+        )
+    )
+    pe.add_argument("--allow-unkeyed", action="store_true")
+    pe.add_argument("--topic-prefix", default=None)
     args = ap.parse_args(argv)
 
     sys.path.insert(0, os.getcwd())
@@ -44,6 +60,23 @@ def main(argv: list[str] | None = None) -> int:
         for name in sorted(queries):
             tag = "oracle" if name in oracles else "rows-only"
             print(f"{name:40s} [{tag}]")
+        return 0
+
+    if args.cmd == "export":
+        from bottledwater_pg_spark.session import get_spark
+        from bottledwater_pg_spark.sources.catalog import export_snapshot
+
+        spark = get_spark("bottledwater-export")
+        frames = export_snapshot(
+            spark,
+            args.sf_dir,
+            args.pattern,
+            allow_unkeyed=args.allow_unkeyed,
+            topic_prefix=args.topic_prefix,
+        )
+        frames.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"wrote {n} frames to {args.out}")
         return 0
 
     if args.query not in queries:

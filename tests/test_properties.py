@@ -200,3 +200,42 @@ def test_winnow_guarantee_holds_for_random_embedded_passages(spark):
     assert shared_pairs == set(range(100)), (
         f"pairs missing a shared fingerprint: {sorted(set(range(100)) - shared_pairs)[:5]}"
     )
+
+
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppm_codec_roundtrip_property(w, h, seed):
+    """decode(encode(img)) == img for arbitrary dims and pixel bytes —
+    including bytes that look like header whitespace."""
+    import numpy as np
+
+    from bottledwater_pg_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    w2, h2, back = decode_ppm(encode_ppm(w, h, px))
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(back, px)
+
+
+@given(junk=st.binary(max_size=64))
+@settings(max_examples=80, deadline=None)
+def test_ppm_decode_never_crashes_on_garbage(junk):
+    """decode_ppm on arbitrary bytes either returns a well-formed
+    (w, h, pixels) or raises ValueError — never IndexError/segfault-
+    class surprises (malformed headers, truncated buffers, huge dims)."""
+    from bottledwater_pg_spark.operators.multimodal import decode_ppm
+
+    for data in (junk, b"P6" + junk, b"P6\n" + junk):
+        try:
+            w, h, px = decode_ppm(data)
+        except ValueError:
+            continue
+        assert px.shape == (h, w, 3)
