@@ -11,7 +11,9 @@ the driver gate):
   3. FILTER    language-ID + quality scoring, keep docs passing both
   4. PII       redact emails/phones in the surviving text
   5. SPLIT     hash-deterministic train/val/test assignment
-  6. PACK      concat-and-chunk sequence packing per (source, split)
+  6. DECONTAM  drop train docs sharing a discriminative word 8-gram
+               with any val/test doc (partial-inclusion leak check)
+  7. PACK      concat-and-chunk sequence packing per (source, split)
 
 Run:  python examples/training_pipeline.py [sf_dir]  (prints stage
 row counts and per-split pack stats).
@@ -82,9 +84,32 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # 5. deterministic split
     split_docs = hash_split(clean, "doc_id")
 
-    # 6. pack per (source, split)
+    # 6. decontaminate: a train doc leaking an eval doc's content
+    # shares a rare word 8-gram with it; df-cap the train grams first
+    # (boilerplate + shuffle-skew guard), then anti-join the hits
+    from pyspark.sql import Window
+
+    from bottledwater_pg_spark.functions.text import word_shingles
+
+    grams = split_docs.select(
+        "doc_id", "split", F.explode(word_shingles("text", 8)).alias("gram")
+    )
+    eval_grams = (
+        grams.filter(F.col("split") != "train").select("gram").distinct()
+    )
+    contaminated = (
+        grams.filter(F.col("split") == "train")
+        .withColumn("_df", F.count("*").over(Window.partitionBy("gram")))
+        .filter(F.col("_df") <= 50)
+        .join(eval_grams, "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    decontaminated = split_docs.join(contaminated, "doc_id", "left_anti")
+
+    # 7. pack per (source, split)
     packed = sequence_pack(
-        split_docs.withColumn(
+        decontaminated.withColumn(
             "stratum", F.concat_ws("/", "source", "split")
         ),
         "stratum",
@@ -96,12 +121,12 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars")
     )
 
-    # 7. contrastive negatives for the train split (hash-ring pairing —
+    # 8. contrastive negatives for the train split (hash-ring pairing —
     # reproducible across re-runs/cluster sizes, redrawable by salt)
     from bottledwater_pg_spark.operators.sampling import negative_sample_pairs
 
     negatives = negative_sample_pairs(
-        split_docs.filter(F.col("split") == "train").select("doc_id"),
+        decontaminated.filter(F.col("split") == "train").select("doc_id"),
         "doc_id",
         k=2,
     )
@@ -110,6 +135,7 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "canonical": canonical,
         "clean": clean,
         "split_docs": split_docs,
+        "decontaminated": decontaminated,
         "shards": shards,
         "negatives": negatives,
     }
@@ -121,7 +147,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("training-pipeline")
     stages = run(spark, sf_dir)
-    for name in ("current", "canonical", "clean"):
+    for name in ("current", "canonical", "clean", "decontaminated"):
         print(f"{name:10s} {stages[name].count():8d} docs")
     print("split:", dict(stages["split_docs"].groupBy("split").count().collect()))
     stages["shards"].orderBy("split", "stratum", "bin").show(20, truncate=False)
