@@ -299,39 +299,58 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
 SIMHASH_BITS = 32
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = SIMHASH_BITS, hash_col: "F.Column | None" = None):
     """Charikar SimHash over token counts: for each bit, sum +count when
     the token hash has the bit set else -count; bit = sign. One
-    aggregation; all bit math in built-in functions."""
+    aggregation; all bit math in built-in functions.
+
+    ``hash_col`` chooses the token hash (default xxhash64 — JVM-fast;
+    pass the md5-prefix form for a DuckDB-reproducible signature) and
+    ``bits`` the signature width (<= 60 so 1<<bit stays in a signed
+    long for either hash).
+    """
     toks = df.select(
         F.col(id_col).alias("sid"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
     counted = toks.groupBy("sid", "tok").agg(F.count("*").alias("cnt"))
-    hashed = counted.withColumn("h", F.xxhash64("tok"))
+    hashed = counted.withColumn(
+        "h", hash_col if hash_col is not None else F.xxhash64("tok")
+    )
     bit_sums = [
         F.sum(
             F.when(F.expr(f"(h >> {i}) & 1") == 1, F.col("cnt")).otherwise(
                 -F.col("cnt")
             )
         ).alias(f"b{i}")
-        for i in range(SIMHASH_BITS)
+        for i in range(bits)
     ]
     agg = hashed.groupBy("sid").agg(*bit_sums)
     sim = sum(
         (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-        for i in range(SIMHASH_BITS)
+        for i in range(bits)
     )
     return agg.select("sid", sim.cast("long").alias("simhash"))
 
 
+def md5_token_hash(tok_col: str = "tok") -> "F.Column":
+    """60-bit token hash both engines compute identically: first 15
+    hex chars of md5, parsed base-16 (Spark ``conv`` == DuckDB
+    ``('0x'||substr(md5(t),1,15))::BIGINT``, verified bit-equal)."""
+    return F.conv(
+        F.substring(F.md5(F.encode(F.col(tok_col), "UTF-8")), 1, 15), 16, 10
+    ).cast("long")
+
+
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 6,
                        id_col: str = "doc_id", text_col: str = "text",
-                       bands: int = 4) -> DataFrame:
+                       bands: int = 4, bits: int = SIMHASH_BITS,
+                       hash_col: "F.Column | None" = None) -> DataFrame:
     """Near-dup candidates by banded SimHash blocking (pairs agreeing on
-    at least one 8-bit band), verified by exact Hamming distance."""
-    width = SIMHASH_BITS // bands
-    sig = simhash(df, id_col, text_col)
+    at least one band), verified by exact Hamming distance."""
+    width = bits // bands
+    sig = simhash(df, id_col, text_col, bits=bits, hash_col=hash_col)
     band_structs = F.array(
         *[
             F.struct(

@@ -168,10 +168,79 @@ def prefix_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup. No SQL oracle: the signature depends on
-    xxhash64, which DuckDB does not implement — driver does the
-    rows-only check; tests/test_llm_ops.py asserts the semantics."""
+    """SimHash banded near-dup (xxhash64 signature — the JVM-fast
+    production path). No SQL oracle: DuckDB does not implement
+    xxhash64 — driver does the rows-only check; tests/test_llm_ops.py
+    asserts the semantics, and ``simhash_md5_near_dup`` below is the
+    SAME algorithm under a cross-engine hash, hash-certified."""
     return dedup.simhash_near_pairs(docs_with_near_dups(spark, sf_dir))
+
+
+SIMHASH_MD5_BITS = 60
+SIMHASH_MD5_BANDS = 4
+SIMHASH_MD5_MAXHAM = 10
+
+
+def simhash_md5_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar SimHash near-dup with a FULL SQL oracle: the 60-bit
+    signature derives from an md5-prefix token hash both engines
+    compute bit-identically (dedup.py ``md5_token_hash``), so the
+    whole pipeline — tf-weighted bit sums, sign signature, 4x15-bit
+    banded blocking, exact Hamming verify via bit_count(xor) — is
+    hash-certified against DuckDB, upgrading SimHash from the
+    rows-only check its xxhash64 twin gets.
+
+    Scale: identical plan to the xxhash64 variant — one tf
+    aggregation, one 60-column bit-sum aggregation, band equi-join;
+    md5 costs more per token than xxhash64, which is exactly why the
+    production twin keeps xxhash64.
+    """
+    pairs = dedup.simhash_near_pairs(
+        docs_with_near_dups(spark, sf_dir),
+        max_hamming=SIMHASH_MD5_MAXHAM,
+        bands=SIMHASH_MD5_BANDS,
+        bits=SIMHASH_MD5_BITS,
+        hash_col=dedup.md5_token_hash("tok"),
+    )
+    return pairs.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def _simhash_md5_sql() -> str:
+    bits, bands = SIMHASH_MD5_BITS, SIMHASH_MD5_BANDS
+    width = bits // bands
+    bsums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return DOCS_NEAR_CTE.rstrip().rstrip(")") + f"""
+), tok AS (
+  SELECT doc_id AS sid, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM corpus
+), tf AS (
+  SELECT sid, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+), hashed AS (
+  SELECT sid, cnt, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tf
+), sums AS (
+  SELECT sid,
+    {bsums}
+  FROM hashed GROUP BY sid
+), sig AS (
+  SELECT sid, CAST({sig} AS BIGINT) AS simhash FROM sums
+), banded AS (
+  SELECT sid, simhash, i.band,
+         CASE i.band {" ".join(f"WHEN {bi} THEN ((simhash >> {bi * width}) & {(1 << width) - 1})" for bi in range(bands))} END AS bval
+  FROM sig, LATERAL (SELECT unnest(generate_series(0, {bands - 1})) AS band) i
+)
+SELECT DISTINCT a.sid AS a_id, b.sid AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval
+WHERE a.sid < b.sid
+  AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MD5_MAXHAM}
+"""
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,6 +749,7 @@ QUERIES = {
     "lsh_minhash_near_dup": lsh_minhash_near_dup,
     "prefix_jaccard_near_dup": prefix_jaccard_near_dup,
     "lsh_simhash_near_dup": lsh_simhash_near_dup,
+    "simhash_md5_near_dup": simhash_md5_near_dup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "lsh_embedding_near_dup": lsh_embedding_near_dup,
     "ann_topk_cosine": ann_topk_cosine,
@@ -704,6 +774,7 @@ ORACLES = {
     "lsh_minhash_near_dup": DEDUP_JACCARD_SQL,
     "prefix_jaccard_near_dup": DEDUP_JACCARD_SQL,
     "dedup_embedding_cosine": EMB_COS_SQL,
+    "simhash_md5_near_dup": _simhash_md5_sql(),
     "lsh_embedding_near_dup": EMB_COS_SQL,
     "ann_topk_cosine": ANN_SQL,
     "text_stats_per_doc": TEXT_STATS_SQL,

@@ -250,3 +250,32 @@ def test_ppm_codec_real_roundtrip(spark, sf_dir):
         flat = arr.reshape(-1).astype(int)
         assert flat[0] == doc_id % 251 % 256
         assert flat[-1] == (doc_id % 251 + len(flat) - 1) % 256
+
+
+def test_simhash_md5_finds_planted_near_dups(spark, sf_dir):
+    """The md5-hash SimHash (cross-engine-certified twin of the
+    xxhash64 path) recovers most planted near-copy pairs. Banded
+    blocking is probabilistic-recall BY DESIGN: a pair at hamming
+    5-10 can miss all 4 bands — so the pin is a deterministic recall
+    floor plus the invariant that every REPORTED pair really is
+    within the hamming budget (the oracle certifies exactness)."""
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        NEAR_COPY_MOD,
+        simhash_md5_near_dup,
+    )
+    from bottledwater_pg_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = {
+        (r["doc_id"], r["doc_id"] + 200000)
+        for r in docs.filter(F.col("doc_id") % NEAR_COPY_MOD == 0)
+        .select("doc_id")
+        .collect()
+    }
+    rows = simhash_md5_near_dup(spark, sf_dir).collect()
+    got = {(r["a_id"], r["b_id"]) for r in rows}
+    assert all(r["hamming"] <= 10 and r["a_id"] < r["b_id"] for r in rows)
+    recall = len(planted & got) / len(planted)
+    assert recall >= 0.8, f"recall {recall:.2f} below deterministic floor"
