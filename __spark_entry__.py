@@ -61,7 +61,7 @@ _FAMILY_SPREAD = [
     "funnel_session_conversion", "user_retention_cohorts",
     # never driver-checked: LLM pipeline
     "dedup_cluster_canonical_star", "dedup_ngram_jaccard",
-    "lsh_simhash_near_dup", "lsh_embedding_near_dup",
+    "simhash_md5_near_dup", "lsh_embedding_near_dup",
     "lsh_ann_topk", "ivf_ann_topk",
     "text_quality_by_source", "text_langid", "text_bpe_token_stats",
     "doc_fingerprint_winnow", "multimodal_frame_sample", "text_chunks",
@@ -79,7 +79,7 @@ _FAMILY_SPREAD = [
     # paths are certified inside the window via quartiles_* / *_star, and
     # both are green in EXACTGATE_r4.json)
     "median_order_value_by_segment", "dedup_cluster_canonical",
-    "multimodal_decode_meta",
+    "multimodal_decode_meta", "lsh_simhash_near_dup",
     "cdc_materialize_customer", "cdc_merge_sink_customer",
     "cdc_incremental_agg_customer", "cdc_scd2_as_of",
     "cdc_snapshot_diff_customer", "cdc_history_scd2",
