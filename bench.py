@@ -74,11 +74,13 @@ BENCH_QUERIES = [
     "winnow_near_dup_pairs",
     "dedup_cluster_canonical_star",
     "ngram_contamination",
+    "simhash_md5_near_dup",
     "median_order_value_by_segment",
     "corpus_split_counts",
     "sequence_pack_stats",
     "pii_redaction_stats",
     "multimodal_decode_meta",
+    "multimodal_ppm_stats",
     "doc_repetition_stats",
     "passage_dedup_stats",
     "corpus_shuffle_positions",
