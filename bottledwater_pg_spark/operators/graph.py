@@ -129,15 +129,19 @@ def connected_components_star(
     unknown/long diameter; near-dup clusters (diameter 1-2) converge
     in the same 2-3 rounds under either.
     """
-    e = edges.select(
+    e0 = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    ).filter(F.col("a") != F.col("b"))
+    )
+    # node universe BEFORE dropping self-loops: a node appearing only
+    # in a (v, v) edge still "appears in an edge" and must label
+    # itself — same contract as connected_components
     all_nodes = (
-        e.select(F.col("a").alias("id"))
-        .unionByName(e.select(F.col("b").alias("id")))
+        e0.select(F.col("a").alias("id"))
+        .unionByName(e0.select(F.col("b").alias("id")))
         .distinct()
         .localCheckpoint()
     )
+    e = e0.filter(F.col("a") != F.col("b"))
     # (hi, lo) orientation is the canonical small-star input
     cur = (
         e.select(

@@ -1,0 +1,145 @@
+"""Degenerate-input robustness: every core operator must behave on
+EMPTY (and near-empty) inputs — at warehouse scale empty tables,
+empty partitions, and filters-that-match-nothing are routine, and an
+operator that crashes or hangs on them is a production incident.
+The reference's suites cover empty tables implicitly (snapshot of a
+prepopulated-then-truncated table); here each operator family gets an
+explicit zero-row contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def _empty_envelope(spark):
+    from bottledwater_pg_spark.plans.envelope import ENVELOPE_SCHEMA
+
+    return spark.createDataFrame([], ENVELOPE_SCHEMA)
+
+
+def test_materialize_empty_stream(spark):
+    from pyspark.sql import types as T
+
+    from bottledwater_pg_spark.operators.materialize import (
+        append_only,
+        latest_by_key,
+        materialize,
+        scd2_history,
+    )
+
+    ev = _empty_envelope(spark)
+    schema = T.StructType.fromDDL("k long, v string")
+    assert materialize(ev, schema).count() == 0
+    assert append_only(ev, schema).count() == 0
+    assert latest_by_key(ev).count() == 0
+    assert scd2_history(ev).count() == 0
+
+
+def test_connected_components_empty_and_selfloop(spark):
+    from bottledwater_pg_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(empty).count() == 0
+    assert connected_components_star(empty).count() == 0
+    # self-loops only: every node is its own component
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+    got = {
+        (r["id"], r["comp"]) for r in connected_components(loops).collect()
+    }
+    assert got == {(1, 1), (2, 2)}
+    got_star = {
+        (r["id"], r["comp"])
+        for r in connected_components_star(loops).collect()
+    }
+    assert got_star == {(1, 1), (2, 2)}
+
+
+def test_dedup_ops_empty_corpus(spark):
+    from bottledwater_pg_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        prefix_filter_jaccard_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = _empty_docs(spark)
+    assert minhash_lsh_pairs(docs).count() == 0
+    assert prefix_filter_jaccard_pairs(docs, 0.8).count() == 0
+    assert simhash_near_pairs(docs).count() == 0
+    assert exact_dedup(docs).count() == 0
+
+
+def test_bucketed_ranks_single_row_group(spark):
+    # n=1: lo == hi (zero-width range) and every target rank is 1
+    from bottledwater_pg_spark.operators.queries import _bucketed_group_ranks
+
+    j = spark.createDataFrame(
+        [("A", 5.00), ("B", 1.00), ("B", 3.00)], "c_mktsegment string, v double"
+    ).select("c_mktsegment", F.col("v").cast("decimal(18,2)").alias("v"))
+    r = _bucketed_group_ranks(
+        j, "c_mktsegment", ["(n + 1) div 2", "(n + 2) div 2"]
+    ).collect()
+    by_group = {}
+    for row in r:
+        by_group.setdefault(row["c_mktsegment"], set()).add(
+            (row["rn"], float(row["v"]))
+        )
+    assert (1, 5.0) in by_group["A"]  # single-row group: rank 1 present
+    # B: n=2 -> target ranks 1 and 2, values 1.0 and 3.0
+    assert {(1, 1.0), (2, 3.0)} <= by_group["B"]
+
+
+def test_funnel_and_retention_empty_events(spark):
+    from bottledwater_pg_spark.operators.queries import (
+        fraud_flag_events,
+    )
+
+    ev = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp_ntz, "
+            "event_type string, value double"
+    )
+    assert fraud_flag_events(ev).count() == 0
+
+
+def test_winnow_and_text_ops_empty_and_tiny(spark):
+    from bottledwater_pg_spark.functions.text import (
+        kgram_hashes,
+        winnow_mins,
+    )
+
+    # doc shorter than the k-gram: guarded sequence must not count down
+    tiny = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    row = tiny.select(
+        F.size(kgram_hashes("text", 8)).alias("ng"),
+    ).first()
+    assert row["ng"] == 1  # greatest(len-k+1, 1) floor
+    out = tiny.withColumn("_g", kgram_hashes("text", 8)).select(
+        F.explode(F.array_distinct(winnow_mins("_g", 4))).alias("fp")
+    )
+    assert out.count() == 1
+
+
+def test_export_snapshot_empty_pattern_raises(spark, sf_dir):
+    from bottledwater_pg_spark.sources.catalog import export_snapshot
+
+    with pytest.raises(LookupError):
+        export_snapshot(spark, sf_dir, "zzz_nothing_%")
+
+
+def test_ppm_stats_empty_input(spark):
+    from bottledwater_pg_spark.operators.multimodal import (
+        ppm_channel_stats,
+        synth_ppm_payloads,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long")
+    assert ppm_channel_stats(synth_ppm_payloads(docs)).count() == 0
