@@ -1724,3 +1724,97 @@ QUALIFY rank <= {BM25_TOPK}
 
 QUERIES["bm25_topk_docs"] = bm25_topk_docs
 ORACLES["bm25_topk_docs"] = _bm25_sql()
+
+
+# ------------------------------------------------- SemDeDup (semantic)
+
+
+def semdedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup over the duplicate-injected embedding
+    corpus (similarity.semdedup_prune): cluster around the 8 lowest-id
+    centroids, prune within-cluster cosine>=0.99 higher-id twins; per
+    cluster report membership, prune count, and the exact integer sum
+    of pruned ids (a content-addressed checksum of WHICH vectors were
+    pruned, not just how many).
+
+    Clustering runs ONCE (persisted) and feeds both the membership
+    stats and the prune pairs. Scale notes on the operator itself —
+    the quadratic term is bounded by cluster size by construction.
+    """
+    corpus = embeddings_with_dups(spark, sf_dir)
+    cent = similarity.ivf_centroids(corpus, 8)
+    assigned = persist_tracked(similarity.ivf_assign(corpus, cent))
+    pruned = similarity.semdedup_pairs_pruned(assigned, COSINE_THRESHOLD)
+    members = assigned.groupBy(F.col("cent_id").alias("cid")).agg(
+        F.count("*").alias("n_members")
+    )
+    pstats = pruned.groupBy(F.col("cent_id").alias("cid")).agg(
+        F.count("*").alias("n_pruned"),
+        F.sum("pruned_id").alias("pruned_id_sum"),
+    )
+    return members.join(pstats, "cid", "left").select(
+        "cid",
+        "n_members",
+        F.coalesce("n_pruned", F.lit(0)).cast("long").alias("n_pruned"),
+        F.coalesce("pruned_id_sum", F.lit(0))
+        .cast("long")
+        .alias("pruned_id_sum"),
+    )
+
+
+def _semdedup_sql() -> str:
+    dot_ab = (
+        "CAST(list_sum(list_transform(list_zip(a.qv, b.qv), "
+        "p -> p[1] * p[2])) AS BIGINT)"
+    )
+    dot_qc = (
+        "CAST(list_sum(list_transform(list_zip(qn.qv, c.cv), "
+        "p -> p[1] * p[2])) AS BIGINT)"
+    )
+    return (
+        EMB_CTE
+        + f"""
+, q AS (
+  SELECT vec_id, list_transform(embedding, x -> {quantize('x')}) AS qv
+  FROM corpus
+), qn AS (
+  SELECT vec_id, qv,
+         sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+           AS nrm
+  FROM q
+), c AS (
+  SELECT vec_id AS cid, qv AS cv, nrm AS cn
+  FROM qn ORDER BY vec_id LIMIT 8
+), assign AS (
+  SELECT vec_id, cid, qv, nrm FROM (
+    SELECT qn.vec_id, c.cid, qn.qv, qn.nrm,
+           ROW_NUMBER() OVER (
+             PARTITION BY qn.vec_id
+             ORDER BY CAST({dot_qc} AS DOUBLE) / (qn.nrm * c.cn) DESC,
+                      c.cid) AS rn
+    FROM qn CROSS JOIN c
+  ) WHERE rn = 1
+), pruned AS (
+  SELECT a.cid, b.vec_id AS pruned_id
+  FROM assign a JOIN assign b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE CAST({dot_ab} AS DOUBLE) / (a.nrm * b.nrm)
+        >= CAST({COSINE_THRESHOLD} AS DOUBLE)
+  GROUP BY 1, 2
+), members AS (
+  SELECT cid, COUNT(*) AS n_members FROM assign GROUP BY cid
+), pstats AS (
+  SELECT cid, COUNT(*) AS n_pruned,
+         CAST(SUM(pruned_id) AS BIGINT) AS pruned_id_sum
+  FROM pruned GROUP BY cid
+)
+SELECT members.cid, n_members,
+       COALESCE(n_pruned, 0) AS n_pruned,
+       COALESCE(pruned_id_sum, 0) AS pruned_id_sum
+FROM members LEFT JOIN pstats USING (cid)
+"""
+    )
+
+
+QUERIES["semdedup_prune_stats"] = semdedup_prune_stats
+ORACLES["semdedup_prune_stats"] = _semdedup_sql()

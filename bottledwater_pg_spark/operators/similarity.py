@@ -140,6 +140,65 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def semdedup_prune(corpus: DataFrame, n_clusters: int = 8,
+                   threshold: float = 0.99,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus around coarse
+    centroids, then prune — WITHIN each cluster only — every vector
+    that has a near-identical (cosine >= threshold) lower-id
+    neighbor. Returns the pruned set ``(cent_id, pruned_id, kept_by,
+    cos)`` where ``kept_by`` is the lowest-id surviving witness and
+    ``cos`` that pair's similarity.
+
+    Keep-rule determinism: the paper keeps one arbitrary member per
+    epsilon-neighborhood; here the kept member is the LOWEST id, so
+    the pruned set is a pure function of the corpus (a vector is
+    pruned iff some lower-id same-cluster vector is within
+    threshold) and cross-engine checkable.
+
+    Scale design: this is the whole point of SemDeDup — the O(n²)
+    all-pairs cosine becomes sum(c_i²) over cluster sizes. Clustering
+    reuses the IVF primitives (:func:`ivf_centroids` broadcast +
+    :func:`ivf_assign` one-shuffle max_by). The pair join is an
+    equi-join on cent_id, so each cluster's pairs are produced by the
+    tasks holding that cluster's partition; at 10^9+ vectors you run
+    ~100k centroids (the paper's setting), keeping every cluster a
+    few thousand rows — cluster size, not corpus size, bounds the
+    quadratic term. Vectors are quantized once and carry norms: one
+    interpreted zip_with per surviving pair.
+    """
+    cent = ivf_centroids(corpus, n_clusters, id_col, vec_col)
+    assigned = ivf_assign(corpus, cent, id_col, vec_col)
+    return semdedup_pairs_pruned(assigned, threshold)
+
+
+def semdedup_pairs_pruned(assigned: DataFrame,
+                          threshold: float = 0.99) -> DataFrame:
+    """The prune step of :func:`semdedup_prune` over an ALREADY
+    clustered corpus ``(sid, cent_id, qvec, qnorm)`` — callers that
+    also need membership stats cluster once (persist) and reuse."""
+    a = assigned.select(
+        "cent_id", F.col("sid").alias("a_id"),
+        F.col("qvec").alias("qa"), F.col("qnorm").alias("na"),
+    )
+    b = assigned.select(
+        "cent_id", F.col("sid").alias("b_id"),
+        F.col("qvec").alias("qb"), F.col("qnorm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cent_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine_pre("qa", "qb", "na", "nb"))
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs.groupBy("cent_id", F.col("b_id").alias("pruned_id")).agg(
+        F.min("a_id").alias("kept_by"),
+        F.min_by("cos", "a_id").alias("cos"),
+    )
+
+
 def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
              num_bits: int = 16, bands: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

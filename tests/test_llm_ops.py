@@ -279,3 +279,41 @@ def test_simhash_md5_finds_planted_near_dups(spark, sf_dir):
     assert all(r["hamming"] <= 10 and r["a_id"] < r["b_id"] for r in rows)
     recall = len(planted & got) / len(planted)
     assert recall >= 0.8, f"recall {recall:.2f} below deterministic floor"
+
+
+def test_semdedup_prunes_injected_twins_and_leaves_no_near_pair(spark, sf_dir):
+    """Every injected exact-copy vector (id+100000) must be pruned by
+    SemDeDup (its twin shares the cluster and has cos = 1.0 to it),
+    and the surviving set must contain no within-cluster pair at or
+    above the threshold (the operator's fixpoint property under the
+    keep-lowest-id rule for threshold-transitive duplicate groups)."""
+    corpus = embeddings_with_dups(spark, sf_dir)
+    pruned = similarity.semdedup_prune(corpus, n_clusters=8, threshold=0.99)
+    p = pruned.toPandas()
+    injected = {
+        r.vec_id + 100000
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id")
+        .collect()
+    }
+    pruned_ids = set(p.pruned_id)
+    assert injected <= pruned_ids, sorted(injected - pruned_ids)[:5]
+    # kept_by witnesses must themselves survive OR be pruned by an even
+    # lower id (min-id rule): a kept_by that is pruned implies its own
+    # witness is < it, so the chain bottoms out at an unpruned id.
+    assert (p.kept_by < p.pruned_id).all()
+    # survivors (corpus minus pruned) must contain no remaining
+    # within-cluster pair at/above threshold among the injected
+    # exact-copy groups: cos 1.0 is transitive, so if any twin pair
+    # both survived the min-id rule was violated
+    cent = similarity.ivf_centroids(corpus, 8)
+    assigned = similarity.ivf_assign(corpus, cent)
+    survivors = assigned.join(
+        pruned.select(F.col("pruned_id").alias("sid")), "sid", "left_anti"
+    )
+    leftover = similarity.semdedup_pairs_pruned(survivors, 0.99)
+    twins_left = leftover.filter(
+        F.col("pruned_id") >= 100000
+    ).count()
+    assert twins_left == 0
