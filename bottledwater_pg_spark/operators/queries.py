@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bottledwater_pg_spark.session import load_table
+from bottledwater_pg_spark.session import load_table, persist_tracked
 
 # ---------------------------------------------------------------- helpers
 
@@ -2805,3 +2805,74 @@ GROUP BY 1, 2
 
 QUERIES["order_calendar_breakdown"] = order_calendar_breakdown
 ORACLES["order_calendar_breakdown"] = CALENDAR_SQL
+
+
+# --------------------------------------------- link analysis (PageRank)
+
+
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py pagerank_integer)
+    over the customer<->supplier co-purchase graph: distinct
+    (customer, supplier) trade pairs from orders x lineitem, edges in
+    both directions (supplier nodes offset by 1e6), 3 power
+    iterations, top-20 nodes by exact integer rank — the link-analysis
+    authority signal corpus-curation pipelines compute per domain.
+
+    Edge build: the distinct() collapses the many-lineitems-per-pair
+    fan-in BEFORE the iteration, so each round's join touches one row
+    per graph edge, not one per lineitem. The pair list is persisted —
+    it feeds outdeg + 3 contribution rounds.
+    """
+    from bottledwater_pg_spark.operators.graph import pagerank_integer
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = persist_tracked(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", (F.col("l_suppkey") + 1_000_000).alias("supp"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("o_custkey").alias("src"), F.col("supp").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("supp").alias("src"), F.col("o_custkey").alias("dst"))
+    )
+    ranks = pagerank_integer(edges, iters=3)
+    return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT n.node,
+         CAST(150000000000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT)
+           AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
+    FROM e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)"""
+
+
+PAGERANK_SQL = f"""
+WITH p AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), e AS (
+  SELECT c AS src, s AS dst FROM p
+  UNION ALL
+  SELECT s AS src, c AS dst FROM p
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM e GROUP BY src
+), r0 AS (
+  SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes
+), {_pagerank_iter_sql("r0", "r1")},
+{_pagerank_iter_sql("r1", "r2")},
+{_pagerank_iter_sql("r2", "r3")}
+SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20
+"""
+
+QUERIES["pagerank_copurchase"] = pagerank_copurchase
+ORACLES["pagerank_copurchase"] = PAGERANK_SQL

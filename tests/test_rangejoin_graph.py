@@ -116,3 +116,26 @@ def test_propagation_cc_raises_rather_than_returning_partial_labels(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iters=3)
+
+
+def test_pagerank_integer_hand_computed_path_graph(spark):
+    """3-node path a-b-c (bidirectional), scale=100, one iteration,
+    hand-computed: contrib a->b=100, b->{a,c}=50 each, c->b=100;
+    r1 = base 15 + 85%*in_sum with floor division at each step."""
+    from bottledwater_pg_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    r1 = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(edges, iters=1, scale=100).collect()
+    }
+    assert r1 == {1: 57, 2: 185, 3: 57}
+    # two iterations: contribs 57//1=57, 185//2=92, 57//1=57
+    # in: a=92, b=114, c=92 -> a=c=15+78=93, b=15+96=111
+    r2 = {
+        r["node"]: r["rank"]
+        for r in pagerank_integer(edges, iters=2, scale=100).collect()
+    }
+    assert r2 == {1: 93, 2: 111, 3: 93}
