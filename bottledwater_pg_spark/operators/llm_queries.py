@@ -1818,3 +1818,41 @@ FROM members LEFT JOIN pstats USING (cid)
 
 QUERIES["semdedup_prune_stats"] = semdedup_prune_stats
 ORACLES["semdedup_prune_stats"] = _semdedup_sql()
+
+
+# ------------------------------------- weighted (token-budget) sampling
+
+
+def weighted_sample_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (operators/sampling.py
+    ``weighted_systematic_sample``): ~50 documents drawn with
+    probability proportional to length (n_chars) by systematic
+    resampling on the exact integer weight axis — the "sample K docs
+    weighted by tokens" primitive for corpus audits and eval-set
+    construction. Two-phase bucketed prefix sum (no global window);
+    the oracle is the single-window formulation it must reproduce
+    bit-exactly, kept set and prefix sums both."""
+    from bottledwater_pg_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_systematic_sample(docs, "doc_id", "n_chars", 50).select(
+        "doc_id", "n_chars", "cum_before", "sample_pos"
+    )
+
+
+from bottledwater_pg_spark.operators.sampling import (  # noqa: E402
+    sql_weighted_systematic_cte,
+)
+
+WEIGHTED_SAMPLE_SQL = (
+    sql_weighted_systematic_cte("doc_id", "n_chars", 50)
+    + """
+SELECT doc_id, n_chars, cum_before, CAST(sample_pos AS BIGINT) AS sample_pos
+FROM kept
+"""
+)
+
+QUERIES["weighted_sample_chars"] = weighted_sample_chars
+ORACLES["weighted_sample_chars"] = WEIGHTED_SAMPLE_SQL

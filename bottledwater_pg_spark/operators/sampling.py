@@ -302,3 +302,106 @@ WITH ranked AS (
 ), kept AS (
   SELECT * FROM ranked WHERE _taken_before < {budget}
 )"""
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n_samples: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement via
+    SYSTEMATIC resampling: rows are laid end-to-end on an integer
+    weight axis in salted-content-hash order, and every row spanning a
+    stride boundary (stride = total_weight div n_samples) is kept —
+    inclusion probability proportional to weight (exact for
+    w < stride), selection a pure function of (corpus, salt).
+
+    Why not Efraimidis-Spirakis keys (u^(1/w))? That needs pow/ln,
+    and libm transcendentals are NOT bit-identical across engines —
+    the sample would not be reproducible between Spark and an oracle.
+    Systematic resampling is pure integer arithmetic: floor divisions
+    of exact prefix sums, so the kept set is bit-stable everywhere.
+
+    The kept count is floor(total/stride) >= n_samples boundaries
+    spread over the axis (at most n_samples + 1 rows; a row wider
+    than one stride is kept once, never duplicated).
+
+    Scale path: same two-phase prefix-sum discipline as
+    :func:`global_shuffle_index` — NO global window. The hash's first
+    byte splits the axis into 256 ordered buckets; per-bucket weight
+    totals (256 ints, driver-safe at any scale) prefix-sum into
+    bucket base offsets broadcast back; the running sum inside a
+    bucket is a partition-local window. ``total`` falls out of the
+    same 256 sums — no extra pass.
+
+    Returns the sampled rows with ``cum_before`` (exclusive prefix
+    weight) and ``sample_pos`` (which stride boundary the row spans).
+    """
+    h = split_key(id_col, salt)
+    bucketed = df.withColumn("_h", h).withColumn(
+        "_bkt", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int")
+    )
+    sums = {
+        r["_bkt"]: r["s"]
+        for r in bucketed.groupBy("_bkt")
+        .agg(F.sum(weight_col).cast("long").alias("s"))
+        .collect()
+    }
+    bases, acc = {}, 0
+    for b in range(_SHUFFLE_BUCKETS):
+        bases[b] = acc
+        acc += sums.get(b, 0)
+    stride = max(1, acc // n_samples)
+    base_df = df.sparkSession.createDataFrame(
+        [(b, bases[b]) for b in range(_SHUFFLE_BUCKETS)], "_bkt int, _base long"
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        F.col("_base")
+        + F.coalesce(F.sum(weight_col).over(w), F.lit(0))
+    ).cast("long")
+    return (
+        bucketed.join(F.broadcast(base_df), "_bkt")
+        .withColumn("cum_before", cum)
+        .filter(
+            F.expr(f"cum_before div {stride}")
+            < F.expr(f"(cum_before + {weight_col}) div {stride}")
+        )
+        .withColumn(
+            "sample_pos", F.expr(f"(cum_before + {weight_col}) div {stride}")
+        )
+        .drop("_h", "_bkt", "_base")
+    )
+
+
+def sql_weighted_systematic_cte(
+    id_col: str, weight_col: str, n_samples: int,
+    table: str = "documents", salt: str = "v1",
+) -> str:
+    """Oracle CTE: the single-window global formulation the two-phase
+    plan must reproduce bit-exactly (kept set AND prefix sums)."""
+    return f"""
+WITH ranked AS (
+  SELECT *,
+         CAST(COALESCE(SUM({weight_col}) OVER (
+           ORDER BY md5('{salt}' || '|' || CAST({id_col} AS VARCHAR)),
+                    {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_before
+  FROM {table}
+), tot AS (
+  SELECT GREATEST(1, CAST(SUM({weight_col}) AS BIGINT) // {n_samples})
+    AS stride
+  FROM {table}
+), kept AS (
+  SELECT ranked.*,
+         (cum_before + {weight_col}) // stride AS sample_pos
+  FROM ranked, tot
+  WHERE cum_before // stride < (cum_before + {weight_col}) // stride
+)"""

@@ -140,3 +140,36 @@ def test_budget_mix_exclusive_cut_and_determinism(spark):
     # salt redraws the selection
     resalted = budget_mix(docs, "source", "doc_id", "n_chars", 5000, salt="v2")
     assert kept.subtract(resalted).count() > 0
+
+
+def test_weighted_systematic_sample_properties(spark, sf_dir):
+    """Kept count ~ n_samples; every kept row spans a stride boundary;
+    selection is salt-sensitive but deterministic per salt; a heavy
+    row is proportionally more likely kept than a light one (checked
+    structurally: total kept weight >= kept_count * E[weight])."""
+    from bottledwater_pg_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+    from bottledwater_pg_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    n = 20
+    stride = max(1, total // n)
+    s1 = weighted_systematic_sample(docs, "doc_id", "n_chars", n).toPandas()
+    # boundary property, exact
+    assert ((s1.cum_before // stride)
+            < ((s1.cum_before + s1.n_chars) // stride)).all()
+    assert n <= len(s1) <= n + 1 + total // stride - n  # floor(total/stride) bounds
+    # deterministic: second run identical
+    s2 = weighted_systematic_sample(docs, "doc_id", "n_chars", n).toPandas()
+    assert sorted(s1.doc_id) == sorted(s2.doc_id)
+    # re-salt redraws
+    s3 = weighted_systematic_sample(
+        docs, "doc_id", "n_chars", n, salt="v2"
+    ).toPandas()
+    assert sorted(s1.doc_id) != sorted(s3.doc_id)
+    # weighted: mean sampled length exceeds corpus mean length
+    # (length-proportional inclusion biases toward long docs)
+    corpus_mean = total / docs.count()
+    assert s1.n_chars.mean() > corpus_mean
