@@ -2876,3 +2876,72 @@ SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20
 
 QUERIES["pagerank_copurchase"] = pagerank_copurchase
 ORACLES["pagerank_copurchase"] = PAGERANK_SQL
+
+
+# ---------------------------------------------- z-order layout pruning
+
+
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit (operators/layout.py): range-normalize
+    l_partkey and l_suppkey to 16 integer buckets each (the
+    rank/range-id step real ZORDER writers use — raw keys of
+    different magnitudes would waste interleave bits), Morton-
+    interleave the 4+4 bucket bits into a z-value, and report each
+    z-cell's row count and min/max of BOTH raw dimensions — the
+    min/max rectangles that make two-column scan pruning work.
+
+    All arithmetic is exact integer: the bucket id is
+    ((v - min) * 16) div (max - min + 1) with the 1-row min/max
+    aggregate broadcast, and the interleave is 8 codegen'd bit ops —
+    bit-identical on both engines at any scale factor."""
+    from bottledwater_pg_spark.operators.layout import with_zvalue
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    stats = li.agg(
+        F.min("l_partkey").alias("_pmin"),
+        F.max("l_partkey").alias("_pmax"),
+        F.min("l_suppkey").alias("_smin"),
+        F.max("l_suppkey").alias("_smax"),
+    )
+    b = li.crossJoin(F.broadcast(stats)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr("((l_partkey - _pmin) * 16) div (_pmax - _pmin + 1)").alias("xb"),
+        F.expr("((l_suppkey - _smin) * 16) div (_smax - _smin + 1)").alias("yb"),
+    )
+    z = with_zvalue(b, "xb", "yb", bits=4)
+    return z.groupBy(F.col("zval").alias("zcell")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_partkey").alias("min_part"),
+        F.max("l_partkey").alias("max_part"),
+        F.min("l_suppkey").alias("min_supp"),
+        F.max("l_suppkey").alias("max_supp"),
+    )
+
+
+from bottledwater_pg_spark.operators.layout import sql_z_expr  # noqa: E402
+
+ZORDER_SQL = f"""
+WITH stats AS (
+  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+  FROM lineitem
+), b AS (
+  SELECT l_partkey, l_suppkey,
+         ((l_partkey - pmin) * 16) // (pmax - pmin + 1) AS xb,
+         ((l_suppkey - smin) * 16) // (smax - smin + 1) AS yb
+  FROM lineitem, stats
+), z AS (
+  SELECT l_partkey, l_suppkey, {sql_z_expr("xb", "yb", 4)} AS zval
+  FROM b
+)
+SELECT zval AS zcell,
+       COUNT(*) AS n_rows,
+       MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+       MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+FROM z
+GROUP BY 1
+"""
+
+QUERIES["zorder_layout_stats"] = zorder_layout_stats
+ORACLES["zorder_layout_stats"] = ZORDER_SQL

@@ -78,3 +78,36 @@ def test_bucketed_join_matches_unbucketed(warehouse, sf_dir):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_zvalue_matches_hand_computed_morton(spark):
+    """morton(3, 5) with 3 bits: x=011 at even positions, y=101 at odd
+    -> bits 0,2 (x) + 1,5 (y) ... = 1+2+4+32 = 39."""
+    from bottledwater_pg_spark.operators.layout import with_zvalue
+
+    df = spark.createDataFrame([(3, 5), (0, 0), (7, 7)], "x long, y long")
+    got = {
+        (r.x, r.y): r.zval
+        for r in with_zvalue(df, "x", "y", bits=3).collect()
+    }
+    assert got == {(3, 5): 39, (0, 0): 0, (7, 7): 63}
+
+
+def test_zorder_repartition_bounds_both_dims(spark, sf_dir):
+    """After zorder_repartition each partition must cover a DISJOINT
+    z-range (range partitioning by zval), i.e. every file a ZORDER
+    write produces is one contiguous Morton rectangle — the property
+    that makes min/max stats selective on both columns."""
+    from bottledwater_pg_spark.operators.layout import zorder_repartition
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z = zorder_repartition(li, "l_partkey", "l_suppkey", 8)
+    bounds = (
+        z.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.min("zval").alias("lo"), F.max("zval").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(bounds) > 1
+    for prev, cur in zip(bounds, bounds[1:]):
+        assert prev["hi"] <= cur["lo"]
