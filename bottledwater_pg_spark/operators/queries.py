@@ -2945,3 +2945,112 @@ GROUP BY 1
 
 QUERIES["zorder_layout_stats"] = zorder_layout_stats
 ORACLES["zorder_layout_stats"] = ZORDER_SQL
+
+
+# ------------------------------------- robust dispersion (exact MAD)
+
+
+def mad_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of order value per market segment —
+    the robust dispersion statistic (outlier-resistant sigma) quality
+    monitors prefer over stddev. Exact, via TWO stacked applications
+    of the two-phase bucketed rank extraction (:func:
+    `_bucketed_group_ranks`): first the per-segment median, then the
+    median of |v - median|.
+
+    Determinism: v is DECIMAL(18,2); the median is one double
+    expression over the middle decimal values; each deviation is one
+    double subtraction of identical operands — so the second ranking
+    orders identical doubles on both engines. Parallelism is bucket-
+    count x groups in both phases, never capped at the 5 segments.
+    """
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    r = _bucketed_group_ranks(
+        j, "c_mktsegment", ["(n + 1) div 2", "(n + 2) div 2"]
+    )
+    med = (
+        r.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            (
+                (F.min("v").cast("double") + F.max("v").cast("double"))
+                / F.lit(2.0)
+            ).alias("med"),
+            F.max("n").alias("n_orders"),
+        )
+    )
+    dev = j.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment",
+        F.abs(F.col("v").cast("double") - F.col("med")).alias("v"),
+    )
+    r2 = _bucketed_group_ranks(
+        dev, "c_mktsegment", ["(n + 1) div 2", "(n + 2) div 2"]
+    )
+    mad = (
+        r2.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            ((F.min("v") + F.max("v")) / F.lit(2.0)).alias("mad_order_value")
+        )
+    )
+    return med.join(mad, "c_mktsegment").select(
+        "c_mktsegment",
+        F.col("med").alias("median_order_value"),
+        "mad_order_value",
+        "n_orders",
+    )
+
+
+MAD_SQL = """
+WITH j AS (
+  SELECT c_mktsegment, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+r AS (
+  SELECT c_mktsegment, v,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM j
+),
+med AS (
+  SELECT c_mktsegment,
+         (CAST(MIN(v) AS DOUBLE) + CAST(MAX(v) AS DOUBLE)) / 2 AS med,
+         MAX(n) AS n_orders
+  FROM r
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY c_mktsegment
+),
+dev AS (
+  SELECT j.c_mktsegment, ABS(CAST(j.v AS DOUBLE) - med.med) AS v
+  FROM j JOIN med USING (c_mktsegment)
+),
+r2 AS (
+  SELECT c_mktsegment, v,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM dev
+),
+mad AS (
+  SELECT c_mktsegment, (MIN(v) + MAX(v)) / 2 AS mad_order_value
+  FROM r2
+  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY c_mktsegment
+)
+SELECT med.c_mktsegment, med.med AS median_order_value,
+       mad.mad_order_value, med.n_orders
+FROM med JOIN mad USING (c_mktsegment)
+"""
+
+QUERIES["mad_order_value_by_segment"] = mad_order_value_by_segment
+ORACLES["mad_order_value_by_segment"] = MAD_SQL
