@@ -604,6 +604,81 @@ FROM customer
 """
 
 
+def cdc_schema_evolution_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream ALTER COLUMN TYPE widening (int -> bigint),
+    completing the DDL matrix beside ADD COLUMN / DROP COLUMN /
+    RENAME: PG allows in-place type widening and the reference keeps
+    replicating under the re-announced schema (schema_spec.rb's DDL
+    loop; topic_spec.rb:113-274 re-announces in-band).
+
+    The customer stream starts under schema v1 where ``c_points`` is
+    a 32-bit int; a v2 TableSchema control event widens it to bigint
+    and every fifth customer re-arrives with a value only a bigint
+    can hold. Decoding ALL survivors with the NEWEST schema is what
+    makes widening safe: the v1 int payloads parse losslessly into
+    the wider type (the JSON envelope is type-erased on the wire, so
+    widening never needs a backfill) while narrow-typed readers would
+    overflow — the materialized state is uniformly bigint.
+
+    Scale: identical single-shuffle compaction; the schema re-
+    resolution is an O(#schema changes) control trickle.
+    """
+    from bottledwater_pg_spark.operators.materialize import (
+        decode_rows,
+        latest_by_key,
+    )
+    from bottledwater_pg_spark.schema_tracker import (
+        resolve_schemas,
+        table_schema_events,
+    )
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+
+    relid = 16395
+    v1_base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_custkey") % 1000).cast("int").alias("c_points"),
+    )
+    v1_rows = snapshot_events(
+        v1_base, ["c_custkey"], F.col("c_custkey"), relid, "customer"
+    )
+    v2_base = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 5 == 0
+    ).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_custkey") % 1000 + F.lit(5_000_000_000))
+        .cast("long")
+        .alias("c_points"),
+    )
+    v2_rows = (
+        snapshot_events(
+            v2_base, ["c_custkey"], F.col("c_custkey"), relid, "customer"
+        )
+        .withColumn("lsn", F.col("lsn") + 1)
+        .withColumn("op", F.lit("update"))
+    )
+    stream = (
+        table_schema_events(v1_base, relid, "customer", lsn=0)
+        .unionByName(v1_rows)
+        .unionByName(table_schema_events(v2_base, relid, "customer", lsn=1))
+        .unionByName(v2_rows)
+    )
+    tracker = resolve_schemas(stream)
+    return decode_rows(latest_by_key(stream), tracker.current(relid)).select(
+        "c_custkey", "c_name", "c_points"
+    )
+
+
+CDC_EVOLUTION_WIDEN_SQL = """
+SELECT c_custkey, c_name,
+       CASE WHEN c_custkey % 5 = 0
+            THEN CAST(c_custkey % 1000 + 5000000000 AS BIGINT)
+            ELSE CAST(c_custkey % 1000 AS BIGINT) END AS c_points
+FROM customer
+"""
+
+
 def cdc_schema_evolution_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mid-stream ALTER TABLE RENAME, oracle-checked end-to-end
     (spec/functional/topic_spec.rb "renaming a table" — after the
@@ -806,6 +881,7 @@ QUERIES = {
     "cdc_schema_evolution_customer": cdc_schema_evolution_customer,
     "cdc_schema_evolution_drop": cdc_schema_evolution_drop,
     "cdc_schema_evolution_rename": cdc_schema_evolution_rename,
+    "cdc_schema_evolution_widen": cdc_schema_evolution_widen,
     "cdc_zero_column_table": cdc_zero_column_table,
     "cdc_skip_snapshot_customer": cdc_skip_snapshot_customer,
     "cdc_export_snapshot_counts": cdc_export_snapshot_counts,
@@ -827,6 +903,7 @@ ORACLES = {
     "cdc_schema_evolution_customer": CDC_EVOLUTION_SQL,
     "cdc_schema_evolution_drop": CDC_EVOLUTION_DROP_SQL,
     "cdc_schema_evolution_rename": CDC_EVOLUTION_RENAME_SQL,
+    "cdc_schema_evolution_widen": CDC_EVOLUTION_WIDEN_SQL,
     "cdc_zero_column_table": CDC_ZERO_COLUMN_SQL,
     "cdc_skip_snapshot_customer": CDC_SKIP_SNAPSHOT_SQL,
     "cdc_export_snapshot_counts": CDC_EXPORT_SQL,

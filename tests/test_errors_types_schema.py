@@ -309,3 +309,22 @@ def test_avro_envelope_roundtrip_or_gate(spark, sf_dir):
             encode_rows(cust, ["c_custkey", "c_name"]).collect()
         with pytest.raises(NotImplementedError, match="spark-avro|avro"):
             cust.select(decode_avro(F.lit(b""), "{}")).collect()
+
+
+def test_schema_evolution_widen_decodes_v1_ints_as_bigint(spark, sf_dir):
+    """After a v2 TableSchema widens c_points int->bigint, ALL
+    surviving rows (v1-era included) decode as LongType, and the
+    beyond-int32 v2 values round-trip exactly."""
+    from pyspark.sql import types as T
+
+    from bottledwater_pg_spark.operators.cdc_queries import (
+        cdc_schema_evolution_widen,
+    )
+
+    out = cdc_schema_evolution_widen(spark, sf_dir)
+    assert isinstance(out.schema["c_points"].dataType, T.LongType)
+    pdf = out.toPandas()
+    wide = pdf[pdf.c_custkey % 5 == 0]
+    narrow = pdf[pdf.c_custkey % 5 != 0]
+    assert (wide.c_points >= 5_000_000_000).all()
+    assert (narrow.c_points < 1000).all() and (narrow.c_points >= 0).all()
