@@ -44,6 +44,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # their r1-r3 records; scripts/exact_gate.py re-certifies all 121
 # locally every round (EXACTGATE_r4.json).
 _FAMILY_SPREAD = [
+    # new this round (r4): semantic dedup, link analysis, weighted
+    # sampling, z-order layout, robust dispersion, DDL widen
+    "semdedup_prune_stats", "pagerank_copurchase",
+    "weighted_sample_chars", "zorder_layout_stats",
+    "mad_order_value_by_segment", "cdc_schema_evolution_widen",
     # new this round: DDL matrix + startup mode + export entry (CDC plane)
     "cdc_schema_evolution_drop", "cdc_schema_evolution_rename",
     "cdc_zero_column_table", "cdc_skip_snapshot_customer",
@@ -51,7 +56,7 @@ _FAMILY_SPREAD = [
     # never driver-checked: relational / TPC-H-adjacent shapes
     "important_part_values", "value_histogram",
     "quantity_price_corr_exact", "fuzzy_supplier_pairs",
-    "fuzzy_supplier_pairs_k2", "quartiles_order_value_by_segment",
+    "quartiles_order_value_by_segment",
     "asof_click_to_next_purchase", "ntile_price_bands",
     "supplier_balance_distribution", "top_orderkeys_csv_per_segment",
     "clickers_never_purchased", "orders_in_price_band",
@@ -62,22 +67,26 @@ _FAMILY_SPREAD = [
     # never driver-checked: LLM pipeline
     "dedup_cluster_canonical_star", "dedup_ngram_jaccard",
     "simhash_md5_near_dup", "lsh_embedding_near_dup",
-    "lsh_ann_topk", "ivf_ann_topk",
-    "text_quality_by_source", "text_langid", "text_bpe_token_stats",
-    "doc_fingerprint_winnow", "multimodal_frame_sample", "text_chunks",
+    "text_quality_by_source", "text_langid", "doc_fingerprint_winnow", "text_chunks",
     "vocab_top_terms", "negative_pairs_per_doc", "stratified_sample_docs",
     "corpus_shuffle_positions", "budget_mix_counts", "sequence_pack_stats",
     "inverted_index_postings", "bm25_topk_docs", "multimodal_ppm_stats",
     "cross_set_contamination",
     # never driver-checked: streaming ops in batch mode
     "windowed_event_counts", "session_window_counts",
-    "sliding_window_counts", "hierarchical_rollup_daily",
+    "hierarchical_rollup_daily",
     # new this round: n-gram overlap decontamination
     "ngram_contamination",
     # ---- 50-entry window boundary (everything below has r1-r3 records;
     # median/dedup_cluster_canonical changed this round but their new code
     # paths are certified inside the window via quartiles_* / *_star, and
     # both are green in EXACTGATE_r4.json)
+    # displaced from the window this round: rows-only ANN entries (the
+    # driver's rows-only check adds nothing over EXACTGATE) and four
+    # family-sibling-covered queries, all green in EXACTGATE_r4.json
+    "lsh_ann_topk", "ivf_ann_topk", "fuzzy_supplier_pairs_k2",
+    "sliding_window_counts", "text_bpe_token_stats",
+    "multimodal_frame_sample",
     "median_order_value_by_segment", "dedup_cluster_canonical",
     "multimodal_decode_meta", "lsh_simhash_near_dup",
     "cdc_materialize_customer", "cdc_merge_sink_customer",

@@ -88,6 +88,13 @@ BENCH_QUERIES = [
     "inverted_index_postings",
     "bm25_topk_docs",
     "fraud_rolling_anomalies",
+    # round 4 additions
+    "semdedup_prune_stats",
+    "pagerank_copurchase",
+    "weighted_sample_chars",
+    "zorder_layout_stats",
+    "mad_order_value_by_segment",
+    "cdc_schema_evolution_widen",
 ]
 
 
