@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "zorder_layout_stats",
     "mad_order_value_by_segment",
     "cdc_schema_evolution_widen",
+    "incremental_dedup_matches",
 ]
 
 

@@ -509,3 +509,82 @@ def hyperplane_lsh_near_dup(df: DataFrame, threshold: float = 0.99,
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
     )
+
+
+def incremental_lsh_matches(index_df: DataFrame, new_df: DataFrame,
+                            num_hashes: int = 32, bands: int = 16,
+                            threshold: float = 0.8,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            n: int = 3) -> DataFrame:
+    """Incremental (new-batch-vs-index) near-dup matching — the daily
+    ingest shape: a SMALL new batch is checked against the STANDING
+    corpus index instead of re-running all-pairs dedup over the whole
+    corpus. Returns ``(new_id, match_id, jaccard)`` for every index
+    document within ``threshold`` of a new document.
+
+    Both sides use the same deterministic MinHash band signatures, so
+    a new doc collides with an index doc exactly as it would have in
+    the symmetric join. Candidates verify with exact Jaccard over the
+    two shingle tables (candidate pairs only).
+
+    Scale design: at 100 TB the index's banded signatures are a
+    STORED table bucketed by (band, bsig) — built once, appended per
+    batch — so this probe is one broadcast (new side is small by
+    definition) against a bucketed read, touching no index text. The
+    verify join reads only candidate index docs' shingles
+    (semi-join-pruned). Cost scales with the batch, not the corpus —
+    the property that makes continuous dedup feasible.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sh_idx = persist_tracked(shingle_table(index_df, id_col, text_col, n))
+    sh_new = persist_tracked(shingle_table(new_df, id_col, text_col, n))
+
+    def _banded(sh: DataFrame, out_id: str) -> DataFrame:
+        sig = _signatures_from_shingles(sh, num_hashes)
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(
+                        "_", *[F.col(f"mh{bi * rows + r}") for r in range(rows)]
+                    ).alias("bsig"),
+                )
+                for bi in range(bands)
+            ]
+        )
+        return sig.select("sid", F.explode(band_structs).alias("bs")).select(
+            F.col("sid").alias(out_id),
+            F.col("bs.band").alias("band"),
+            F.col("bs.bsig").alias("bsig"),
+        )
+
+    candidates = (
+        _banded(sh_idx, "match_id")
+        .join(F.broadcast(_banded(sh_new, "new_id")), ["band", "bsig"])
+        .select("new_id", "match_id")
+        .distinct()
+    )
+    sz_idx = sh_idx.groupBy("sid").agg(F.count("*").alias("sz_m"))
+    sz_new = sh_new.groupBy("sid").agg(F.count("*").alias("sz_n"))
+    inter = (
+        candidates.join(sh_new.alias("a"), F.col("a.sid") == F.col("new_id"))
+        .join(
+            sh_idx.alias("b"),
+            (F.col("b.sid") == F.col("match_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("new_id", "match_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sz_new.withColumnsRenamed({"sid": "new_id"}), "new_id")
+        .join(sz_idx.withColumnsRenamed({"sid": "match_id"}), "match_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_n") + F.col("sz_m") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "match_id", "jaccard")
+    )

@@ -1856,3 +1856,55 @@ FROM kept
 
 QUERIES["weighted_sample_chars"] = weighted_sample_chars
 ORACLES["weighted_sample_chars"] = WEIGHTED_SAMPLE_SQL
+
+
+# -------------------------------------- incremental (ingest-time) dedup
+
+
+def incremental_dedup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (operators/dedup.py incremental_lsh_matches):
+    a new ingest batch (the near-copy docs) probes the standing corpus
+    index via shared MinHash band signatures, exact-Jaccard-verifying
+    candidates only. 16 bands x 2 rows: candidate miss probability
+    ~1e-8 at J=0.8, so the result provably equals the brute-force
+    cross-corpus oracle on this corpus. Cost scales with the batch,
+    not the corpus."""
+    index = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    newb = index.filter(F.col("doc_id") % NEAR_COPY_MOD == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
+    )
+    return dedup.incremental_lsh_matches(
+        index, newb, num_hashes=32, bands=16, threshold=JACCARD_THRESHOLD
+    )
+
+
+INCR_DEDUP_SQL = f"""
+WITH newb AS (
+  SELECT doc_id + 200000 AS doc_id, text || '{NEAR_SUFFIX}' AS text
+  FROM documents WHERE doc_id % {NEAR_COPY_MOD} = 0
+),
+sha AS (
+  SELECT doc_id AS sid, unnest({_SHINGLES}) AS shingle FROM newb
+),
+shb AS (
+  SELECT doc_id AS sid, unnest({_SHINGLES}) AS shingle FROM documents
+),
+sza AS (SELECT sid, COUNT(*) AS sz FROM sha GROUP BY sid),
+szb AS (SELECT sid, COUNT(*) AS sz FROM shb GROUP BY sid),
+inter AS (
+  SELECT a.sid AS new_id, b.sid AS match_id, COUNT(*) AS inter
+  FROM sha a JOIN shb b ON a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT new_id, match_id,
+       CAST(inter AS DOUBLE) / (sza.sz + szb.sz - inter) AS jaccard
+FROM inter
+JOIN sza ON sza.sid = new_id
+JOIN szb ON szb.sid = match_id
+WHERE CAST(inter AS DOUBLE) / (sza.sz + szb.sz - inter)
+      >= {JACCARD_THRESHOLD}
+"""
+
+QUERIES["incremental_dedup_matches"] = incremental_dedup_matches
+ORACLES["incremental_dedup_matches"] = INCR_DEDUP_SQL

