@@ -245,35 +245,43 @@ def pagerank_integer(
 
     Returns (node, rank) for every node, rank in integer units.
     """
-    nodes = (
+    from bottledwater_pg_spark.session import persist_tracked
+
+    nodes = persist_tracked(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    outdeg = persist_tracked(edges.groupBy("src").agg(F.count("*").alias("deg")))
     base = scale * (damping_den - damping_num) // damping_den
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
-    for _ in range(iters):
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(outdeg, "src")
-            .select(F.col("dst").alias("node"), F.expr("rank div deg").alias("c"))
+    for i in range(iters):
+        # pre-divide rank by outdeg on the (small) node side, so the
+        # edge list joins ONE node-keyed table per iteration, not two
+        rd = ranks.join(outdeg, ranks["node"] == outdeg["src"]).select(
+            F.col("node").alias("u"), F.expr("rank div deg").alias("c")
         )
-        in_sum = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(in_sum, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_num} * coalesce(s, 0L)) div {damping_den}"
-                    )
-                )
-                .cast("long")
-                .alias("rank"),
+        in_sum = (
+            edges.join(rd, edges["src"] == rd["u"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(in_sum, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
             )
-            .localCheckpoint(eager=False)
+            .cast("long")
+            .alias("rank"),
         )
+        # lineage control: ranks is persisted (keeps AQE's runtime
+        # shuffle stats visible, so the edge join broadcast-converts
+        # when the node table is small); every 8th round ALSO
+        # checkpoint-truncates — unbounded iteration counts must not
+        # grow the plan without bound, but a checkpoint hides stats,
+        # so it is rationed rather than per-round
+        ranks = persist_tracked(ranks)
+        if (i + 1) % 8 == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks

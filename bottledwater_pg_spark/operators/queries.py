@@ -2966,9 +2966,14 @@ def mad_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
-        "c_mktsegment",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    # persisted: the joined value table feeds BOTH rank phases, each of
+    # which scans it several times (stats, bucket counts, straddle
+    # ranking) — without the cache the orders x customer join runs ~6x
+    j = persist_tracked(
+        orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+            "c_mktsegment",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        )
     )
     r = _bucketed_group_ranks(
         j, "c_mktsegment", ["(n + 1) div 2", "(n + 2) div 2"]
@@ -2987,9 +2992,11 @@ def mad_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("n_orders"),
         )
     )
-    dev = j.join(F.broadcast(med), "c_mktsegment").select(
-        "c_mktsegment",
-        F.abs(F.col("v").cast("double") - F.col("med")).alias("v"),
+    dev = persist_tracked(
+        j.join(F.broadcast(med), "c_mktsegment").select(
+            "c_mktsegment",
+            F.abs(F.col("v").cast("double") - F.col("med")).alias("v"),
+        )
     )
     r2 = _bucketed_group_ranks(
         dev, "c_mktsegment", ["(n + 1) div 2", "(n + 2) div 2"]
