@@ -49,7 +49,7 @@ _FAMILY_SPREAD = [
     "semdedup_prune_stats", "pagerank_copurchase",
     "weighted_sample_chars", "zorder_layout_stats",
     "mad_order_value_by_segment", "cdc_schema_evolution_widen",
-    "incremental_dedup_matches",
+    "incremental_dedup_matches", "multimodal_wav_stats",
     # new this round: DDL matrix + startup mode + export entry (CDC plane)
     "cdc_schema_evolution_drop", "cdc_schema_evolution_rename",
     "cdc_zero_column_table", "cdc_skip_snapshot_customer",
@@ -73,7 +73,7 @@ _FAMILY_SPREAD = [
     "corpus_shuffle_positions", "budget_mix_counts", "sequence_pack_stats",
     "inverted_index_postings", "bm25_topk_docs", "multimodal_ppm_stats",
         # never driver-checked: streaming ops in batch mode
-    "windowed_event_counts", "session_window_counts",
+    "session_window_counts",
     "hierarchical_rollup_daily",
     # new this round: n-gram overlap decontamination
     "ngram_contamination",
@@ -84,7 +84,7 @@ _FAMILY_SPREAD = [
     # displaced from the window this round: rows-only ANN entries (the
     # driver's rows-only check adds nothing over EXACTGATE) and four
     # family-sibling-covered queries, all green in EXACTGATE_r4.json
-    "cross_set_contamination",
+    "cross_set_contamination", "windowed_event_counts",
     "lsh_ann_topk", "ivf_ann_topk", "fuzzy_supplier_pairs_k2",
     "sliding_window_counts", "text_bpe_token_stats",
     "multimodal_frame_sample",

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "mad_order_value_by_segment",
     "cdc_schema_evolution_widen",
     "incremental_dedup_matches",
+    "multimodal_wav_stats",
 ]
 
 

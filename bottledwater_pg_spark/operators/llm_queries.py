@@ -1908,3 +1908,36 @@ WHERE CAST(inter AS DOUBLE) / (sza.sz + szb.sz - inter)
 
 QUERIES["incremental_dedup_matches"] = incremental_dedup_matches
 ORACLES["incremental_dedup_matches"] = INCR_DEDUP_SQL
+
+
+def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (the WAV twin of
+    multimodal_ppm_stats): per doc a genuine RIFF/WAVE PCM16 payload
+    is synthesized from pure integer functions of doc_id
+    (operators/multimodal.py synth_wav_payloads), then actually
+    decoded — RIFF chunk walk, fmt validation, int16 buffer — and
+    reduced to exact int64 waveform stats. The oracle recomputes every
+    sample arithmetically. Proves the audio-modality plumbing with a
+    real container parse, not a stub."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.wav_stats(multimodal.synth_wav_payloads(docs))
+
+
+MULTIMODAL_WAV_SQL = """
+WITH p AS (
+  SELECT doc_id, 64 + doc_id % 57 AS n, doc_id % 1000 AS b
+  FROM documents
+), s AS (
+  SELECT doc_id, n, (b * 7 + i * 13) % 4096 - 2048 AS v
+  FROM p, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) t
+)
+SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate, n AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_amp,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak
+FROM s
+GROUP BY doc_id, n
+"""
+
+QUERIES["multimodal_wav_stats"] = multimodal_wav_stats
+ORACLES["multimodal_wav_stats"] = MULTIMODAL_WAV_SQL

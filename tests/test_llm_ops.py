@@ -340,3 +340,36 @@ def test_incremental_dedup_finds_every_injected_copy_batchwise(spark, sf_dir):
         assert hit.get(o + 200000) is not None
     assert (m.new_id >= 200000).all()
     assert (m.match_id < 200000).all()
+
+
+def test_wav_codec_roundtrip_and_gates(spark):
+    """Real RIFF parse: roundtrip exactness, tolerance of extra chunks
+    before data, and hard gates on non-WAV / non-PCM16 payloads."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from bottledwater_pg_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.array([0, 1, -2, 32767, -32768, 513], dtype=np.int16)
+    rate, out = decode_wav(encode_wav(44100, s))
+    assert rate == 44100 and (out == s).all()
+
+    # insert a LIST chunk between fmt and data: parser must skip it
+    raw = encode_wav(8000, s)
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    patched = raw[:fmt_end] + extra + raw[fmt_end:]
+    rate2, out2 = decode_wav(patched)
+    assert rate2 == 8000 and (out2 == s).all()
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"NOTAWAVFILE0" + b"\x00" * 20)
+    stereo = bytearray(encode_wav(8000, s))
+    stereo[22] = 2  # channels field
+    with pytest.raises(ValueError, match="PCM16 mono"):
+        decode_wav(bytes(stereo))
