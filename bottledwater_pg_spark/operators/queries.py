@@ -3061,3 +3061,33 @@ FROM med JOIN mad USING (c_mktsegment)
 
 QUERIES["mad_order_value_by_segment"] = mad_order_value_by_segment
 ORACLES["mad_order_value_by_segment"] = MAD_SQL
+
+
+# ------------------------------------------- mergeable sketch surface
+
+
+def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Apache DataSketches HLL via
+    Spark's hll_sketch_agg): per event type, the HLL estimate of
+    distinct users NEXT TO the exact count — the operational shape at
+    100 TB is "store a sketch per partition/day, merge at query time",
+    which the test pins via hll_union_agg; here the query also proves
+    the estimate lands within sketch tolerance of truth.
+
+    No DuckDB oracle (the estimate is engine-specific) — driver does
+    a rows-only check; accuracy and merge-invariance are pytest-pinned
+    (test_approx.py). Scale: both aggregations are partial+final; the
+    sketch buffer is KB-bounded regardless of cardinality, unlike the
+    exact distinct whose shuffle grows with user count — the query
+    exists to document exactly that trade."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return ev.groupBy("event_type").agg(
+        F.ceil(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+        ).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+QUERIES["hll_distinct_users_by_type"] = hll_distinct_users_by_type
+# no ORACLES entry: approximate-by-design, rows-only driver check

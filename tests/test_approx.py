@@ -30,3 +30,40 @@ def test_approx_percentiles_ordered(spark, sf_dir):
         F.min("o_totalprice"), F.max("o_totalprice")
     ).collect()[0]
     assert mn <= p25 <= p50 <= p95 <= mx
+
+
+def test_hll_sketch_accuracy_and_merge_invariance(spark, sf_dir):
+    """HLL sketches: estimate within 5% of exact per group, and the
+    union of per-day sketches must estimate the SAME value as one
+    direct sketch over all rows (register max-merge invariance) — the
+    property that lets 100 TB pipelines pre-aggregate sketches per
+    partition and merge at read time."""
+    from bottledwater_pg_spark.operators.queries import (
+        hll_distinct_users_by_type,
+    )
+    from bottledwater_pg_spark.session import load_table
+
+    out = hll_distinct_users_by_type(spark, sf_dir).toPandas()
+    assert len(out) and (
+        (out.approx_users - out.exact_users).abs() / out.exact_users < 0.05
+    ).all()
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    direct = (
+        ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .toPandas()
+        .set_index("event_type")["est"]
+    )
+    merged = (
+        ev.groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .toPandas()
+        .set_index("event_type")["est"]
+    )
+    for t in direct.index:
+        assert abs(direct[t] - merged[t]) <= 1e-9 * max(1.0, direct[t])
