@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "cdc_schema_evolution_widen",
     "incremental_dedup_matches",
     "multimodal_wav_stats",
+    "bpe_pair_counts",
 ]
 
 

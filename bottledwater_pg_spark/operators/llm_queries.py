@@ -1941,3 +1941,60 @@ GROUP BY doc_id, n
 
 QUERIES["multimodal_wav_stats"] = multimodal_wav_stats
 ORACLES["multimodal_wav_stats"] = MULTIMODAL_WAV_SQL
+
+
+# ------------------------------------ tokenizer training: pair counts
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step — corpus-wide adjacent-token-pair
+    frequency counting — as a distributed primitive: tokenize once,
+    emit every adjacent pair (NOT distinct: merge choice is by corpus
+    frequency), count, return the top 20 pairs with a deterministic
+    (count desc, pair asc) tie-break. This is the heart of tokenizer
+    training at scale: one partial+final counted shuffle per merge
+    round, the corpus never leaves the executors, and only the
+    (vocab² -bounded, in practice tiny) pair table moves.
+
+    The pair emit is a JVM array transform over a PRE-PROJECTED token
+    array (re-tokenizing inside the lambda would be O(tokens²) per
+    doc — the same trap functions/text.py:53 documents).
+    """
+    from bottledwater_pg_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        tokens("text").alias("toks")
+    )
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN array() "
+                "ELSE transform(sequence(0, size(toks) - 2), "
+                "i -> concat(toks[i], ' ', toks[i + 1])) END"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
+BPE_PAIRS_SQL = """
+WITH toks AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+), pairs AS (
+  SELECT t[i] || ' ' || t[i + 1] AS pair
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+)
+SELECT pair, COUNT(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+QUERIES["bpe_pair_counts"] = bpe_pair_counts
+ORACLES["bpe_pair_counts"] = BPE_PAIRS_SQL
