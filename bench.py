@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "incremental_dedup_matches",
     "multimodal_wav_stats",
     "bpe_pair_counts",
+    "length_outlier_docs",
 ]
 
 

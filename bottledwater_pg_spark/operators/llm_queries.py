@@ -1998,3 +1998,110 @@ LIMIT 20
 
 QUERIES["bpe_pair_counts"] = bpe_pair_counts
 ORACLES["bpe_pair_counts"] = BPE_PAIRS_SQL
+
+
+# ----------------------------------- robust length-outlier filtering
+
+
+def length_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust quality filtering: flag documents whose length deviates
+    more than 2 MAD-sigmas from their SOURCE's median length — the
+    outlier rule real cleaning pipelines use because mean/stddev are
+    themselves dragged by the outliers being hunted. Exact arithmetic
+    end-to-end: per-source median and MAD via rank extraction over
+    integer n_chars (window per source — source cardinality is the
+    parallelism unit here, matching how per-domain stats shard at
+    scale), deviation compare in integers scaled by the 1.4826
+    sigma-consistency constant expressed as the exact rational
+    14826/10000 (no float multiply: |v - med| * 10000 > 2 * 14826 *
+    mad compares int64s).
+
+    Returns flagged docs with their source, length, and the source
+    median/MAD so the decision is auditable."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = docs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("source"))
+    )
+    med = (
+        r.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("source")
+        # 2x the median in integer units — avoids a fractional median
+        # for even groups: compare 2*|v - med| as |2v - 2med|
+        .agg((F.min("n_chars") + F.max("n_chars")).alias("med2"))
+    )
+    dev = docs.join(F.broadcast(med), "source").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.abs(F.lit(2) * F.col("n_chars") - F.col("med2")).alias("dev2"),
+    )
+    w2 = Window.partitionBy("source").orderBy("dev2", "doc_id")
+    r2 = dev.withColumn("rn", F.row_number().over(w2)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("source"))
+    )
+    mad = (
+        r2.filter(
+            (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(n + 2) div 2"))
+        )
+        .groupBy("source")
+        .agg((F.min("dev2") + F.max("dev2")).alias("mad4"))  # 4x the MAD
+    )
+    return (
+        dev.join(F.broadcast(mad), "source")
+        # |v-med| > 2 * 1.4826 * MAD with every term integral
+        # (dev2 = 2|v-med|, mad4 = 4*MAD):
+        #   (dev2/2)*10^4 > 2 * 14826 * (mad4/4)
+        #   <=> dev2 * 20000 > 29652 * mad4
+        .filter(
+            F.col("dev2") * F.lit(20000) > F.lit(29652) * F.col("mad4")
+        )
+        .select("source", "doc_id", "n_chars", "dev2", "mad4")
+    )
+
+
+LENGTH_OUTLIER_SQL = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+),
+med AS (
+  SELECT source, MIN(n_chars) + MAX(n_chars) AS med2
+  FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY source
+),
+dev AS (
+  SELECT d.source, d.doc_id, d.n_chars,
+         ABS(2 * d.n_chars - med.med2) AS dev2
+  FROM documents d JOIN med USING (source)
+),
+r2 AS (
+  SELECT source, doc_id, n_chars, dev2,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY dev2, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM dev
+),
+mad AS (
+  SELECT source, MIN(dev2) + MAX(dev2) AS mad4
+  FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY source
+)
+SELECT dev.source, dev.doc_id, dev.n_chars, dev.dev2, mad.mad4
+FROM dev JOIN mad USING (source)
+WHERE dev.dev2 * 20000 > 29652 * mad.mad4
+"""
+
+QUERIES["length_outlier_docs"] = length_outlier_docs
+ORACLES["length_outlier_docs"] = LENGTH_OUTLIER_SQL
