@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "multimodal_wav_stats",
     "bpe_pair_counts",
     "length_outlier_docs",
+    "watermark_lag_profile",
+    "rolling_7d_active_users",
 ]
 
 

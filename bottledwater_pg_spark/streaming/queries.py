@@ -11,6 +11,7 @@ exercised in tests/test_streaming.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from bottledwater_pg_spark.session import load_table
 from bottledwater_pg_spark.streaming.stream import (
@@ -216,3 +217,108 @@ def streaming_fraud_anomalies(events_stream: "DataFrame"):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def watermark_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing from data: per user, how out-of-order the
+    event stream actually arrives — lateness of event i = (running
+    max event-time over that user's earlier ARRIVALS) - own event
+    time, exact integer microseconds. Reports the 20 most disordered
+    users (max lateness, out-of-order count, events). This is the
+    measurement that justifies a `withWatermark` bound instead of
+    guessing it; per-user windows keep the profile embarrassingly
+    parallel (key-partitioned, no global sort).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lag = ev.withColumn(
+        "late_us",
+        F.greatest(F.lit(0), F.max("us").over(w) - F.col("us")).cast("long"),
+    )
+    return (
+        lag.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("late_us") > 0).cast("long")).alias("n_out_of_order"),
+            F.max("late_us").alias("max_late_us"),
+        )
+        .orderBy(F.desc("max_late_us"), "user_id")
+        .limit(20)
+    )
+
+
+WATERMARK_LAG_SQL = """
+WITH lag AS (
+  SELECT user_id,
+         GREATEST(0, MAX(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) - epoch_us(ts)) AS late_us
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_out_of_order,
+       CAST(COALESCE(MAX(late_us), 0) AS BIGINT) AS max_late_us
+FROM lag
+GROUP BY user_id
+ORDER BY max_late_us DESC, user_id
+LIMIT 20
+"""
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU-style) WITHOUT a range
+    self-join: each (day, user) contribution is exploded to the <=7
+    target days it can serve — bounded fanout instead of an O(days x
+    events) join — then one distinct count per target day. Reported
+    only for days that actually have events (semi join). At 100 TB
+    the same plan holds (fanout stays 7x); beyond that the HLL-sketch
+    twin (`hll_distinct_users_by_type`'s machinery) replaces the
+    exact distinct."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    days = ev.select("d").distinct()
+    contrib = ev.select(
+        F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("day"),
+        "user_id",
+    )
+    return (
+        contrib.join(
+            days.withColumnRenamed("d", "day"), "day", "left_semi"
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+        .select(F.col("day").cast("timestamp").alias("day"), "active_users_7d")
+    )
+
+
+ROLLING_ACTIVE_SQL = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS d, user_id FROM events
+), contrib AS (
+  SELECT CAST(g.day AS DATE) AS day, user_id
+  FROM ev, LATERAL (
+    SELECT unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                  INTERVAL 1 DAY)) AS day) g
+), days AS (SELECT DISTINCT d FROM ev)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       COUNT(DISTINCT user_id) AS active_users_7d
+FROM contrib
+WHERE day IN (SELECT d FROM days)
+GROUP BY day
+"""
+
+QUERIES["watermark_lag_profile"] = watermark_lag_profile
+ORACLES["watermark_lag_profile"] = WATERMARK_LAG_SQL
+QUERIES["rolling_7d_active_users"] = rolling_active_users
+ORACLES["rolling_7d_active_users"] = ROLLING_ACTIVE_SQL
