@@ -51,6 +51,17 @@ HEADLINE = {
     "simhash_md5_near_dup": "60-bit signature in one 60-expression agg; banded equi-join; bit_count(xor) verify",
     "funnel_session_conversion": "one user_id shuffle serves lag + session numbering + per-session windows",
     "cdc_export_snapshot_counts": "multi-table snapshot export: union of narrow scans, zero shuffles before the count agg",
+    "semdedup_prune_stats": "SemDeDup: centroid broadcast + one-shuffle assignment; pair join equi-keyed on cent_id (quadratic bounded by cluster size)",
+    "pagerank_copurchase": "PageRank: per-iteration edge join against ONE pre-divided node table; persisted ranks keep AQE stats for broadcast conversion",
+    "weighted_sample_chars": "weighted systematic sample: 256-bucket two-phase prefix sum, no global window",
+    "zorder_layout_stats": "z-order: 1-row min/max broadcast, narrow bit-interleave projection, one cell agg",
+    "mad_order_value_by_segment": "MAD: two stacked two-phase ranks over ONE persisted join",
+    "incremental_dedup_matches": "incremental dedup: new-batch bands broadcast against index bands; verify join touches candidates only",
+    "multimodal_wav_stats": "real RIFF/WAV decode in Arrow-batched mapInPandas; zero shuffles",
+    "bpe_pair_counts": "BPE pair counting: narrow pair emit, ONE counted shuffle, top-20 on aggregated rows",
+    "length_outlier_docs": "robust outlier filter: per-source rank windows + broadcast med/MAD, integer compares",
+    "rolling_7d_active_users": "rolling WAU: bounded 7x explode replaces O(days x events) range join",
+    "watermark_lag_profile": "lateness profile: per-user arrival-order window, one key shuffle",
 }
 
 ALIAS = {
