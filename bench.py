@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "length_outlier_docs",
     "watermark_lag_profile",
     "rolling_7d_active_users",
+    "data_quality_report",
 ]
 
 

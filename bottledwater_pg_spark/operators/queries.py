@@ -3091,3 +3091,129 @@ def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["hll_distinct_users_by_type"] = hll_distinct_users_by_type
 # no ORACLES entry: approximate-by-design, rows-only driver check
+
+
+# ---------------------------------------- data-quality expectations
+
+
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ/dbt-style expectation suite as ONE report: per check, the
+    violation count and the rows checked. Same-table row predicates
+    (nulls, ranges, domains) fold into a SINGLE conditional-aggregate
+    pass over each table — adding a 10th check costs another column,
+    not another scan; uniqueness is one counted group-by; referential
+    integrity is one anti-join (null-safe NOT EXISTS semantics).
+
+    Scale: two scans of orders (row checks + key uniqueness), one of
+    lineitem, one anti-join against the customer build side — the
+    whole suite is 4 jobs regardless of how many row-level checks it
+    carries. This is the validation stage a 100 TB ingest runs before
+    publishing a snapshot.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def row(name: str, viol: F.Column, checked: F.Column) -> F.Column:
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            viol.cast("long").alias("n_violations"),
+            checked.cast("long").alias("n_checked"),
+        )
+
+    o_checks = orders.agg(
+        F.array(
+            row("orders_custkey_not_null",
+                F.sum(F.col("o_custkey").isNull().cast("long")), F.count("*")),
+            row("orders_status_in_domain",
+                F.sum((~F.col("o_orderstatus").isin("O", "F", "P"))
+                      .cast("long")), F.count("*")),
+            row("orders_price_positive",
+                F.sum((F.col("o_totalprice") <= 0).cast("long")), F.count("*")),
+            row("orders_date_in_range",
+                F.sum(((F.col("o_orderdate")
+                        < F.lit("1992-01-01").cast("timestamp_ntz"))
+                       | (F.col("o_orderdate")
+                          >= F.lit("1999-01-01").cast("timestamp_ntz")))
+                      .cast("long")), F.count("*")),
+        ).alias("checks")
+    ).select(F.explode("checks").alias("c"))
+
+    li_checks = li.agg(
+        F.array(
+            row("lineitem_qty_in_range",
+                F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+                      .cast("long")), F.count("*")),
+            row("lineitem_discount_in_range",
+                F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1))
+                      .cast("long")), F.count("*")),
+        ).alias("checks")
+    ).select(F.explode("checks").alias("c"))
+
+    dup = orders.groupBy("o_orderkey").count()
+    uniq = dup.agg(
+        row("orders_orderkey_unique",
+            F.sum((F.col("count") > 1).cast("long")), F.count("*")).alias("c")
+    ).select("c")
+
+    orphans = orders.join(cust, orders.o_custkey == cust.c_custkey,
+                          "left_anti")
+    n_orders = orders.select(F.count("*").alias("n"))
+    fk = (
+        orphans.agg(F.count("*").alias("v"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.struct(
+                F.lit("orders_custkey_fk_valid").alias("check_name"),
+                F.col("v").cast("long").alias("n_violations"),
+                F.col("n").cast("long").alias("n_checked"),
+            ).alias("c")
+        )
+    )
+
+    return (
+        o_checks.unionByName(li_checks).unionByName(uniq).unionByName(fk)
+        .select("c.check_name", "c.n_violations", "c.n_checked")
+    )
+
+
+DQ_SQL = """
+SELECT 'orders_custkey_not_null' AS check_name,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations,
+       COUNT(*) AS n_checked FROM orders
+UNION ALL
+SELECT 'orders_status_in_domain',
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM orders
+UNION ALL
+SELECT 'orders_price_positive',
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*) FROM orders
+UNION ALL
+SELECT 'orders_date_in_range',
+       CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                       OR o_orderdate >= TIMESTAMP '1999-01-01'
+                THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM orders
+UNION ALL
+SELECT 'lineitem_qty_in_range',
+       CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_in_range',
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM lineitem
+UNION ALL
+SELECT 'orders_orderkey_unique',
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'orders_custkey_fk_valid',
+       CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM customer
+                                      WHERE c_custkey = o_custkey)
+                THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(*) FROM orders
+"""
+
+QUERIES["data_quality_report"] = data_quality_report
+ORACLES["data_quality_report"] = DQ_SQL
