@@ -50,7 +50,8 @@ _FAMILY_SPREAD = [
     "weighted_sample_chars", "zorder_layout_stats",
     "mad_order_value_by_segment", "cdc_schema_evolution_widen",
     "incremental_dedup_matches", "multimodal_wav_stats",
-    "bpe_pair_counts",
+    "bpe_pair_counts", "length_outlier_docs", "watermark_lag_profile",
+    "rolling_7d_active_users", "data_quality_report",
     # new this round: DDL matrix + startup mode + export entry (CDC plane)
     "cdc_schema_evolution_drop", "cdc_schema_evolution_rename",
     "cdc_zero_column_table", "cdc_skip_snapshot_customer",
@@ -69,9 +70,8 @@ _FAMILY_SPREAD = [
     # never driver-checked: LLM pipeline
     "dedup_cluster_canonical_star", "dedup_ngram_jaccard",
     "simhash_md5_near_dup", "lsh_embedding_near_dup",
-    "text_langid", "doc_fingerprint_winnow", "text_chunks",
-    "vocab_top_terms", "negative_pairs_per_doc", "stratified_sample_docs",
-    "corpus_shuffle_positions", "budget_mix_counts", "sequence_pack_stats",
+    "text_langid", "doc_fingerprint_winnow", "stratified_sample_docs",
+    "corpus_shuffle_positions", "sequence_pack_stats",
     "inverted_index_postings", "bm25_topk_docs", "multimodal_ppm_stats",
         # never driver-checked: streaming ops in batch mode
     "session_window_counts",
@@ -86,6 +86,8 @@ _FAMILY_SPREAD = [
     # driver's rows-only check adds nothing over EXACTGATE) and four
     # family-sibling-covered queries, all green in EXACTGATE_r4.json
     "cross_set_contamination", "windowed_event_counts",
+    "negative_pairs_per_doc", "budget_mix_counts", "vocab_top_terms",
+    "text_chunks",
     "text_quality_by_source",
     "lsh_ann_topk", "ivf_ann_topk", "fuzzy_supplier_pairs_k2",
     "sliding_window_counts", "text_bpe_token_stats",
