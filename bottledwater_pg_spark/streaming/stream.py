@@ -565,3 +565,98 @@ def stateful_latest_by_key_tws(events_stream: DataFrame):
         outputMode="Update",
         timeMode="None",
     )
+
+
+class StreamingDedupIndex:
+    """Continuous ingest-time near-dup rejection: the streaming twin of
+    ``operators/dedup.incremental_lsh_matches``. State on disk is the
+    corpus of SEEN documents; each micro-batch probes the standing
+    index for matches, rejects every doc with an earlier-seen (or
+    earlier-in-batch, lower-id) near-duplicate, appends the WHOLE
+    batch to the index (rejected docs still serve as witnesses — this
+    is what makes the streaming result equal the batch min-id-witness
+    rule, the same keep-lowest-id discipline as SemDeDup), and appends
+    the survivors to the accepted list.
+
+    Idempotence under replay: probes exclude identity matches
+    (match_id == doc_id), so a re-delivered batch matches only its
+    previous content under the SAME ids, is accepted identically, and
+    the accepted list is distinct-by-id — effective exactly-once
+    without coordination, like the materializer's lsn-max merge.
+
+    Scale: stores (doc_id, text) here for test-oracle simplicity; at
+    cluster scale the index stores the banded signatures + shingle
+    table instead (both partitioned by their join keys), so a probe
+    is a broadcast of the batch's bands against a bucketed read and
+    the raw text never re-shuffles. Cost per batch is O(batch), not
+    O(corpus) — the property that makes always-on dedup feasible.
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 threshold: float = 0.8):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.threshold = threshold
+        os.makedirs(state_dir, exist_ok=True)
+        self._have_index = False
+        self._have_accepted = False
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.state_dir, name)
+
+    def index_docs(self) -> DataFrame | None:
+        if not self._have_index:
+            return None
+        return self.spark.read.parquet(self._path("index"))
+
+    def accepted_ids(self) -> DataFrame | None:
+        if not self._have_accepted:
+            return None
+        return self.spark.read.parquet(self._path("accepted")).distinct()
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from bottledwater_pg_spark.operators import dedup
+
+        batch = batch.select("doc_id", "text")
+        idx = self.index_docs()
+        rejected_vs_index = None
+        if idx is not None:
+            rejected_vs_index = (
+                dedup.incremental_lsh_matches(
+                    idx, batch, threshold=self.threshold
+                )
+                .filter(F.col("match_id") != F.col("new_id"))
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
+        intra = (
+            dedup.minhash_lsh_pairs(
+                batch, num_hashes=32, bands=16, threshold=self.threshold
+            )
+            .select(F.col("b_id").alias("doc_id"))
+            .distinct()
+        )
+        rejected = (
+            intra
+            if rejected_vs_index is None
+            else intra.unionByName(rejected_vs_index).distinct()
+        )
+        accepted = batch.join(rejected, "doc_id", "left_anti").select("doc_id")
+        # append-only state: parquet append is atomic enough per task
+        # file; replay re-appends the same ids and accepted_ids()
+        # reads distinct
+        accepted.write.mode("append").parquet(self._path("accepted"))
+        batch.write.mode("append").parquet(self._path("index"))
+        self._have_index = True
+        self._have_accepted = True
+        from bottledwater_pg_spark.session import release_persisted
+
+        release_persisted()
+
+    def start(self, docs_stream: DataFrame, checkpoint_dir: str):
+        return (
+            docs_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .start()
+        )

@@ -20,7 +20,7 @@ def test_every_query_has_an_oracle_or_is_flagged():
     # the list deliberate — every entry here must be justified
     allowed_rows_only = {
         n for n in missing if n.startswith(("lsh_", "ivf_", "stream_"))
-    }
+    } | {"hll_distinct_users_by_type"}  # sketch estimate: engine-specific
     assert set(missing) == allowed_rows_only, f"unexplained oracle-less: {missing}"
 
 

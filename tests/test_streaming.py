@@ -595,3 +595,50 @@ def test_transform_with_state_gated(spark, sf_dir):
             got[["key", "op", "lsn", "new_row"]],
             expected[["key", "op", "lsn", "new_row"]],
         )
+
+
+def test_streaming_dedup_index_equals_batch_rule_and_replay_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """StreamingDedupIndex over the duplicate-injected corpus in 3
+    id-ordered micro-batches: the accepted set must equal the batch
+    min-id-witness rule (doc rejected iff ANY lower-id doc in the
+    whole corpus is within threshold), and replaying a batch must not
+    change the accepted set."""
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators import dedup
+    from bottledwater_pg_spark.operators.llm_queries import (
+        docs_with_near_dups,
+    )
+    from bottledwater_pg_spark.streaming.stream import StreamingDedupIndex
+
+    corpus = docs_with_near_dups(spark, sf_dir)
+    idx = StreamingDedupIndex(
+        spark, str(tmp_path / "dedup_state"), threshold=0.8
+    )
+    # id-ordered batches: earlier-seen == lower-id, so streaming
+    # acceptance must equal the batch min-id-witness rule (rejected
+    # docs still enter the index and serve as witnesses)
+    batches = [
+        corpus.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        for lo, hi in [(0, 120), (120, 260), (260, 10**9)]
+    ]
+    for e, b in enumerate(batches):
+        idx.process_batch(b, e)
+    accepted = {r.doc_id for r in idx.accepted_ids().collect()}
+
+    pairs = dedup.jaccard_pairs(corpus, 0.8).toPandas()
+    rejected_batch_rule = set(pairs.b_id)
+    expected = {
+        r.doc_id for r in corpus.select("doc_id").collect()
+    } - rejected_batch_rule
+    assert accepted == expected
+
+    # replay the middle batch: identity matches are excluded, accepted
+    # list is distinct-by-id -> unchanged
+    idx.process_batch(batches[1], 99)
+    again = {r.doc_id for r in idx.accepted_ids().collect()}
+    assert again == accepted
