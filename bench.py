@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "watermark_lag_profile",
     "rolling_7d_active_users",
     "data_quality_report",
+    "cdc_state_checksum",
 ]
 
 

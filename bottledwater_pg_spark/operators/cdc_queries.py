@@ -908,3 +908,61 @@ ORACLES = {
     "cdc_skip_snapshot_customer": CDC_SKIP_SNAPSHOT_SQL,
     "cdc_export_snapshot_counts": CDC_EXPORT_SQL,
 }
+
+
+# ------------------------------------------- replica-consistency digest
+
+
+def cdc_state_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent digest of the materialized customer state —
+    the replica-consistency verifier: source and sink each compute
+    (n_rows, xor of per-row md5 digests, bounded per-row sum) locally
+    and compare three scalars instead of shipping/sorting either
+    table. Commutative aggregates make the digest independent of
+    partitioning and row order, so it is identical on ANY engine or
+    cluster layout — exactly what a 100 TB "is the replica right?"
+    check needs (the reference leaves verification to consumers;
+    this supplies it).
+
+    Canonical row repr: every column rendered through fixed-scale
+    decimal / plain string so both engines hash identical bytes;
+    row hash = first 48 bits of md5 (sum overflow bound: n < 2^15
+    rows per 2^63 — the mod-2^30 sum term is the one safe at any n).
+    """
+    from bottledwater_pg_spark.operators.materialize import materialize
+
+    cust = load_table(spark, sf_dir, "customer")
+    state = materialize(customer_cdc(spark, sf_dir), cust.schema)
+    repr_col = F.concat_ws(
+        "|",
+        F.col("c_custkey"),
+        F.col("c_name"),
+        F.col("c_nationkey"),
+        F.col("c_acctbal").cast("decimal(18,2)"),
+        F.col("c_mktsegment"),
+    )
+    h = F.conv(F.substring(F.md5(repr_col), 1, 12), 16, 10).cast("long")
+    return state.select(h.alias("h")).agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(h)").alias("xor_digest"),
+        F.sum(F.col("h") % F.lit(1 << 30)).alias("sum_digest"),
+    )
+
+
+CDC_CHECKSUM_SQL = f"""
+WITH state AS ({{state_sql}}),
+h AS (
+  SELECT ('0x' || substr(md5(concat_ws('|',
+           c_custkey, c_name, c_nationkey,
+           CAST(c_acctbal AS DECIMAL(18,2)), c_mktsegment)), 1, 12))::BIGINT
+         AS h
+  FROM state
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS xor_digest,
+       CAST(SUM(h % {1 << 30}) AS BIGINT) AS sum_digest
+FROM h
+""".format(state_sql=CDC_CUSTOMER_SQL)
+
+QUERIES["cdc_state_checksum"] = cdc_state_checksum
+ORACLES["cdc_state_checksum"] = CDC_CHECKSUM_SQL
