@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "rolling_7d_active_users",
     "data_quality_report",
     "cdc_state_checksum",
+    "text_normalize_stats",
 ]
 
 

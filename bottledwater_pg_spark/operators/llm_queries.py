@@ -2105,3 +2105,49 @@ WHERE dev.dev2 * 20000 > 29652 * mad.mad4
 
 QUERIES["length_outlier_docs"] = length_outlier_docs
 ORACLES["length_outlier_docs"] = LENGTH_OUTLIER_SQL
+
+
+# --------------------------------------------- text canonicalization
+
+
+def text_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization before hashing/dedup — the normalize step every
+    pipeline runs so near-identical texts collide: lowercase, strip
+    punctuation to spaces, collapse whitespace runs, trim. All
+    ASCII-class regexes (identical semantics in Java regex and RE2, so
+    the md5 of the normalized text is cross-engine checkable — the
+    md5 IS the dedup key this stage exists to stabilize). Narrow
+    projection, no shuffle; composes in front of every dedup operator.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9\\s]", " "),
+            "\\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length(norm).alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+TEXT_NORMALIZE_SQL = """
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS raw_len,
+       CAST(length(norm) AS INTEGER) AS norm_len,
+       md5(norm) AS norm_md5
+FROM n
+"""
+
+QUERIES["text_normalize_stats"] = text_normalize_stats
+ORACLES["text_normalize_stats"] = TEXT_NORMALIZE_SQL
