@@ -6,14 +6,19 @@ the driver gate):
 
   1. INGEST    CDC stream for `documents` -> latest-state-by-key
                (snapshot + updates/deletes, tombstone compaction)
-  2. DEDUP     MinHash-LSH near-dup pairs -> connected components ->
-               keep the canonical doc per cluster
+  2. NORMALIZE lowercase/punct-strip/whitespace-collapse canonical
+               text — the form dedup hashes actually collide on
+  2b. DEDUP    MinHash-LSH near-dup pairs over the NORMALIZED text ->
+               connected components -> keep the canonical doc per
+               cluster
   3. FILTER    language-ID + quality scoring, keep docs passing both
   4. PII       redact emails/phones in the surviving text
   5. SPLIT     hash-deterministic train/val/test assignment
   6. DECONTAM  drop train docs sharing a discriminative word 8-gram
                with any val/test doc (partial-inclusion leak check)
   7. PACK      concat-and-chunk sequence packing per (source, split)
+  9. EVAL-DRAW length-weighted systematic sample of val docs (the
+               deterministic "pick K eval docs by token budget" draw)
 
 Run:  python examples/training_pipeline.py [sf_dir]  (prints stage
 row counts and per-split pack stats).
@@ -56,9 +61,18 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     )
     current = materialize(events, docs_base.schema)
 
-    # 2. dedup: LSH pairs -> components -> canonical winner per cluster
+    # 2. normalize, then dedup on the canonical form: LSH pairs ->
+    # components -> canonical winner per cluster
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9\\s]", " "),
+            "\\s+",
+            " ",
+        )
+    )
     pairs = minhash_lsh_pairs(
-        current.select("doc_id", "text"), num_hashes=32, bands=16, threshold=0.8
+        current.select("doc_id", norm.alias("text")),
+        num_hashes=32, bands=16, threshold=0.8,
     ).select("a_id", "b_id")
     comp = connected_components(pairs, "a_id", "b_id")
     canonical = (
@@ -130,8 +144,23 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "doc_id",
         k=2,
     )
+    # 9. eval draw: ~20 val docs, inclusion probability proportional
+    # to length — deterministic integer systematic resampling
+    from bottledwater_pg_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    eval_sample = weighted_systematic_sample(
+        decontaminated.filter(F.col("split") == "val")
+        .select("doc_id", "n_chars"),
+        "doc_id",
+        "n_chars",
+        n_samples=20,
+    )
+
     return {
         "current": current,
+        "eval_sample": eval_sample,
         "canonical": canonical,
         "clean": clean,
         "split_docs": split_docs,

@@ -373,3 +373,26 @@ def test_wav_codec_roundtrip_and_gates(spark):
     stereo[22] = 2  # channels field
     with pytest.raises(ValueError, match="PCM16 mono"):
         decode_wav(bytes(stereo))
+
+
+def test_training_pipeline_eval_sample_stage(spark, sf_dir):
+    """New stage 9: the eval draw is deterministic, val-only, and
+    ~n_samples sized."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "training_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "training_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    stages = mod.run(spark, sf_dir)
+    samp = stages["eval_sample"].toPandas()
+    val_ids = {
+        r["doc_id"]
+        for r in stages["decontaminated"].filter("split = 'val'").collect()
+    }
+    assert set(samp.doc_id) <= val_ids
+    assert 1 <= len(samp) <= 22
