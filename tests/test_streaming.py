@@ -642,3 +642,49 @@ def test_streaming_dedup_index_equals_batch_rule_and_replay_idempotent(
     idx.process_batch(batches[1], 99)
     again = {r.doc_id for r in idx.accepted_ids().collect()}
     assert again == accepted
+
+
+def test_streaming_dedup_index_runs_as_real_stream(spark, sf_dir):
+    """StreamingDedupIndex behind an actual readStream (file source,
+    one file per trigger): the accepted set must equal the direct
+    process_batch result from the other test — i.e. the batch
+    min-id-witness rule — proving the foreachBatch hook works under
+    the real streaming engine, checkpoints and all."""
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators import dedup
+    from bottledwater_pg_spark.operators.llm_queries import (
+        docs_with_near_dups,
+    )
+    from bottledwater_pg_spark.streaming.stream import StreamingDedupIndex
+
+    corpus = docs_with_near_dups(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/docs"
+        # id-ordered files so arrival order tracks doc_id order: file
+        # sources list in path order, so name files by id range
+        for i, (lo, hi) in enumerate([(0, 120), (120, 260), (260, 10**9)]):
+            corpus.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+        schema = corpus.schema
+        streams = [
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b{i}")
+            for i in range(3)
+        ]
+        idx = StreamingDedupIndex(spark, f"{tmp}/state", threshold=0.8)
+        # run the three ranges as successive streams against ONE state
+        # dir (arrival order must be id order for the batch-rule pin)
+        for i, st in enumerate(streams):
+            q = idx.start(st, f"{tmp}/ckpt{i}")
+            q.processAllAvailable()
+            q.stop()
+        accepted = {r.doc_id for r in idx.accepted_ids().collect()}
+
+    pairs = dedup.jaccard_pairs(corpus, 0.8).toPandas()
+    expected = {
+        r.doc_id for r in corpus.select("doc_id").collect()
+    } - set(pairs.b_id)
+    assert accepted == expected
