@@ -51,6 +51,7 @@ _FAMILY_SPREAD = [
     "mad_order_value_by_segment", "cdc_schema_evolution_widen",
     "incremental_dedup_matches", "multimodal_wav_stats",
     "bpe_pair_counts", "length_outlier_docs", "watermark_lag_profile",
+    "cdc_avro_envelope_roundtrip",
     "rolling_7d_active_users", "data_quality_report",
     # new this round: DDL matrix + startup mode + export entry (CDC plane)
     "cdc_schema_evolution_drop", "cdc_schema_evolution_rename",
@@ -72,8 +73,7 @@ _FAMILY_SPREAD = [
     "simhash_md5_near_dup", "lsh_embedding_near_dup",
     "text_langid", "doc_fingerprint_winnow", "stratified_sample_docs",
     "corpus_shuffle_positions", "sequence_pack_stats",
-    "inverted_index_postings", "bm25_topk_docs", "multimodal_ppm_stats",
-        # never driver-checked: streaming ops in batch mode
+    "inverted_index_postings", "bm25_topk_docs", # never driver-checked: streaming ops in batch mode
     "session_window_counts",
     "hierarchical_rollup_daily",
     # new this round: n-gram overlap decontamination
@@ -86,6 +86,7 @@ _FAMILY_SPREAD = [
     # driver's rows-only check adds nothing over EXACTGATE) and four
     # family-sibling-covered queries, all green in EXACTGATE_r4.json
     "cross_set_contamination", "windowed_event_counts",
+    "multimodal_ppm_stats",
     "negative_pairs_per_doc", "budget_mix_counts", "vocab_top_terms",
     "text_chunks",
     "text_quality_by_source",

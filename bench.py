@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "data_quality_report",
     "cdc_state_checksum",
     "text_normalize_stats",
+    "cdc_avro_envelope_roundtrip",
 ]
 
 

@@ -966,3 +966,37 @@ FROM h
 
 QUERIES["cdc_state_checksum"] = cdc_state_checksum
 ORACLES["cdc_state_checksum"] = CDC_CHECKSUM_SQL
+
+
+# ------------------------------------------ Avro wire-format roundtrip
+
+
+def cdc_avro_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 at runtime, no jar needed: materialize the customer CDC
+    stream, encode every row as the reference's actual wire bytes —
+    Confluent-framed (0x00 + schema id, kafka/registry.c:63-87) Avro
+    BINARY records via the pure-Python codec (sources/avro_codec.py;
+    spec-pinned zigzag varints) — then decode the frames back and
+    return the typed rows. Hash-checked against the same closed-form
+    final-state oracle as cdc_materialize_customer: the full produce-
+    side AND consume-side Avro paths must be lossless (doubles ride
+    IEEE64 bits, strings utf8, longs zigzag — bit-exact by
+    construction). The spark-avro JVM fast path stays gated in
+    avro_io.py; this pure path always runs."""
+    from bottledwater_pg_spark.operators.materialize import materialize
+    from bottledwater_pg_spark.sources.avro_codec import (
+        avro_fields_for,
+        avro_frames,
+        decode_frames,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    state = materialize(customer_cdc(spark, sf_dir), cust.schema)
+    frames = avro_frames(state, ["c_custkey"], CUSTOMER_COLS)
+    key_f = avro_fields_for(state.schema, ["c_custkey"])
+    val_f = avro_fields_for(state.schema, CUSTOMER_COLS)
+    return decode_frames(frames, key_f, val_f).select(*CUSTOMER_COLS)
+
+
+QUERIES["cdc_avro_envelope_roundtrip"] = cdc_avro_envelope_roundtrip
+ORACLES["cdc_avro_envelope_roundtrip"] = CDC_CUSTOMER_SQL

@@ -328,3 +328,49 @@ def test_schema_evolution_widen_decodes_v1_ints_as_bigint(spark, sf_dir):
     narrow = pdf[pdf.c_custkey % 5 != 0]
     assert (wide.c_points >= 5_000_000_000).all()
     assert (narrow.c_points < 1000).all() and (narrow.c_points >= 0).all()
+
+
+def test_avro_codec_matches_spec_bytes_and_tombstones():
+    """Pure-Python Avro binary codec pinned to the Avro spec's own
+    examples (zigzag varints, length-prefixed strings) and the
+    Confluent 5-byte framing the reference produces
+    (kafka/registry.c:63-87); tombstone values frame to None."""
+    import struct
+
+    from bottledwater_pg_spark.sources.avro_codec import (
+        decode_record,
+        encode_record,
+        frame,
+        read_long,
+        unframe,
+        write_long,
+    )
+
+    pins = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03",
+            2: b"\x04", 64: b"\x80\x01", -64: b"\x7f"}
+    for n, want in pins.items():
+        buf = bytearray()
+        write_long(buf, n)
+        assert bytes(buf) == want, (n, bytes(buf))
+        assert read_long(bytes(buf), 0)[0] == n
+    for n in (-2**63, 2**63 - 1, 123456789012345):
+        buf = bytearray()
+        write_long(buf, n)
+        assert read_long(bytes(buf), 0)[0] == n
+
+    fields = [("id", ["null", "long"]), ("name", ["null", "string"]),
+              ("bal", ["null", "double"])]
+    row = {"id": 3, "name": "ab", "bal": 1.5}
+    enc = encode_record(fields, row)
+    # union index 1 (long 3) | union 1 + len 2 'ab' | union 1 + IEEE 1.5
+    assert enc == (b"\x02\x06" + b"\x02\x04ab" + b"\x02"
+                   + struct.pack("<d", 1.5))
+    assert decode_record(fields, enc)[0] == row
+    nulls = encode_record(fields, {"id": None, "name": None, "bal": None})
+    assert nulls == b"\x00\x00\x00"
+
+    framed = frame(enc, 42)
+    assert framed[:5] == b"\x00" + struct.pack(">I", 42)
+    sid, body = unframe(framed)
+    assert sid == 42 and body == enc
+    assert frame(None, 7) is None  # delete -> Kafka tombstone
