@@ -239,3 +239,67 @@ def test_ppm_decode_never_crashes_on_garbage(junk):
         except ValueError:
             continue
         assert px.shape == (h, w, 3)
+
+
+# ------------------------- pure-Python codec properties (no Spark)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(),
+                      st.integers(min_value=-2**63, max_value=2**63 - 1)),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.one_of(st.none(),
+                      st.floats(allow_nan=False, width=64)),
+            st.one_of(st.none(), st.binary(max_size=32)),
+            st.one_of(st.none(), st.booleans()),
+        ),
+        max_size=20,
+    )
+)
+@settings(deadline=None)
+def test_avro_record_roundtrip_property(rows):
+    """Any sequence of nullable (long, string, double, bytes, boolean)
+    records decodes back bit-identically from one concatenated Avro
+    binary buffer — including the stream property (records are
+    self-delimiting, so concatenation needs no separators)."""
+    from bottledwater_pg_spark.sources.avro_codec import (
+        decode_record,
+        encode_record,
+    )
+
+    fields = [
+        ("a", ["null", "long"]),
+        ("b", ["null", "string"]),
+        ("c", ["null", "double"]),
+        ("d", ["null", "bytes"]),
+        ("e", ["null", "boolean"]),
+    ]
+    buf = b"".join(
+        encode_record(fields, dict(zip("abcde", r))) for r in rows
+    )
+    pos = 0
+    for r in rows:
+        rec, pos = decode_record(fields, buf, pos)
+        assert rec == dict(zip("abcde", r))
+    assert pos == len(buf)
+
+
+@given(
+    st.integers(min_value=1, max_value=96000),
+    st.lists(st.integers(min_value=-32768, max_value=32767), max_size=200),
+)
+@settings(deadline=None)
+def test_wav_codec_roundtrip_property(rate, samples):
+    import numpy as np
+
+    from bottledwater_pg_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    arr = np.array(samples, dtype=np.int16)
+    got_rate, got = decode_wav(encode_wav(rate, arr))
+    assert got_rate == rate
+    assert (got == arr).all()
