@@ -7,6 +7,8 @@ Usage (from the repo root):
     python -m bottledwater_pg_spark plan q1_pricing_summary [--sf-dir DIR]
     python -m bottledwater_pg_spark export '%' --out /tmp/frames \\
         [--sf-dir DIR] [--allow-unkeyed] [--topic-prefix P]
+    python -m bottledwater_pg_spark sql "SELECT count(*) FROM lineitem" \\
+        [--sf-dir DIR] [-n 20]
 
 The reference's equivalent surface is the ``bwtest`` monitoring binary
 (client/bwtest.c) plus ``bottledwater --help``; here the query plane is
@@ -49,6 +51,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     pe.add_argument("--allow-unkeyed", action="store_true")
     pe.add_argument("--topic-prefix", default=None)
+    ps = sub.add_parser(
+        "sql",
+        help="run ad-hoc SQL with every fixture table registered as a "
+        "temp view (the switch-over surface: any query a reference "
+        "consumer runs downstream runs here verbatim)",
+    )
+    ps.add_argument("statement")
+    ps.add_argument(
+        "--sf-dir", default=os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+        )
+    )
+    ps.add_argument("-n", type=int, default=20, help="rows to show")
     args = ap.parse_args(argv)
 
     sys.path.insert(0, os.getcwd())
@@ -60,6 +75,15 @@ def main(argv: list[str] | None = None) -> int:
         for name in sorted(queries):
             tag = "oracle" if name in oracles else "rows-only"
             print(f"{name:40s} [{tag}]")
+        return 0
+
+    if args.cmd == "sql":
+        from bottledwater_pg_spark.session import get_spark, register_tables
+
+        spark = get_spark("bottledwater-sql")
+        register_tables(spark, args.sf_dir)
+        df = spark.sql(args.statement)
+        df.show(args.n, truncate=False)
         return 0
 
     if args.cmd == "export":

@@ -119,3 +119,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
                 F.timestamp_micros(F.expr(f"{col} div 1000")).cast("timestamp_ntz"),
             )
     return df
+
+
+def register_tables(spark, sf_dir: str) -> list[str]:
+    """Register every fixture table as a temp view so ad-hoc
+    ``spark.sql`` works against the same data the driver-contract
+    queries read (ns-timestamp handling included via load_table)."""
+    import glob as _glob
+    import os as _os
+
+    names = []
+    for path in sorted(_glob.glob(_os.path.join(sf_dir, "*.parquet"))):
+        name = _os.path.splitext(_os.path.basename(path))[0]
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        names.append(name)
+    return names

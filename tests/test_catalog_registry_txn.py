@@ -193,3 +193,15 @@ def test_export_snapshot_one_call_entry(spark, sf_dir, duck):
     assert_df_matches_oracle(
         cdc_export_snapshot_counts(spark, sf_dir), duck, CDC_EXPORT_SQL
     )
+
+
+def test_register_tables_and_adhoc_sql(spark, sf_dir):
+    from bottledwater_pg_spark.session import register_tables
+
+    names = register_tables(spark, sf_dir)
+    assert {"lineitem", "orders", "customer", "documents"} <= set(names)
+    got = spark.sql(
+        "SELECT count(*) AS n FROM orders JOIN customer "
+        "ON o_custkey = c_custkey"
+    ).first()["n"]
+    assert got > 0
