@@ -29,9 +29,12 @@ ZBITS = 16  # bits kept per dimension; z fits in 32 bits
 
 def z_expr(x_col: str, y_col: str, bits: int = ZBITS) -> str:
     """Spark SQL expression interleaving the low ``bits`` bits of two
-    non-negative integer columns: x at even positions, y at odd."""
-    xs = f"CAST({x_col} % {1 << bits} AS BIGINT)"
-    ys = f"CAST({y_col} % {1 << bits} AS BIGINT)"
+    integer columns (x at even positions, y at odd). Negative inputs
+    are mapped through a POSITIVE modulus (pmod) — Spark's % keeps
+    the dividend sign, which would shift sign bits into the
+    interleave."""
+    xs = f"CAST(pmod({x_col}, {1 << bits}) AS BIGINT)"
+    ys = f"CAST(pmod({y_col}, {1 << bits}) AS BIGINT)"
     terms = [f"shiftleft(shiftright({xs}, {i}) & 1, {2 * i})" for i in range(bits)]
     terms += [
         f"shiftleft(shiftright({ys}, {i}) & 1, {2 * i + 1})" for i in range(bits)
@@ -40,9 +43,12 @@ def z_expr(x_col: str, y_col: str, bits: int = ZBITS) -> str:
 
 
 def sql_z_expr(x_col: str, y_col: str, bits: int = ZBITS) -> str:
-    """The identical interleave in DuckDB syntax (>> << & operators)."""
-    xs = f"CAST({x_col} % {1 << bits} AS BIGINT)"
-    ys = f"CAST({y_col} % {1 << bits} AS BIGINT)"
+    """The identical interleave in DuckDB syntax (>> << & operators);
+    the double-mod makes DuckDB's sign-keeping % match Spark's pmod
+    for every input."""
+    m = 1 << bits
+    xs = f"CAST((({x_col} % {m}) + {m}) % {m} AS BIGINT)"
+    ys = f"CAST((({y_col} % {m}) + {m}) % {m} AS BIGINT)"
     terms = [f"((({xs} >> {i}) & 1) << {2 * i})" for i in range(bits)]
     terms += [f"((({ys} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
     return "(" + " + ".join(terms) + ")"

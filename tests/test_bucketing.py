@@ -111,3 +111,17 @@ def test_zorder_repartition_bounds_both_dims(spark, sf_dir):
     assert len(bounds) > 1
     for prev, cur in zip(bounds, bounds[1:]):
         assert prev["hi"] <= cur["lo"]
+
+
+def test_zvalue_negative_inputs_use_positive_modulus(spark):
+    from bottledwater_pg_spark.operators.layout import with_zvalue
+
+    df = spark.createDataFrame([(-1, 0), (-8, -8)], "x long, y long")
+    got = {
+        (r.x, r.y): r.zval
+        for r in with_zvalue(df, "x", "y", bits=3).collect()
+    }
+    # -1 % 8 -> 7 (not -1): x=111 at even bits = 1+4+16 = 21
+    assert got[(-1, 0)] == 21
+    # -8 % 8 -> 0 both dims
+    assert got[(-8, -8)] == 0
