@@ -247,6 +247,11 @@ def pagerank_integer(
     """
     from bottledwater_pg_spark.session import persist_tracked
 
+    # cache the edge list PRE-PARTITIONED by src: the cached
+    # partitioning survives in the InMemoryRelation, so each
+    # iteration's join shuffles only the (small) rank table, never
+    # the edges — the co-located-join discipline at any scale
+    edges = persist_tracked(edges.repartition("src"))
     nodes = persist_tracked(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
