@@ -143,3 +143,63 @@ def test_ppm_stats_empty_input(spark):
 
     docs = spark.createDataFrame([], "doc_id long")
     assert ppm_channel_stats(synth_ppm_payloads(docs)).count() == 0
+
+
+def test_pagerank_empty_and_single_edge(spark):
+    from bottledwater_pg_spark.operators.graph import pagerank_integer
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_integer(empty, iters=1).count() == 0
+    # single bidirectional edge: symmetric ranks, full mass retained
+    one = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    r = {x["node"]: x["rank"] for x in pagerank_integer(one, iters=3).collect()}
+    assert r[1] == r[2] and r[1] > 0
+
+
+def test_semdedup_more_clusters_than_vectors(spark):
+    from bottledwater_pg_spark.operators.similarity import semdedup_prune
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    # n_clusters > corpus: centroid limit() just returns all vectors
+    out = semdedup_prune(df, n_clusters=8, threshold=0.99)
+    assert out.count() == 0  # orthogonal vectors: nothing pruned
+
+
+def test_weighted_sample_degenerate_weights(spark):
+    from bottledwater_pg_spark.operators.sampling import (
+        weighted_systematic_sample,
+    )
+
+    # n_samples larger than total weight: stride floors to 1, every
+    # positive-weight row spans a boundary -> all kept, none crash
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, w long"
+    )
+    out = weighted_systematic_sample(df, "doc_id", "w", 100).toPandas()
+    assert sorted(out.doc_id) == [1, 2, 3]
+    # empty input: no rows, no division crash
+    empty = spark.createDataFrame([], "doc_id long, w long")
+    assert weighted_systematic_sample(empty, "doc_id", "w", 5).count() == 0
+
+
+def test_wav_stats_empty_clip(spark):
+    import numpy as np
+
+    from bottledwater_pg_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rate, s = decode_wav(encode_wav(8000, np.array([], dtype=np.int16)))
+    assert rate == 8000 and len(s) == 0
+
+
+def test_incremental_dedup_empty_batch(spark, sf_dir):
+    from bottledwater_pg_spark.operators import dedup
+    from bottledwater_pg_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.incremental_lsh_matches(docs, empty).count() == 0
