@@ -60,8 +60,12 @@ HEADLINE = {
     "multimodal_wav_stats": "real RIFF/WAV decode in Arrow-batched mapInPandas; zero shuffles",
     "bpe_pair_counts": "BPE pair counting: narrow pair emit, ONE counted shuffle, top-20 on aggregated rows",
     "length_outlier_docs": "robust outlier filter: per-source rank windows + broadcast med/MAD, integer compares",
-    "rolling_7d_active_users": "rolling WAU: bounded 7x explode replaces O(days x events) range join",
     "watermark_lag_profile": "lateness profile: per-user arrival-order window, one key shuffle",
+    "cdc_avro_envelope_roundtrip": "Avro wire bytes: narrow Arrow map encode + decode, single compaction shuffle inherited",
+    "cdc_state_checksum": "replica digest: commutative count/xor/sum over row hashes, no sort",
+    "data_quality_report": "expectation suite: one conditional-agg scan per table + FK anti-join",
+    "text_normalize_stats": "canonicalization: narrow regex projection, zero shuffles",
+    "rolling_7d_active_users": "rolling WAU: bounded 7x explode replaces O(days x events) range join",
 }
 
 ALIAS = {
