@@ -688,3 +688,22 @@ def test_streaming_dedup_index_runs_as_real_stream(spark, sf_dir):
         r.doc_id for r in corpus.select("doc_id").collect()
     } - set(pairs.b_id)
     assert accepted == expected
+
+
+def test_cdc_replication_example_end_to_end(spark, sf_dir):
+    """examples/cdc_replication.py: streamed replica digest equals the
+    direct materialization digest, and every state row publishes as a
+    decodable Avro wire frame."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "cdc_replication",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "cdc_replication.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.run(spark, sf_dir)
+    assert out["verified"] is True
+    assert out["n_frames"] == out["n_decoded"] == out["digest_direct"]["n"]
