@@ -374,3 +374,54 @@ def test_avro_codec_matches_spec_bytes_and_tombstones():
     sid, body = unframe(framed)
     assert sid == 42 and body == enc
     assert frame(None, 7) is None  # delete -> Kafka tombstone
+
+
+def test_local_schema_registry_unit(tmp_path):
+    """R3 locally: deterministic content ids (same schema -> same id
+    on any replica, no coordination), subject versioning, restart
+    persistence."""
+    from bottledwater_pg_spark.sources.registry_client import (
+        LocalSchemaRegistry,
+        schema_id_of,
+    )
+
+    reg = LocalSchemaRegistry(str(tmp_path / "reg"))
+    f1 = [("id", ["null", "long"]), ("name", ["null", "string"])]
+    i1 = reg.register("customer-key", f1)
+    assert reg.register("customer-key", f1) == i1  # idempotent
+    f2 = f1 + [("extra", ["null", "double"])]
+    i2 = reg.register("customer-key", f2)
+    assert i2 != i1
+    assert reg.latest("customer-key")["version"] == 2
+    fresh = LocalSchemaRegistry(str(tmp_path / "reg"))  # restart
+    assert [tuple(x) for x in fresh.by_id(i2)] == f2
+    assert fresh.by_id(999) is None
+    assert schema_id_of(f1) == i1  # pure function of content
+
+
+def test_registry_framed_roundtrip(spark, sf_dir, tmp_path):
+    """Publish with registered ids, decode by resolving the embedded
+    id against the registry — the reference consumer's lookup path."""
+    from bottledwater_pg_spark.session import load_table
+    from bottledwater_pg_spark.sources.registry_client import (
+        LocalSchemaRegistry,
+        decode_with_registry,
+        frames_with_registry,
+    )
+
+    reg = LocalSchemaRegistry(str(tmp_path / "reg"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).limit(50)
+    frames = frames_with_registry(
+        cust, ["c_custkey"], ["c_custkey", "c_name", "c_acctbal"],
+        reg, "customer",
+    )
+    back = decode_with_registry(frames, reg).toPandas().sort_values(
+        "c_custkey"
+    ).reset_index(drop=True)
+    want = cust.toPandas().sort_values("c_custkey").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(back[want.columns.tolist()], want)
+    assert reg.latest("customer-key") and reg.latest("customer-value")
