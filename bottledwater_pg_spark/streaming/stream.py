@@ -660,3 +660,51 @@ class StreamingDedupIndex:
             .outputMode("update")
             .start()
         )
+
+
+class MultiTableMaterializer:
+    """One consumer, every topic: routes a single interleaved CDC
+    envelope stream into per-table materialized states inside ONE
+    foreachBatch — the deployment shape of a reference consumer
+    subscribed to the whole topic set (bottledwater.c streams all
+    exported tables through one replication slot; README.md:326-358's
+    one-topic-per-table routing is re-derived here from relid).
+
+    Each table keeps its own :class:`StreamingMaterializer` (own state
+    dir, own idempotent lsn-max merge), so per-table semantics —
+    tombstones, replay idempotence, schema — are exactly the
+    single-table ones; this class only routes. A batch touching no
+    rows of a table skips that table's state write entirely.
+
+    Scale: the relid filter prunes each table's slice before any
+    shuffle; tables materialize independently so hot tables don't
+    stall cold ones; state stores shard by table then by key hash.
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 tables: dict[int, tuple[str, T.StructType]]):
+        self.tables = tables
+        self.mats = {
+            relid: StreamingMaterializer(
+                spark, os.path.join(state_dir, name), schema
+            )
+            for relid, (name, schema) in tables.items()
+        }
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        for relid, mat in self.mats.items():
+            sub = batch.filter(F.col("relid") == relid)
+            if sub.isEmpty():
+                continue
+            mat.process_batch(sub, epoch_id)
+
+    def current_rows(self, relid: int) -> DataFrame | None:
+        return self.mats[relid].current_rows()
+
+    def start(self, events_stream: DataFrame, checkpoint_dir: str):
+        return (
+            events_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .start()
+        )

@@ -707,3 +707,57 @@ def test_cdc_replication_example_end_to_end(spark, sf_dir):
     out = mod.run(spark, sf_dir)
     assert out["verified"] is True
     assert out["n_frames"] == out["n_decoded"] == out["digest_direct"]["n"]
+
+
+def test_multi_table_materializer_routes_one_stream(spark, sf_dir):
+    """One interleaved customer+orders stream through ONE foreachBatch
+    consumer: each table's streamed state must equal its direct batch
+    materialization."""
+    import pandas as pd
+
+    from bottledwater_pg_spark.operators.cdc_queries import (
+        CUSTOMER_SPEC,
+        ORDERS_SPEC,
+    )
+    from bottledwater_pg_spark.streaming.stream import MultiTableMaterializer
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    stream = generate_cdc(
+        cust, ["c_custkey"], F.col("c_custkey"), 16385, "customer",
+        CUSTOMER_SPEC,
+    ).unionByName(
+        generate_cdc(
+            orders, ["o_orderkey"], F.col("o_orderkey"), 16388, "orders",
+            ORDERS_SPEC,
+        )
+    )
+    want_cust = materialize(
+        stream.filter(F.col("relid") == 16385), cust.schema
+    ).toPandas().sort_values("c_custkey").reset_index(drop=True)
+    want_ord = materialize(
+        stream.filter(F.col("relid") == 16388), orders.schema
+    ).toPandas().sort_values("o_orderkey").reset_index(drop=True)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events"
+        write_envelope_stream(stream, src, num_files=4)
+        st = read_envelope_stream(spark, src, files_per_trigger=2)
+        mat = MultiTableMaterializer(
+            spark, f"{tmp}/state",
+            {16385: ("customer", cust.schema), 16388: ("orders", orders.schema)},
+        )
+        q = mat.start(st, f"{tmp}/ckpt")
+        q.processAllAvailable()
+        q.stop()
+        got_cust = mat.current_rows(16385).toPandas().sort_values(
+            "c_custkey").reset_index(drop=True)
+        got_ord = mat.current_rows(16388).toPandas().sort_values(
+            "o_orderkey").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        got_cust[want_cust.columns.tolist()], want_cust, check_dtype=False
+    )
+    pd.testing.assert_frame_equal(
+        got_ord[want_ord.columns.tolist()], want_ord, check_dtype=False
+    )
