@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "cdc_state_checksum",
     "text_normalize_stats",
     "cdc_avro_envelope_roundtrip",
+    "trending_event_types",
 ]
 
 

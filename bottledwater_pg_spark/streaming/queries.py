@@ -322,3 +322,56 @@ QUERIES["watermark_lag_profile"] = watermark_lag_profile
 ORACLES["watermark_lag_profile"] = WATERMARK_LAG_SQL
 QUERIES["rolling_7d_active_users"] = rolling_active_users
 ORACLES["rolling_7d_active_users"] = ROLLING_ACTIVE_SQL
+
+
+def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending: top-3 event types per hour window by count with
+    exact-decimal value totals — the windowed-rank composition every
+    monitoring dashboard runs on the stream (in streaming mode the
+    same aggregation runs windowed with a watermark; ranking happens
+    on the emitted window rows, which are tiny). One shuffle for the
+    window aggregate; the rank window sorts only (window x type) rows.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "event_type", "n_events", "total_value",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+TRENDING_SQL = """
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, total_value,
+       CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type) AS BIGINT)
+         AS rank
+FROM counts
+QUALIFY rank <= 3
+"""
+
+QUERIES["trending_event_types"] = trending_event_types
+ORACLES["trending_event_types"] = TRENDING_SQL
