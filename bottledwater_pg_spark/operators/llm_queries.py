@@ -2151,3 +2151,70 @@ FROM n
 
 QUERIES["text_normalize_stats"] = text_normalize_stats
 ORACLES["text_normalize_stats"] = TEXT_NORMALIZE_SQL
+
+
+# ------------------------------------------------ ensemble dedup capstone
+
+
+def dedup_cluster_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble near-dup clustering — the production shape: no single
+    sketch catches every duplicate class, so the pair sets of THREE
+    modalities (MinHash/Jaccard set overlap, SimHash Hamming
+    proximity, winnowing shared-passage overlap) are unioned into one
+    edge set and clustered with the adversarial-diameter star CC.
+    Returns every doc with its cluster's canonical (minimum) id —
+    docs caught by ANY modality collapse together.
+
+    Scale: each pair generator is its own audited sub-linear plan
+    (banded equi-joins, df-capped fingerprints); the union is a
+    distinct over pair keys; clustering is the O(log² n)-round star
+    variant. The edge set, not the corpus, drives CC cost.
+    """
+    from bottledwater_pg_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    p1 = lsh_minhash_near_dup(spark, sf_dir).select("a_id", "b_id")
+    p2 = simhash_md5_near_dup(spark, sf_dir).select("a_id", "b_id")
+    p3 = winnow_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+    edges = p1.unionByName(p2).unionByName(p3).distinct()
+    comp = connected_components_star(edges, "a_id", "b_id")
+    corpus = docs_with_near_dups(spark, sf_dir).select("doc_id")
+    return corpus.join(
+        comp, corpus.doc_id == comp.id, "left"
+    ).select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("canonical_id")
+    )
+
+
+def _ensemble_sql() -> str:
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || '{NEAR_SUFFIX}' AS text
+  FROM documents WHERE doc_id % {NEAR_COPY_MOD} = 0
+),
+allpairs AS (
+  SELECT a_id, b_id FROM ({DEDUP_JACCARD_SQL})
+  UNION
+  SELECT a_id, b_id FROM ({_simhash_md5_sql()})
+  UNION
+  SELECT a_id, b_id FROM ({WINNOW_PAIRS_SQL})
+),
+edges AS (
+  SELECT a_id AS a, b_id AS b FROM allpairs
+  UNION
+  SELECT b_id AS a, a_id AS b FROM allpairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM corpus
+  UNION
+  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+)
+SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id
+"""
+
+
+QUERIES["dedup_cluster_ensemble"] = dedup_cluster_ensemble
+ORACLES["dedup_cluster_ensemble"] = _ensemble_sql()

@@ -396,3 +396,34 @@ def test_training_pipeline_eval_sample_stage(spark, sf_dir):
     }
     assert set(samp.doc_id) <= val_ids
     assert 1 <= len(samp) <= 22
+
+
+def test_ensemble_clustering_subsumes_each_modality(spark, sf_dir):
+    """Every injected near-copy must share its original's ensemble
+    canonical id (any single modality suffices to merge them), and
+    ensemble clusters must be coarser-or-equal than MinHash-only
+    clusters (adding edges can only merge components, never split)."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        dedup_cluster_canonical,
+        dedup_cluster_ensemble,
+    )
+
+    ens = {
+        r.doc_id: r.canonical_id
+        for r in dedup_cluster_ensemble(spark, sf_dir).collect()
+    }
+    for did, canon in ens.items():
+        if did >= 200000:
+            assert canon == ens[did - 200000], (did, canon)
+    mh = {
+        r.doc_id: r.canonical_id
+        for r in dedup_cluster_canonical(spark, sf_dir).collect()
+    }
+    # coarser-or-equal: same MinHash canonical -> same ensemble canonical
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for did, c in mh.items():
+        groups[c].append(did)
+    for members in groups.values():
+        assert len({ens[m] for m in members}) == 1
