@@ -2195,14 +2195,16 @@ WITH RECURSIVE corpus AS (
   SELECT doc_id + 200000 AS doc_id, text || '{NEAR_SUFFIX}' AS text
   FROM documents WHERE doc_id % {NEAR_COPY_MOD} = 0
 ),
-allpairs AS (
+-- MATERIALIZED: without it DuckDB re-evaluates the three pair
+-- pipelines on every recursion step of `reach` (measured 110 s -> 7 s)
+allpairs AS MATERIALIZED (
   SELECT a_id, b_id FROM ({DEDUP_JACCARD_SQL})
   UNION
   SELECT a_id, b_id FROM ({_simhash_md5_sql()})
   UNION
   SELECT a_id, b_id FROM ({WINNOW_PAIRS_SQL})
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT a_id AS a, b_id AS b FROM allpairs
   UNION
   SELECT b_id AS a, a_id AS b FROM allpairs
