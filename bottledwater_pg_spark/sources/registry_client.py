@@ -112,6 +112,11 @@ def decode_with_registry(df, registry: LocalSchemaRegistry):
     )
 
     first = df.select("key", "value").first()
+    if first is None:
+        raise LookupError(
+            "cannot resolve schemas from an empty frame stream; pass "
+            "fields explicitly via avro_codec.decode_frames instead"
+        )
     key_id, _ = unframe(bytes(first["key"]))
     val_id, _ = unframe(bytes(first["value"]))
     key_raw = registry.by_id(key_id)
