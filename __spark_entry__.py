@@ -82,9 +82,11 @@ _FAMILY_SPREAD = [
     # median/dedup_cluster_canonical changed this round but their new code
     # paths are certified inside the window via quartiles_* / *_star, and
     # both are green in EXACTGATE_r4.json)
-    # displaced from the window this round: rows-only ANN entries (the
-    # driver's rows-only check adds nothing over EXACTGATE) and four
-    # family-sibling-covered queries, all green in EXACTGATE_r4.json
+    # displaced from the window this round to make room for the 14
+    # new hash-certified operators above: rows-only ANN entries (the
+    # driver's rows-only check adds nothing over EXACTGATE) and
+    # family-sibling-covered queries — every one green in
+    # EXACTGATE_r4.json
     "cross_set_contamination", "windowed_event_counts",
     "multimodal_ppm_stats",
     "negative_pairs_per_doc", "budget_mix_counts", "vocab_top_terms",
