@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "text_normalize_stats",
     "cdc_avro_envelope_roundtrip",
     "trending_event_types",
+    "first_touch_attribution",
 ]
 
 

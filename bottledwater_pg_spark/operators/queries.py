@@ -3217,3 +3217,104 @@ SELECT 'orders_custkey_fk_valid',
 
 QUERIES["data_quality_report"] = data_quality_report
 ORACLES["data_quality_report"] = DQ_SQL
+
+
+# ----------------------------------------- first-touch attribution
+
+
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credits the EARLIEST
+    click by the same user within the preceding 7 days — the
+    complement of the as-of join (which credits the nearest/last
+    touch). Formulated as union + carry-forward window like the as-of
+    family: one shuffle on user_id, no range-join explosion. The
+    carried value is the FIRST click inside a bounded lookback, so
+    the window carries (click_ts, click_id) of the oldest click still
+    within 7 days — maintained with a min over a range frame bounded
+    in event-time microseconds (exact integer bounds, parity-safe).
+
+    Returns purchases with their attributed click (or null when no
+    click in window) and the attribution latency in whole seconds.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("c_us"), F.col("event_id").alias("click_id")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("p_us"), F.col("event_id").alias("buy_id")
+    )
+    week = 7 * 24 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("c_us")
+        .rangeBetween(-week, 0)
+    )
+    # for each purchase, the first (min) click in [p_us - week, p_us]:
+    # union clicks+purchases on the time axis, range-frame min over
+    # the click side only (purchases carry null click fields)
+    tagged = clicks.select(
+        "user_id", F.col("c_us").alias("us"),
+        F.struct("c_us", "click_id").alias("c"),
+        F.lit(None).cast("long").alias("buy_id"),
+    ).unionByName(
+        buys.select(
+            "user_id", F.col("p_us").alias("us"),
+            F.lit(None).cast("struct<c_us:long,click_id:long>").alias("c"),
+            "buy_id",
+        )
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-week, 0)
+    )
+    first_click = F.min("c").over(wr)
+    return (
+        tagged.withColumn("fc", first_click)
+        .filter(F.col("buy_id").isNotNull())
+        .select(
+            "user_id",
+            "buy_id",
+            F.col("fc.click_id").alias("attributed_click"),
+            ((F.col("us") - F.col("fc.c_us")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("latency_sec"),
+        )
+    )
+
+
+FIRST_TOUCH_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+buys AS (
+  SELECT user_id, us AS p_us, event_id AS buy_id
+  FROM ev WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, us AS c_us, event_id AS click_id
+  FROM ev WHERE event_type = 'click'
+),
+attributed AS (
+  SELECT b.user_id, b.buy_id,
+         MIN(STRUCT_PACK(c_us := c.c_us, click_id := c.click_id)) AS fc,
+         b.p_us
+  FROM buys b LEFT JOIN clicks c
+    ON c.user_id = b.user_id
+   AND c.c_us <= b.p_us
+   AND c.c_us >= b.p_us - CAST(604800000000 AS BIGINT)
+  GROUP BY b.user_id, b.buy_id, b.p_us
+)
+SELECT user_id, buy_id,
+       fc.click_id AS attributed_click,
+       CAST((p_us - fc.c_us) // 1000000 AS BIGINT) AS latency_sec
+FROM attributed
+"""
+
+QUERIES["first_touch_attribution"] = first_touch_attribution
+ORACLES["first_touch_attribution"] = FIRST_TOUCH_SQL
