@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "cdc_avro_envelope_roundtrip",
     "trending_event_types",
     "first_touch_attribution",
+    "cdc_sequence_gap_audit",
 ]
 
 

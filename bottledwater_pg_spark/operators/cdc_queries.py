@@ -1000,3 +1000,40 @@ def cdc_avro_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["cdc_avro_envelope_roundtrip"] = cdc_avro_envelope_roundtrip
 ORACLES["cdc_avro_envelope_roundtrip"] = CDC_CUSTOMER_SQL
+
+
+# --------------------------------------------- lost-message detection
+
+
+def cdc_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lost-message audit (operators/integrity.py): drop every 97th
+    event id from the stream, then recover the exact inclusive gap
+    ranges with the two-level bucketed formulation — NO global sort;
+    the oracle is the single-window lag formulation it must equal.
+    This is how a consumer verifies the reference's no-loss promise
+    (bottledwater.c:684-689) actually held across a replay."""
+    from bottledwater_pg_spark.operators.integrity import (
+        sequence_gap_ranges,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id").filter(
+        F.col("event_id") % 97 != 0
+    )
+    return sequence_gap_ranges(ev, "event_id")
+
+
+CDC_GAP_SQL = """
+WITH present AS (
+  SELECT DISTINCT event_id FROM events WHERE event_id % 97 <> 0
+),
+g AS (
+  SELECT event_id, LAG(event_id) OVER (ORDER BY event_id) AS prev
+  FROM present
+)
+SELECT prev + 1 AS gap_start, event_id - 1 AS gap_end
+FROM g
+WHERE prev IS NOT NULL AND event_id - prev > 1
+"""
+
+QUERIES["cdc_sequence_gap_audit"] = cdc_sequence_gap_audit
+ORACLES["cdc_sequence_gap_audit"] = CDC_GAP_SQL

@@ -203,3 +203,29 @@ def test_incremental_dedup_empty_batch(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert dedup.incremental_lsh_matches(docs, empty).count() == 0
+
+
+def test_sequence_gaps_cross_bucket_and_missing_bucket(spark):
+    """Gap ranges spanning bucket boundaries and ENTIRE missing
+    buckets must come out identical to the naive global-lag answer."""
+    from bottledwater_pg_spark.operators.integrity import (
+        sequence_gap_ranges,
+    )
+
+    # ids 0..9, 5000..5002, 9000 with bucket_size 1024: gaps inside a
+    # bucket, across a boundary, and over 3 fully-missing buckets
+    ids = list(range(10)) + [5000, 5001, 5002] + [9000]
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    got = {
+        (r.gap_start, r.gap_end)
+        for r in sequence_gap_ranges(df, "event_id").collect()
+    }
+    want = set()
+    s = sorted(ids)
+    for a, b in zip(s, s[1:]):
+        if b - a > 1:
+            want.add((a + 1, b - 1))
+    assert got == want
+    # gap-free dense sequence -> empty
+    dense = spark.createDataFrame([(i,) for i in range(100)], "event_id long")
+    assert sequence_gap_ranges(dense, "event_id").count() == 0
