@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "trending_event_types",
     "first_touch_attribution",
     "cdc_sequence_gap_audit",
+    "nation_revenue_share_in_region",
 ]
 
 

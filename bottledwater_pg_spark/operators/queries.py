@@ -3318,3 +3318,61 @@ FROM attributed
 
 QUERIES["first_touch_attribution"] = first_touch_attribution
 ORACLES["first_touch_attribution"] = FIRST_TOUCH_SQL
+
+
+def nation_revenue_share_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its REGION's order
+    revenue — a windowed aggregate OVER an aggregate (group to
+    nation, window-sum to region), the standard percent-of-total
+    report shape. The window runs on the 25-row nation aggregate, so
+    its tiny partition count is irrelevant; the heavy work is the
+    one partial-aggregated group-by. Exact decimal sums; the share
+    is one double division of identical operands on both engines.
+    """
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.col("rev").cast("double").alias("nation_revenue"),
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w).cast("double")
+        ).alias("region_share"),
+    )
+
+
+REVENUE_SHARE_SQL = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       CAST(rev AS DOUBLE) AS nation_revenue,
+       CAST(rev AS DOUBLE)
+         / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+         AS region_share
+FROM per_nation
+"""
+
+QUERIES["nation_revenue_share_in_region"] = nation_revenue_share_in_region
+ORACLES["nation_revenue_share_in_region"] = REVENUE_SHARE_SQL
