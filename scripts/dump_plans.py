@@ -66,6 +66,10 @@ HEADLINE = {
     "data_quality_report": "expectation suite: one conditional-agg scan per table + FK anti-join",
     "text_normalize_stats": "canonicalization: narrow regex projection, zero shuffles",
     "rolling_7d_active_users": "rolling WAU: bounded 7x explode replaces O(days x events) range join",
+    "trending_event_types": "windowed top-k: rank runs on the tiny emitted window rows",
+    "first_touch_attribution": "attribution: union + range-frame struct-min, one user_id shuffle",
+    "cdc_sequence_gap_audit": "gap audit: two-level bucketed lag, no global sort",
+    "dedup_cluster_ensemble": "ensemble: 3 audited pair pipelines union into star CC",
 }
 
 ALIAS = {
