@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "first_touch_attribution",
     "cdc_sequence_gap_audit",
     "nation_revenue_share_in_region",
+    "resampled_user_values",
+    "value_percentiles_by_type",
 ]
 
 

@@ -2066,24 +2066,29 @@ WINDOW w AS (PARTITION BY s_nationkey
 """
 
 
-def _quartile_cols() -> list[F.Column]:
+def _quartile_cols(
+    points: tuple = (("p25", 25), ("p50", 50), ("p75", 75)),
+) -> list[F.Column]:
+    """points: (tag, percent as integer 0..100). Interpolation rank
+    arithmetic is INTEGER-RATIONAL ((n-1)*k div/mod 100), never a
+    float multiply: floor((n-1)*0.95) drifts an ulp from DuckDB's
+    exact-decimal (n-1)*0.95 because 0.95 is not binary-exact —
+    p25/50/75 only survived the float form because quarters are.
+    The fraction becomes one exact-int division rem/100.0, identical
+    in both engines; then pick the two bracketing DECIMAL values by
+    integer rank and apply one deterministic float combine. Inside
+    the CASE, n/rn are row-level (n constant per group); at group
+    level only aggregated min(n) is legal in either engine."""
     cols = []
-    for tag, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
-        # type-1 linear interpolation at rank (n-1)*p, computed with
-        # the SAME double expression in Spark and DuckDB: pick the two
-        # bracketing DECIMAL values by integer rank, then one
-        # deterministic float combine — bit-identical across engines.
-        # Inside the CASE, n/rn are row-level (n is constant per group
-        # by construction); at group level only aggregated min(n) is
-        # legal in either engine.
-        li = f"cast(floor((n - 1) * {p}) as bigint) + 1"
-        frac = f"((min(n) - 1) * {p}) - floor((min(n) - 1) * {p})"
+    for tag, k in points:
+        li = f"((n - 1) * {k}) div 100 + 1"
+        frac = F.expr(f"(((min(n) - 1) * {k}) % 100) / 100.0d").cast("double")
         lo = F.expr(f"min(case when rn = {li} then v end)").cast("double")
         hi = F.expr(
-            f"min(case when rn = least({li} + 1, n) then v end)"
+            f"min(case when rn = least(({li}) + 1, n) then v end)"
         ).cast("double")
         cols.append(
-            (lo * (F.lit(1.0) - F.expr(frac)) + hi * F.expr(frac)).alias(tag)
+            (lo * (F.lit(1.0) - frac) + hi * frac).alias(tag)
         )
     return cols
 
@@ -2105,21 +2110,27 @@ def quartiles_order_value_by_segment(
         F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
     )
     exprs = []
-    for p in (0.25, 0.5, 0.75):
-        li = f"cast(floor((n - 1) * {p}) as bigint) + 1"
+    for k in (25, 50, 75):
+        li = f"((n - 1) * {k}) div 100 + 1"
         exprs += [li, f"least(({li}) + 1, n)"]
     r = _bucketed_group_ranks(j, "c_mktsegment", exprs)
     return r.groupBy("c_mktsegment").agg(*_quartile_cols())
 
 
-def _quartile_sql_cols() -> str:
+def _quartile_sql_cols(
+    points: tuple = (("p25", 25), ("p50", 50), ("p75", 75)),
+) -> str:
     parts = []
-    for tag, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
-        li = f"CAST(floor((n - 1) * {p}) AS BIGINT) + 1"
-        frac = f"((MIN(n) - 1) * {p}) - floor((MIN(n) - 1) * {p})"
+    for tag, k in points:
+        li = f"((n - 1) * {k}) // 100 + 1"
+        frac = f"CAST(((MIN(n) - 1) * {k}) % 100 AS DOUBLE) / 100.0"
         lo = f"CAST(MIN(CASE WHEN rn = {li} THEN v END) AS DOUBLE)"
-        hi = f"CAST(MIN(CASE WHEN rn = least({li} + 1, n) THEN v END) AS DOUBLE)"
-        parts.append(f"{lo} * (1.0 - ({frac})) + {hi} * ({frac}) AS {tag}")
+        hi = (f"CAST(MIN(CASE WHEN rn = least(({li}) + 1, n) THEN v END)"
+              " AS DOUBLE)")
+        parts.append(
+            f"{lo} * (CAST(1.0 AS DOUBLE) - ({frac}))"
+            f" + {hi} * ({frac}) AS {tag}"
+        )
     return ",\n       ".join(parts)
 
 
@@ -3376,3 +3387,46 @@ FROM per_nation
 
 QUERIES["nation_revenue_share_in_region"] = nation_revenue_share_in_region
 ORACLES["nation_revenue_share_in_region"] = REVENUE_SHARE_SQL
+
+
+# --------------------------------------- tail percentiles (p95/p99)
+
+
+_TAIL_POINTS = (("p50", 50), ("p95", 95), ("p99", 99))
+
+
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability-style tail report: exact interpolated p50/p95/p99
+    of event value per event type — the latency-dashboard shape, via
+    the same two-phase bucketed rank machinery as the quartiles (no
+    engine-specific percentile built-in; sort unit is a value-range
+    bucket, parallelism not capped at the handful of types). At scale
+    the approximate twin is `percentile_approx` (mergeable KLL
+    sketch, test_approx.py); THIS is the exact nightly job."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    exprs = []
+    for _tag, k in _TAIL_POINTS:
+        li = f"((n - 1) * {k}) div 100 + 1"
+        exprs += [li, f"least(({li}) + 1, n)"]
+    r = _bucketed_group_ranks(ev, "event_type", exprs)
+    return r.groupBy("event_type").agg(*_quartile_cols(_TAIL_POINTS))
+
+
+TAIL_SQL = f"""
+WITH r AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(value AS DECIMAL(18,2))) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       {_quartile_sql_cols(_TAIL_POINTS)}
+FROM r
+GROUP BY event_type
+"""
+
+QUERIES["value_percentiles_by_type"] = value_percentiles_by_type
+ORACLES["value_percentiles_by_type"] = TAIL_SQL

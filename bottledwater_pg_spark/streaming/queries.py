@@ -375,3 +375,100 @@ QUALIFY rank <= 3
 
 QUERIES["trending_event_types"] = trending_event_types
 ORACLES["trending_event_types"] = TRENDING_SQL
+
+
+def resampled_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill: for each user (first
+    20), a regular HOURLY grid from their first to last event, each
+    grid point carrying the last purchase value at-or-before it — the
+    hypertable `time_bucket_gapfill + locf` shape that turns an
+    irregular event stream into an aligned series for
+    training/monitoring.
+
+    Plan: the per-user grid is a bounded explode of
+    sequence(min_hour, max_hour) (fanout = series length, no
+    days x events join); the carry-forward is the union + last-non-
+    null window — ONE shuffle on user_id, the as-of discipline. Grid
+    timestamps are exact integer hours; values exact DECIMAL cast to
+    double once.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 20) & (F.col("event_type") == "purchase")
+    ).select(
+        "user_id",
+        F.unix_micros(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+        .alias("hr_us"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("hr_us").alias("lo"), F.max("hr_us").alias("hi")
+    )
+    hour = 3600 * 1_000_000
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr(f"sequence(lo, hi, {hour})")).alias("g_us"),
+    )
+    tagged = ev.select(
+        "user_id", F.col("us").alias("t_us"), "v",
+        F.lit(0).alias("is_grid"), F.lit(None).cast("long").alias("g_us"),
+        F.col("us").alias("tie"),
+    ).unionByName(
+        grid.select(
+            "user_id", (F.col("g_us") + hour - 1).alias("t_us"),
+            F.lit(None).cast("decimal(18,2)").alias("v"),
+            F.lit(1).alias("is_grid"), "g_us",
+            F.lit(2**62).alias("tie"),
+        )
+    )
+    # grid points sort at the END of their hour (t_us = hour end), so
+    # the carried value is the last event at-or-before the hour close
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "tie")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("fill", F.last("v", ignorenulls=True).over(w))
+        .filter(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("g_us")).cast("timestamp_ntz")
+            .alias("bucket"),
+            F.col("fill").cast("double").alias("last_value"),
+        )
+    )
+
+
+RESAMPLE_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         epoch_us(date_trunc('hour', ts)) AS hr_us,
+         epoch_us(ts) AS us,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+  WHERE user_id < 20 AND event_type = 'purchase'
+),
+bounds AS (
+  SELECT user_id, MIN(hr_us) AS lo, MAX(hr_us) AS hi FROM ev GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, CAST(g.g_us AS BIGINT) AS g_us
+  FROM bounds, LATERAL (
+    SELECT unnest(generate_series(lo, hi, 3600000000)) AS g_us) g
+)
+SELECT grid.user_id,
+       CAST(make_timestamp(g_us) AS TIMESTAMP) AS bucket,
+       CAST((
+         SELECT v FROM ev
+         WHERE ev.user_id = grid.user_id
+           AND ev.us <= g_us + 3599999999
+         ORDER BY ev.us DESC LIMIT 1
+       ) AS DOUBLE) AS last_value
+FROM grid
+"""
+
+QUERIES["resampled_user_values"] = resampled_user_values
+ORACLES["resampled_user_values"] = RESAMPLE_SQL
