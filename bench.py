@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "nation_revenue_share_in_region",
     "resampled_user_values",
     "value_percentiles_by_type",
+    "seasonal_deviation_hours",
 ]
 
 

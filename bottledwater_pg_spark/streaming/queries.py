@@ -472,3 +472,77 @@ FROM grid
 
 QUERIES["resampled_user_values"] = resampled_user_values
 ORACLES["resampled_user_values"] = RESAMPLE_SQL
+
+
+def seasonal_deviation_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly report: each (hour, event_type)
+    bucket's revenue compared against its HOUR-OF-WEEK baseline (the
+    mean of all same-weekday-same-hour buckets) — the monitoring
+    pattern that doesn't page on every Saturday dip. Top-20 hours by
+    absolute deviation. Exact decimal totals; the baseline is one
+    exact-sum/count division; deviation is one double subtract —
+    parity-safe. Plan: one hourly aggregation, a tiny (7x24xtypes)
+    baseline aggregate broadcast back, ranking on the aggregated
+    rows only."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    hourly = ev.groupBy("h", "event_type").agg(
+        F.sum("v").alias("total")
+    ).withColumn("dow", F.dayofweek("h")).withColumn("hod", F.hour("h"))
+    baseline = hourly.groupBy("event_type", "dow", "hod").agg(
+        (F.sum("total").cast("double") / F.count("*")).alias("baseline")
+    )
+    dev = hourly.join(
+        F.broadcast(baseline), ["event_type", "dow", "hod"]
+    ).select(
+        "h",
+        "event_type",
+        F.col("total").cast("double").alias("total"),
+        "baseline",
+        (F.col("total").cast("double") - F.col("baseline")).alias("deviation"),
+    )
+    w = Window.orderBy(F.desc(F.abs("deviation")), "h", "event_type")
+    return (
+        dev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("h", "event_type", "total", "baseline", "deviation",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+SEASONAL_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         SUM(CAST(value AS DECIMAL(18,2))) AS total
+  FROM events GROUP BY 1, 2
+),
+tagged AS (
+  SELECT h, event_type, total,
+         dayofweek(h) AS dow, hour(h) AS hod
+  FROM hourly
+),
+baseline AS (
+  SELECT event_type, dow, hod,
+         CAST(SUM(total) AS DOUBLE) / COUNT(*) AS baseline
+  FROM tagged GROUP BY 1, 2, 3
+),
+dev AS (
+  SELECT t.h, t.event_type,
+         CAST(t.total AS DOUBLE) AS total, b.baseline,
+         CAST(t.total AS DOUBLE) - b.baseline AS deviation
+  FROM tagged t JOIN baseline b USING (event_type, dow, hod)
+)
+SELECT h, event_type, total, baseline, deviation,
+       CAST(ROW_NUMBER() OVER (ORDER BY ABS(deviation) DESC, h, event_type)
+            AS BIGINT) AS rank
+FROM dev
+QUALIFY rank <= 20
+"""
+
+QUERIES["seasonal_deviation_hours"] = seasonal_deviation_hours
+ORACLES["seasonal_deviation_hours"] = SEASONAL_SQL
