@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "resampled_user_values",
     "value_percentiles_by_type",
     "seasonal_deviation_hours",
+    "top_quality_docs_per_source",
 ]
 
 

@@ -2220,3 +2220,141 @@ SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id
 
 QUERIES["dedup_cluster_ensemble"] = dedup_cluster_ensemble
 ORACLES["dedup_cluster_ensemble"] = _ensemble_sql()
+
+
+# --------------------------------- threshold sensitivity + curation
+
+
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sensitivity audit: how many near-dup pairs fire in
+    each Jaccard band ([0.6,0.7) ... [0.9,1.0]) over the injected
+    corpus — the calibration table a pipeline owner reads before
+    committing to a dedup threshold (one band per row, exact decimal
+    band edges via integer flooring of 10x the similarity). ONE pair
+    pipeline run at the loosest threshold feeds every band; bands are
+    a projection, not re-runs."""
+    pairs = dedup.minhash_lsh_pairs(
+        docs_with_near_dups(spark, sf_dir),
+        num_hashes=32,
+        bands=16,
+        threshold=0.6,
+    )
+    return (
+        pairs.withColumn(
+            "band_lo",
+            (F.floor(F.col("jaccard") * 10).cast("long") / 10.0),
+        )
+        .withColumn(
+            "band_lo",
+            F.when(F.col("band_lo") >= 1.0, 0.9).otherwise(F.col("band_lo")),
+        )
+        .groupBy("band_lo")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+THRESH_SQL = (
+    DOCS_NEAR_CTE
+    + f"""
+, sh AS (
+  SELECT doc_id AS sid, unnest({_SHINGLES}) AS shingle FROM corpus
+),
+sizes AS (SELECT sid, COUNT(*) AS sz FROM sh GROUP BY sid),
+inter AS (
+  SELECT a.sid AS a_id, b.sid AS b_id, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+  GROUP BY a.sid, b.sid
+),
+scored AS (
+  SELECT CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.sid = a_id
+  JOIN sizes sb ON sb.sid = b_id
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6
+),
+banded AS (
+  SELECT CASE WHEN floor(jaccard * 10) >= 10 THEN 0.9
+              ELSE CAST(floor(jaccard * 10) AS BIGINT) / 10.0 END AS band_lo
+  FROM scored
+)
+SELECT band_lo, COUNT(*) AS n_pairs FROM banded GROUP BY band_lo
+"""
+)
+
+QUERIES["dedup_threshold_sensitivity"] = dedup_threshold_sensitivity
+ORACLES["dedup_threshold_sensitivity"] = THRESH_SQL
+
+
+def top_quality_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: the 5 highest-quality docs per source by a composite
+    integer score (length + alpha-token share in basis points — both
+    exact ints, no float compare), extracted with the BOUNDED
+    two-phase top-k (per-partition slice then merge — no source's
+    full doc list ever sits in one aggregation buffer). The
+    per-source shortlist every mixture builder starts from."""
+    from bottledwater_pg_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", tokens("text").alias("toks")
+    )
+    alpha_bp = F.expr(
+        "CASE WHEN size(toks) = 0 THEN 0 ELSE "
+        "(size(filter(toks, t -> t rlike '^[a-z]+$')) * 10000) div size(toks)"
+        " END"
+    )
+    scored = docs.select(
+        "doc_id", "source",
+        (F.col("n_chars") + alpha_bp).cast("long").alias("score"),
+    )
+    arr = F.slice(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("score"), -F.col("doc_id"))),
+            asc=False,
+        ), 1, 5,
+    )
+    return (
+        scored.groupBy("source", F.spark_partition_id().alias("_pid"))
+        .agg(arr.alias("_part"))
+        .groupBy("source")
+        .agg(
+            F.slice(
+                F.sort_array(F.flatten(F.collect_list("_part")), asc=False),
+                1, 5,
+            ).alias("_arr")
+        )
+        .select(
+            "source",
+            F.explode("_arr").alias("s"),
+        )
+        .select(
+            "source",
+            (-F.col("s.col2")).cast("long").alias("doc_id"),
+            F.col("s.score").alias("score"),
+        )
+    )
+
+
+TOPQ_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, n_chars,
+         string_split_regex(trim(text), '\\s+') AS t
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         CAST(n_chars + CASE WHEN len(t) = 0 THEN 0 ELSE
+           (len(list_filter(t, x -> regexp_full_match(x, '[a-z]+'))) * 10000)
+             // len(t) END AS BIGINT) AS score
+  FROM toks
+),
+ranked AS (
+  SELECT source, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT source, doc_id, score FROM ranked WHERE rn <= 5
+"""
+
+QUERIES["top_quality_docs_per_source"] = top_quality_docs_per_source
+ORACLES["top_quality_docs_per_source"] = TOPQ_SQL
