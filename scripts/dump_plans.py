@@ -70,6 +70,10 @@ HEADLINE = {
     "first_touch_attribution": "attribution: union + range-frame struct-min, one user_id shuffle",
     "cdc_sequence_gap_audit": "gap audit: two-level bucketed lag, no global sort",
     "dedup_cluster_ensemble": "ensemble: 3 audited pair pipelines union into star CC",
+    "value_percentiles_by_type": "tail p50/p95/p99: two-phase bucketed rank, integer-rational interpolation",
+    "resampled_user_values": "resample+locf: bounded grid explode, one user_id carry-forward window",
+    "seasonal_deviation_hours": "seasonal anomaly: hourly agg + tiny hour-of-week baseline broadcast",
+    "top_quality_docs_per_source": "curation top-k: bounded per-partition slice then merge",
 }
 
 ALIAS = {

@@ -290,3 +290,38 @@ def test_pagerank_lineage_truncated_and_iteration_plan_sane(spark, sf_dir):
     )
     assert "CartesianProduct" not in iter_plan
     assert "InMemoryTableScan" in iter_plan
+
+
+def test_first_touch_and_resample_no_cartesian_single_key_shuffle(spark, sf_dir):
+    """The attribution and resample plans must stay in the as-of
+    shape: no cartesian/BNLJ over events, windows partitioned by
+    user_id."""
+    from bottledwater_pg_spark.operators.queries import (
+        first_touch_attribution,
+    )
+    from bottledwater_pg_spark.plans.inspect import formatted_plan
+    from bottledwater_pg_spark.streaming.queries import (
+        resampled_user_values,
+    )
+
+    for fn in (first_touch_attribution, resampled_user_values):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "windowspecdefinition(user_id" in plan
+
+
+def test_tail_percentiles_two_phase(spark, sf_dir):
+    """p50/p95/p99 must use the bucketed rank plan (windows over
+    (group, bucket)), like median/quartiles."""
+    from bottledwater_pg_spark.operators.queries import (
+        value_percentiles_by_type,
+    )
+    from bottledwater_pg_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(value_percentiles_by_type(spark, sf_dir))
+    rows = [
+        ln for ln in plan.splitlines()
+        if "row_number" in ln and "windowspecdefinition" in ln
+    ]
+    assert rows and all("_bkt" in ln for ln in rows), rows
