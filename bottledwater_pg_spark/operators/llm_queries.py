@@ -2017,7 +2017,10 @@ def length_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad compares int64s).
 
     Returns flagged docs with their source, length, and the source
-    median/MAD so the decision is auditable."""
+    median/MAD so the decision is auditable. (On this synthetic
+    corpus the lengths are near-uniform, so larger scale factors can
+    legitimately flag zero docs — the 2-sigma rule, not the fixture,
+    is the contract.)"""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").select(

@@ -213,6 +213,10 @@ def decode_frames(df, key_fields, val_fields):
     client/protocol_client.c:94-294)."""
     import pandas as pd
 
+    names = list(dict.fromkeys(
+        [n for n, _ in key_fields] + [n for n, _ in val_fields]
+    ))
+
     def body(batches):
         for pdf in batches:
             rows = []
@@ -224,7 +228,9 @@ def decode_frames(df, key_fields, val_fields):
                     vrec, _ = decode_record(val_fields, vb)
                     rec.update(vrec)
                 rows.append(rec)
-            yield pd.DataFrame(rows)
+            # explicit columns: an EMPTY Arrow batch must still yield a
+            # frame matching the declared schema, not a columnless one
+            yield pd.DataFrame(rows, columns=names)
 
     out_schema = []
     seen = set()

@@ -128,6 +128,10 @@ def decode_with_registry(df, registry: LocalSchemaRegistry):
 
     from bottledwater_pg_spark.sources.avro_codec import SPARK_TO_AVRO
 
+    names = list(dict.fromkeys(
+        [n for n, _ in key_fields] + [n for n, _ in val_fields]
+    ))
+
     def body(batches):
         for pdf in batches:
             rows = []
@@ -141,7 +145,8 @@ def decode_with_registry(df, registry: LocalSchemaRegistry):
                     vrec, _ = decode_record(val_fields, vb)
                     rec.update(vrec)
                 rows.append(rec)
-            yield pd.DataFrame(rows)
+            # explicit columns: empty Arrow batches keep the schema
+            yield pd.DataFrame(rows, columns=names)
 
     inv = {v: k for k, v in SPARK_TO_AVRO.items()}
     out_schema, seen = [], set()
