@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "value_percentiles_by_type",
     "seasonal_deviation_hours",
     "top_quality_docs_per_source",
+    "lineitem_corr_matrix",
+    "cohort_ltv_triangle",
 ]
 
 

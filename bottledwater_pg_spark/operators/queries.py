@@ -3430,3 +3430,156 @@ GROUP BY event_type
 
 QUERIES["value_percentiles_by_type"] = value_percentiles_by_type
 ORACLES["value_percentiles_by_type"] = TAIL_SQL
+
+
+# ----------------------------------------- correlation matrix, one pass
+
+
+_CORR_VARS = (("qty", "l_quantity"), ("price", "l_extendedprice"),
+              ("disc", "l_discount"))
+
+
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation MATRIX over three lineitem
+    measures in ONE aggregation pass — all 9 exact-decimal co-moments
+    (3 sums, 3 squares, 3 cross-products) stream as partials of the
+    same groupBy, so adding a variable costs columns, not scans. The
+    matrix is emitted long-form (var_x, var_y, corr) with var_x <
+    var_y. Same bit-reproducibility discipline as
+    quantity_price_corr_exact, generalized.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    cols = {tag: _d(col) for tag, col in _CORR_VARS}
+    aggs = [F.count("*").cast("double").alias("n")]
+    for tag, _c in _CORR_VARS:
+        aggs.append(F.sum(cols[tag]).cast("double").alias(f"s_{tag}"))
+        aggs.append(
+            F.sum(cols[tag] * cols[tag]).cast("double").alias(f"ss_{tag}")
+        )
+    tags = [t for t, _ in _CORR_VARS]
+    for i, a in enumerate(tags):
+        for b in tags[i + 1:]:
+            aggs.append(
+                F.sum(cols[a] * cols[b]).cast("double").alias(f"sp_{a}_{b}")
+            )
+    m = li.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(tags):
+        for b in tags[i + 1:]:
+            corr = (
+                F.col("n") * F.col(f"sp_{a}_{b}")
+                - F.col(f"s_{a}") * F.col(f"s_{b}")
+            ) / F.sqrt(
+                (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("var_x"),
+                    F.lit(b).alias("var_y"),
+                    corr.alias("corr"),
+                )
+            )
+    return m.select(F.explode(F.array(*pairs)).alias("p")).select(
+        "p.var_x", "p.var_y", "p.corr"
+    )
+
+
+def _corr_matrix_sql() -> str:
+    sums, pairs = [], []
+    tags = [t for t, _ in _CORR_VARS]
+    col_of = {t: c for t, c in _CORR_VARS}
+    for t in tags:
+        d = _sql_d(col_of[t])
+        sums.append(f"CAST(SUM({d}) AS DOUBLE) AS s_{t}")
+        sums.append(f"CAST(SUM({d} * {d}) AS DOUBLE) AS ss_{t}")
+    for i, a in enumerate(tags):
+        for b in tags[i + 1:]:
+            da, db = _sql_d(col_of[a]), _sql_d(col_of[b])
+            sums.append(f"CAST(SUM({da} * {db}) AS DOUBLE) AS sp_{a}_{b}")
+            pairs.append(
+                f"SELECT '{a}' AS var_x, '{b}' AS var_y, "
+                f"(n * sp_{a}_{b} - s_{a} * s_{b}) / "
+                f"sqrt((n * ss_{a} - s_{a} * s_{a}) * "
+                f"(n * ss_{b} - s_{b} * s_{b})) AS corr FROM m"
+            )
+    return (
+        "WITH m AS (\n  SELECT CAST(COUNT(*) AS DOUBLE) AS n,\n         "
+        + ",\n         ".join(sums)
+        + "\n  FROM lineitem\n)\n"
+        + "\nUNION ALL\n".join(pairs)
+    )
+
+
+QUERIES["lineitem_corr_matrix"] = lineitem_corr_matrix
+ORACLES["lineitem_corr_matrix"] = _corr_matrix_sql()
+
+
+def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle — the revenue twin of the retention
+    triangle: per (first-activity week, weeks-since), the exact
+    purchase revenue that cohort generated in that week plus its
+    CUMULATIVE lifetime value to date. Money stays DECIMAL through
+    both the weekly sum and the running cumulation; doubles appear
+    once at the output. The cumulative window runs per cohort over
+    weeks² rows — tiny — while the heavy work is the same two
+    partial-aggregated shuffles as retention.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    weekly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .withColumn(
+            "week_no",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week"))
+                / F.lit(7)
+            ).cast("long"),
+        )
+        .groupBy("cohort_week", "week_no")
+        .agg(F.sum("v").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return weekly.select(
+        "cohort_week",
+        "week_no",
+        F.col("rev").cast("double").alias("week_revenue"),
+        F.sum("rev").over(w).cast("double").alias("cumulative_ltv"),
+    )
+
+
+LTV_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+weekly AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+              CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT)
+           AS week_no,
+         SUM(CAST(e.value AS DECIMAL(18,2))) AS rev
+  FROM events e JOIN first f USING (user_id)
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_no,
+       CAST(rev AS DOUBLE) AS week_revenue,
+       CAST(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY week_no
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS cumulative_ltv
+FROM weekly
+"""
+
+QUERIES["cohort_ltv_triangle"] = cohort_ltv_triangle
+ORACLES["cohort_ltv_triangle"] = LTV_SQL
