@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "top_quality_docs_per_source",
     "lineitem_corr_matrix",
     "cohort_ltv_triangle",
+    "nations_covering_all_brands",
 ]
 
 

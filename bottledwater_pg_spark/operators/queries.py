@@ -3583,3 +3583,61 @@ FROM weekly
 
 QUERIES["cohort_ltv_triangle"] = cohort_ltv_triangle
 ORACLES["cohort_ltv_triangle"] = LTV_SQL
+
+
+# --------------------------------------------- relational division
+
+
+def nations_covering_all_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION (universal quantification): supplier
+    nations that have shipped parts of EVERY brand — the "FOR ALL"
+    query shape (suppliers ÷ brands) the classic algebra names as its
+    own operator. Implemented the scalable way: count distinct
+    covered brands per nation and compare with the 1-row broadcast
+    total — two partial-aggregated shuffles, no double-NOT-EXISTS
+    nested correlation (which Catalyst would decorrelate into the
+    same plan anyway, pinned here explicitly). Also returns each
+    qualifying nation's distinct part count for a stronger hash.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    covered = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    per_nation = covered.groupBy("n_name").agg(
+        F.count_distinct("p_brand").alias("n_brands"),
+        F.count_distinct("p_partkey").alias("n_parts"),
+    )
+    total = part.agg(F.count_distinct("p_brand").alias("all_brands"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("n_brands") == F.col("all_brands"))
+        .select("n_name", "n_parts")
+    )
+
+
+DIVISION_SQL = """
+WITH covered AS (
+  SELECT n_name, p_brand, p_partkey
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+),
+per_nation AS (
+  SELECT n_name,
+         COUNT(DISTINCT p_brand) AS n_brands,
+         COUNT(DISTINCT p_partkey) AS n_parts
+  FROM covered GROUP BY n_name
+)
+SELECT n_name, n_parts
+FROM per_nation, (SELECT COUNT(DISTINCT p_brand) AS all_brands FROM part) t
+WHERE n_brands = all_brands
+"""
+
+QUERIES["nations_covering_all_brands"] = nations_covering_all_brands
+ORACLES["nations_covering_all_brands"] = DIVISION_SQL
