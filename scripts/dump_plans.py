@@ -74,6 +74,9 @@ HEADLINE = {
     "resampled_user_values": "resample+locf: bounded grid explode, one user_id carry-forward window",
     "seasonal_deviation_hours": "seasonal anomaly: hourly agg + tiny hour-of-week baseline broadcast",
     "top_quality_docs_per_source": "curation top-k: bounded per-partition slice then merge",
+    "lineitem_corr_matrix": "corr matrix: 9 co-moments in ONE partial-agg pass",
+    "cohort_ltv_triangle": "LTV triangle: two partial-agg shuffles, cumulation over weeks^2 rows",
+    "nations_covering_all_brands": "relational division: coverage counts vs 1-row broadcast total",
 }
 
 ALIAS = {
