@@ -1669,12 +1669,20 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # Top-k FIRST via orderBy().limit() — TakeOrderedAndProject does a
+    # parallel per-partition partial top-k with no Exchange
+    # SinglePartition over the matched-doc set (a common query term at
+    # corpus scale matches millions of docs; the old global
+    # row_number() window single-partitioned all of them). The rank
+    # window then runs over <= BM25_TOPK rows — a bounded scalar-sized
+    # exchange, the same class as a 1-row aggregate.
     w = Window.orderBy(F.desc("score"), "doc_id")
     return (
         pivoted.withColumn("score", score)
         .select("doc_id", "score")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPK)
         .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= BM25_TOPK)
     )
 
 
@@ -2235,11 +2243,18 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     committing to a dedup threshold (one band per row, exact decimal
     band edges via integer flooring of 10x the similarity). ONE pair
     pipeline run at the loosest threshold feeds every band; bands are
-    a projection, not re-runs."""
+    a projection, not re-runs.
+
+    Banding is 32 bands x 1 row: the oracle is the EXHAUSTIVE Jaccard
+    scan, so candidate recall at the 0.6 floor must be effectively 1
+    (single-hash bands: miss prob 0.4^32 ~ 2e-13/pair, vs ~8e-4 for
+    16x2 — enough to drop a borderline pair as fixtures grow). Wider
+    banding only inflates the candidate set; the exact-Jaccard verify
+    step keeps emitted values identical."""
     pairs = dedup.minhash_lsh_pairs(
         docs_with_near_dups(spark, sf_dir),
         num_hashes=32,
-        bands=16,
+        bands=32,
         threshold=0.6,
     )
     return (

@@ -2825,9 +2825,12 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (operators/graph.py pagerank_integer)
     over the customer<->supplier co-purchase graph: distinct
     (customer, supplier) trade pairs from orders x lineitem, edges in
-    both directions (supplier nodes offset by 1e6), 3 power
-    iterations, top-20 nodes by exact integer rank — the link-analysis
-    authority signal corpus-curation pipelines compute per domain.
+    both directions (supplier nodes encoded as NEGATED keys — suppkey
+    >= 1 so -suppkey never collides with any positive custkey at any
+    scale factor, unlike a fixed additive offset which c_custkey =
+    150k*SF overruns at SF>=7), 3 power iterations, top-20 nodes by
+    exact integer rank — the link-analysis authority signal
+    corpus-curation pipelines compute per domain.
 
     Edge build: the distinct() collapses the many-lineitems-per-pair
     fan-in BEFORE the iteration, so each round's join touches one row
@@ -2840,7 +2843,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = persist_tracked(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select("o_custkey", (F.col("l_suppkey") + 1_000_000).alias("supp"))
+        .select("o_custkey", (-F.col("l_suppkey")).alias("supp"))
         .distinct()
     )
     edges = pairs.select(
@@ -2867,7 +2870,7 @@ def _pagerank_iter_sql(prev: str, cur: str) -> str:
 
 PAGERANK_SQL = f"""
 WITH p AS (
-  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+  SELECT DISTINCT o_custkey AS c, -l_suppkey AS s
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ), e AS (
   SELECT c AS src, s AS dst FROM p

@@ -63,9 +63,23 @@ def read_long(data: bytes, pos: int) -> tuple[int, int]:
     return _unzigzag(acc), pos
 
 
+def _is_null(v) -> bool:
+    """Null test that survives pandas round-trips: mapInPandas hands
+    null numeric columns back as float NaN (pandas promotes nullable
+    int64 to float64) or pd.NA — both must select the Avro null union
+    branch, not crash int(NaN) or silently encode NaN where the
+    reference wire format emits null."""
+    if v is None:
+        return True
+    try:
+        return bool(v != v)  # NaN: the only value unequal to itself
+    except (TypeError, ValueError):
+        return True  # pd.NA: comparison yields NA, bool(NA) raises
+
+
 def _write_value(buf: bytearray, typ, v) -> None:
     if isinstance(typ, list):  # union, reference uses ["null", T]
-        if v is None:
+        if _is_null(v):
             write_long(buf, typ.index("null"))
             return
         idx = 1 if typ[0] == "null" else 0

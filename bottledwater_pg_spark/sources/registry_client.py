@@ -142,6 +142,10 @@ def decode_with_registry(df, registry: LocalSchemaRegistry):
                 rec, _ = decode_record(key_fields, kb)
                 if v is not None:
                     vid, vb = unframe(bytes(v))
+                    if vid != val_id:
+                        raise ValueError(
+                            "mixed value schema ids in one decode"
+                        )
                     vrec, _ = decode_record(val_fields, vb)
                     rec.update(vrec)
                 rows.append(rec)

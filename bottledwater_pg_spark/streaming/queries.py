@@ -506,12 +506,16 @@ def seasonal_deviation_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         "baseline",
         (F.col("total").cast("double") - F.col("baseline")).alias("deviation"),
     )
+    # Top-20 via orderBy().limit() — TakeOrderedAndProject keeps the
+    # hours x event_type grid (unbounded under multi-year ranges or
+    # high type cardinality) out of a single partition; the rank
+    # window then sees only the 20 survivors.
     w = Window.orderBy(F.desc(F.abs("deviation")), "h", "event_type")
     return (
-        dev.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("h", "event_type", "total", "baseline", "deviation",
-                F.col("rank").cast("long").alias("rank"))
+        dev.orderBy(F.desc(F.abs("deviation")), "h", "event_type")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("h", "event_type", "total", "baseline", "deviation", "rank")
     )
 
 

@@ -598,8 +598,21 @@ class StreamingDedupIndex:
         self.state_dir = state_dir
         self.threshold = threshold
         os.makedirs(state_dir, exist_ok=True)
-        self._have_index = False
-        self._have_accepted = False
+        # Restart-safe: a restarted process (checkpointLocation exists,
+        # state_dir populated by the previous incarnation) must probe
+        # the standing index from its FIRST batch, or every previously
+        # indexed doc's near-dup would be re-accepted. Parquet state is
+        # only real if a completed task file landed, hence the content
+        # check rather than bare isdir (an empty dir from a crashed
+        # first batch must not count).
+        self._have_index = self._state_exists("index")
+        self._have_accepted = self._state_exists("accepted")
+
+    def _state_exists(self, name: str) -> bool:
+        p = self._path(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        )
 
     def _path(self, name: str) -> str:
         return os.path.join(self.state_dir, name)

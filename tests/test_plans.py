@@ -325,3 +325,30 @@ def test_tail_percentiles_two_phase(spark, sf_dir):
         if "row_number" in ln and "windowspecdefinition" in ln
     ]
     assert rows and all("_bkt" in ln for ln in rows), rows
+
+
+def test_topk_rank_queries_take_ordered_before_window(spark, sf_dir):
+    """bm25_topk_docs / seasonal_deviation_hours: the top-k must be a
+    TakeOrderedAndProject (parallel per-partition partial top-k) BEFORE
+    any single-partition step, so the rank window's SinglePartition
+    exchange sees only the <=k survivors — never the full matched-doc /
+    hour-grid set (unbounded at corpus scale)."""
+    from bottledwater_pg_spark.operators.llm_queries import bm25_topk_docs
+    from bottledwater_pg_spark.plans.inspect import formatted_plan
+    from bottledwater_pg_spark.streaming.queries import (
+        seasonal_deviation_hours,
+    )
+
+    for fn in (bm25_topk_docs, seasonal_deviation_hours):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+        # the global-window-then-filter anti-pattern plans the rank
+        # window directly over the un-limited input: in the plan TREE
+        # (the part above the node-detail section) every Window node
+        # must sit ABOVE TakeOrderedAndProject — i.e. consume its
+        # bounded output, not the full-width input
+        tree = plan.split("\n\n", 1)[0].splitlines()
+        take = min(i for i, ln in enumerate(tree)
+                   if "TakeOrderedAndProject" in ln)
+        wins = [i for i, ln in enumerate(tree) if "Window" in ln]
+        assert wins and all(i < take for i in wins), fn.__name__
