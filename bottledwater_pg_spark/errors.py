@@ -98,3 +98,71 @@ def with_observed_error_metrics(
         F.count(F.lit(1)).alias("n_seen"),
     )
     return observed.filter(~bad), obs
+
+
+class SchemaRegistrationError(RuntimeError):
+    """Raised under policy=exit when a table's in-band TableSchema
+    announcement cannot be registered (the reference's registry-POST /
+    topic-metadata failure, kafka/table_mapper.c:88-118)."""
+
+
+def apply_ddl_error_policy(
+    events: DataFrame,
+    policy: ErrorPolicy | str = ErrorPolicy.LOG,
+):
+    """Error policy composed with DDL: fold every in-band TableSchema
+    control event through the table registry; an announcement whose
+    schema fails to register is a failed registration.
+
+    Reference semantics (table_mapper.c:88-118, the error-strategy
+    discussion that lands on option (b); topic_spec.rb's
+    autocreate-off crash matrix exercises it end-to-end):
+
+    * ``exit``  — halt on the first failed registration, state intact.
+    * ``log``   — mark THAT table deleted from the registry; its
+      events from the failure point on are dropped, every other
+      table keeps flowing.
+
+    Returns ``(good_events, registry)``. The control-event collect is
+    O(#schema changes) driver-side metadata; the drop is one
+    distributed filter against a literal (relid, lsn) list — no
+    shuffle, no per-row Python.
+    """
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from bottledwater_pg_spark.sources.registry import TableRegistry
+
+    registry = TableRegistry()
+    policy = ErrorPolicy(policy)
+    fail_at: dict[int, int] = {}
+    ctl = (
+        events.filter(F.col("op") == "table_schema")
+        .select("relid", "lsn", "schema_json", "topic")
+        .orderBy("lsn")
+        .collect()
+    )
+    for r in ctl:
+        if r["relid"] in fail_at:
+            continue
+        try:
+            T.StructType.fromJson(_json.loads(r["schema_json"]))
+        except Exception as exc:
+            if policy is ErrorPolicy.EXIT:
+                raise SchemaRegistrationError(
+                    f"relid {r['relid']} schema registration failed at "
+                    f"lsn {r['lsn']} (policy=exit)"
+                ) from exc
+            registry.update(r["relid"], r["topic"])
+            registry.mark_failed(r["relid"])
+            fail_at[r["relid"]] = r["lsn"]
+            continue
+        registry.update(r["relid"], r["topic"])
+    if not fail_at:
+        return events, registry
+    dropped = None
+    for relid, lsn in fail_at.items():
+        c = (F.col("relid") == relid) & (F.col("lsn") >= lsn)
+        dropped = c if dropped is None else (dropped | c)
+    return events.filter(~dropped), registry

@@ -1037,3 +1037,229 @@ WHERE prev IS NOT NULL AND event_id - prev > 1
 
 QUERIES["cdc_sequence_gap_audit"] = cdc_sequence_gap_audit
 ORACLES["cdc_sequence_gap_audit"] = CDC_GAP_SQL
+
+
+# ------------------------------------------- ADD PRIMARY KEY mid-stream
+
+
+def cdc_add_primary_key_midstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD PRIMARY KEY mid-stream — the last cell of the reference's
+    DDL matrix (spec/functional/topic_spec.rb:245-274: a table created
+    WITHOUT a primary key streams unkeyed, then
+    ``ALTER TABLE .. ADD COLUMN id SERIAL PRIMARY KEY`` lands and the
+    pipeline must keep flowing with subsequent events keyed).
+
+    Modeled end-to-end on the orders fixture: phase 1 streams odd
+    orderkeys UNKEYED under schema v1 (no ``o_orderkey`` column — the
+    reference's PK column literally does not exist yet); a v2
+    TableSchema control event announces the rewritten table (PK column
+    added, key schema now present — protocol_client.c:313-350
+    re-parse); phase 2 streams even orderkeys KEYED: inserts, then
+    updates (k%6: status -> 'X'), then deletes (k%10). Consumer
+    materialization under the reference's Kafka layout (compaction off
+    for topics that ever held unkeyed messages, topic_spec.rb:118-123):
+    unkeyed records are append-only retained — decoded under the
+    NEWEST schema they read null for the later-added PK column, PG's
+    own post-ADD-COLUMN read for never-rewritten payloads — while
+    keyed records compact per key with tombstones dropped.
+
+    Scale: the unkeyed branch is a shuffle-free projection; the keyed
+    branch is the standard single-shuffle max_by compaction; the two
+    branches union without an exchange.
+    """
+    from bottledwater_pg_spark.operators.materialize import (
+        append_only,
+        materialize,
+    )
+    from bottledwater_pg_spark.schema_tracker import (
+        resolve_schemas,
+        table_schema_events,
+    )
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+
+    relid = 16396
+    k = F.col("o_orderkey")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    v1_base = base.filter(k % 2 == 1).select(
+        "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    # phase 1: unkeyed inserts (empty pk_cols -> null key), lsn = k*10
+    v1_rows = snapshot_events(
+        v1_base, [], F.col("o_custkey"), relid, "orders"
+    )
+    v2_base = base.filter(k % 2 == 0)
+    v2_inserts = snapshot_events(
+        v2_base, ["o_orderkey"], k, relid, "orders"
+    ).withColumn("lsn", F.col("lsn") + 5)
+    v2_updates = (
+        snapshot_events(
+            v2_base.filter(k % 6 == 0).withColumn("o_orderstatus", F.lit("X")),
+            ["o_orderkey"], k, relid, "orders",
+        )
+        .withColumn("lsn", F.col("lsn") + 6)
+        .withColumn("op", F.lit("update"))
+    )
+    v2_deletes = (
+        snapshot_events(
+            v2_base.filter(k % 10 == 0), ["o_orderkey"], k, relid, "orders"
+        )
+        .withColumn("lsn", F.col("lsn") + 7)
+        .withColumn("op", F.lit("delete"))
+        .withColumn("new_row", F.lit(None).cast("string"))
+    )
+    stream = (
+        table_schema_events(v1_base, relid, "orders", lsn=0)
+        .unionByName(v1_rows)
+        .unionByName(table_schema_events(v2_base, relid, "orders", lsn=1))
+        .unionByName(v2_inserts)
+        .unionByName(v2_updates)
+        .unionByName(v2_deletes)
+    )
+    tracker = resolve_schemas(stream)
+    newest = tracker.current(relid)  # v2: includes o_orderkey
+    unkeyed_state = append_only(stream.filter(F.col("key").isNull()), newest)
+    keyed_state = materialize(stream.filter(F.col("key").isNotNull()), newest)
+    return unkeyed_state.unionByName(keyed_state).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+CDC_ADD_PK_SQL = """
+SELECT CAST(NULL AS BIGINT) AS o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice
+FROM orders WHERE o_orderkey % 2 = 1
+UNION ALL
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 6 = 0 THEN 'X' ELSE o_orderstatus END
+         AS o_orderstatus,
+       o_totalprice
+FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0
+"""
+
+QUERIES["cdc_add_primary_key_midstream"] = cdc_add_primary_key_midstream
+ORACLES["cdc_add_primary_key_midstream"] = CDC_ADD_PK_SQL
+
+
+# --------------------------------------------- error policy x DDL
+
+
+def cdc_error_policy_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error policy composed with the DDL matrix (the reference tests
+    evolution UNDER failure: topic_spec.rb's autocreate-off crash
+    matrix with ``--on-error={exit,log}``; table_mapper.c:88-118 is
+    the policy the kafka side applies to a table whose registration
+    failed — mark it deleted, drop its events, keep every OTHER table
+    flowing).
+
+    Two interleaved tables: customer streams its full deterministic
+    CDC cycle; orders announces a good v1 TableSchema, snapshots, then
+    a POISONED v2 announcement (unparseable schema JSON — the
+    registry-POST failure) followed by post-DDL updates and deletes.
+    Under ``log`` the registry marks orders failed at the poison lsn:
+    its post-DDL events drop, so its state is the pre-DDL snapshot —
+    no 'X' statuses, no deletes applied — while customer's final
+    state is complete and untouched. (policy=exit raising with state
+    intact is pinned in tests/test_errors_types_schema.py.)
+
+    Output: one audit row per topic — surviving keys + a content
+    check (sum of acctbal / count of post-DDL 'X' statuses, which
+    MUST be zero when the drop is correct).
+    """
+    from bottledwater_pg_spark.errors import ErrorPolicy, apply_ddl_error_policy
+    from bottledwater_pg_spark.schema_tracker import table_schema_events
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+
+    cust = load_table(spark, sf_dir, "customer")
+    cust_stream = customer_cdc(spark, sf_dir)
+    cust_ctl = table_schema_events(cust, 16385, "customer", lsn=0)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    relid_o = 16388
+    POISON_LSN = 1_000_000_000
+    o_ctl_v1 = table_schema_events(orders, relid_o, "orders", lsn=0)
+    o_snapshot = snapshot_events(orders, ["o_orderkey"], k, relid_o, "orders")
+    poisoned = o_ctl_v1.select(
+        "op", "relid", "xid",
+        F.lit(POISON_LSN).cast("long").alias("lsn"),
+        "key", "old_row", "new_row",
+        F.lit('{"this is not": a schema').alias("schema_json"),
+        "topic",
+    )
+    # post-DDL events that MUST be dropped under log
+    o_updates = (
+        snapshot_events(
+            orders.withColumn("o_orderstatus", F.lit("X")),
+            ["o_orderkey"], k, relid_o, "orders",
+        )
+        .withColumn("lsn", F.col("lsn") + POISON_LSN + 1)
+        .withColumn("op", F.lit("update"))
+    )
+    o_deletes = (
+        snapshot_events(
+            orders.filter(k % 4 == 0), ["o_orderkey"], k, relid_o, "orders"
+        )
+        .withColumn("lsn", F.col("lsn") + POISON_LSN + 3)
+        .withColumn("op", F.lit("delete"))
+        .withColumn("new_row", F.lit(None).cast("string"))
+    )
+    stream = (
+        cust_ctl.unionByName(cust_stream)
+        .unionByName(o_ctl_v1)
+        .unionByName(o_snapshot)
+        .unionByName(poisoned)
+        .unionByName(o_updates)
+        .unionByName(o_deletes)
+    )
+    good, registry = apply_ddl_error_policy(stream, ErrorPolicy.LOG)
+    assert registry.lookup(relid_o) is None  # orders marked failed
+    assert registry.lookup(16385) is not None  # customer still live
+    cust_state = materialize(good.filter(F.col("relid") == 16385), cust.schema)
+    ord_state = materialize(good.filter(F.col("relid") == relid_o), orders.schema)
+    return (
+        cust_state.select(
+            F.lit("customer").alias("topic"),
+            F.lit(1).cast("long").alias("n"),
+            F.col("c_acctbal").cast("decimal(18,2)").alias("check_val"),
+        )
+        .unionByName(
+            ord_state.select(
+                F.lit("orders").alias("topic"),
+                F.lit(1).cast("long").alias("n"),
+                F.when(F.col("o_orderstatus") == "X", F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("decimal(18,2)")
+                .alias("check_val"),
+            )
+        )
+        .groupBy("topic")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.sum("check_val").cast("double").alias("check_val"),
+        )
+    )
+
+
+CDC_ERRDDL_SQL = """
+WITH cust_final AS (
+  SELECT CASE WHEN c_custkey % 11 = 0 THEN c_custkey + 1000000
+              ELSE c_custkey END AS k,
+         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS bal
+  FROM customer
+  WHERE c_custkey % 7 <> 0 OR c_custkey % 11 = 0
+)
+SELECT 'customer' AS topic, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS check_val
+FROM cust_final
+UNION ALL
+SELECT 'orders' AS topic, COUNT(*) AS n_rows, 0.0 AS check_val
+FROM orders
+"""
+
+QUERIES["cdc_error_policy_ddl"] = cdc_error_policy_ddl
+ORACLES["cdc_error_policy_ddl"] = CDC_ERRDDL_SQL

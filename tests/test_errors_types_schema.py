@@ -425,3 +425,71 @@ def test_registry_framed_roundtrip(spark, sf_dir, tmp_path):
 
     pd.testing.assert_frame_equal(back[want.columns.tolist()], want)
     assert reg.latest("customer-key") and reg.latest("customer-value")
+
+
+# ------------------------------------------- error policy x DDL matrix
+
+
+def _poisoned_two_table_stream(spark, sf_dir):
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    c_rows = snapshot_events(cust, ["c_custkey"], F.col("c_custkey"),
+                             16385, "customer")
+    o_ctl = table_schema_events(orders, 16388, "orders", lsn=0)
+    o_rows = snapshot_events(orders, ["o_orderkey"], F.col("o_orderkey"),
+                             16388, "orders")
+    poisoned = o_ctl.select(
+        "op", "relid", "xid",
+        F.lit(10 ** 9).cast("long").alias("lsn"),
+        "key", "old_row", "new_row",
+        F.lit("{not valid json").alias("schema_json"), "topic",
+    )
+    post = (
+        snapshot_events(orders, ["o_orderkey"], F.col("o_orderkey"),
+                        16388, "orders")
+        .withColumn("lsn", F.col("lsn") + 10 ** 9 + 1)
+        .withColumn("op", F.lit("update"))
+    )
+    ctl_c = table_schema_events(cust, 16385, "customer", lsn=0)
+    return (
+        ctl_c.unionByName(c_rows).unionByName(o_ctl)
+        .unionByName(o_rows).unionByName(poisoned).unionByName(post)
+    )
+
+
+def test_ddl_error_policy_exit_halts_with_state_intact(spark, sf_dir):
+    """A poisoned TableSchema under exit halts BEFORE any event is
+    consumed past the failure — the caller's state dirs are untouched
+    (error_policy.c exit semantics: no loss, no corruption)."""
+    from bottledwater_pg_spark.errors import (
+        SchemaRegistrationError,
+        apply_ddl_error_policy,
+    )
+
+    stream = _poisoned_two_table_stream(spark, sf_dir)
+    with pytest.raises(SchemaRegistrationError):
+        apply_ddl_error_policy(stream, ErrorPolicy.EXIT)
+
+
+def test_ddl_error_policy_log_drops_failed_table_keeps_others(spark, sf_dir):
+    """Under log: the poisoned table's post-failure events drop, its
+    pre-failure snapshot survives, and the OTHER table is complete
+    (table_mapper.c:88-118 option (b))."""
+    from bottledwater_pg_spark.errors import apply_ddl_error_policy
+
+    stream = _poisoned_two_table_stream(spark, sf_dir)
+    good, registry = apply_ddl_error_policy(stream, ErrorPolicy.LOG)
+    assert registry.lookup(16388) is None
+    assert registry.lookup(16385) is not None
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    n_ord = load_table(spark, sf_dir, "orders").count()
+    dml = good.filter(F.col("op").isin("insert", "update", "delete"))
+    assert dml.filter(F.col("relid") == 16385).count() == n_cust
+    # orders: snapshot survived, every post-poison update dropped
+    o_good = dml.filter(F.col("relid") == 16388)
+    assert o_good.count() == n_ord
+    assert o_good.filter(F.col("op") == "update").count() == 0
