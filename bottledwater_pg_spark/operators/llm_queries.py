@@ -2188,7 +2188,11 @@ def dedup_cluster_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = lsh_minhash_near_dup(spark, sf_dir).select("a_id", "b_id")
     p2 = simhash_md5_near_dup(spark, sf_dir).select("a_id", "b_id")
     p3 = winnow_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
-    edges = p1.unionByName(p2).unionByName(p3).distinct()
+    # persist the unioned pair set: star CC materializes its input
+    # TWICE up front (node universe + oriented edges are separate
+    # eager checkpoints) — without this the three sketch pipelines run
+    # end-to-end twice (measured 21 s -> ~8 s in the exact gate)
+    edges = persist_tracked(p1.unionByName(p2).unionByName(p3).distinct())
     comp = connected_components_star(edges, "a_id", "b_id")
     corpus = docs_with_near_dups(spark, sf_dir).select("doc_id")
     return corpus.join(

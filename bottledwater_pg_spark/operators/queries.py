@@ -3644,3 +3644,135 @@ WHERE n_brands = all_brands
 
 QUERIES["nations_covering_all_brands"] = nations_covering_all_brands
 ORACLES["nations_covering_all_brands"] = DIVISION_SQL
+
+
+# ------------------------------- interval / timetz text round-trips
+
+
+def pg_interval_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``interval`` text round-trip as a driver-contract query (the
+    reference proves interval fidelity by canonicalizing through PG,
+    schema_spec.rb:232-274; its wire struct is oid2avro.c:703-737).
+    A canonical PG rendering is BUILT from order columns — one third
+    of rows omit the year/month components (missing parts must read
+    0), every seventh row carries a negative time part (PG's leading
+    '-hh:mm:ss' negates all three time fields) — then parsed back by
+    functions.pg_text.parse_pg_interval and reduced to total months /
+    days / signed microseconds. The oracle computes the same totals
+    straight from the base columns, so any parser defect mismatches.
+    Pure JVM expressions (regexp over a built literal): shuffle-free.
+    """
+    from bottledwater_pg_spark.functions.pg_text import parse_pg_interval
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    built = o.select(
+        "o_orderkey",
+        F.concat_ws(
+            " ",
+            F.when(k % 3 != 0, F.concat((k % 5).cast("string"), F.lit(" years"))),
+            F.when(k % 3 != 0, F.concat((k % 12).cast("string"), F.lit(" mons"))),
+            F.concat((k % 28).cast("string"), F.lit(" days")),
+            F.concat(
+                F.when(k % 7 == 0, F.lit("-")).otherwise(F.lit("")),
+                F.lpad((k % 24).cast("string"), 2, "0"), F.lit(":"),
+                F.lpad(((k * 7) % 60).cast("string"), 2, "0"), F.lit(":"),
+                F.lpad(((k * 13) % 60).cast("string"), 2, "0"),
+                F.when(
+                    k % 4 != 0,
+                    F.concat(F.lit("."),
+                             F.lpad(((k % 1000) * 1000).cast("string"), 6, "0")),
+                ).otherwise(F.lit("")),
+            ),
+        ).alias("txt"),
+    )
+    p = built.select("o_orderkey", parse_pg_interval("txt").alias("iv"))
+    return p.select(
+        "o_orderkey",
+        (F.col("iv.years").cast("long") * 12 + F.col("iv.months"))
+        .cast("long").alias("months_total"),
+        F.col("iv.days").cast("long").alias("days"),
+        (
+            (F.col("iv.hours").cast("long") * 3600
+             + F.col("iv.minutes").cast("long") * 60
+             + F.col("iv.seconds")) * 1_000_000
+            + F.col("iv.micro")
+        ).cast("long").alias("micros_total"),
+    )
+
+
+PG_INTERVAL_SQL = """
+SELECT o_orderkey,
+       CAST(CASE WHEN o_orderkey % 3 = 0 THEN 0
+                 ELSE (o_orderkey % 5) * 12 + (o_orderkey % 12) END
+            AS BIGINT) AS months_total,
+       CAST(o_orderkey % 28 AS BIGINT) AS days,
+       CAST((CASE WHEN o_orderkey % 7 = 0 THEN -1 ELSE 1 END) *
+            (((o_orderkey % 24) * 3600 + ((o_orderkey * 7) % 60) * 60
+              + ((o_orderkey * 13) % 60)) * 1000000
+             + CASE WHEN o_orderkey % 4 = 0 THEN 0
+                    ELSE (o_orderkey % 1000) * 1000 END)
+            AS BIGINT) AS micros_total
+FROM orders
+"""
+
+
+def pg_timetz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG ``timetz`` text round-trip (reference wire struct
+    record{micro, zoneOffset} with the west-positive->ISO sign flip,
+    oid2avro.c:552-588; type fidelity suite schema_spec.rb:146-230).
+    Canonical text is BUILT per customer — offsets span -13h..+13h,
+    half-hour (':30') and whole-hour zones, with and without
+    fractional seconds — parsed back by parse_pg_timetz into
+    (micro-since-midnight, ISO zone offset seconds), oracle-checked
+    against the same arithmetic on the base columns. Shuffle-free.
+    """
+    from bottledwater_pg_spark.functions.pg_text import parse_pg_timetz
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    zh = (k % 27) - 13  # signed whole hours
+    zm = F.when(k % 2 == 0, F.lit(30)).otherwise(F.lit(0))
+    built = c.select(
+        "c_custkey",
+        F.concat(
+            F.lpad((k % 24).cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(((k * 11) % 60).cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(((k * 17) % 60).cast("string"), 2, "0"),
+            F.when(
+                k % 5 != 0,
+                F.concat(F.lit("."),
+                         F.lpad(((k % 997) * 1000).cast("string"), 6, "0")),
+            ).otherwise(F.lit("")),
+            F.when(zh < 0, F.lit("-")).otherwise(F.lit("+")),
+            F.lpad(F.abs(zh).cast("string"), 2, "0"),
+            F.when(zm > 0, F.concat(F.lit(":"), zm.cast("string")))
+            .otherwise(F.lit("")),
+        ).alias("txt"),
+    )
+    p = built.select("c_custkey", parse_pg_timetz("txt").alias("tz"))
+    return p.select(
+        "c_custkey",
+        F.col("tz.micro").cast("long").alias("micro"),
+        F.col("tz.zone_offset").cast("long").alias("zone_offset"),
+    )
+
+
+PG_TIMETZ_SQL = """
+SELECT c_custkey,
+       CAST(((c_custkey % 24) * 3600 + ((c_custkey * 11) % 60) * 60
+             + ((c_custkey * 17) % 60)) * 1000000
+            + CASE WHEN c_custkey % 5 = 0 THEN 0
+                   ELSE (c_custkey % 997) * 1000 END
+            AS BIGINT) AS micro,
+       CAST(((c_custkey % 27) - 13) * 3600
+            + CASE WHEN (c_custkey % 27) - 13 < 0 THEN -1 ELSE 1 END
+              * CASE WHEN c_custkey % 2 = 0 THEN 30 ELSE 0 END * 60
+            AS BIGINT) AS zone_offset
+FROM customer
+"""
+
+QUERIES["pg_interval_roundtrip"] = pg_interval_roundtrip
+ORACLES["pg_interval_roundtrip"] = PG_INTERVAL_SQL
+QUERIES["pg_timetz_roundtrip"] = pg_timetz_roundtrip
+ORACLES["pg_timetz_roundtrip"] = PG_TIMETZ_SQL
