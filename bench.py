@@ -116,7 +116,79 @@ BENCH_QUERIES = [
     "lineitem_corr_matrix",
     "cohort_ltv_triangle",
     "nations_covering_all_brands",
+    # round 5 additions
+    "cdc_add_primary_key_midstream",
+    "cdc_error_policy_ddl",
+    "pg_interval_roundtrip",
+    "pg_timetz_roundtrip",
 ]
+
+
+def streaming_soak(spark, sf_dir: str) -> dict:
+    """Streaming-plane latency soak: replay the composite-key events
+    CDC stream through StreamingMaterializer as N micro-batches
+    (maxFilesPerTrigger=1 — the T3 backpressure shape), recording
+    per-batch wall time and end-to-end events/s. The final state is
+    count-checked against the batch materialization so the number is
+    for a CORRECT pipeline, not a firehose."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.cdc_queries import EVENTS_SPEC
+    from bottledwater_pg_spark.operators.materialize import materialize
+    from bottledwater_pg_spark.session import load_table
+    from bottledwater_pg_spark.sources.generator import generate_cdc
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingMaterializer,
+        read_envelope_stream,
+        write_envelope_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        events = generate_cdc(
+            ev, ["user_id", "event_id"], F.col("event_id"), 16386, "events",
+            EVENTS_SPEC,
+        )
+        n_events = events.count()
+        src = os.path.join(base, "events")
+        write_envelope_stream(events, src, num_files=8)
+        mat = StreamingMaterializer(spark, os.path.join(base, "state"),
+                                    ev.schema)
+        batch_sec: list[float] = []
+        orig = mat.process_batch
+
+        def timed(batch, epoch_id):
+            t0 = time.perf_counter()
+            orig(batch, epoch_id)
+            batch_sec.append(round(time.perf_counter() - t0, 3))
+
+        mat.process_batch = timed
+        t_start = time.perf_counter()
+        q = mat.start(read_envelope_stream(spark, src, 1),
+                      os.path.join(base, "ckpt"))
+        q.processAllAvailable()
+        q.stop()
+        wall = round(time.perf_counter() - t_start, 3)
+        n_state = mat.current_rows().count()
+        n_batch_oracle = materialize(events, ev.schema).count()
+        ordered = sorted(batch_sec)
+        return {
+            "n_events": n_events,
+            "n_batches": len(batch_sec),
+            "batch_sec": batch_sec,
+            "p50_batch_sec": ordered[len(ordered) // 2] if ordered else None,
+            "max_batch_sec": ordered[-1] if ordered else None,
+            "total_wall_sec": wall,
+            "events_per_sec": round(n_events / wall, 1) if wall else None,
+            "state_rows": n_state,
+            "state_matches_batch": n_state == n_batch_oracle,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def main() -> None:
@@ -193,6 +265,7 @@ def main() -> None:
         if name in timings
     )
     host_ratio = round(ratios[len(ratios) // 2], 3) if ratios else None
+    streaming = streaming_soak(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -202,6 +275,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cdc_events_per_sec": cdc_eps,
+                "streaming": streaming,
                 "controls": {
                     "r01_sec": controls_r01,
                     "this_run_sec": {

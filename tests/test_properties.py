@@ -303,3 +303,107 @@ def test_wav_codec_roundtrip_property(rate, samples):
     got_rate, got = decode_wav(encode_wav(rate, arr))
     assert got_rate == rate
     assert (got == arr).all()
+
+
+def test_avro_spec_pinned_examples():
+    """The Avro 1.11 spec's own binary-encoding examples, byte-for-byte
+    (spec §Binary Encoding: zigzag longs 0..-64..64, string 'foo') —
+    protects the now-load-bearing pure-Python E1 path against codec
+    drift."""
+    from bottledwater_pg_spark.sources.avro_codec import (
+        read_long,
+        write_long,
+    )
+
+    spec = {
+        0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03", 2: b"\x04",
+        -64: b"\x7f", 64: b"\x80\x01",
+    }
+    for n, wire in spec.items():
+        buf = bytearray()
+        write_long(buf, n)
+        assert bytes(buf) == wire, n
+        back, pos = read_long(bytes(buf), 0)
+        assert back == n and pos == len(wire)
+    # string framing: length-prefixed utf8 — 'foo' -> 06 66 6f 6f
+    from bottledwater_pg_spark.sources.avro_codec import (
+        decode_record,
+        encode_record,
+    )
+
+    enc = encode_record([("s", "string")], {"s": "foo"})
+    assert enc == b"\x06foo"
+    assert decode_record([("s", "string")], enc)[0] == {"s": "foo"}
+
+
+def test_avro_codec_adversarial_values():
+    """Adversarial wire values: 64-bit zigzag extremes, non-BMP UTF-8,
+    NaN / -0.0 doubles, embedded-NUL bytes, float denormals — every
+    one must round-trip bit-exactly (or, for NaN under a null union,
+    take the null branch: pandas hands null bigints back as NaN)."""
+    import math
+    import struct
+
+    from bottledwater_pg_spark.sources.avro_codec import (
+        decode_record,
+        encode_record,
+    )
+
+    fields = [
+        ("l", ["null", "long"]),
+        ("s", ["null", "string"]),
+        ("d", ["null", "double"]),
+        ("f", ["null", "float"]),
+        ("b", ["null", "bytes"]),
+    ]
+
+    def rt(row):
+        enc = encode_record(fields, row)
+        dec, pos = decode_record(fields, enc)
+        assert pos == len(enc)
+        return dec
+
+    # zigzag extremes
+    for n in (2**63 - 1, -(2**63), 2**62, -(2**62) - 1, 0x7FFFFFFF):
+        assert rt({"l": n})["l"] == n
+    # non-BMP UTF-8 (surrogate-pair range) + combining marks
+    for s in ("\U0001d11e\U0001f4a9", "é̂", "", "\x00nul\x00"):
+        assert rt({"s": s})["s"] == s
+    # doubles: -0.0 keeps its sign bit; denormal min survives. NaN
+    # under a NULL UNION takes the null branch (pandas promotes null
+    # numerics to NaN — the wire must say null); a NON-nullable double
+    # field still carries a genuine NaN payload bit-exactly
+    d = rt({"d": -0.0})["d"]
+    assert d == 0.0 and math.copysign(1.0, d) == -1.0
+    assert rt({"d": float("nan")})["d"] is None
+    enc = encode_record([("d", "double")], {"d": float("nan")})
+    dec, _ = decode_record([("d", "double")], enc)
+    assert math.isnan(dec["d"])
+    tiny = struct.unpack("<d", struct.pack("<q", 1))[0]  # 5e-324
+    assert rt({"d": tiny})["d"] == tiny
+    assert rt({"f": float(struct.unpack("<f", b"\x01\x00\x00\x00")[0])})[
+        "f"
+    ] == struct.unpack("<f", b"\x01\x00\x00\x00")[0]
+    # bytes with NULs and 0xFF
+    blob = b"\x00\xff" * 17
+    assert rt({"b": blob})["b"] == blob
+
+
+def test_avro_codec_pandas_null_scalars_take_null_branch():
+    """mapInPandas feeds the encoder pandas-promoted nulls: float NaN
+    where a nullable long was null, and pd.NA — both must encode the
+    NULL union branch (the reference wire emits null, not NaN), and a
+    null bigint must not crash int(NaN)."""
+    import numpy as np
+    import pandas as pd
+
+    from bottledwater_pg_spark.sources.avro_codec import (
+        decode_record,
+        encode_record,
+    )
+
+    fields = [("l", ["null", "long"]), ("d", ["null", "double"])]
+    for null in (float("nan"), np.nan, pd.NA, None):
+        enc = encode_record(fields, {"l": null, "d": null})
+        assert enc == b"\x00\x00"  # both union index 0 = null
+        assert decode_record(fields, enc)[0] == {"l": None, "d": None}
