@@ -35,29 +35,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Dict order is meaningful: the driver's correctness gate hashes the
-# FIRST 50 entries each round. Rounds 1-3 certified 71 of 113 queries;
-# this round rotates the window so that (a) the 42 queries no driver
-# round has ever hashed and (b) the 8 queries new in round 4 (DDL
-# matrix, skip-snapshot, export entry, n-gram decontamination, funnel,
-# retention) land inside it — every one of the 121 queries then has a
-# driver record from some round. The previously-green queries keep
-# their r1-r3 records; scripts/exact_gate.py re-certifies all 121
-# locally every round (EXACTGATE_r4.json).
+# FIRST 50 entries each round. After r1-r4, 121 of 153 queries hold a
+# driver record; this round's window closes the ledger: the 32 queries
+# no driver round has ever hashed (r1-r4 leftovers + late-r4
+# additions) fill slots 1-32, the 4 new r5 queries (ADD PRIMARY KEY
+# mid-stream, error-policy x DDL, interval/timetz round-trips) take
+# 33-36, and the rest re-certifies every query whose code path changed
+# this round (top-k plan rewrites, pagerank node encoding, avro codec
+# NaN handling, errors.py). With this window EVERY query in the ledger
+# has a driver record from some round. scripts/exact_gate.py still
+# re-certifies all 157 locally (EXACTGATE_r5.json).
 _FAMILY_SPREAD = [
-    # new this round (r4): semantic dedup, link analysis, weighted
-    # sampling, z-order layout, robust dispersion, DDL widen
-    "semdedup_prune_stats", "pagerank_copurchase",
+    # -- the 32 never-driver-checked (late-r4 additions + displaced)
+    "cross_set_contamination", "windowed_event_counts",
+    "multimodal_ppm_stats", "negative_pairs_per_doc",
+    "budget_mix_counts", "vocab_top_terms", "text_chunks",
+    "text_quality_by_source", "lsh_ann_topk", "ivf_ann_topk",
+    "fuzzy_supplier_pairs_k2", "sliding_window_counts",
+    "text_bpe_token_stats", "multimodal_frame_sample",
+    "multimodal_decode_meta", "lsh_simhash_near_dup",
+    "cdc_state_checksum", "cdc_sequence_gap_audit",
+    "hll_distinct_users_by_type", "first_touch_attribution",
+    "nation_revenue_share_in_region", "value_percentiles_by_type",
+    "lineitem_corr_matrix", "cohort_ltv_triangle",
+    "nations_covering_all_brands", "text_normalize_stats",
+    "dedup_cluster_ensemble", "dedup_threshold_sensitivity",
+    "top_quality_docs_per_source", "trending_event_types",
+    "resampled_user_values", "seasonal_deviation_hours",
+    # -- new in r5
+    "cdc_add_primary_key_midstream", "cdc_error_policy_ddl",
+    "pg_interval_roundtrip", "pg_timetz_roundtrip",
+    # -- code paths changed in r5: re-certify under the driver
+    "bm25_topk_docs", "pagerank_copurchase",
+    "cdc_avro_envelope_roundtrip", "cdc_error_policy_log",
+    # -- core-family spot re-certification (flagship + one per family)
+    "cdc_materialize_customer", "cdc_merge_sink_customer",
+    "cdc_stream_table_join", "q1_pricing_summary",
+    "median_order_value_by_segment", "fraud_rolling_anomalies",
+    "lsh_minhash_near_dup", "prefix_jaccard_near_dup",
+    "winnow_near_dup_pairs", "simhash_md5_near_dup",
+    # ---- 50-entry window boundary (everything below already has a
+    # driver record from r1-r4 and is re-certified in EXACTGATE_r5)
+    "semdedup_prune_stats",
     "weighted_sample_chars", "zorder_layout_stats",
     "mad_order_value_by_segment", "cdc_schema_evolution_widen",
     "incremental_dedup_matches", "multimodal_wav_stats",
     "bpe_pair_counts", "length_outlier_docs", "watermark_lag_profile",
-    "cdc_avro_envelope_roundtrip",
     "rolling_7d_active_users", "data_quality_report",
-    # new this round: DDL matrix + startup mode + export entry (CDC plane)
     "cdc_schema_evolution_drop", "cdc_schema_evolution_rename",
     "cdc_zero_column_table", "cdc_skip_snapshot_customer",
     "cdc_export_snapshot_counts",
-    # never driver-checked: relational / TPC-H-adjacent shapes
     "important_part_values", "value_histogram",
     "quantity_price_corr_exact", "fuzzy_supplier_pairs",
     "quartiles_order_value_by_segment",
@@ -66,45 +93,23 @@ _FAMILY_SPREAD = [
     "clickers_never_purchased", "orders_in_price_band",
     "unpivot_segment_metrics", "monthly_order_momentum",
     "order_quantity_profiles", "order_calendar_breakdown",
-    # new this round: consumer analytics (funnel + retention)
     "funnel_session_conversion", "user_retention_cohorts",
-    # never driver-checked: LLM pipeline
     "dedup_cluster_canonical_star", "dedup_ngram_jaccard",
-    "simhash_md5_near_dup", "lsh_embedding_near_dup",
+    "lsh_embedding_near_dup",
     "text_langid", "doc_fingerprint_winnow", "stratified_sample_docs",
     "corpus_shuffle_positions", "sequence_pack_stats",
-    "inverted_index_postings", "bm25_topk_docs", # never driver-checked: streaming ops in batch mode
+    "inverted_index_postings",
     "session_window_counts",
     "hierarchical_rollup_daily",
-    # new this round: n-gram overlap decontamination
     "ngram_contamination",
-    # ---- 50-entry window boundary (everything below has r1-r3 records;
-    # median/dedup_cluster_canonical changed this round but their new code
-    # paths are certified inside the window via quartiles_* / *_star, and
-    # both are green in EXACTGATE_r4.json)
-    # displaced from the window this round to make room for the 14
-    # new hash-certified operators above: rows-only ANN entries (the
-    # driver's rows-only check adds nothing over EXACTGATE) and
-    # family-sibling-covered queries — every one green in
-    # EXACTGATE_r4.json
-    "cross_set_contamination", "windowed_event_counts",
-    "multimodal_ppm_stats",
-    "negative_pairs_per_doc", "budget_mix_counts", "vocab_top_terms",
-    "text_chunks",
-    "text_quality_by_source",
-    "lsh_ann_topk", "ivf_ann_topk", "fuzzy_supplier_pairs_k2",
-    "sliding_window_counts", "text_bpe_token_stats",
-    "multimodal_frame_sample",
-    "median_order_value_by_segment", "dedup_cluster_canonical",
-    "multimodal_decode_meta", "lsh_simhash_near_dup",
-    "cdc_materialize_customer", "cdc_merge_sink_customer",
+    "dedup_cluster_canonical",
     "cdc_incremental_agg_customer", "cdc_scd2_as_of",
     "cdc_snapshot_diff_customer", "cdc_history_scd2",
-    "cdc_kafka_sink_shape", "cdc_error_policy_log",
+    "cdc_kafka_sink_shape",
     "cdc_materialize_events_composite", "cdc_append_unkeyed",
-    "cdc_topic_routing_counts", "cdc_stream_table_join",
+    "cdc_topic_routing_counts",
     "cdc_schema_evolution_customer",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "shipmode_case_agg",
     "market_share_by_year", "part_profit_by_nation", "sole_late_suppliers",
     "q22_idle_balance_by_nation", "recursive_hierarchy_depths",
@@ -112,8 +117,8 @@ _FAMILY_SPREAD = [
     "customers_in_both_statuses", "asof_purchase_to_click",
     "interval_window_counts", "json_props_aggregation",
     "variant_props_aggregation", "skewed_agg_salted", "pg_array_roundtrip",
-    "hstore_roundtrip", "fraud_rolling_anomalies",
-    "dedup_exact", "prefix_jaccard_near_dup", "winnow_near_dup_pairs",
+    "hstore_roundtrip",
+    "dedup_exact",
     "dedup_embedding_cosine", "ann_topk_cosine", "embedding_centroid_step",
     "text_stats_per_doc", "doc_repetition_stats", "passage_dedup_stats",
     "pii_redaction_stats", "corpus_split_counts",

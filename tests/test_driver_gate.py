@@ -35,21 +35,37 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert_df_matches_oracle(df, duck, ORACLES[name])
 
 
-def test_round4_operators_occupy_the_driver_window():
-    """The driver hashes only the first 50 queries() entries; every
-    round-4 operator must sit inside that window (and each must have
-    a full SQL oracle) so the next CORRECTNESS file certifies them."""
-    new_ops = [
-        "semdedup_prune_stats", "pagerank_copurchase",
-        "weighted_sample_chars", "zorder_layout_stats",
-        "mad_order_value_by_segment", "cdc_schema_evolution_widen",
-        "incremental_dedup_matches", "multimodal_wav_stats",
-        "bpe_pair_counts", "length_outlier_docs",
-        "watermark_lag_profile", "cdc_avro_envelope_roundtrip",
-        "rolling_7d_active_users", "data_quality_report",
-    ]
+def test_round5_window_closes_the_driver_ledger():
+    """The driver hashes only the first 50 queries() entries. The
+    round-5 window must contain (a) every query that had no driver
+    record after r1-r4 — the ledger-closing rotation — and (b) every
+    round-5 operator. Rows-only entries inside the window are limited
+    to the four sketch ops whose outputs are engine-specific by
+    design (the driver records a rows-only check for them)."""
+    import json
+    import os
+
     window = list(QUERIES)[:50]
-    missing = [n for n in new_ops if n not in window]
-    assert not missing, missing
-    unoracled = [n for n in window if n not in ORACLES]
+    new_ops = [
+        "cdc_add_primary_key_midstream", "cdc_error_policy_ddl",
+        "pg_interval_roundtrip", "pg_timetz_roundtrip",
+    ]
+    assert not [n for n in new_ops if n not in window]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recs: dict = {}
+    for r in (1, 2, 3, 4):
+        p = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
+        if os.path.exists(p):
+            recs.update(json.load(open(p)))
+    uncovered = [
+        n for n in QUERIES if n not in recs and n not in window
+    ]
+    assert not uncovered, uncovered
+    allowed_rows_only = {
+        "lsh_ann_topk", "ivf_ann_topk", "lsh_simhash_near_dup",
+        "hll_distinct_users_by_type",
+    }
+    unoracled = [
+        n for n in window if n not in ORACLES and n not in allowed_rows_only
+    ]
     assert not unoracled, unoracled
