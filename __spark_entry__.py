@@ -65,6 +65,7 @@ _FAMILY_SPREAD = [
     # -- new in r5
     "cdc_add_primary_key_midstream", "cdc_error_policy_ddl",
     "pg_interval_roundtrip", "pg_timetz_roundtrip",
+    "alpha_mixture_weights", "ngram_diversity_by_source",
     # -- code paths changed in r5: re-certify under the driver
     "bm25_topk_docs", "pagerank_copurchase",
     "cdc_avro_envelope_roundtrip", "cdc_error_policy_log",
@@ -73,9 +74,9 @@ _FAMILY_SPREAD = [
     "cdc_stream_table_join", "q1_pricing_summary",
     "median_order_value_by_segment", "fraud_rolling_anomalies",
     "lsh_minhash_near_dup", "prefix_jaccard_near_dup",
-    "winnow_near_dup_pairs", "simhash_md5_near_dup",
     # ---- 50-entry window boundary (everything below already has a
     # driver record from r1-r4 and is re-certified in EXACTGATE_r5)
+    "winnow_near_dup_pairs", "simhash_md5_near_dup",
     "semdedup_prune_stats",
     "weighted_sample_chars", "zorder_layout_stats",
     "mad_order_value_by_segment", "cdc_schema_evolution_widen",

@@ -2380,3 +2380,121 @@ SELECT source, doc_id, score FROM ranked WHERE rn <= 5
 
 QUERIES["top_quality_docs_per_source"] = top_quality_docs_per_source
 ORACLES["top_quality_docs_per_source"] = TOPQ_SQL
+
+
+# ----------------------- mixture temperature weights + corpus diversity
+
+
+def alpha_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture allocation — the alpha=0.5
+    sampling rule LLM pretraining mixtures use (upweight small/rare
+    sources relative to their raw token share; the Pile and LLaMA data
+    recipes both apply w_s ∝ n_s^alpha): per source, total whitespace
+    tokens, then weight_bp/alloc_per_m computed from floor(sqrt(n))
+    in PURE INTEGER arithmetic (IEEE sqrt is correctly rounded, so
+    floor(sqrt) is bit-deterministic across engines — no float ratios
+    in the output).
+
+    Scale: one hash aggregation over documents (map-side partial sum
+    of per-doc token counts), then a 1-row total broadcast back — the
+    per-source table is O(#sources), never wide.
+    """
+    from bottledwater_pg_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", token_count("text").alias("ntok")
+    )
+    per_src = (
+        docs.groupBy("source")
+        .agg(F.sum("ntok").cast("long").alias("n_tokens"))
+        .withColumn(
+            "wgt",
+            F.expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"),
+        )
+    )
+    total = per_src.agg(F.sum("wgt").cast("long").alias("wsum"))
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr("wgt * 10000 div wsum").alias("weight_bp"),
+            F.expr("wgt * 1000000 div wsum").alias("alloc_per_m"),
+        )
+    )
+
+
+ALPHA_MIX_SQL = """
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS wgt
+  FROM per
+), t AS (SELECT CAST(SUM(wgt) AS BIGINT) AS wsum FROM w)
+SELECT source, n_tokens,
+       CAST(wgt * 10000 // wsum AS BIGINT) AS weight_bp,
+       CAST(wgt * 1000000 // wsum AS BIGINT) AS alloc_per_m
+FROM w, t
+"""
+
+QUERIES["alpha_mixture_weights"] = alpha_mixture_weights
+ORACLES["alpha_mixture_weights"] = ALPHA_MIX_SQL
+
+
+def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity audit: per source, distinct 3-gram vocabulary
+    vs total 3-gram instances (per-doc distinct, same shingle
+    definition as the dedup family) in basis points — the
+    cross-document repetition signal curation pipelines read before
+    sampling (a boilerplate-heavy or near-dup-heavy source scores
+    low). Pure integer output.
+
+    Scale: explode-then-aggregate; COUNT(DISTINCT) expands to Spark's
+    two-level partial aggregation keyed on (source, shingle), so no
+    single source's vocabulary ever sits in one buffer.
+    """
+    from bottledwater_pg_spark.functions.text import (
+        tokens,
+        word_shingles_from_tokens,
+    )
+
+    sh = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", tokens("text").alias("toks"))
+        .select(
+            "source",
+            F.explode(word_shingles_from_tokens("toks", 3)).alias("shingle"),
+        )
+    )
+    return (
+        sh.groupBy("source")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.countDistinct("shingle").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_shingles",
+            "n_distinct",
+            F.expr("n_distinct * 10000 div n_shingles").alias("diversity_bp"),
+        )
+    )
+
+
+NGRAM_DIVERSITY_SQL = f"""
+WITH sh AS (
+  SELECT source, unnest({_SHINGLES}) AS shingle FROM documents
+)
+SELECT source, COUNT(*) AS n_shingles,
+       COUNT(DISTINCT shingle) AS n_distinct,
+       CAST(COUNT(DISTINCT shingle) * 10000 // COUNT(*) AS BIGINT)
+         AS diversity_bp
+FROM sh GROUP BY source
+"""
+
+QUERIES["ngram_diversity_by_source"] = ngram_diversity_by_source
+ORACLES["ngram_diversity_by_source"] = NGRAM_DIVERSITY_SQL
