@@ -45,7 +45,7 @@ HEADLINE = {
     "q22_idle_balance_by_nation": "scalar avg broadcasts (1 row); anti-join on custkey; code-group agg",
     "corpus_shuffle_positions": "global shuffle order with NO SinglePartition exchange: 256-bucket local ranks",
     "fraud_rolling_anomalies": "per-user 10-row frame: one shuffle on user_id, decimal-exact moments",
-    "bm25_topk_docs": "tf explode + 2 partial aggs; N/avgdl broadcast as 1-row scalar",
+    "bm25_topk_docs": "tf explode + 2 partial aggs; N/avgdl broadcast as 1-row scalar; top-k via TakeOrderedAndProject BEFORE the rank window (no SinglePartition over matched docs)",
     "passage_dedup_stats": "passage hash shuffle + co-partitioned survivor join; text never shuffles",
     "ngram_contamination": "df-cap via window count: train grams explode once, one gram shuffle, eval side broadcast",
     "simhash_md5_near_dup": "60-bit signature in one 60-expression agg; banded equi-join; bit_count(xor) verify",
@@ -72,11 +72,17 @@ HEADLINE = {
     "dedup_cluster_ensemble": "ensemble: 3 audited pair pipelines union into star CC",
     "value_percentiles_by_type": "tail p50/p95/p99: two-phase bucketed rank, integer-rational interpolation",
     "resampled_user_values": "resample+locf: bounded grid explode, one user_id carry-forward window",
-    "seasonal_deviation_hours": "seasonal anomaly: hourly agg + tiny hour-of-week baseline broadcast",
+    "seasonal_deviation_hours": "seasonal anomaly: hourly agg + tiny hour-of-week baseline broadcast; top-20 via TakeOrderedAndProject, rank window sees 20 rows",
     "top_quality_docs_per_source": "curation top-k: bounded per-partition slice then merge",
     "lineitem_corr_matrix": "corr matrix: 9 co-moments in ONE partial-agg pass",
     "cohort_ltv_triangle": "LTV triangle: two partial-agg shuffles, cumulation over weeks^2 rows",
     "nations_covering_all_brands": "relational division: coverage counts vs 1-row broadcast total",
+    # round 5
+    "cdc_add_primary_key_midstream": "ADD PK mid-stream: shuffle-free unkeyed append branch + single-shuffle keyed compaction, union without exchange",
+    "cdc_error_policy_ddl": "error policy x DDL: O(#schema-changes) control collect; failed-table drop is one literal filter, no shuffle",
+    "pg_interval_roundtrip": "interval text round-trip: narrow regex projection, zero shuffles",
+    "alpha_mixture_weights": "mixture weights: one partial-agg shuffle + 1-row total broadcast, integer output",
+    "ngram_diversity_by_source": "diversity: COUNT(DISTINCT) as two-level agg keyed (source, shingle)",
 }
 
 ALIAS = {
