@@ -761,3 +761,44 @@ def test_multi_table_materializer_routes_one_stream(spark, sf_dir):
     pd.testing.assert_frame_equal(
         got_ord[want_ord.columns.tolist()], want_ord, check_dtype=False
     )
+
+
+def test_streaming_dedup_index_survives_process_restart(spark, sf_dir, tmp_path):
+    """A NEW StreamingDedupIndex instance over an existing state_dir
+    (the process-restart scenario start()'s checkpointLocation exists
+    for) must probe the standing index from its FIRST batch — a
+    near-duplicate of an already-indexed doc is rejected, not
+    re-accepted. Also: an empty pre-created state dir (crash before
+    any batch) must NOT count as state."""
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        docs_with_near_dups,
+    )
+    from bottledwater_pg_spark.streaming.stream import StreamingDedupIndex
+
+    state = str(tmp_path / "restart_state")
+    corpus = docs_with_near_dups(spark, sf_dir)
+    first = corpus.filter(F.col("doc_id") < 200)
+    idx1 = StreamingDedupIndex(spark, state, threshold=0.8)
+    # empty dirs exist but hold no parquet yet -> no state claimed
+    assert not idx1._have_index and not idx1._have_accepted
+    idx1.process_batch(first, 0)
+    accepted_before = {r.doc_id for r in idx1.accepted_ids().collect()}
+
+    # simulated restart: fresh instance, same state_dir
+    idx2 = StreamingDedupIndex(spark, state, threshold=0.8)
+    assert idx2._have_index and idx2._have_accepted
+    # near-dups of batch-1 docs (the injected +200000 twins whose
+    # originals are already in the index) must be rejected by the
+    # restarted instance's first batch
+    twins = corpus.filter(
+        (F.col("doc_id") >= 200000) & (F.col("doc_id") - 200000 < 200)
+    )
+    n_twins = twins.count()
+    assert n_twins > 0
+    idx2.process_batch(twins, 1)
+    accepted_after = {r.doc_id for r in idx2.accepted_ids().collect()}
+    newly = accepted_after - accepted_before
+    assert not {d for d in newly if d >= 200000 and d - 200000 in
+                accepted_before}, newly
