@@ -1218,6 +1218,12 @@ def cdc_error_policy_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     good, registry = apply_ddl_error_policy(stream, ErrorPolicy.LOG)
     assert registry.lookup(relid_o) is None  # orders marked failed
     assert registry.lookup(16385) is not None  # customer still live
+    # the surviving stream feeds BOTH per-table materializations —
+    # persist it once or the full union (generation + policy filter)
+    # recomputes per branch
+    from bottledwater_pg_spark.session import persist_tracked
+
+    good = persist_tracked(good)
     cust_state = materialize(good.filter(F.col("relid") == 16385), cust.schema)
     ord_state = materialize(good.filter(F.col("relid") == relid_o), orders.schema)
     return (
