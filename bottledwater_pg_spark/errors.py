@@ -154,11 +154,17 @@ def apply_ddl_error_policy(
                     f"relid {r['relid']} schema registration failed at "
                     f"lsn {r['lsn']} (policy=exit)"
                 ) from exc
-            registry.update(r["relid"], r["topic"])
+            _table = r["topic"].rsplit(".", 1)[-1]
+            registry.update(r["relid"], _table, topic=r["topic"])
             registry.mark_failed(r["relid"])
             fail_at[r["relid"]] = r["lsn"]
             continue
-        registry.update(r["relid"], r["topic"])
+        # the envelope carries the wire topic, not the bare table name:
+        # store the topic verbatim (last dot-segment = table) so a
+        # prefixed stream does not get the prefix re-applied
+        registry.update(
+            r["relid"], r["topic"].rsplit(".", 1)[-1], topic=r["topic"]
+        )
     if not fail_at:
         return events, registry
     dropped = None

@@ -1180,7 +1180,11 @@ def cdc_error_policy_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = F.col("o_orderkey")
     relid_o = 16388
-    POISON_LSN = 1_000_000_000
+    # Must exceed every stream-generated lsn: lsns are
+    # pk_num * LSN_STRIDE (stride 10) so at large SF a fixed 1e9 can be
+    # overrun by o_orderkey * 10 (orderkey reaches 6M*SF). 1<<62 is
+    # safely above any stride-encoded 64-bit key.
+    POISON_LSN = 1 << 62
     o_ctl_v1 = table_schema_events(orders, relid_o, "orders", lsn=0)
     o_snapshot = snapshot_events(orders, ["o_orderkey"], k, relid_o, "orders")
     poisoned = o_ctl_v1.select(

@@ -80,6 +80,20 @@ def _is_null(v) -> bool:
 def _write_value(buf: bytearray, typ, v) -> None:
     if isinstance(typ, list):  # union, reference uses ["null", T]
         if _is_null(v):
+            # Genuine float NaN in a double/float union is DATA on the
+            # reference wire (Avro encodes NaN as its IEEE754 bit
+            # pattern); only the pandas int64->float64 promotion case
+            # (an integer branch seeing NaN-as-missing) selects the
+            # null branch. pd.NA carries no float identity -> null.
+            branch = typ[1] if typ[0] == "null" else typ[0]
+            if (
+                branch in ("double", "float")
+                and isinstance(v, float)
+                and v != v
+            ):
+                write_long(buf, typ.index(branch))
+                _write_value(buf, branch, v)
+                return
             write_long(buf, typ.index("null"))
             return
         idx = 1 if typ[0] == "null" else 0

@@ -40,11 +40,20 @@ class TableRegistry:
         namespace: str = "public",
         key_schema_json: str | None = None,
         row_schema_json: str | None = None,
+        topic: str | None = None,
     ) -> TableEntry:
         """Idempotent upsert; recomputes the topic on rename exactly
-        like table_metadata_update_topic (table_mapper.c:185-242)."""
+        like table_metadata_update_topic (table_mapper.c:185-242).
+
+        ``topic`` (when given) is stored verbatim instead of being
+        recomputed from table/namespace/prefix — the path for callers
+        that only hold the wire topic (an in-band control event on an
+        already-prefixed stream), where recomputing would double-apply
+        the prefix."""
         entry = self.entries.get(relid)
-        new_topic = topic_name(table, namespace, self.topic_prefix)
+        new_topic = topic if topic is not None else topic_name(
+            table, namespace, self.topic_prefix
+        )
         if entry is None:
             entry = TableEntry(relid, table, namespace, new_topic)
             self.entries[relid] = entry

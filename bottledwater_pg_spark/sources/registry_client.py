@@ -99,65 +99,82 @@ def frames_with_registry(df, key_cols: list[str], val_cols: list[str],
                        key_schema_id=key_id, val_schema_id=val_id)
 
 
-def decode_with_registry(df, registry: LocalSchemaRegistry):
-    """Consumer-side: resolve each frame's embedded schema id against
-    the registry (the reference consumer's schema lookup) and decode.
-    Assumes one (key, value) schema pair per input — the per-topic
-    case; multi-topic streams route by topic first (routing.py)."""
+def decode_with_registry(df, registry: LocalSchemaRegistry,
+                         topic: str | None = None):
+    """Consumer-side: resolve EACH frame's embedded schema id against
+    the registry (the reference consumer resolves per-frame ids, so a
+    topic that evolved mid-stream carries a mix of value schema ids —
+    registry.c:63-87 framing). The full id→fields map is snapshotted
+    on the driver and shipped in the closure; the output schema is the
+    union of the registered fields (newest version wins a name clash),
+    with fields absent from an older frame's schema reading null —
+    the add-column evolution semantics. Pass ``topic`` to bound the
+    output columns to that topic's ``-key``/``-value`` subjects when
+    the registry serves many topics; resolution still accepts any
+    registered id."""
     import pandas as pd
 
     from bottledwater_pg_spark.sources.avro_codec import (
+        SPARK_TO_AVRO,
         decode_record,
         unframe,
     )
 
-    first = df.select("key", "value").first()
-    if first is None:
+    # driver-side snapshot: every registered schema by content id,
+    # subject-sorted then version-ascending for a deterministic union
+    by_id: dict[int, list[tuple]] = {}
+    union_fields: dict[str, object] = {}
+    want = None
+    if topic is not None:
+        safe = topic.replace("/", "_")
+        want = {f"{safe}-key.json", f"{safe}-value.json"}
+    for name in sorted(os.listdir(registry.state_dir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(registry.state_dir, name)) as f:
+            for v in json.load(f):
+                fields = [tuple(fld) for fld in v["schema"]]
+                by_id[int(v["id"])] = fields
+                if want is not None and name not in want:
+                    continue
+                for fname, ftyp in fields:
+                    union_fields[fname] = ftyp  # newest version wins
+    if not by_id or not union_fields:
         raise LookupError(
-            "cannot resolve schemas from an empty frame stream; pass "
-            "fields explicitly via avro_codec.decode_frames instead"
+            "registry holds no schemas for this decode; pass fields "
+            "explicitly via avro_codec.decode_frames instead"
         )
-    key_id, _ = unframe(bytes(first["key"]))
-    val_id, _ = unframe(bytes(first["value"]))
-    key_raw = registry.by_id(key_id)
-    val_raw = registry.by_id(val_id)
-    if key_raw is None or val_raw is None:
-        raise LookupError("frame schema id not present in registry")
-    key_fields = [tuple(f) for f in key_raw]
-    val_fields = [tuple(f) for f in val_raw]
-
-    from bottledwater_pg_spark.sources.avro_codec import SPARK_TO_AVRO
-
-    names = list(dict.fromkeys(
-        [n for n, _ in key_fields] + [n for n, _ in val_fields]
-    ))
+    names = list(union_fields)
 
     def body(batches):
         for pdf in batches:
             rows = []
             for k, v in zip(pdf["key"], pdf["value"]):
                 kid, kb = unframe(bytes(k))
-                if kid != key_id:
-                    raise ValueError("mixed key schema ids in one decode")
-                rec, _ = decode_record(key_fields, kb)
+                kf = by_id.get(kid)
+                if kf is None:
+                    raise LookupError(
+                        f"key schema id {kid} not present in registry"
+                    )
+                rec, _ = decode_record(kf, kb)
                 if v is not None:
                     vid, vb = unframe(bytes(v))
-                    if vid != val_id:
-                        raise ValueError(
-                            "mixed value schema ids in one decode"
+                    vf = by_id.get(vid)
+                    if vf is None:
+                        raise LookupError(
+                            f"value schema id {vid} not in registry"
                         )
-                    vrec, _ = decode_record(val_fields, vb)
+                    vrec, _ = decode_record(vf, vb)
                     rec.update(vrec)
                 rows.append(rec)
-            # explicit columns: empty Arrow batches keep the schema
+            # explicit columns: empty Arrow batches keep the schema,
+            # and frames decoded with an older schema leave the
+            # later-added columns as NaN→null
             yield pd.DataFrame(rows, columns=names)
 
     inv = {v: k for k, v in SPARK_TO_AVRO.items()}
-    out_schema, seen = [], set()
-    for name, typ in key_fields + val_fields:
-        if name in seen:
-            continue
-        seen.add(name)
-        base = typ[1] if isinstance(typ, list) else typ
-        out_schema.append(f"{name} {inv[base]}")
+    out_schema = []
+    for fname, ftyp in union_fields.items():
+        base = ftyp[1] if isinstance(ftyp, list) else ftyp
+        out_schema.append(f"{fname} {inv[base]}")
     return df.mapInPandas(body, schema=", ".join(out_schema))

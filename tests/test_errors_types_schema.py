@@ -444,14 +444,14 @@ def _poisoned_two_table_stream(spark, sf_dir):
                              16388, "orders")
     poisoned = o_ctl.select(
         "op", "relid", "xid",
-        F.lit(10 ** 9).cast("long").alias("lsn"),
+        F.lit(1 << 62).cast("long").alias("lsn"),
         "key", "old_row", "new_row",
         F.lit("{not valid json").alias("schema_json"), "topic",
     )
     post = (
         snapshot_events(orders, ["o_orderkey"], F.col("o_orderkey"),
                         16388, "orders")
-        .withColumn("lsn", F.col("lsn") + 10 ** 9 + 1)
+        .withColumn("lsn", F.col("lsn") + (1 << 62) + 1)
         .withColumn("op", F.lit("update"))
     )
     ctl_c = table_schema_events(cust, 16385, "customer", lsn=0)

@@ -369,13 +369,17 @@ def test_avro_codec_adversarial_values():
     # non-BMP UTF-8 (surrogate-pair range) + combining marks
     for s in ("\U0001d11e\U0001f4a9", "é̂", "", "\x00nul\x00"):
         assert rt({"s": s})["s"] == s
-    # doubles: -0.0 keeps its sign bit; denormal min survives. NaN
-    # under a NULL UNION takes the null branch (pandas promotes null
-    # numerics to NaN — the wire must say null); a NON-nullable double
-    # field still carries a genuine NaN payload bit-exactly
+    # doubles: -0.0 keeps its sign bit; denormal min survives. A
+    # genuine float NaN is DATA on a double/float branch — the
+    # reference wire encodes it as the IEEE754 payload, not null —
+    # while pd.NA / None still take the null branch (the pandas
+    # int64->float64 promotion case is pinned in the next test, where
+    # the union's non-null branch is an INTEGER type)
     d = rt({"d": -0.0})["d"]
     assert d == 0.0 and math.copysign(1.0, d) == -1.0
-    assert rt({"d": float("nan")})["d"] is None
+    assert math.isnan(rt({"d": float("nan")})["d"])
+    assert math.isnan(rt({"f": float("nan")})["f"])
+    assert rt({"d": None})["d"] is None
     enc = encode_record([("d", "double")], {"d": float("nan")})
     dec, _ = decode_record([("d", "double")], enc)
     assert math.isnan(dec["d"])
@@ -402,8 +406,19 @@ def test_avro_codec_pandas_null_scalars_take_null_branch():
         encode_record,
     )
 
+    import math
+
     fields = [("l", ["null", "long"]), ("d", ["null", "double"])]
-    for null in (float("nan"), np.nan, pd.NA, None):
+    # pd.NA / None: null branch on every type
+    for null in (pd.NA, None):
         enc = encode_record(fields, {"l": null, "d": null})
         assert enc == b"\x00\x00"  # both union index 0 = null
         assert decode_record(fields, enc)[0] == {"l": None, "d": None}
+    # float NaN: null on the INTEGER branch (pandas int64->float64
+    # promotion means "missing"), but genuine data on the double
+    # branch (the reference wire carries NaN as NaN)
+    for nan in (float("nan"), np.nan):
+        enc = encode_record(fields, {"l": nan, "d": nan})
+        dec = decode_record(fields, enc)[0]
+        assert dec["l"] is None
+        assert math.isnan(dec["d"])
