@@ -312,6 +312,121 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_ivf(emb, queries, k=5, n_list=32, n_probe=8)
 
 
+# ------------- sketch-accuracy certification (driver-hashable)
+#
+# The sketch operators above (xxhash64 SimHash, SRP-LSH ANN, IVF ANN)
+# and hll_distinct_users_by_type are approximate or engine-hash-based,
+# so their raw outputs have no DuckDB oracle. These companions certify
+# the PROPERTY instead (the reference's generated-type-corpus idea,
+# spec/bin/generate_type_specs.rb:30-45: pin what must hold, not the
+# engine-specific bits): each emits the exact twin's integer counts
+# (cross-engine computable -> genuinely oracle-checked) plus an
+# integer indicator that the approximate operator's accuracy clears a
+# pinned floor. The pipeline is seed-free and deterministic, so the
+# indicator is a fixed function of the corpus; floors sit well under
+# the measured values (LSH recall 44-47%, IVF 94-100%, SimHash
+# injected-pair recall 96-98% across sf0.001/0.01/0.1).
+
+LSH_ANN_RECALL_FLOOR_BP = 3000
+IVF_ANN_RECALL_FLOOR_BP = 7500
+SIMHASH_INJECT_FLOOR_BP = 9000
+
+
+def _recall_vs_exact(exact: DataFrame, approx: DataFrame,
+                     floor_bp: int) -> DataFrame:
+    """One-row recall certificate: the exact twin's pair counts plus
+    ``recall_ok`` = [overlap/n_exact >= floor_bp/10000]. One broadcast
+    left join of two k*|Q|-row results — cost is the two ANN runs."""
+    hit = approx.select("query_id", "neighbor_id").withColumn(
+        "hit", F.lit(1)
+    )
+    joined = exact.select("query_id", "neighbor_id").join(
+        F.broadcast(hit), ["query_id", "neighbor_id"], "left"
+    )
+    return joined.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("_ov"),
+    ).select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("n_exact_pairs").cast("long").alias("n_exact_pairs"),
+        F.lit(floor_bp).cast("long").alias("recall_floor_bp"),
+        (F.col("_ov") * 10000 >= F.col("n_exact_pairs") * floor_bp)
+        .cast("long")
+        .alias("recall_ok"),
+    )
+
+
+def lsh_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable accuracy certificate for ``lsh_ann_topk``:
+    its top-k joined against the brute-force twin, recall floored at
+    30% (measured 44-47%)."""
+    return _recall_vs_exact(
+        ann_topk_cosine(spark, sf_dir),
+        ann_topk_lsh(spark, sf_dir),
+        LSH_ANN_RECALL_FLOOR_BP,
+    )
+
+
+def ivf_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable accuracy certificate for ``ivf_ann_topk``:
+    recall vs brute force floored at 75% (measured 94-100%)."""
+    return _recall_vs_exact(
+        ann_topk_cosine(spark, sf_dir),
+        ann_topk_ivf(spark, sf_dir),
+        IVF_ANN_RECALL_FLOOR_BP,
+    )
+
+
+def _ann_recall_sql(floor_bp: int) -> str:
+    return f"""
+SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       CAST({floor_bp} AS BIGINT) AS recall_floor_bp,
+       CAST(1 AS BIGINT) AS recall_ok
+FROM ({ANN_SQL}) exact_twin
+"""
+
+
+def simhash_injected_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable certificate for ``lsh_simhash_near_dup``: the
+    corpus injects one near-copy per ``doc_id % NEAR_COPY_MOD == 0``
+    (suffix append), so the true near-dup pair set is known in SQL;
+    the xxhash64 SimHash must recover >= 90% of those injected pairs
+    (measured 96-98%)."""
+    docs = load_table(spark, sf_dir, "documents")
+    inj = docs.filter(F.col("doc_id") % NEAR_COPY_MOD == 0).select(
+        F.col("doc_id").alias("a_id"),
+        (F.col("doc_id") + 200000).alias("b_id"),
+    )
+    hit = (
+        lsh_simhash_near_dup(spark, sf_dir)
+        .select("a_id", "b_id")
+        .withColumn("hit", F.lit(1))
+    )
+    joined = inj.join(hit, ["a_id", "b_id"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_injected"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("_f"),
+    ).select(
+        F.col("n_injected").cast("long").alias("n_injected"),
+        F.lit(SIMHASH_INJECT_FLOOR_BP)
+        .cast("long")
+        .alias("recall_floor_bp"),
+        (F.col("_f") * 10000 >= F.col("n_injected") * SIMHASH_INJECT_FLOOR_BP)
+        .cast("long")
+        .alias("recall_ok"),
+    )
+
+
+SIMHASH_INJECTED_RECALL_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_injected,
+       CAST({SIMHASH_INJECT_FLOOR_BP} AS BIGINT) AS recall_floor_bp,
+       CAST(1 AS BIGINT) AS recall_ok
+FROM documents WHERE doc_id % {NEAR_COPY_MOD} = 0
+"""
+
+
 def text_stats_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ntok = token_count("text")
@@ -755,6 +870,9 @@ QUERIES = {
     "ann_topk_cosine": ann_topk_cosine,
     "lsh_ann_topk": ann_topk_lsh,
     "ivf_ann_topk": ann_topk_ivf,
+    "lsh_ann_recall_vs_exact": lsh_ann_recall_vs_exact,
+    "ivf_ann_recall_vs_exact": ivf_ann_recall_vs_exact,
+    "simhash_injected_recall": simhash_injected_recall,
     "text_stats_per_doc": text_stats_per_doc,
     "text_quality_by_source": text_quality_by_source,
     "text_langid": text_langid,
@@ -777,6 +895,9 @@ ORACLES = {
     "simhash_md5_near_dup": _simhash_md5_sql(),
     "lsh_embedding_near_dup": EMB_COS_SQL,
     "ann_topk_cosine": ANN_SQL,
+    "lsh_ann_recall_vs_exact": _ann_recall_sql(LSH_ANN_RECALL_FLOOR_BP),
+    "ivf_ann_recall_vs_exact": _ann_recall_sql(IVF_ANN_RECALL_FLOOR_BP),
+    "simhash_injected_recall": SIMHASH_INJECTED_RECALL_SQL,
     "text_stats_per_doc": TEXT_STATS_SQL,
     "text_quality_by_source": TEXT_QUALITY_SQL,
     "text_langid": TEXT_LANGID_SQL,

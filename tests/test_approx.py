@@ -67,3 +67,27 @@ def test_hll_sketch_accuracy_and_merge_invariance(spark, sf_dir):
     )
     for t in direct.index:
         assert abs(direct[t] - merged[t]) <= 1e-9 * max(1.0, direct[t])
+
+
+def test_sketch_certification_companions_all_pass(spark, sf_dir):
+    """The four driver-hashable accuracy certificates (LSH/IVF ANN
+    recall, SimHash injected-pair recall, HLL error bound) must each
+    report their property as holding — these are the queries that
+    upgrade the rows-only sketch ops to hash-certified."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        ivf_ann_recall_vs_exact,
+        lsh_ann_recall_vs_exact,
+        simhash_injected_recall,
+    )
+    from bottledwater_pg_spark.operators.queries import (
+        hll_error_bound_by_type,
+    )
+
+    for q, flag in (
+        (lsh_ann_recall_vs_exact, "recall_ok"),
+        (ivf_ann_recall_vs_exact, "recall_ok"),
+        (simhash_injected_recall, "recall_ok"),
+        (hll_error_bound_by_type, "within_bound"),
+    ):
+        rows = q(spark, sf_dir).collect()
+        assert rows and all(r[flag] == 1 for r in rows), q.__name__
