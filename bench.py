@@ -266,23 +266,52 @@ def main() -> None:
     )
     host_ratio = round(ratios[len(ratios) // 2], 3) if ratios else None
     streaming = streaming_soak(spark, sf_dir)
+    controls = {
+        "r01_sec": controls_r01,
+        "this_run_sec": {n: timings.get(n) for n in controls_r01},
+        "host_speed_ratio_vs_r01": host_ratio,
+    }
+    full = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cdc_events_per_sec": cdc_eps,
+        "streaming": streaming,
+        "controls": controls,
+    }
+    # Full per-query detail: one line on stdout AND a local artifact
+    # (the detail line is ~5 KB, larger than the driver's tail
+    # capture, so the file is the durable record).
+    print(json.dumps(full))
+    try:
+        with open(os.path.join(os.path.dirname(__file__) or ".",
+                               "BENCH_LOCAL_latest.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    # LAST line: a compact summary small enough for the driver's tail
+    # capture to parse (`parsed != null` in BENCH_r{N}.json).
     print(
         json.dumps(
             {
                 "metric": "total_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
                 "cdc_events_per_sec": cdc_eps,
-                "streaming": streaming,
-                "controls": {
-                    "r01_sec": controls_r01,
-                    "this_run_sec": {
-                        n: timings.get(n) for n in controls_r01
-                    },
-                    "host_speed_ratio_vs_r01": host_ratio,
-                },
+                "streaming_p50_batch_sec": streaming.get("p50_batch_sec"),
+                "streaming_events_per_sec": streaming.get("events_per_sec"),
+                "controls": controls,
+                "queries": dict(
+                    sorted(
+                        timings.items(), key=lambda kv: -kv[1]
+                    )[:12]
+                ),
+                "queries_truncated_to_slowest": 12,
+                "queries_detail_file": "BENCH_LOCAL_latest.json",
             }
         )
     )
