@@ -258,8 +258,13 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
             for bi in range(bands)
         ]
     )
-    banded = sig.select("sid", F.explode(band_structs).alias("bs")).select(
-        "sid", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
+    # banded feeds BOTH sides of the candidate self-join: persist it,
+    # or the num_hashes-column signature aggregation runs twice (the
+    # table is one row per doc per band — tiny next to the shingles)
+    banded = persist_tracked(
+        sig.select("sid", F.explode(band_structs).alias("bs")).select(
+            "sid", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
+        )
     )
     candidates = (
         banded.alias("a")
@@ -362,8 +367,12 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 6,
             for bi in range(bands)
         ]
     )
-    banded = sig.select("sid", "simhash", F.explode(band_structs).alias("bs")).select(
-        "sid", "simhash", F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval")
+    # persisted for the same both-sides reason as the MinHash banded
+    # table: without it the tf + bit-sum aggregation chain runs twice
+    banded = persist_tracked(
+        sig.select("sid", "simhash", F.explode(band_structs).alias("bs")).select(
+            "sid", "simhash", F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval")
+        )
     )
     return (
         banded.alias("a")

@@ -144,13 +144,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_JACCARD_SQL = DOCS_NEAR_CTE + JACCARD_PAIRS_SQL
 
 
-def lsh_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_minhash_near_dup(spark: SparkSession, sf_dir: str,
+                         corpus: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH near-dup (the scale path). 16 bands x 2 rows gives
     candidate-recall ~1-8e-8 at J=0.8, and candidates are verified with
     exact Jaccard — so on this corpus it provably returns the same
     pairs as the brute-force oracle."""
     return dedup.minhash_lsh_pairs(
-        docs_with_near_dups(spark, sf_dir),
+        corpus if corpus is not None else docs_with_near_dups(spark, sf_dir),
         num_hashes=32,
         bands=16,
         threshold=JACCARD_THRESHOLD,
@@ -181,7 +182,8 @@ SIMHASH_MD5_BANDS = 4
 SIMHASH_MD5_MAXHAM = 10
 
 
-def simhash_md5_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_md5_near_dup(spark: SparkSession, sf_dir: str,
+                         corpus: DataFrame | None = None) -> DataFrame:
     """Charikar SimHash near-dup with a FULL SQL oracle: the 60-bit
     signature derives from an md5-prefix token hash both engines
     compute bit-identically (dedup.py ``md5_token_hash``), so the
@@ -196,7 +198,7 @@ def simhash_md5_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     production twin keeps xxhash64.
     """
     pairs = dedup.simhash_near_pairs(
-        docs_with_near_dups(spark, sf_dir),
+        corpus if corpus is not None else docs_with_near_dups(spark, sf_dir),
         max_hamming=SIMHASH_MD5_MAXHAM,
         bands=SIMHASH_MD5_BANDS,
         bits=SIMHASH_MD5_BITS,
@@ -578,7 +580,8 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_DF_CAP = 50  # fingerprint document-frequency cap for the join
 
 
-def winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def winnow_near_dup_pairs(spark: SparkSession, sf_dir: str,
+                         corpus: DataFrame | None = None) -> DataFrame:
     """Near-dup candidate pairs by winnowing-fingerprint overlap: two
     docs are candidates when their shared DISCRIMINATIVE fingerprints
     (document frequency <= ``WINNOW_DF_CAP``) cover at least half of
@@ -600,7 +603,8 @@ def winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bottledwater_pg_spark.functions.text import kgram_hashes, winnow_mins
 
-    corpus = docs_with_near_dups(spark, sf_dir)
+    if corpus is None:
+        corpus = docs_with_near_dups(spark, sf_dir)
     # dedupe INSIDE the row: winnowing emits the same minimum for many
     # consecutive windows, so array_distinct before the explode removes
     # per-doc repeats narrowly — (doc, fp) is then globally distinct by
@@ -2306,18 +2310,24 @@ def dedup_cluster_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_star,
     )
 
-    p1 = lsh_minhash_near_dup(spark, sf_dir).select("a_id", "b_id")
-    p2 = simhash_md5_near_dup(spark, sf_dir).select("a_id", "b_id")
-    p3 = winnow_near_dup_pairs(spark, sf_dir).select("a_id", "b_id")
+    # ONE persisted corpus feeds all three modalities and the final
+    # doc join — without it each constituent re-runs the scan + union
+    corpus = persist_tracked(docs_with_near_dups(spark, sf_dir))
+    p1 = lsh_minhash_near_dup(spark, sf_dir, corpus).select("a_id", "b_id")
+    p2 = simhash_md5_near_dup(spark, sf_dir, corpus).select("a_id", "b_id")
+    p3 = winnow_near_dup_pairs(spark, sf_dir, corpus).select("a_id", "b_id")
     # persist the unioned pair set: star CC materializes its input
     # TWICE up front (node universe + oriented edges are separate
     # eager checkpoints) — without this the three sketch pipelines run
-    # end-to-end twice (measured 21 s -> ~8 s in the exact gate)
+    # end-to-end twice. Warm wall cost is the sum of the three
+    # constituent pipelines (the md5 winnowing scan dominates) plus
+    # ~4 star-CC rounds at roughly a second of scheduling each at
+    # sf0.1 — measured ~12 s warm, ~16 s cold in the exact gate.
     edges = persist_tracked(p1.unionByName(p2).unionByName(p3).distinct())
     comp = connected_components_star(edges, "a_id", "b_id")
-    corpus = docs_with_near_dups(spark, sf_dir).select("doc_id")
-    return corpus.join(
-        comp, corpus.doc_id == comp.id, "left"
+    docs = corpus.select("doc_id")
+    return docs.join(
+        comp, docs.doc_id == comp.id, "left"
     ).select(
         "doc_id", F.coalesce("comp", "doc_id").alias("canonical_id")
     )
