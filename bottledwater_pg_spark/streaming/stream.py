@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from bottledwater_pg_spark.operators.materialize import compact, drop_tombstones
+from bottledwater_pg_spark.operators.materialize import drop_tombstones
 from bottledwater_pg_spark.plans.envelope import ROW_JSON_OPTIONS, envelope_schema
 
 
@@ -127,10 +127,23 @@ class StreamingMaterializer:
     """
 
     def __init__(self, spark: SparkSession, state_dir: str,
-                 row_schema: T.StructType):
+                 row_schema: T.StructType, relid: int | None = None):
+        """``row_schema`` is the INITIAL decode schema. Pass ``relid``
+        to enable in-band DDL drift: each micro-batch folds that
+        table's TableSchema control events into a SchemaTracker
+        (protocol_client.c:313-350 re-parse) and ``current_rows``
+        decodes with the NEWEST schema — the live-stream counterpart
+        of the batch DDL matrix (topic_spec.rb:113-274). Drift mode
+        also retains unkeyed DML append-only (compaction is off for
+        topics that ever held unkeyed messages, topic_spec.rb:118-123)
+        so the ADD-PRIMARY-KEY cell streams end-to-end."""
+        from bottledwater_pg_spark.schema_tracker import SchemaTracker
+
         self.spark = spark
         self.state_dir = state_dir
         self.row_schema = row_schema
+        self.relid = relid
+        self.tracker = SchemaTracker() if relid is not None else None
         os.makedirs(state_dir, exist_ok=True)
         self._have_state = False
 
@@ -143,27 +156,96 @@ class StreamingMaterializer:
             return None
         return self.spark.read.parquet(self._state_path())
 
-    def current_rows(self) -> DataFrame | None:
+    def current_schema(self) -> T.StructType:
+        """The newest schema seen in-band (drift mode), else the
+        constructed one. Pre-drift payloads decoded with the newest
+        schema read null for later-added columns — PG's own
+        no-backfill ADD COLUMN semantics."""
+        if self.tracker is not None:
+            newest = self.tracker.current(self.relid)
+            if newest is not None:
+                return newest
+        return self.row_schema
+
+    def current_rows(self, with_topic: bool = False) -> DataFrame | None:
         """Decode the compacted state into typed rows. The stored state
         keeps tombstones (they must keep suppressing older events in
-        future merges); they are filtered only here, at read time."""
+        future merges); they are filtered only here, at read time.
+        ``with_topic`` appends ``last_topic`` — the topic of each
+        key's winning event, which is the NEW topic for keys updated
+        after an ALTER TABLE RENAME (table_mapper.c:185-242)."""
         state = self.read_state()
         if state is None:
             return None
+        schema = self.current_schema()
+        cols = [
+            F.from_json("new_row", schema, ROW_JSON_OPTIONS).alias("r")
+        ]
+        if with_topic:
+            cols.append(F.col("topic").alias("last_topic"))
+        out = drop_tombstones(state).select(*cols)
+        return out.select("r.*", "last_topic") if with_topic \
+            else out.select("r.*")
+
+    def unkeyed_rows(self) -> DataFrame | None:
+        """Drift mode only: the append-only retained unkeyed DML rows,
+        decoded with the newest schema."""
+        path = os.path.join(self.state_dir, "unkeyed")
+        if not os.path.isdir(path) or not any(
+            f.endswith(".parquet") or f.startswith("epoch=")
+            for f in os.listdir(path)
+        ):
+            return None
         return (
-            drop_tombstones(state)
-            .select(F.from_json("new_row", self.row_schema,
+            self.spark.read.option("basePath", path).parquet(path)
+            .select(F.from_json("new_row", self.current_schema(),
                                 ROW_JSON_OPTIONS).alias("r"))
             .select("r.*")
         )
 
     # -- the batch hook --------------------------------------------
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from bottledwater_pg_spark.plans.envelope import DML_OPS
+
+        if self.tracker is not None:
+            # fold this batch's TableSchema control trickle into the
+            # tracker — O(#schema changes), never the row stream
+            from bottledwater_pg_spark.schema_tracker import (
+                resolve_schemas,
+            )
+
+            resolve_schemas(batch, self.tracker)
+            # unkeyed DML is retained append-only, one idempotent
+            # overwrite per epoch (a replayed batch rewrites the same
+            # directory, so restart never duplicates)
+            unkeyed = batch.filter(
+                F.col("op").isin(*DML_OPS)
+                & F.col("key").isNull()
+                & F.col("new_row").isNotNull()
+            ).select("lsn", "new_row")
+            unkeyed.write.mode("overwrite").parquet(
+                os.path.join(self.state_dir, "unkeyed", f"epoch={epoch_id}")
+            )
         # compact the incoming batch, merge with stored state, compact
         # again — tombstones are KEPT in the state so a delete in a
         # later micro-batch still beats an insert already in the state
-        # (and vice versa under out-of-order replay, decided by lsn)
-        compacted_batch = compact(batch)
+        # (and vice versa under out-of-order replay, decided by lsn);
+        # the winning event's topic rides along so rename cells can
+        # report post-rename routing
+        dml = batch.filter(
+            F.col("op").isin(*DML_OPS) & F.col("key").isNotNull()
+        )
+        compacted_batch = dml.groupBy("key").agg(
+            F.max_by(
+                F.struct("op", "lsn", "new_row", "topic"), F.col("lsn")
+            ).alias("last")
+        ).select(
+            "key",
+            F.col("last.op").alias("op"),
+            F.col("last.lsn").alias("lsn"),
+            F.col("last.new_row").alias("new_row"),
+            F.col("last.topic").alias("topic"),
+        )
         prev = self.read_state()
         merged = (
             compacted_batch
@@ -172,12 +254,15 @@ class StreamingMaterializer:
         )
         # write-then-swap so a crash mid-write never corrupts state
         new_state = merged.groupBy("key").agg(
-            F.max_by(F.struct("op", "lsn", "new_row"), F.col("lsn")).alias("last")
+            F.max_by(
+                F.struct("op", "lsn", "new_row", "topic"), F.col("lsn")
+            ).alias("last")
         ).select(
             "key",
             F.col("last.op").alias("op"),
             F.col("last.lsn").alias("lsn"),
             F.col("last.new_row").alias("new_row"),
+            F.col("last.topic").alias("topic"),
         )
         tmp = self._state_path() + f".epoch{epoch_id}"
         new_state.write.mode("overwrite").parquet(tmp)

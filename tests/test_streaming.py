@@ -802,3 +802,238 @@ def test_streaming_dedup_index_survives_process_restart(spark, sf_dir, tmp_path)
     newly = accepted_after - accepted_before
     assert not {d for d in newly if d >= 200000 and d - 200000 in
                 accepted_before}, newly
+
+
+# ---------------- true-streaming DDL matrix (topic_spec.rb:113-274
+# runs the reference's crash/evolution matrix against the LIVE stream;
+# these twins pin each cell's final streamed state equal to the batch
+# DDL query's result)
+
+
+def _run_drift_stream(spark, tmp, phases, row_schema, relid):
+    """Write each phase as one parquet file (one micro-batch each,
+    arriving in order), stream them through a drift-aware
+    StreamingMaterializer, and return it."""
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingMaterializer,
+        read_envelope_stream,
+    )
+
+    src = f"{tmp}/events"
+    for i, phase_df in enumerate(phases):
+        phase_df.coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+    mat = StreamingMaterializer(spark, f"{tmp}/state", row_schema,
+                                relid=relid)
+    q = mat.start(
+        read_envelope_stream(spark, src, files_per_trigger=1),
+        f"{tmp}/ckpt",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return mat
+
+
+def _assert_same_rows(got_df, want_df, sort_cols):
+    import pandas as pd
+
+    got = got_df.toPandas()
+    want = want_df.toPandas()
+    cols = sorted(want.columns)
+    got = got[cols].sort_values(sort_cols).reset_index(drop=True)
+    want = want[cols].sort_values(sort_cols).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_ddl_widen_matches_batch(spark, sf_dir):
+    """ALTER COLUMN TYPE widening through the live stream: v1 int
+    payloads and v2 bigint payloads arrive in separate micro-batches;
+    the per-batch re-resolved schema decodes the final state uniformly
+    bigint — equal to the batch widen query."""
+    from bottledwater_pg_spark.operators.cdc_queries import (
+        cdc_schema_evolution_widen,
+    )
+    from bottledwater_pg_spark.schema_tracker import table_schema_events
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+
+    relid = 16395
+    v1_base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        (F.col("c_custkey") % 1000).cast("int").alias("c_points"),
+    )
+    v1 = table_schema_events(v1_base, relid, "customer", lsn=0).unionByName(
+        snapshot_events(v1_base, ["c_custkey"], F.col("c_custkey"), relid,
+                        "customer")
+    )
+    v2_base = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 5 == 0
+    ).select(
+        "c_custkey", "c_name",
+        (F.col("c_custkey") % 1000 + F.lit(5_000_000_000))
+        .cast("long").alias("c_points"),
+    )
+    v2 = table_schema_events(v2_base, relid, "customer", lsn=1).unionByName(
+        snapshot_events(v2_base, ["c_custkey"], F.col("c_custkey"), relid,
+                        "customer")
+        .withColumn("lsn", F.col("lsn") + 1)
+        .withColumn("op", F.lit("update"))
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        mat = _run_drift_stream(spark, tmp, [v1, v2], v1_base.schema, relid)
+        assert len(mat.tracker.versions[relid]) == 2
+        assert dict(mat.current_schema()["c_points"].jsonValue())["type"] \
+            == "long"
+        _assert_same_rows(
+            mat.current_rows().select("c_custkey", "c_name", "c_points"),
+            cdc_schema_evolution_widen(spark, sf_dir),
+            ["c_custkey"],
+        )
+
+
+def test_streaming_ddl_rename_matches_batch(spark, sf_dir):
+    """ALTER TABLE RENAME through the live stream: post-rename updates
+    arrive in a later micro-batch routed to the new topic; the state
+    (keyed on relid, continuous across the rename) reports the new
+    topic exactly for re-touched keys — equal to the batch query."""
+    from bottledwater_pg_spark.operators.cdc_queries import (
+        cdc_schema_evolution_rename,
+    )
+    from bottledwater_pg_spark.schema_tracker import table_schema_events
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+
+    relid = 16393
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    v1 = table_schema_events(base, relid, "custmr", lsn=0).unionByName(
+        snapshot_events(base, ["c_custkey"], F.col("c_custkey"), relid,
+                        "custmr")
+    )
+    upd_base = base.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", "c_name",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+    )
+    v2 = table_schema_events(base, relid, "customer_renamed", lsn=1).unionByName(
+        snapshot_events(upd_base, ["c_custkey"], F.col("c_custkey"), relid,
+                        "customer_renamed")
+        .withColumn("lsn", F.col("lsn") + 1)
+        .withColumn("op", F.lit("update"))
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        mat = _run_drift_stream(spark, tmp, [v1, v2], base.schema, relid)
+        _assert_same_rows(
+            mat.current_rows(with_topic=True),
+            cdc_schema_evolution_rename(spark, sf_dir),
+            ["c_custkey"],
+        )
+
+
+def test_streaming_ddl_zero_column_matches_batch(spark, sf_dir):
+    """Zero-column table through the live stream: unkeyed empty-record
+    inserts are retained append-only and decode as null-dummy rows —
+    equal to the batch zero-column query (schema_spec.rb:359-467)."""
+    from bottledwater_pg_spark.operators.cdc_queries import (
+        cdc_zero_column_table,
+    )
+    from bottledwater_pg_spark.plans.envelope import ENVELOPE_SCHEMA
+    from bottledwater_pg_spark.types import schema_for_pg_columns
+
+    relid = 16394
+    dummy_schema = schema_for_pg_columns([])
+    ctl = spark.createDataFrame(
+        [("table_schema", relid, 0, 0, None, None, None,
+          dummy_schema.json(), "empty_table")],
+        schema=ENVELOPE_SCHEMA,
+    )
+    base = load_table(spark, sf_dir, "customer").select("c_custkey")
+    rows = base.select(
+        F.lit("insert").alias("op"),
+        F.lit(relid).cast("long").alias("relid"),
+        F.lit(0).cast("long").alias("xid"),
+        (F.col("c_custkey").cast("long") * 10).alias("lsn"),
+        F.lit(None).cast("string").alias("key"),
+        F.lit(None).cast("string").alias("old_row"),
+        F.lit("{}").alias("new_row"),
+        F.lit(None).cast("string").alias("schema_json"),
+        F.lit("empty_table").alias("topic"),
+    )
+    half = F.col("lsn") % 20 == 0
+    with tempfile.TemporaryDirectory() as tmp:
+        mat = _run_drift_stream(
+            spark, tmp,
+            [ctl.unionByName(rows.filter(half)), rows.filter(~half)],
+            dummy_schema, relid,
+        )
+        assert mat.current_rows().count() == 0  # nothing keyed
+        _assert_same_rows(
+            mat.unkeyed_rows(),
+            cdc_zero_column_table(spark, sf_dir),
+            ["dummy"],
+        )
+
+
+def test_streaming_ddl_add_pk_matches_batch(spark, sf_dir):
+    """ADD PRIMARY KEY mid-stream through the live stream
+    (topic_spec.rb:245-274): phase 1 streams unkeyed (retained
+    append-only), the v2 TableSchema lands in a later micro-batch,
+    phase 2 streams keyed inserts/updates/deletes that compact — the
+    union equals the batch ADD-PK query."""
+    from bottledwater_pg_spark.operators.cdc_queries import (
+        cdc_add_primary_key_midstream,
+    )
+    from bottledwater_pg_spark.schema_tracker import table_schema_events
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+
+    relid = 16396
+    k = F.col("o_orderkey")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    v1_base = base.filter(k % 2 == 1).select(
+        "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = table_schema_events(v1_base, relid, "orders", lsn=0).unionByName(
+        snapshot_events(v1_base, [], F.col("o_custkey"), relid, "orders")
+    )
+    v2_base = base.filter(k % 2 == 0)
+    v2_sched = table_schema_events(v2_base, relid, "orders", lsn=1)
+    v2_ins = snapshot_events(
+        v2_base, ["o_orderkey"], k, relid, "orders"
+    ).withColumn("lsn", F.col("lsn") + 5)
+    v2_upd = (
+        snapshot_events(
+            v2_base.filter(k % 6 == 0).withColumn("o_orderstatus",
+                                                  F.lit("X")),
+            ["o_orderkey"], k, relid, "orders",
+        )
+        .withColumn("lsn", F.col("lsn") + 6)
+        .withColumn("op", F.lit("update"))
+    )
+    v2_del = (
+        snapshot_events(
+            v2_base.filter(k % 10 == 0), ["o_orderkey"], k, relid, "orders"
+        )
+        .withColumn("lsn", F.col("lsn") + 7)
+        .withColumn("op", F.lit("delete"))
+        .withColumn("new_row", F.lit(None).cast("string"))
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        mat = _run_drift_stream(
+            spark, tmp,
+            [v1, v2_sched.unionByName(v2_ins), v2_upd.unionByName(v2_del)],
+            v1_base.schema, relid,
+        )
+        got = mat.unkeyed_rows().select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        ).unionByName(
+            mat.current_rows().select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            )
+        )
+        _assert_same_rows(
+            got,
+            cdc_add_primary_key_midstream(spark, sf_dir),
+            ["o_orderkey", "o_custkey", "o_totalprice"],
+        )
