@@ -191,6 +191,90 @@ def streaming_soak(spark, sf_dir: str) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def many_table_soak(spark, sf_dir: str) -> dict:
+    """Many-table routing soak — the reference streams EVERY table in
+    the database through one slot (snapshot.c:199-298). The same
+    customer CDC event volume is sliced into N synthetic tables by a
+    stable key hash and run through ONE MultiTableMaterializer at
+    N=10 and N=50. Reported: per-touched-table per-batch cost at each
+    width; a flatness ratio ~1 means adding tables costs only the
+    tables actually touched — the property the whole-database promise
+    needs. Parity: the 3 busiest tables at N=50 are count-checked
+    against their direct batch materialization."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.cdc_queries import CUSTOMER_SPEC
+    from bottledwater_pg_spark.operators.materialize import materialize
+    from bottledwater_pg_spark.session import load_table
+    from bottledwater_pg_spark.sources.generator import generate_cdc
+    from bottledwater_pg_spark.streaming.stream import (
+        MultiTableMaterializer,
+        read_envelope_stream,
+        write_envelope_stream,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    base_stream = generate_cdc(
+        cust, ["c_custkey"], F.col("c_custkey"), 0, "t", CUSTOMER_SPEC
+    )
+    out: dict = {}
+    parity_ok = None
+    for n_tables in (10, 50):
+        stream = base_stream.withColumn(
+            "relid",
+            (F.lit(20000) + F.pmod(F.xxhash64("key"), F.lit(n_tables)))
+            .cast("long"),
+        ).withColumn(
+            "topic", F.concat(F.lit("t"), (F.col("relid") - 20000))
+        )
+        tmp = tempfile.mkdtemp(prefix=f"bench_mt{n_tables}_")
+        try:
+            src = os.path.join(tmp, "events")
+            write_envelope_stream(stream, src, num_files=2)
+            mat = MultiTableMaterializer(
+                spark, os.path.join(tmp, "state"),
+                {20000 + i: (f"t{i}", cust.schema)
+                 for i in range(n_tables)},
+            )
+            t0 = time.perf_counter()
+            q = mat.start(read_envelope_stream(spark, src, 1),
+                          os.path.join(tmp, "ckpt"))
+            q.processAllAvailable()
+            q.stop()
+            wall = round(time.perf_counter() - t0, 3)
+            n_batches = 2
+            out[f"wall_sec_{n_tables}_tables"] = wall
+            out[f"per_table_batch_sec_{n_tables}"] = round(
+                wall / (n_tables * n_batches), 4
+            )
+            if n_tables == 50:
+                sp = stream.persist()
+                busiest = [
+                    r["relid"]
+                    for r in sp.groupBy("relid").count()
+                    .orderBy(F.desc("count"), "relid").limit(3).collect()
+                ]
+                parity_ok = all(
+                    mat.current_rows(r) is not None
+                    and mat.current_rows(r).count()
+                    == materialize(
+                        sp.filter(F.col("relid") == r), cust.schema
+                    ).count()
+                    for r in busiest
+                )
+                sp.unpersist()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    out["flatness_ratio_50_vs_10"] = round(
+        out["per_table_batch_sec_50"] / out["per_table_batch_sec_10"], 3
+    )
+    out["parity_3_sampled_tables"] = parity_ok
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
@@ -266,6 +350,7 @@ def main() -> None:
     )
     host_ratio = round(ratios[len(ratios) // 2], 3) if ratios else None
     streaming = streaming_soak(spark, sf_dir)
+    many_table = many_table_soak(spark, sf_dir)
     controls = {
         "r01_sec": controls_r01,
         "this_run_sec": {n: timings.get(n) for n in controls_r01},
@@ -279,6 +364,7 @@ def main() -> None:
         "sf": sf,
         "cdc_events_per_sec": cdc_eps,
         "streaming": streaming,
+        "many_table": many_table,
         "controls": controls,
     }
     # Full per-query detail: one line on stdout AND a local artifact
@@ -304,6 +390,7 @@ def main() -> None:
                 "cdc_events_per_sec": cdc_eps,
                 "streaming_p50_batch_sec": streaming.get("p50_batch_sec"),
                 "streaming_events_per_sec": streaming.get("events_per_sec"),
+                "many_table": many_table,
                 "controls": controls,
                 "queries": dict(
                     sorted(

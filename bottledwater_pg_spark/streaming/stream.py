@@ -790,11 +790,29 @@ class MultiTableMaterializer:
         }
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        for relid, mat in self.mats.items():
-            sub = batch.filter(F.col("relid") == relid)
-            if sub.isEmpty():
-                continue
-            mat.process_batch(sub, epoch_id)
+        # ONE distinct-relid pass decides which tables this batch
+        # touches (O(#tables) rows), replacing a per-registered-table
+        # isEmpty() job — with 50+ tables of which a batch touches a
+        # few, that scan-per-table was the dominant cost and made
+        # per-table overhead linear in the REGISTERED count instead of
+        # the TOUCHED count. The batch is persisted once so each
+        # touched table's slice reads the same materialized input
+        # instead of re-reading the source.
+        present = {
+            r[0]
+            for r in batch.select("relid").distinct().collect()
+        }
+        touched = [r for r in self.mats if r in present]
+        if not touched:
+            return
+        cached = batch.persist()
+        try:
+            for relid in touched:
+                self.mats[relid].process_batch(
+                    cached.filter(F.col("relid") == relid), epoch_id
+                )
+        finally:
+            cached.unpersist()
 
     def current_rows(self, relid: int) -> DataFrame | None:
         return self.mats[relid].current_rows()
