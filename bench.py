@@ -155,7 +155,9 @@ def streaming_soak(spark, sf_dir: str) -> dict:
         )
         n_events = events.count()
         src = os.path.join(base, "events")
-        write_envelope_stream(events, src, num_files=8)
+        # >= 20 micro-batches: long enough for state growth to show
+        # (message_spec.rb:183-189 is the reference's leak guard)
+        write_envelope_stream(events, src, num_files=20)
         mat = StreamingMaterializer(spark, os.path.join(base, "state"),
                                     ev.schema)
         batch_sec: list[float] = []
@@ -175,6 +177,13 @@ def streaming_soak(spark, sf_dir: str) -> dict:
         wall = round(time.perf_counter() - t_start, 3)
         n_state = mat.current_rows().count()
         n_batch_oracle = materialize(events, ev.schema).count()
+        # state growth check: the compacted state holds live keys +
+        # tombstones for every key ever deleted; expiring tombstones
+        # (Kafka delete.retention analog, safe past the replay
+        # horizon) must bring state rows back to exactly live keys
+        rows_before_expiry = mat.read_state().count()
+        n_expired = mat.expire_tombstones()
+        rows_after_expiry = mat.read_state().count()
         ordered = sorted(batch_sec)
         return {
             "n_events": n_events,
@@ -186,6 +195,10 @@ def streaming_soak(spark, sf_dir: str) -> dict:
             "events_per_sec": round(n_events / wall, 1) if wall else None,
             "state_rows": n_state,
             "state_matches_batch": n_state == n_batch_oracle,
+            "state_rows_before_expiry": rows_before_expiry,
+            "tombstones_expired": n_expired,
+            "state_rows_after_expiry": rows_after_expiry,
+            "state_bounded_by_live_keys": rows_after_expiry == n_state,
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -277,6 +277,40 @@ class StreamingMaterializer:
             shutil.rmtree(swap)
         self._have_state = True
 
+    def expire_tombstones(self, up_to_lsn: int | None = None) -> int:
+        """Kafka ``delete.retention.ms`` applied to the parquet state
+        (the reference's compacted topics eventually forget deleted
+        keys, README.md:283-297; kafka/bottledwater.c:533-541 emits the
+        null-value tombstone for exactly this): drop tombstone entries
+        with ``lsn <= up_to_lsn`` (default: all) and return how many
+        were dropped. Only expire past the point every producer has
+        replayed — an older re-delivered insert for an expired key
+        would otherwise resurrect it; bounding by lsn is the
+        correctness condition. Without expiry a long-running stream's
+        state grows with every key EVER deleted, not with live keys —
+        the state-growth leak the reference's valgrind matrix guards
+        (spec/functional/message_spec.rb:183-189)."""
+        state = self.read_state()
+        if state is None:
+            return 0
+        from bottledwater_pg_spark.plans.envelope import OP_DELETE
+
+        doomed = (F.col("op") == OP_DELETE)
+        if up_to_lsn is not None:
+            doomed = doomed & (F.col("lsn") <= F.lit(up_to_lsn))
+        n_before = state.count()
+        kept = state.filter(~doomed)
+        tmp = self._state_path() + ".expire"
+        kept.write.mode("overwrite").parquet(tmp)
+        final = self._state_path()
+        swap = final + ".old"
+        os.rename(final, swap)
+        os.rename(tmp, final)
+        import shutil
+
+        shutil.rmtree(swap)
+        return n_before - self.read_state().count()
+
     def start(self, events_stream: DataFrame, checkpoint_dir: str):
         """Run the stream with a checkpoint (restart-safe offsets)."""
         return (

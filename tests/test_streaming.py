@@ -1111,3 +1111,38 @@ def test_multi_table_materializer_50_table_soak(spark, sf_dir):
             assert len(touched) >= 40  # the slicing really spreads
         finally:
             stream_p.unpersist()
+
+
+def test_expire_tombstones_bounds_state_to_live_keys(spark, sf_dir):
+    """State-growth guard (message_spec.rb:183-189 analog): after a
+    delete-heavy stream, the compacted state holds live keys PLUS a
+    tombstone per deleted key; expiring tombstones up to the replay
+    horizon returns state to exactly the live keys, and an lsn-bounded
+    expiry keeps newer tombstones (the resurrection guard)."""
+    from bottledwater_pg_spark.operators.cdc_queries import CUSTOMER_SPEC
+    from bottledwater_pg_spark.streaming.stream import StreamingMaterializer
+
+    cust = load_table(spark, sf_dir, "customer")
+    events = generate_cdc(
+        cust, ["c_custkey"], F.col("c_custkey"), 16385, "customer",
+        CUSTOMER_SPEC,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        mat = StreamingMaterializer(spark, f"{tmp}/state", cust.schema)
+        mat.process_batch(events, 0)
+        live = mat.current_rows().count()
+        total = mat.read_state().count()
+        n_tomb = total - live
+        assert n_tomb > 0  # the spec deletes k%7 keys
+        # lsn-bounded expiry: only tombstones at/below the horizon go
+        horizon = mat.read_state().filter(
+            F.col("op") == "delete"
+        ).agg(F.expr("percentile(lsn, 0.5)").cast("long")).collect()[0][0]
+        dropped = mat.expire_tombstones(up_to_lsn=int(horizon))
+        assert 0 < dropped < n_tomb
+        # full expiry: state == live keys exactly
+        dropped2 = mat.expire_tombstones()
+        assert dropped + dropped2 == n_tomb
+        assert mat.read_state().count() == live
+        # the surviving rows still decode to the same materialized view
+        assert mat.current_rows().count() == live
