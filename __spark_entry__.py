@@ -46,34 +46,44 @@ def entry(spark: SparkSession) -> DataFrame:
 # has a driver record from some round. scripts/exact_gate.py still
 # re-certifies all 157 locally (EXACTGATE_r5.json).
 _FAMILY_SPREAD = [
-    # -- the 32 never-driver-checked (late-r4 additions + displaced)
-    "cross_set_contamination", "windowed_event_counts",
-    "multimodal_ppm_stats", "negative_pairs_per_doc",
-    "budget_mix_counts", "vocab_top_terms", "text_chunks",
-    "text_quality_by_source", "lsh_ann_topk", "ivf_ann_topk",
-    "fuzzy_supplier_pairs_k2", "sliding_window_counts",
-    "text_bpe_token_stats", "multimodal_frame_sample",
-    "multimodal_decode_meta", "lsh_simhash_near_dup",
-    "cdc_state_checksum", "cdc_sequence_gap_audit",
-    "hll_distinct_users_by_type", "first_touch_attribution",
-    "nation_revenue_share_in_region", "value_percentiles_by_type",
-    "lineitem_corr_matrix", "cohort_ltv_triangle",
-    "nations_covering_all_brands", "text_normalize_stats",
-    "dedup_cluster_ensemble", "dedup_threshold_sensitivity",
-    "top_quality_docs_per_source", "trending_event_types",
-    "resampled_user_values", "seasonal_deviation_hours",
-    # -- new in r5
-    "cdc_add_primary_key_midstream", "cdc_error_policy_ddl",
-    "pg_interval_roundtrip", "pg_timetz_roundtrip",
-    "alpha_mixture_weights", "ngram_diversity_by_source",
-    # -- code paths changed in r5: re-certify under the driver
-    "bm25_topk_docs", "pagerank_copurchase",
-    "cdc_avro_envelope_roundtrip", "cdc_error_policy_log",
-    # -- core-family spot re-certification (flagship + one per family)
+    # ---- ROUND 6 window: the driver hashes the FIRST 50 entries.
+    # Slots 1-5: new r6 queries — the four sketch-accuracy
+    # certificates (the only rows-only cells left after r5) and the
+    # mixed-schema-id registry decode.
+    "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",
+    "simhash_injected_recall", "hll_error_bound_by_type",
+    "cdc_registry_evolution_decode",
+    # Slots 6-9: the rows-only sketch twins, recorded next to their
+    # certificates so the pairing is visible in one window.
+    "lsh_ann_topk", "ivf_ann_topk", "lsh_simhash_near_dup",
+    "hll_distinct_users_by_type",
+    # Slots 10-28: every query whose code path changed in r6 —
+    # banded-signature persists (minhash/simhash), shared-corpus
+    # ensemble, bucketed-rank persists (median family), POISON_LSN +
+    # registry-update fixes (error policy), avro NaN branch, and the
+    # DDL matrix now also live-streamed (test_streaming.py ddl twins).
+    "lsh_minhash_near_dup", "simhash_md5_near_dup",
+    "winnow_near_dup_pairs", "dedup_cluster_ensemble",
+    "dedup_threshold_sensitivity", "dedup_cluster_canonical",
+    "dedup_cluster_canonical_star", "incremental_dedup_matches",
+    "median_order_value_by_segment", "mad_order_value_by_segment",
+    "quartiles_order_value_by_segment", "value_percentiles_by_type",
+    "cdc_error_policy_ddl", "cdc_error_policy_log",
+    "cdc_avro_envelope_roundtrip", "cdc_add_primary_key_midstream",
+    "cdc_schema_evolution_widen", "cdc_schema_evolution_rename",
+    "cdc_zero_column_table",
+    # Slots 29-50: core-family re-certification (flagship + one per
+    # family) and the r5 additions kept warm.
     "cdc_materialize_customer", "cdc_merge_sink_customer",
     "cdc_stream_table_join", "q1_pricing_summary",
-    "median_order_value_by_segment", "fraud_rolling_anomalies",
-    "lsh_minhash_near_dup", "prefix_jaccard_near_dup",
+    "fraud_rolling_anomalies", "lsh_embedding_near_dup",
+    "ann_topk_cosine", "dedup_exact", "prefix_jaccard_near_dup",
+    "pagerank_copurchase", "bm25_topk_docs", "semdedup_prune_stats",
+    "alpha_mixture_weights", "ngram_diversity_by_source",
+    "pg_interval_roundtrip", "pg_timetz_roundtrip",
+    "cdc_topic_routing_counts", "cdc_materialize_events_composite",
+    "weighted_sample_chars", "text_stats_per_doc",
+    "data_quality_report", "cdc_state_checksum",
     # ---- 50-entry window boundary (everything below already has a
     # driver record from r1-r4 and is re-certified in EXACTGATE_r5)
     "winnow_near_dup_pairs", "simhash_md5_near_dup",

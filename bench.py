@@ -121,6 +121,13 @@ BENCH_QUERIES = [
     "cdc_error_policy_ddl",
     "pg_interval_roundtrip",
     "pg_timetz_roundtrip",
+    # round 6 additions: sketch-accuracy certificates + registry
+    # evolution decode
+    "lsh_ann_recall_vs_exact",
+    "ivf_ann_recall_vs_exact",
+    "simhash_injected_recall",
+    "hll_error_bound_by_type",
+    "cdc_registry_evolution_decode",
 ]
 
 

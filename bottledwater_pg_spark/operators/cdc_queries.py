@@ -1002,6 +1002,62 @@ QUERIES["cdc_avro_envelope_roundtrip"] = cdc_avro_envelope_roundtrip
 ORACLES["cdc_avro_envelope_roundtrip"] = CDC_CUSTOMER_SQL
 
 
+def cdc_registry_evolution_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 consumer path under schema EVOLUTION: one topic whose frames
+    carry TWO different value schema ids — v1 (3 columns) for odd
+    custkeys, v2 (v1 + ``c_mktsegment``) for even — exactly what a
+    Confluent-framed topic looks like mid-evolution. The consumer
+    resolves EACH frame's embedded id against the registry
+    (kafka/registry.c:63-87 framing; the reference consumer looks up
+    per-frame, never pins the first id) and decodes under that frame's
+    own schema; the output is the union schema, with v1 frames reading
+    null for the later-added column — the add-column semantics.
+
+    Scale: id→schema resolution is a driver-side snapshot shipped in
+    the decode closure (O(#schema versions), not O(#frames)); the
+    decode itself is the same Arrow-batched narrow map as the
+    single-schema path."""
+    import shutil
+    import tempfile
+
+    from bottledwater_pg_spark.sources.registry_client import (
+        LocalSchemaRegistry,
+        decode_with_registry,
+        frames_with_registry,
+    )
+
+    reg_dir = tempfile.mkdtemp(prefix="bw_regq_")
+    try:
+        reg = LocalSchemaRegistry(reg_dir)
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+        )
+        v1_cols = ["c_custkey", "c_name", "c_acctbal"]
+        v1 = cust.filter(F.col("c_custkey") % 2 == 1).select(*v1_cols)
+        v2 = cust.filter(F.col("c_custkey") % 2 == 0)
+        f1 = frames_with_registry(v1, ["c_custkey"], v1_cols, reg,
+                                  "customer")
+        f2 = frames_with_registry(v2, ["c_custkey"], v1_cols +
+                                  ["c_mktsegment"], reg, "customer")
+        # the registry snapshot is taken here, while reg_dir exists;
+        # frame encoding/decoding later run from closure-held state
+        return decode_with_registry(
+            f1.unionByName(f2), reg, topic="customer"
+        )
+    finally:
+        shutil.rmtree(reg_dir, ignore_errors=True)
+
+
+CDC_REGISTRY_EVOLUTION_SQL = """
+SELECT c_custkey, c_name, c_acctbal,
+       CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment END AS c_mktsegment
+FROM customer
+"""
+
+QUERIES["cdc_registry_evolution_decode"] = cdc_registry_evolution_decode
+ORACLES["cdc_registry_evolution_decode"] = CDC_REGISTRY_EVOLUTION_SQL
+
+
 # --------------------------------------------- lost-message detection
 
 

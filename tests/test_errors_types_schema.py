@@ -493,3 +493,47 @@ def test_ddl_error_policy_log_drops_failed_table_keeps_others(spark, sf_dir):
     o_good = dml.filter(F.col("relid") == 16388)
     assert o_good.count() == n_ord
     assert o_good.filter(F.col("op") == "update").count() == 0
+
+
+def test_registry_mixed_schema_id_decode(spark, sf_dir, tmp_path):
+    """A topic mid-evolution carries frames under two value schema
+    ids; decode resolves EACH frame's embedded id (the reference
+    consumer's per-frame lookup) — v1 frames read null for the
+    later-added column, and an id missing from the registry fails
+    loudly."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from bottledwater_pg_spark.session import load_table
+    from bottledwater_pg_spark.sources.registry_client import (
+        LocalSchemaRegistry,
+        decode_with_registry,
+        frames_with_registry,
+    )
+
+    reg = LocalSchemaRegistry(str(tmp_path / "reg"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    ).limit(40)
+    v1_cols = ["c_custkey", "c_name", "c_acctbal"]
+    v1 = cust.filter(F.col("c_custkey") % 2 == 1).select(*v1_cols)
+    v2 = cust.filter(F.col("c_custkey") % 2 == 0)
+    frames = frames_with_registry(
+        v1, ["c_custkey"], v1_cols, reg, "customer"
+    ).unionByName(
+        frames_with_registry(
+            v2, ["c_custkey"], v1_cols + ["c_mktsegment"], reg, "customer"
+        )
+    )
+    got = decode_with_registry(frames, reg, topic="customer").toPandas()
+    got = got.sort_values("c_custkey").reset_index(drop=True)
+    want = cust.toPandas()
+    want.loc[want.c_custkey % 2 == 1, "c_mktsegment"] = None
+    want = want.sort_values("c_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    assert len(reg._load("customer-value")) == 2  # two versions live
+
+    # unknown id -> loud failure, not silent mis-decode
+    empty_reg = LocalSchemaRegistry(str(tmp_path / "empty"))
+    with _pytest.raises(Exception, match="no schemas"):
+        decode_with_registry(frames, empty_reg)
