@@ -35,25 +35,27 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert_df_matches_oracle(df, duck, ORACLES[name])
 
 
-def test_round5_window_closes_the_driver_ledger():
+def test_round6_window_keeps_the_ledger_closed():
     """The driver hashes only the first 50 queries() entries. The
-    round-5 window must contain (a) every query that had no driver
-    record after r1-r4 — the ledger-closing rotation — and (b) every
-    round-5 operator. Rows-only entries inside the window are limited
-    to the four sketch ops whose outputs are engine-specific by
-    design (the driver records a rows-only check for them)."""
+    round-6 window must contain (a) every query with NO driver record
+    from r1-r5 (the new r6 queries), so the every-query-has-a-record
+    invariant from r5 survives the rotation, and (b) the four
+    sketch-accuracy certificates next to their rows-only twins.
+    Rows-only entries inside the window stay limited to the four
+    sketch ops whose raw outputs are engine-specific by design."""
     import json
     import os
 
     window = list(QUERIES)[:50]
     new_ops = [
-        "cdc_add_primary_key_midstream", "cdc_error_policy_ddl",
-        "pg_interval_roundtrip", "pg_timetz_roundtrip",
+        "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",
+        "simhash_injected_recall", "hll_error_bound_by_type",
+        "cdc_registry_evolution_decode",
     ]
     assert not [n for n in new_ops if n not in window]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     recs: dict = {}
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         p = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(p):
             recs.update(json.load(open(p)))
