@@ -326,10 +326,10 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer indicator that the approximate operator's accuracy clears a
 # pinned floor. The pipeline is seed-free and deterministic, so the
 # indicator is a fixed function of the corpus; floors sit well under
-# the measured values (LSH recall 44-47%, IVF 94-100%, SimHash
+# the measured values (LSH recall 71-73%, IVF 94-100%, SimHash
 # injected-pair recall 96-98% across sf0.001/0.01/0.1).
 
-LSH_ANN_RECALL_FLOOR_BP = 3000
+LSH_ANN_RECALL_FLOOR_BP = 5500
 IVF_ANN_RECALL_FLOOR_BP = 7500
 SIMHASH_INJECT_FLOOR_BP = 9000
 
@@ -362,7 +362,8 @@ def _recall_vs_exact(exact: DataFrame, approx: DataFrame,
 def lsh_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-hashable accuracy certificate for ``lsh_ann_topk``:
     its top-k joined against the brute-force twin, recall floored at
-    30% (measured 44-47%)."""
+    55% (measured 71-73% across sf0.001/0.01/0.1 at the 8x4-bit
+    banding)."""
     return _recall_vs_exact(
         ann_topk_cosine(spark, sf_dir),
         ann_topk_lsh(spark, sf_dir),

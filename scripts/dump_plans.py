@@ -72,6 +72,10 @@ HEADLINE = {
     "dedup_cluster_ensemble": "ensemble: 3 audited pair pipelines union into star CC",
     "value_percentiles_by_type": "tail p50/p95/p99: two-phase bucketed rank, integer-rational interpolation",
     "resampled_user_values": "resample+locf: bounded grid explode, one user_id carry-forward window",
+    "lsh_ann_recall_vs_exact": "sketch certificate: LSH + brute top-k (both bounded) joined broadcast; 1-row integer floor indicator",
+    "simhash_injected_recall": "sketch certificate: SQL-known injected pairs left-joined to SimHash output; 1-row agg",
+    "hll_error_bound_by_type": "HLL certificate: sketch + exact distinct in ONE partial-agg pass; per-type bound indicator",
+    "cdc_registry_evolution_decode": "per-frame schema-id resolution: id->schema snapshot in closure, Arrow-batched narrow decode, no per-frame registry I/O",
     "seasonal_deviation_hours": "seasonal anomaly: hourly agg + tiny hour-of-week baseline broadcast; top-20 via TakeOrderedAndProject, rank window sees 20 rows",
     "top_quality_docs_per_source": "curation top-k: bounded per-partition slice then merge",
     "lineitem_corr_matrix": "corr matrix: 9 co-moments in ONE partial-agg pass",
