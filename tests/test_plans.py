@@ -352,3 +352,32 @@ def test_topk_rank_queries_take_ordered_before_window(spark, sf_dir):
                    if "TakeOrderedAndProject" in ln)
         wins = [i for i, ln in enumerate(tree) if "Window" in ln]
         assert wins and all(i < take for i in wins), fn.__name__
+
+
+def test_sketch_certificates_broadcast_no_cartesian(spark, sf_dir):
+    """The r6 accuracy certificates add one broadcast join + one agg
+    over the two bounded ANN results — no CartesianProduct, no
+    data-sized shuffle beyond the constituent plans; the SimHash/HLL
+    certificates stay single-agg shapes."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        ivf_ann_recall_vs_exact,
+        lsh_ann_recall_vs_exact,
+        simhash_injected_recall,
+    )
+    from bottledwater_pg_spark.operators.queries import (
+        hll_error_bound_by_type,
+    )
+    from bottledwater_pg_spark.plans.inspect import formatted_plan
+
+    for fn in (lsh_ann_recall_vs_exact, ivf_ann_recall_vs_exact,
+               simhash_injected_recall, hll_error_bound_by_type):
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+    # the recall join itself is a broadcast (both sides <= k * |Q|)
+    plan = formatted_plan(lsh_ann_recall_vs_exact(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # HLL certificate: sketch + exact distinct fold into hash aggs
+    # with partial aggregation, one logical scan family, no window
+    plan = formatted_plan(hll_error_bound_by_type(spark, sf_dir))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
