@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "simhash_injected_recall",
     "hll_error_bound_by_type",
     "cdc_registry_evolution_decode",
+    "cdc_many_table_fanout_state",
 ]
 
 

@@ -1058,6 +1058,69 @@ QUERIES["cdc_registry_evolution_decode"] = cdc_registry_evolution_decode
 ORACLES["cdc_registry_evolution_decode"] = CDC_REGISTRY_EVOLUTION_SQL
 
 
+N_FANOUT_TABLES = 8
+
+
+def cdc_many_table_fanout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-table routing, driver-hashable (the reference's core
+    promise is streaming EVERY table in the database through one slot,
+    snapshot.c:199-298; one-topic-per-table routing README.md:326-358):
+    ONE customer CDC stream fans out to 8 synthetic tables sliced by
+    the event key's custkey mod 8 — a pk-change's delete routes to the
+    OLD key's table and its insert to the NEW key's, exactly what
+    per-table consumers observe — each table materializes
+    independently (own compaction shuffle), and the audit emits one
+    row per topic: surviving keys + balance checksum. Routing is
+    correct iff this equals the closed-form global final state grouped
+    by the same mod, which is what the oracle computes.
+
+    Scale: the stream is persisted once; each table's branch is a
+    filter + the standard single-shuffle compaction over its slice —
+    table count multiplies independent small jobs, not data volume
+    (the bench many_table block measures exactly this flatness)."""
+    from bottledwater_pg_spark.session import persist_tracked
+
+    cust = load_table(spark, sf_dir, "customer")
+    stream = generate_cdc(
+        cust, ["c_custkey"], F.col("c_custkey"), 0, "t", CUSTOMER_SPEC
+    )
+    pk = F.get_json_object("key", "$.c_custkey").cast("long")
+    stream = persist_tracked(
+        stream.withColumn(
+            "topic",
+            F.concat(F.lit("slice_"), F.pmod(pk, F.lit(N_FANOUT_TABLES))),
+        )
+    )
+    states = []
+    for i in range(N_FANOUT_TABLES):
+        t = f"slice_{i}"
+        states.append(
+            materialize(stream.filter(F.col("topic") == t), cust.schema)
+            .withColumn("topic", F.lit(t))
+        )
+    union = states[0]
+    for s in states[1:]:
+        union = union.unionByName(s)
+    return union.groupBy("topic").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_acctbal"),
+    )
+
+
+CDC_MANY_TABLE_SQL = f"""
+WITH final AS ({CDC_CUSTOMER_SQL})
+SELECT 'slice_' || (c_custkey % {N_FANOUT_TABLES}) AS topic,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM final GROUP BY 1
+"""
+
+QUERIES["cdc_many_table_fanout_state"] = cdc_many_table_fanout_state
+ORACLES["cdc_many_table_fanout_state"] = CDC_MANY_TABLE_SQL
+
+
 # --------------------------------------------- lost-message detection
 
 
