@@ -814,11 +814,19 @@ class MultiTableMaterializer:
     """
 
     def __init__(self, spark: SparkSession, state_dir: str,
-                 tables: dict[int, tuple[str, T.StructType]]):
+                 tables: dict[int, tuple[str, T.StructType]],
+                 track_drift: bool = False):
+        """``track_drift=True`` gives every table its OWN drift-aware
+        materializer (relid-scoped SchemaTracker + unkeyed retention),
+        so the whole-database deployment evolves each table
+        independently — the reference re-announces per-relid schemas
+        in-band and consumers re-parse per table
+        (protocol_client.c:313-350)."""
         self.tables = tables
         self.mats = {
             relid: StreamingMaterializer(
-                spark, os.path.join(state_dir, name), schema
+                spark, os.path.join(state_dir, name), schema,
+                relid=relid if track_drift else None,
             )
             for relid, (name, schema) in tables.items()
         }

@@ -1146,3 +1146,71 @@ def test_expire_tombstones_bounds_state_to_live_keys(spark, sf_dir):
         assert mat.read_state().count() == live
         # the surviving rows still decode to the same materialized view
         assert mat.current_rows().count() == live
+
+
+def test_multi_table_drift_evolves_each_table_independently(spark, sf_dir):
+    """Whole-database deployment + DDL drift: two tables stream through
+    ONE MultiTableMaterializer in drift mode; table A adds a column
+    mid-stream while table B's schema never changes — A's state decodes
+    under its NEWEST schema (pre-drift rows null for the added column),
+    B's is untouched, and neither tracker sees the other's control
+    events."""
+    import pandas as pd
+
+    from bottledwater_pg_spark.schema_tracker import table_schema_events
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+    from bottledwater_pg_spark.streaming.stream import MultiTableMaterializer
+
+    ra, rb = 31001, 31002
+    a1 = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a2 = a1.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_name", F.lit("gold").alias("c_tier")
+    )
+    b = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    phase1 = (
+        table_schema_events(a1, ra, "cust_a", lsn=0)
+        .unionByName(snapshot_events(a1, ["c_custkey"], F.col("c_custkey"),
+                                     ra, "cust_a"))
+        .unionByName(table_schema_events(b, rb, "nation_b", lsn=0))
+        .unionByName(snapshot_events(b, ["n_nationkey"],
+                                     F.col("n_nationkey"), rb, "nation_b"))
+    )
+    phase2 = table_schema_events(a2, ra, "cust_a", lsn=1).unionByName(
+        snapshot_events(a2, ["c_custkey"], F.col("c_custkey"), ra, "cust_a")
+        .withColumn("lsn", F.col("lsn") + 1)
+        .withColumn("op", F.lit("update"))
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events"
+        phase1.coalesce(1).write.parquet(src)
+        phase2.coalesce(1).write.mode("append").parquet(src)
+        from bottledwater_pg_spark.streaming.stream import (
+            read_envelope_stream,
+        )
+
+        mat = MultiTableMaterializer(
+            spark, f"{tmp}/state",
+            {ra: ("cust_a", a1.schema), rb: ("nation_b", b.schema)},
+            track_drift=True,
+        )
+        q = mat.start(read_envelope_stream(spark, src, files_per_trigger=1),
+                      f"{tmp}/ckpt")
+        q.processAllAvailable()
+        q.stop()
+        # A evolved: newest schema has c_tier; only re-touched rows carry it
+        assert len(mat.mats[ra].tracker.versions[ra]) == 2
+        assert rb not in mat.mats[ra].tracker.versions
+        assert len(mat.mats[rb].tracker.versions[rb]) == 1
+        got_a = mat.current_rows(ra).toPandas()
+        assert "c_tier" in got_a.columns
+        touched = got_a[got_a.c_custkey % 3 == 0]
+        untouched = got_a[got_a.c_custkey % 3 != 0]
+        assert len(touched) and (touched.c_tier == "gold").all()
+        assert len(untouched) and untouched.c_tier.isna().all()
+        # B unaffected
+        got_b = mat.current_rows(rb).toPandas().sort_values("n_nationkey")
+        want_b = b.toPandas().sort_values("n_nationkey")
+        pd.testing.assert_frame_equal(
+            got_b[want_b.columns.tolist()].reset_index(drop=True),
+            want_b.reset_index(drop=True), check_dtype=False,
+        )
