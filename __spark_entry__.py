@@ -53,6 +53,7 @@ _FAMILY_SPREAD = [
     "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",
     "simhash_injected_recall", "hll_error_bound_by_type",
     "cdc_registry_evolution_decode", "cdc_many_table_fanout_state",
+    "bloom_contamination_screen", "cms_heavy_users_certificate",
     # Slots 6-9: the rows-only sketch twins, recorded next to their
     # certificates so the pairing is visible in one window.
     "lsh_ann_topk", "ivf_ann_topk", "lsh_simhash_near_dup",
@@ -82,8 +83,7 @@ _FAMILY_SPREAD = [
     "alpha_mixture_weights", "ngram_diversity_by_source",
     "pg_interval_roundtrip", "pg_timetz_roundtrip",
     "cdc_topic_routing_counts", "cdc_materialize_events_composite",
-    "weighted_sample_chars",
-    "data_quality_report", "cdc_state_checksum",
+    "cdc_state_checksum",
     # ---- 50-entry window boundary (everything below already has a
     # driver record from r1-r4 and is re-certified in EXACTGATE_r5)
     "winnow_near_dup_pairs", "simhash_md5_near_dup",

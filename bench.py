@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "hll_error_bound_by_type",
     "cdc_registry_evolution_decode",
     "cdc_many_table_fanout_state",
+    "bloom_contamination_screen",
+    "cms_heavy_users_certificate",
 ]
 
 

@@ -1033,6 +1033,192 @@ GROUP BY eval_id
 """
 
 NGRAM_CONTAM_N = 8  # word n-gram length (the 13-gram idea, doc-sized)
+
+# --------------- deterministic Bloom-filter contamination screen
+#
+# At 100 TB you cannot join every training gram against the eval set;
+# the standard screen broadcasts a Bloom filter of the eval grams and
+# joins only the flagged survivors. Spark's builtin bloom_filter_agg
+# is not registered in the SQL function registry (runtime-filter
+# internal), so this is a NATIVE DataFrame Bloom filter: k md5-derived
+# hash positions per gram, a bit_or-aggregated 63-bit-word bitmap
+# (63, not 64 — DuckDB raises on 1<<63), probe = one broadcast join of
+# the ~1k-word bitmap. Everything is a pure deterministic function of
+# the corpus and md5, so the ENTIRE filter — bitmap, false positives
+# included — is bit-identically computable in DuckDB: the operator is
+# hash-oracled outright, no accuracy-certificate indirection needed.
+# No-false-negative is structural (a contained gram sets all its own
+# bits); the FP rows the screen lets through are part of the pinned
+# output.
+
+BLOOM_M_BITS = 1 << 16
+BLOOM_K = 4
+
+
+def _bloom_pos(gram_col: str, seed: int) -> F.Column:
+    """Position of ``gram`` under hash ``seed``: 60-bit md5 prefix of
+    'seed|gram' mod m — the cross-engine-stable hash family (same
+    construction as the SimHash md5 twin)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat_ws("|", F.lit(str(seed)), F.col(gram_col)),
+                    "UTF-8",
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(BLOOM_M_BITS))
+
+
+def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screened decontamination: build the eval-gram Bloom
+    bitmap (one small aggregation), flag every training gram whose k
+    positions are all set (one broadcast join of the bitmap), and per
+    flagged doc report the screen count next to the exact semi-join
+    count. ``n_flagged >= n_exact`` always (no false negatives); docs
+    where ``n_exact = 0`` are the deterministic false positives the
+    downstream exact verify would discard.
+
+    Scale: the bitmap is m/63 ~ 1k rows regardless of corpus size and
+    broadcasts; training grams join it on word_idx — no eval-side
+    shuffle ever touches the training corpus; only flagged docs (a
+    tiny fraction) reach the exact verify join, which is the entire
+    point of the screen at 100 TB."""
+    from bottledwater_pg_spark.session import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 500000).alias("eval_id"), "text"
+    )
+    contam = docs.filter(F.col("doc_id") % 27 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 9 != 0).unionByName(contam)
+
+    ev_grams = (
+        eval_set.select(
+            F.explode(word_shingles("text", NGRAM_CONTAM_N)).alias("gram")
+        )
+        .distinct()
+    )
+    ev_pos = ev_grams.select(
+        F.explode(
+            F.array(*[_bloom_pos("gram", i) for i in range(BLOOM_K)])
+        ).alias("pos")
+    )
+    bitmap = ev_pos.groupBy(
+        (F.col("pos") / 63).cast("int").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+        ).alias("word")
+    )
+
+    tr_g = persist_tracked(
+        train.select(
+            "doc_id",
+            F.explode(word_shingles("text", NGRAM_CONTAM_N)).alias("gram"),
+        )
+    )
+    probes = tr_g.select(
+        "doc_id",
+        "gram",
+        F.posexplode(
+            F.array(*[_bloom_pos("gram", i) for i in range(BLOOM_K)])
+        ).alias("k_i", "pos"),
+    ).select(
+        "doc_id",
+        "gram",
+        (F.col("pos") / 63).cast("int").alias("word_idx"),
+        (F.col("pos") % 63).alias("bit"),
+    )
+    hit = probes.join(F.broadcast(bitmap), "word_idx", "left").select(
+        "doc_id",
+        "gram",
+        F.expr(
+            "CASE WHEN (shiftright(coalesce(word, CAST(0 AS BIGINT)), "
+            "CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE 0 END"
+        ).alias("bit_set"),
+    )
+    flagged = (
+        hit.groupBy("doc_id", "gram")
+        .agg(F.min("bit_set").alias("all_set"))
+        .filter(F.col("all_set") == 1)
+    )
+    n_flagged = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_flagged")
+    )
+    exact = (
+        tr_g.join(ev_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return n_flagged.join(exact, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_flagged").cast("long").alias("n_flagged"),
+        F.coalesce(F.col("n_exact"), F.lit(0)).cast("long").alias("n_exact"),
+        (F.col("n_flagged") >= F.coalesce(F.col("n_exact"), F.lit(0)))
+        .cast("long")
+        .alias("no_false_negatives"),
+    )
+
+
+def _bloom_sql() -> str:
+    grams = sql_word_shingles("text", NGRAM_CONTAM_N)
+
+    def pos(seed: int) -> str:
+        return (
+            f"(('0x' || substr(md5('{seed}' || '|' || gram), 1, 15))::BIGINT"
+            f" % {BLOOM_M_BITS})"
+        )
+
+    pos_list = ", ".join(pos(i) for i in range(BLOOM_K))
+    return f"""
+WITH eval_set AS (
+  SELECT doc_id + 500000 AS eval_id, text FROM documents WHERE doc_id % 9 = 0
+), train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 9 <> 0
+  UNION ALL
+  SELECT doc_id + 600000 AS doc_id, text FROM documents WHERE doc_id % 27 = 0
+), ev_grams AS (
+  SELECT DISTINCT unnest({grams}) AS gram FROM eval_set
+), ev_pos AS (
+  SELECT unnest([{pos_list}]) AS pos FROM ev_grams
+), bitmap AS (
+  SELECT CAST(pos // 63 AS INT) AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+  FROM ev_pos GROUP BY 1
+), tr_g AS (
+  SELECT doc_id, unnest({grams}) AS gram FROM train
+), probes AS (
+  SELECT doc_id, gram, unnest([{pos_list}]) AS pos FROM tr_g
+), hit AS (
+  SELECT p.doc_id, p.gram,
+         CASE WHEN ((COALESCE(b.word, 0) >> CAST(p.pos % 63 AS INT)) & 1) = 1
+              THEN 1 ELSE 0 END AS bit_set
+  FROM probes p LEFT JOIN bitmap b ON CAST(p.pos // 63 AS INT) = b.word_idx
+), flagged AS (
+  SELECT doc_id, gram FROM hit GROUP BY doc_id, gram HAVING MIN(bit_set) = 1
+), nf AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged
+  FROM flagged GROUP BY doc_id
+), ex AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM tr_g WHERE gram IN (SELECT gram FROM ev_grams) GROUP BY doc_id
+)
+SELECT nf.doc_id, nf.n_flagged,
+       CAST(COALESCE(ex.n_exact, 0) AS BIGINT) AS n_exact,
+       CAST(CASE WHEN nf.n_flagged >= COALESCE(ex.n_exact, 0)
+                 THEN 1 ELSE 0 END AS BIGINT) AS no_false_negatives
+FROM nf LEFT JOIN ex ON nf.doc_id = ex.doc_id
+"""
+
 NGRAM_CONTAM_DF_CAP = 50  # drop grams in > 50 train docs (boilerplate)
 
 
@@ -1118,6 +1304,8 @@ ORACLES["vocab_top_terms"] = VOCAB_SQL
 QUERIES["cross_set_contamination"] = cross_set_contamination
 ORACLES["cross_set_contamination"] = CONTAM_SQL
 QUERIES["ngram_contamination"] = ngram_contamination
+QUERIES["bloom_contamination_screen"] = bloom_contamination_screen
+ORACLES["bloom_contamination_screen"] = _bloom_sql()
 ORACLES["ngram_contamination"] = NGRAM_CONTAM_SQL
 
 

@@ -3169,6 +3169,84 @@ QUERIES["hll_error_bound_by_type"] = hll_error_bound_by_type
 ORACLES["hll_error_bound_by_type"] = HLL_ERROR_BOUND_SQL
 
 
+CMS_EPS = 0.001
+CMS_CONF = 0.99
+CMS_SEED = 42
+
+
+def cms_heavy_users_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters, certificate-style: ONE mergeable CMS
+    over the event stream's user ids (``count_min_sketch`` — partial
+    aggregation per partition, sketches merge associatively: the
+    store-per-partition/merge-at-read shape that makes frequency
+    monitoring feasible at 100 TB), then for the 10 exactly-heaviest
+    users emit the exact count (oracle-recomputable) plus two integer
+    indicators of the CMS contract: the estimate NEVER undercounts
+    (structural — every increment lands in all d cells) and stays
+    within eps*N of truth (the (eps, conf) guarantee; seeded hashes
+    make it a fixed function of the data). Reading the sketch costs a
+    ~100 KB driver transfer + 10 point queries — bounded metadata,
+    like the topic-list collects.
+
+    The sketched column is cast to string so the driver-side point
+    query (py4j) dispatches on an unambiguous type."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select(F.col("user_id").cast("string").alias("u"))
+    from bottledwater_pg_spark.session import persist_tracked
+
+    ev = persist_tracked(ev)
+    n_total = ev.count()
+    sketch = ev.agg(
+        F.expr(
+            f"count_min_sketch(u, cast({CMS_EPS} as double), "
+            f"cast({CMS_CONF} as double), {CMS_SEED})"
+        ).alias("s")
+    ).collect()[0]["s"]
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sketch)
+    )
+    top = (
+        ev.groupBy("u")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("u").cast("long"))
+        .limit(10)
+        .collect()
+    )
+    slack = int(CMS_EPS * n_total) + 1
+    rows = []
+    for r in top:
+        est = jcms.estimateCount(r["u"])
+        rows.append(
+            (
+                int(r["u"]),
+                int(r["cnt"]),
+                1 if est >= r["cnt"] else 0,
+                1 if est <= r["cnt"] + slack else 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "user_id bigint, exact_events bigint, "
+        "overestimate_ok bigint, within_eps_ok bigint",
+    )
+
+
+CMS_HEAVY_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS exact_events,
+       CAST(1 AS BIGINT) AS overestimate_ok,
+       CAST(1 AS BIGINT) AS within_eps_ok
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id
+ORDER BY COUNT(*) DESC, user_id
+LIMIT 10
+"""
+
+QUERIES["cms_heavy_users_certificate"] = cms_heavy_users_certificate
+ORACLES["cms_heavy_users_certificate"] = CMS_HEAVY_SQL
+
+
 # ---------------------------------------- data-quality expectations
 
 

@@ -91,3 +91,28 @@ def test_sketch_certification_companions_all_pass(spark, sf_dir):
     ):
         rows = q(spark, sf_dir).collect()
         assert rows and all(r[flag] == 1 for r in rows), q.__name__
+
+
+def test_bloom_screen_no_false_negatives_and_cms_bounds(spark, sf_dir):
+    """The deterministic Bloom screen must flag every genuinely
+    contaminated doc (no false negatives — structural) while letting
+    a bounded set of deterministic false positives through; the CMS
+    certificate's indicators must all hold."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        bloom_contamination_screen,
+    )
+    from bottledwater_pg_spark.operators.queries import (
+        cms_heavy_users_certificate,
+    )
+
+    b = bloom_contamination_screen(spark, sf_dir).toPandas()
+    assert len(b) and (b.no_false_negatives == 1).all()
+    assert (b.n_flagged >= b.n_exact).all()
+    # the injected contaminated docs (doc_id % 27 == 0, +600000) must
+    # all be flagged with their full exact overlap
+    injected = b[b.doc_id >= 600000]
+    assert len(injected) and (injected.n_exact > 0).all()
+
+    c = cms_heavy_users_certificate(spark, sf_dir).toPandas()
+    assert len(c) == 10
+    assert (c.overestimate_ok == 1).all() and (c.within_eps_ok == 1).all()
