@@ -1214,3 +1214,65 @@ def test_multi_table_drift_evolves_each_table_independently(spark, sf_dir):
             got_b[want_b.columns.tolist()].reset_index(drop=True),
             want_b.reset_index(drop=True), check_dtype=False,
         )
+
+
+def test_crash_mid_batch_replay_is_state_safe(spark, sf_dir):
+    """Crash DURING a micro-batch (the reference crash matrix kills
+    bottledwater mid-stream, topic_spec.rb:113-274): a fault injected
+    AFTER the new state file is written but BEFORE the swap completes
+    fails the streaming query; a restarted query with the same
+    checkpoint replays that batch against the half-advanced on-disk
+    state, and the lsn-max idempotent merge still converges to the
+    batch-materialization state — no duplicates, no lost deletes."""
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingMaterializer,
+        read_envelope_stream,
+        write_envelope_stream,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    events = generate_cdc(
+        cust, ["c_custkey"], F.col("c_custkey"), 16385, "customer", SPEC
+    )
+    want = materialize(events, cust.schema).toPandas().sort_values(
+        "c_custkey"
+    ).reset_index(drop=True)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events"
+        write_envelope_stream(events, src, num_files=4)
+        mat = StreamingMaterializer(spark, f"{tmp}/state", cust.schema)
+        orig = mat.process_batch
+        crashed = {"n": 0}
+
+        def faulty(batch, epoch_id):
+            orig(batch, epoch_id)
+            # crash AFTER the swap of epoch 1's state: the state on
+            # disk is ahead of the (never-committed) checkpoint offset
+            if epoch_id == 1 and not crashed["n"]:
+                crashed["n"] = 1
+                raise RuntimeError("injected crash after state swap")
+
+        mat.process_batch = faulty
+        q = mat.start(read_envelope_stream(spark, src, 1), f"{tmp}/ckpt")
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass
+        finally:
+            q.stop()
+        assert crashed["n"] == 1
+        # restart with the SAME checkpoint: epoch 1 replays onto the
+        # already-advanced state, then the remaining files stream
+        mat.process_batch = orig
+        q2 = mat.start(read_envelope_stream(spark, src, 1), f"{tmp}/ckpt")
+        q2.processAllAvailable()
+        q2.stop()
+        got = mat.current_rows().toPandas().sort_values(
+            "c_custkey"
+        ).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
