@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "cdc_many_table_fanout_state",
     "bloom_contamination_screen",
     "cms_heavy_users_certificate",
+    "approx_quantile_rank_certificate",
 ]
 
 

@@ -3247,6 +3247,76 @@ QUERIES["cms_heavy_users_certificate"] = cms_heavy_users_certificate
 ORACLES["cms_heavy_users_certificate"] = CMS_HEAVY_SQL
 
 
+APPROX_PCT_ACCURACY = 1000
+
+
+def approx_quantile_rank_certificate(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Quantile sketch certificate, completing the mergeable-sketch
+    family (HLL / CMS / Bloom / quantiles): ``percentile_approx`` is
+    the KLL/GK-style mergeable quantile sketch (partial agg per
+    partition, merge at read); its contract is RANK accuracy — the
+    returned value's true rank is within n/accuracy of the target
+    rank. The certificate computes the approx p50/p95 per event type,
+    then the EXACT rank of that returned value (one conditional-agg
+    join — cross-engine computable arithmetic), and emits the group
+    sizes (oracle-recomputed) plus integer indicators that both rank
+    errors are within bound. Deterministic: the sketch is a fixed
+    function of the data.
+
+    Scale: sketch agg is one partial+final pass; the rank check joins
+    the 5-row approx table broadcast against one counting pass."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("event_type", "value")
+    from bottledwater_pg_spark.session import persist_tracked
+
+    ev = persist_tracked(ev)
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.lit(0.5), F.lit(APPROX_PCT_ACCURACY)
+        ).alias("p50"),
+        F.percentile_approx(
+            "value", F.lit(0.95), F.lit(APPROX_PCT_ACCURACY)
+        ).alias("p95"),
+    )
+    ranks = ev.join(F.broadcast(approx), "event_type").groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("value") <= F.col("p50"), 1).otherwise(0)
+        ).alias("rank50"),
+        F.sum(
+            F.when(F.col("value") <= F.col("p95"), 1).otherwise(0)
+        ).alias("rank95"),
+    )
+    tol = F.col("n") / F.lit(APPROX_PCT_ACCURACY) + F.lit(1.0)
+    return ranks.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        (F.abs(F.col("rank50") - F.col("n") * 0.5) <= tol)
+        .cast("long")
+        .alias("p50_rank_ok"),
+        (F.abs(F.col("rank95") - F.col("n") * 0.95) <= tol)
+        .cast("long")
+        .alias("p95_rank_ok"),
+    )
+
+
+APPROX_PCT_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(1 AS BIGINT) AS p50_rank_ok,
+       CAST(1 AS BIGINT) AS p95_rank_ok
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+QUERIES["approx_quantile_rank_certificate"] = approx_quantile_rank_certificate
+ORACLES["approx_quantile_rank_certificate"] = APPROX_PCT_SQL
+
+
 # ---------------------------------------- data-quality expectations
 
 

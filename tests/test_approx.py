@@ -116,3 +116,12 @@ def test_bloom_screen_no_false_negatives_and_cms_bounds(spark, sf_dir):
     c = cms_heavy_users_certificate(spark, sf_dir).toPandas()
     assert len(c) == 10
     assert (c.overestimate_ok == 1).all() and (c.within_eps_ok == 1).all()
+
+
+def test_approx_quantile_rank_certificate_holds(spark, sf_dir):
+    from bottledwater_pg_spark.operators.queries import (
+        approx_quantile_rank_certificate,
+    )
+
+    c = approx_quantile_rank_certificate(spark, sf_dir).toPandas()
+    assert len(c) and (c.p50_rank_ok == 1).all() and (c.p95_rank_ok == 1).all()
