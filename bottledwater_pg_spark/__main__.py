@@ -51,6 +51,27 @@ def main(argv: list[str] | None = None) -> int:
     )
     pe.add_argument("--allow-unkeyed", action="store_true")
     pe.add_argument("--topic-prefix", default=None)
+    pp = sub.add_parser(
+        "replicate",
+        help="the bottledwater main loop: catalog scan -> CDC stream -> "
+        "error policy -> per-table materialized state (parquet per table)",
+    )
+    pp.add_argument("pattern", nargs="?", default="%")
+    pp.add_argument("--out", required=True, help="state output directory")
+    pp.add_argument(
+        "--sf-dir", default=os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"
+        )
+    )
+    pp.add_argument("--allow-unkeyed", action="store_true")
+    pp.add_argument("--skip-snapshot", action="store_true")
+    pp.add_argument("--topic-prefix", default=None)
+    pp.add_argument("--on-error", choices=["exit", "log"], default="exit")
+    pp.add_argument(
+        "--stream", action="store_true",
+        help="run micro-batched through the checkpointed "
+        "MultiTableMaterializer instead of one batch pass",
+    )
     ps = sub.add_parser(
         "sql",
         help="run ad-hoc SQL with every fixture table registered as a "
@@ -84,6 +105,26 @@ def main(argv: list[str] | None = None) -> int:
         register_tables(spark, args.sf_dir)
         df = spark.sql(args.statement)
         df.show(args.n, truncate=False)
+        return 0
+
+    if args.cmd == "replicate":
+        from bottledwater_pg_spark.pipeline import replicate_database
+        from bottledwater_pg_spark.session import get_spark
+
+        spark = get_spark("bottledwater-replicate")
+        results = replicate_database(
+            spark,
+            args.sf_dir,
+            args.out,
+            pattern=args.pattern,
+            allow_unkeyed=args.allow_unkeyed,
+            skip_snapshot=args.skip_snapshot,
+            topic_prefix=args.topic_prefix,
+            on_error=args.on_error,
+            stream=args.stream,
+        )
+        for name, n in sorted(results.items()):
+            print(f"{name:20s} {n} rows")
         return 0
 
     if args.cmd == "export":

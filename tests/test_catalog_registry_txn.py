@@ -205,3 +205,65 @@ def test_register_tables_and_adhoc_sql(spark, sf_dir):
         "ON o_custkey = c_custkey"
     ).first()["n"]
     assert got > 0
+
+
+def test_replicate_database_end_to_end(spark, sf_dir, tmp_path, duck):
+    """The bottledwater main loop (§3.1) as one call: every fixture
+    table replicates to a per-table state directory; keyed tables
+    equal their closed-form final state, unkeyed tables append; the
+    streamed variant converges to the identical customer state; and
+    skip-snapshot yields only stream-touched keys."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.cdc_queries import (
+        CDC_CUSTOMER_SQL,
+    )
+    from bottledwater_pg_spark.pipeline import replicate_database
+
+    out = str(tmp_path / "state")
+    results = replicate_database(
+        spark, sf_dir, out, allow_unkeyed=True
+    )
+    assert set(results) == {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
+    got = (
+        spark.read.parquet(f"{out}/customer")
+        .toPandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    want = duck.sql(CDC_CUSTOMER_SQL).df().sort_values(
+        "c_custkey"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+    # unkeyed append-only: events appear with no compaction applied
+    n_events_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert results["events"] >= n_events_src
+
+    # streamed variant: identical customer state
+    out2 = str(tmp_path / "stream_state")
+    r2 = replicate_database(
+        spark, sf_dir, out2, pattern="customer", stream=True
+    )
+    got2 = (
+        spark.read.parquet(f"{out2}/customer")
+        .toPandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got2[want.columns.tolist()], want, check_dtype=False
+    )
+    assert r2["customer"] == results["customer"]
+
+    # skip-snapshot: strictly fewer, only stream-touched keys
+    out3 = str(tmp_path / "skip")
+    r3 = replicate_database(
+        spark, sf_dir, out3, pattern="customer", skip_snapshot=True
+    )
+    assert 0 < r3["customer"] < results["customer"]
