@@ -111,17 +111,18 @@ def replicate_database(
             q.processAllAvailable()
             q.stop()
             for t in tables:
-                rows = mat.current_rows(t.relid)
-                if rows is None:
-                    results[t.name] = 0
-                    continue
-                # unkeyed tables hold nothing in the keyed state; their
-                # events are appended below from the batch path
                 if not t.keyed:
+                    # unkeyed tables hold nothing in the keyed state;
+                    # their retention is append-only by definition
                     rows = append_only(
                         good.filter(F.col("relid") == t.relid),
                         schemas[t.relid][1],
                     )
+                else:
+                    rows = mat.current_rows(t.relid)
+                if rows is None:
+                    results[t.name] = 0
+                    continue
                 dest = os.path.join(out_dir, t.name)
                 rows.write.mode("overwrite").parquet(dest)
                 results[t.name] = spark.read.parquet(dest).count()
