@@ -54,7 +54,7 @@ _FAMILY_SPREAD = [
     "simhash_injected_recall", "hll_error_bound_by_type",
     "cdc_registry_evolution_decode", "cdc_many_table_fanout_state",
     "bloom_contamination_screen", "cms_heavy_users_certificate",
-    "approx_quantile_rank_certificate",
+    "approx_quantile_rank_certificate", "cdc_replicate_all_counts",
     # Slots 6-9: the rows-only sketch twins, recorded next to their
     # certificates so the pairing is visible in one window.
     "lsh_ann_topk", "ivf_ann_topk", "lsh_simhash_near_dup",
@@ -83,7 +83,7 @@ _FAMILY_SPREAD = [
     "pagerank_copurchase", "bm25_topk_docs", "semdedup_prune_stats",
     "alpha_mixture_weights", "ngram_diversity_by_source",
     "pg_interval_roundtrip", "pg_timetz_roundtrip",
-    "cdc_topic_routing_counts", "cdc_materialize_events_composite",
+    "cdc_topic_routing_counts",
     # ---- 50-entry window boundary (everything below already has a
     # driver record from r1-r4 and is re-certified in EXACTGATE_r5)
     "winnow_near_dup_pairs", "simhash_md5_near_dup",

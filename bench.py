@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "bloom_contamination_screen",
     "cms_heavy_users_certificate",
     "approx_quantile_rank_certificate",
+    "cdc_replicate_all_counts",
 ]
 
 

@@ -1121,6 +1121,63 @@ QUERIES["cdc_many_table_fanout_state"] = cdc_many_table_fanout_state
 ORACLES["cdc_many_table_fanout_state"] = CDC_MANY_TABLE_SQL
 
 
+def cdc_replicate_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL ``bottledwater`` main loop (§3.1), driver-hashable:
+    ``replicate_database`` runs catalog scan → per-table CDC stream →
+    error policy → per-table materialization over every fixture table
+    (unkeyed ones via --allow-unkeyed append-only retention), and this
+    query emits each table's surviving-row count. The oracle
+    recomputes every count in closed form from the mutation rules —
+    keyed tables keep rows with ``pknum % 7 <> 0 OR pknum % 11 = 0``
+    (delete vs pk-change survival), unkeyed tables append snapshot +
+    the ``pknum % 5`` updates — so one hash certifies the whole loop:
+    catalog key resolution, snapshot gating, routing, policy pass, and
+    both materialization disciplines at once."""
+    import shutil
+    import tempfile
+
+    from bottledwater_pg_spark.pipeline import replicate_database
+
+    out = tempfile.mkdtemp(prefix="bw_replicate_q_")
+    try:
+        results = replicate_database(
+            spark, sf_dir, out, allow_unkeyed=True
+        )
+        return spark.createDataFrame(
+            sorted(results.items()), "table_name string, n_rows bigint"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _replicate_counts_sql() -> str:
+    from bottledwater_pg_spark.sources.catalog import (
+        TABLE_KEYS,
+        TABLE_PKNUM_SQL,
+    )
+
+    parts = []
+    for name in sorted(TABLE_KEYS):
+        pknum = TABLE_PKNUM_SQL[name]
+        if TABLE_KEYS[name]:
+            parts.append(
+                f"SELECT '{name}' AS table_name, "
+                f"CAST(COUNT(*) AS BIGINT) AS n_rows FROM {name} "
+                f"WHERE ({pknum}) % 7 <> 0 OR ({pknum}) % 11 = 0"
+            )
+        else:
+            parts.append(
+                f"SELECT '{name}' AS table_name, "
+                f"CAST(COUNT(*) + COUNT(*) FILTER (({pknum}) % 5 = 0) "
+                f"AS BIGINT) AS n_rows FROM {name}"
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES["cdc_replicate_all_counts"] = cdc_replicate_all_counts
+ORACLES["cdc_replicate_all_counts"] = _replicate_counts_sql()
+
+
 # --------------------------------------------- lost-message detection
 
 

@@ -52,7 +52,7 @@ def test_round6_window_keeps_the_ledger_closed():
         "simhash_injected_recall", "hll_error_bound_by_type",
         "cdc_registry_evolution_decode", "cdc_many_table_fanout_state",
         "bloom_contamination_screen", "cms_heavy_users_certificate",
-        "approx_quantile_rank_certificate",
+        "approx_quantile_rank_certificate", "cdc_replicate_all_counts",
     ]
     assert not [n for n in new_ops if n not in window]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
