@@ -132,7 +132,9 @@ BENCH_QUERIES = [
     "bloom_contamination_screen",
     "cms_heavy_users_certificate",
     "approx_quantile_rank_certificate",
-    "cdc_replicate_all_counts",
+    # cdc_replicate_all_counts is gate-checked but not benched: it is
+    # the sum of the 10 per-table materializations benched above, and
+    # re-timing the whole loop adds ~25 s of pure duplication
 ]
 
 
