@@ -866,3 +866,127 @@ class MultiTableMaterializer:
             .outputMode("update")
             .start()
         )
+
+
+class StreamingContaminationScreen:
+    """Always-on ingest-time decontamination: the streaming twin of
+    ``llm_queries.bloom_contamination_screen``. The eval-set Bloom
+    bitmap is built ONCE (a standing ~1k-row table, persisted to the
+    state dir so a restarted process reuses it without re-scanning the
+    eval corpus); each micro-batch of training docs probes it with one
+    broadcast join and appends per-doc flag counts to an audit log.
+    Docs with zero flagged grams pass; flagged docs are quarantined
+    for the exact verify — at 100 TB that verify join runs over the
+    tiny flagged fraction only, which is the screen's entire point.
+
+    Idempotence: the audit append is per-epoch overwrite (a replayed
+    batch rewrites its own directory), like the drift materializer's
+    unkeyed retention.
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 eval_docs: DataFrame | None = None,
+                 text_col: str = "text", n: int = 8):
+        from bottledwater_pg_spark.operators.llm_queries import (
+            BLOOM_K,
+            _bloom_pos,
+        )
+        from bottledwater_pg_spark.functions.text import word_shingles
+
+        self.spark = spark
+        self.state_dir = state_dir
+        self.n = n
+        os.makedirs(state_dir, exist_ok=True)
+        bmp_path = os.path.join(state_dir, "bitmap")
+        have = os.path.isdir(bmp_path) and any(
+            f.endswith(".parquet") for f in os.listdir(bmp_path)
+        )
+        if not have:
+            if eval_docs is None:
+                raise LookupError(
+                    "no standing bitmap in state_dir and no eval_docs "
+                    "given to build one"
+                )
+            grams = eval_docs.select(
+                F.explode(word_shingles(text_col, n)).alias("gram")
+            ).distinct()
+            pos = grams.select(
+                F.explode(
+                    F.array(*[_bloom_pos("gram", i) for i in range(BLOOM_K)])
+                ).alias("pos")
+            )
+            bitmap = pos.groupBy(
+                (F.col("pos") / 63).cast("int").alias("word_idx")
+            ).agg(
+                F.bit_or(
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))"
+                    )
+                ).alias("word")
+            )
+            bitmap.write.mode("overwrite").parquet(bmp_path)
+        self._bitmap = spark.read.parquet(bmp_path)
+
+    def _audit_path(self) -> str:
+        return os.path.join(self.state_dir, "audit")
+
+    def audit(self) -> DataFrame | None:
+        p = self._audit_path()
+        if not os.path.isdir(p):
+            return None
+        return self.spark.read.option("basePath", p).parquet(p)
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from bottledwater_pg_spark.operators.llm_queries import (
+            BLOOM_K,
+            _bloom_pos,
+        )
+        from bottledwater_pg_spark.functions.text import word_shingles
+
+        grams = batch.select(
+            "doc_id",
+            F.explode(word_shingles("text", self.n)).alias("gram"),
+        )
+        probes = grams.select(
+            "doc_id",
+            "gram",
+            F.explode(
+                F.array(*[_bloom_pos("gram", i) for i in range(BLOOM_K)])
+            ).alias("pos"),
+        ).select(
+            "doc_id",
+            "gram",
+            (F.col("pos") / 63).cast("int").alias("word_idx"),
+            (F.col("pos") % 63).alias("bit"),
+        )
+        hit = probes.join(
+            F.broadcast(self._bitmap), "word_idx", "left"
+        ).select(
+            "doc_id",
+            "gram",
+            F.expr(
+                "CASE WHEN (shiftright(coalesce(word, CAST(0 AS BIGINT)), "
+                "CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE 0 END"
+            ).alias("bit_set"),
+        )
+        per_doc = (
+            hit.groupBy("doc_id", "gram")
+            .agg(F.min("bit_set").alias("all_set"))
+            .groupBy("doc_id")
+            .agg(F.sum("all_set").alias("n_flagged"))
+        )
+        out = batch.select("doc_id").join(per_doc, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(self._audit_path(), f"epoch={epoch_id}")
+        )
+
+    def start(self, docs_stream: DataFrame, checkpoint_dir: str):
+        return (
+            docs_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .start()
+        )

@@ -381,3 +381,18 @@ def test_sketch_certificates_broadcast_no_cartesian(spark, sf_dir):
     plan = formatted_plan(hll_error_bound_by_type(spark, sf_dir))
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_bloom_screen_broadcasts_bitmap_no_cartesian(spark, sf_dir):
+    """The Bloom contamination screen's probe must be a BROADCAST join
+    of the ~1k-word bitmap against the training grams — never a
+    shuffle of the training corpus keyed by eval-side data, and never
+    a cartesian."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        bloom_contamination_screen,
+    )
+    from bottledwater_pg_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(bloom_contamination_screen(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

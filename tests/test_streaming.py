@@ -1276,3 +1276,62 @@ def test_crash_mid_batch_replay_is_state_safe(spark, sf_dir):
     pd.testing.assert_frame_equal(
         got[want.columns.tolist()], want, check_dtype=False
     )
+
+
+def test_streaming_contamination_screen_matches_batch(spark, sf_dir):
+    """The always-on Bloom screen must flag, across micro-batches and
+    a restart (standing bitmap reloaded from disk), exactly the docs
+    the batch screen flags, with identical per-doc counts."""
+    import pandas as pd
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        NGRAM_CONTAM_N,
+        bloom_contamination_screen,
+    )
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingContaminationScreen,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 500000).alias("eval_id"),
+        F.col("text"),
+    )
+    contam = docs.filter(F.col("doc_id") % 27 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 9 != 0).unionByName(contam)
+    want = (
+        bloom_contamination_screen(spark, sf_dir)
+        .select("doc_id", "n_flagged")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/docs"
+        train.repartition(3).write.parquet(src)
+        screen = StreamingContaminationScreen(
+            spark, f"{tmp}/state",
+            eval_docs=eval_set, n=NGRAM_CONTAM_N,
+        )
+        # restart scenario: a NEW instance must reuse the on-disk
+        # bitmap without eval_docs
+        screen = StreamingContaminationScreen(spark, f"{tmp}/state")
+        stream = (
+            spark.readStream.schema(train.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = screen.start(stream, f"{tmp}/ckpt")
+        q.processAllAvailable()
+        q.stop()
+        got = (
+            screen.audit()
+            .filter(F.col("n_flagged") > 0)
+            .select("doc_id", "n_flagged")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
