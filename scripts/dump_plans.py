@@ -76,6 +76,10 @@ HEADLINE = {
     "simhash_injected_recall": "sketch certificate: SQL-known injected pairs left-joined to SimHash output; 1-row agg",
     "hll_error_bound_by_type": "HLL certificate: sketch + exact distinct in ONE partial-agg pass; per-type bound indicator",
     "cdc_registry_evolution_decode": "per-frame schema-id resolution: id->schema snapshot in closure, Arrow-batched narrow decode, no per-frame registry I/O",
+    "bloom_contamination_screen": "native Bloom screen: ~1k-word bitmap broadcast against training grams; no eval-side shuffle of the corpus",
+    "cms_heavy_users_certificate": "Count-Min: one mergeable sketch agg + KB driver read; exact top-10 via aggregated rows",
+    "approx_quantile_rank_certificate": "quantile sketch + exact rank check: two partial-agg passes, 5-row broadcast",
+    "cdc_many_table_fanout_state": "8-way fanout: persisted stream, per-table independent compaction shuffles, no data-sized union shuffle",
     "seasonal_deviation_hours": "seasonal anomaly: hourly agg + tiny hour-of-week baseline broadcast; top-20 via TakeOrderedAndProject, rank window sees 20 rows",
     "top_quality_docs_per_source": "curation top-k: bounded per-partition slice then merge",
     "lineitem_corr_matrix": "corr matrix: 9 co-moments in ONE partial-agg pass",
