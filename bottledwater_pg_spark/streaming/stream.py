@@ -127,7 +127,8 @@ class StreamingMaterializer:
     """
 
     def __init__(self, spark: SparkSession, state_dir: str,
-                 row_schema: T.StructType, relid: int | None = None):
+                 row_schema: T.StructType, relid: int | None = None,
+                 on_error: str = "exit"):
         """``row_schema`` is the INITIAL decode schema. Pass ``relid``
         to enable in-band DDL drift: each micro-batch folds that
         table's TableSchema control events into a SchemaTracker
@@ -136,13 +137,22 @@ class StreamingMaterializer:
         of the batch DDL matrix (topic_spec.rb:113-274). Drift mode
         also retains unkeyed DML append-only (compaction is off for
         topics that ever held unkeyed messages, topic_spec.rb:118-123)
-        so the ADD-PRIMARY-KEY cell streams end-to-end."""
+        so the ADD-PRIMARY-KEY cell streams end-to-end.
+
+        ``on_error`` (drift mode) is the reference's error policy
+        applied to LIVE schema registration failures
+        (table_mapper.c:88-118): ``exit`` fails the streaming query
+        with state intact; ``log`` marks the table failed at the
+        poison lsn and drops its subsequent events while the pipe
+        keeps flowing."""
         from bottledwater_pg_spark.schema_tracker import SchemaTracker
 
         self.spark = spark
         self.state_dir = state_dir
         self.row_schema = row_schema
         self.relid = relid
+        self.on_error = on_error
+        self.failed_at_lsn: int | None = None
         self.tracker = SchemaTracker() if relid is not None else None
         os.makedirs(state_dir, exist_ok=True)
         self._have_state = False
@@ -209,12 +219,48 @@ class StreamingMaterializer:
 
         if self.tracker is not None:
             # fold this batch's TableSchema control trickle into the
-            # tracker — O(#schema changes), never the row stream
-            from bottledwater_pg_spark.schema_tracker import (
-                resolve_schemas,
+            # tracker — O(#schema changes), never the row stream —
+            # VALIDATING each announcement under the error policy
+            # (the live twin of errors.apply_ddl_error_policy)
+            import json as _json
+
+            from bottledwater_pg_spark.errors import (
+                SchemaRegistrationError,
+            )
+            from bottledwater_pg_spark.plans.envelope import (
+                OP_TABLE_SCHEMA,
             )
 
-            resolve_schemas(batch, self.tracker)
+            ctl = (
+                batch.filter(F.col("op") == OP_TABLE_SCHEMA)
+                .select("relid", "lsn", "schema_json")
+                .orderBy("lsn")
+                .collect()
+            )
+            for r in ctl:
+                if r["relid"] != self.relid or self.failed_at_lsn is not None:
+                    continue
+                try:
+                    T.StructType.fromJson(_json.loads(r["schema_json"]))
+                except Exception as exc:
+                    if self.on_error == "exit":
+                        raise SchemaRegistrationError(
+                            f"relid {r['relid']} schema registration "
+                            f"failed at lsn {r['lsn']} mid-stream "
+                            f"(policy=exit)"
+                        ) from exc
+                    self.failed_at_lsn = int(r["lsn"])
+                    continue
+                self.tracker.observe(r["relid"], r["schema_json"])
+            if self.failed_at_lsn is not None:
+                # drop this table's events from the poison lsn on —
+                # option (b): keep the pipe alive minus the table
+                batch = batch.filter(
+                    ~(
+                        (F.col("relid") == self.relid)
+                        & (F.col("lsn") >= self.failed_at_lsn)
+                    )
+                )
             # unkeyed DML is retained append-only, one idempotent
             # overwrite per epoch (a replayed batch rewrites the same
             # directory, so restart never duplicates)

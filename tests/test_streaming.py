@@ -1335,3 +1335,75 @@ def test_streaming_contamination_screen_matches_batch(spark, sf_dir):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_error_policy_log_and_exit(spark, sf_dir):
+    """The error policy runs against the LIVE stream (the reference's
+    crash matrix composes --on-error with evolution,
+    table_mapper.c:88-118): a poisoned TableSchema arriving mid-stream
+    under ``log`` drops that table's subsequent events — final state =
+    the pre-DDL snapshot — while under ``exit`` the streaming query
+    FAILS with the already-committed state intact."""
+    from bottledwater_pg_spark.schema_tracker import table_schema_events
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingMaterializer,
+        read_envelope_stream,
+    )
+
+    relid = 32001
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    phase1 = table_schema_events(base, relid, "customer", lsn=0).unionByName(
+        snapshot_events(base, ["c_custkey"], F.col("c_custkey"), relid,
+                        "customer")
+    )
+    poison = phase1.limit(1).select(
+        F.lit("table_schema").alias("op"), "relid", "xid",
+        F.lit(1 << 62).cast("long").alias("lsn"),
+        "key", "old_row", "new_row",
+        F.lit('{"not": a schema').alias("schema_json"), "topic",
+    )
+    post = (
+        snapshot_events(
+            base.withColumn("c_acctbal", F.col("c_acctbal") + 999),
+            ["c_custkey"], F.col("c_custkey"), relid, "customer",
+        )
+        .withColumn("lsn", F.col("lsn") + (1 << 62) + 1)
+        .withColumn("op", F.lit("update"))
+    )
+    phase2 = poison.unionByName(post)
+    want = base.toPandas().sort_values("c_custkey").reset_index(drop=True)
+    import pandas as pd
+
+    for policy in ("log", "exit"):
+        with tempfile.TemporaryDirectory() as tmp:
+            src = f"{tmp}/events"
+            phase1.coalesce(1).write.parquet(src)
+            phase2.coalesce(1).write.mode("append").parquet(src)
+            mat = StreamingMaterializer(
+                spark, f"{tmp}/state", base.schema, relid=relid,
+                on_error=policy,
+            )
+            q = mat.start(read_envelope_stream(spark, src, 1), f"{tmp}/ckpt")
+            failed = False
+            try:
+                q.processAllAvailable()
+            except Exception:
+                failed = True
+            finally:
+                q.stop()
+            got = mat.current_rows().toPandas().sort_values(
+                "c_custkey"
+            ).reset_index(drop=True)
+            if policy == "log":
+                assert not failed
+                assert mat.failed_at_lsn == 1 << 62
+            else:
+                assert failed  # policy=exit fails the query loudly
+            # both policies: state is exactly the pre-DDL snapshot —
+            # no poisoned-era update ever applied
+            pd.testing.assert_frame_equal(
+                got[want.columns.tolist()], want, check_dtype=False
+            )
