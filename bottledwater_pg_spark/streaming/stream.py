@@ -861,7 +861,7 @@ class MultiTableMaterializer:
 
     def __init__(self, spark: SparkSession, state_dir: str,
                  tables: dict[int, tuple[str, T.StructType]],
-                 track_drift: bool = False):
+                 track_drift: bool = False, on_error: str = "exit"):
         """``track_drift=True`` gives every table its OWN drift-aware
         materializer (relid-scoped SchemaTracker + unkeyed retention),
         so the whole-database deployment evolves each table
@@ -873,6 +873,7 @@ class MultiTableMaterializer:
             relid: StreamingMaterializer(
                 spark, os.path.join(state_dir, name), schema,
                 relid=relid if track_drift else None,
+                on_error=on_error,
             )
             for relid, (name, schema) in tables.items()
         }
