@@ -53,6 +53,24 @@ CORPUS = [
     ("nested_struct", T.StructType([T.StructField("micro", T.LongType()),
                                     T.StructField("zone_offset", T.IntegerType())]),
      {"micro": 63615123456, "zone_offset": 3600}),
+    # remaining text-form PG types from the generated corpus
+    # (generate_type_specs.rb:30-45 emits one spec per pg_type row;
+    # these ride the wire in their canonical text form, so the
+    # contract is byte-exact string round-trip)
+    ("macaddr", T.StringType(), "08:00:2b:01:02:03"),
+    ("money_text", T.StringType(), "$1,234.56"),
+    ("bit_varying", T.StringType(), "101010001111"),
+    ("point", T.StringType(), "(3.14,-2.71)"),
+    ("path", T.StringType(), "((0,0),(1,1),(2,0))"),
+    ("cidr", T.StringType(), "10.1.0.0/16"),
+    ("numrange", T.StringType(), "[-1.5,2.75)"),
+    ("tstzrange", T.StringType(),
+     '["2014-12-27 17:40:15.123456+00","2014-12-28 00:00:00+00")'),
+    ("tsvector_text", T.StringType(), "'fat':2 'cat':3 'rat':5A"),
+    ("xml_text", T.StringType(),
+     "<widget id=\"1\"><name>sprocket &amp; co</name></widget>"),
+    ("pg_lsn_text", T.StringType(), "16/B374D848"),
+    ("interval_iso", T.StringType(), "P1Y2M3DT4H5M6.789S"),
 ]
 
 
