@@ -940,15 +940,24 @@ class StreamingContaminationScreen:
         )
         from bottledwater_pg_spark.functions.text import word_shingles
 
+        import json as _json
+
         self.spark = spark
         self.state_dir = state_dir
         self.n = n
         os.makedirs(state_dir, exist_ok=True)
         bmp_path = os.path.join(state_dir, "bitmap")
+        meta_path = os.path.join(state_dir, "meta.json")
         have = os.path.isdir(bmp_path) and any(
             f.endswith(".parquet") for f in os.listdir(bmp_path)
         )
-        if not have:
+        if have:
+            # the standing bitmap fixes the gram size: a restarted
+            # process probing with a different n would silently miss
+            # everything — take n from the recorded build parameters
+            with open(meta_path) as f:
+                self.n = int(_json.load(f)["n"])
+        else:
             if eval_docs is None:
                 raise LookupError(
                     "no standing bitmap in state_dir and no eval_docs "
@@ -972,6 +981,8 @@ class StreamingContaminationScreen:
                 ).alias("word")
             )
             bitmap.write.mode("overwrite").parquet(bmp_path)
+            with open(meta_path, "w") as f:
+                _json.dump({"n": n}, f)
         self._bitmap = spark.read.parquet(bmp_path)
 
     def _audit_path(self) -> str:
