@@ -33,10 +33,12 @@ from pyspark.sql import types as T
 from bottledwater_pg_spark.plans.envelope import DML_OPS, OP_DELETE, ROW_JSON_OPTIONS
 
 
-def compact(events: DataFrame) -> DataFrame:
+def compact(events: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Compact a CDC envelope stream to the newest event per key,
     KEEPING tombstones — one row per key with columns
-    ``key, op, lsn, new_row`` of the winning event.
+    ``key, op, lsn, new_row`` (plus ``extra_cols``, carried from the
+    winning event — e.g. ``topic`` for rename-aware streaming state)
+    of the winning event.
 
     Tombstones must survive compaction whenever the state will be
     merged with more (possibly older) events later — exactly why Kafka
@@ -45,13 +47,16 @@ def compact(events: DataFrame) -> DataFrame:
     """
     dml = events.filter(F.col("op").isin(*DML_OPS) & F.col("key").isNotNull())
     latest = dml.groupBy("key").agg(
-        F.max_by(F.struct("op", "lsn", "new_row"), F.col("lsn")).alias("last")
+        F.max_by(
+            F.struct("op", "lsn", "new_row", *extra_cols), F.col("lsn")
+        ).alias("last")
     )
     return latest.select(
         "key",
         F.col("last.op").alias("op"),
         F.col("last.lsn").alias("lsn"),
         F.col("last.new_row").alias("new_row"),
+        *[F.col(f"last.{c}").alias(c) for c in extra_cols],
     )
 
 

@@ -62,6 +62,8 @@ def replicate_database(
     (checkpointed foreachBatch) instead of one batch pass — same final
     state by the idempotent-merge argument, pinned in tests."""
     tables = get_table_list(sf_dir, pattern, allow_unkeyed)
+    if not tables:
+        raise LookupError(f"no tables match pattern {pattern!r}")
     parts = []
     schemas = {}
     for t in tables:

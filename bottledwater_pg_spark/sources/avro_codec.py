@@ -214,14 +214,37 @@ def avro_frames(df, key_cols: list[str], val_cols: list[str],
     """
     import pandas as pd
 
+    from pyspark.sql import functions as F
+
     key_fields = avro_fields_for(df.schema, key_cols)
     val_fields = avro_fields_for(df.schema, val_cols)
     cols = list(dict.fromkeys(key_cols + val_cols))
-    proj = df.select(*cols)
+    # Arrow->pandas renders a NULL double/float as NaN, making SQL
+    # NULL indistinguishable from genuine NaN data inside the UDF —
+    # but the wire must encode NULL as the null branch and NaN as an
+    # IEEE754 payload. Ship an explicit JVM-computed null mask for
+    # each float-family column so the encoder can tell them apart.
+    float_cols = [
+        c
+        for c in cols
+        if df.schema[c].dataType.simpleString() in ("double", "float")
+    ]
+    mask_of = {c: f"__isnull_{c}" for c in float_cols}
+    proj = df.select(
+        *cols,
+        *[F.isnull(F.col(c)).alias(m) for c, m in mask_of.items()],
+    )
 
     def body(batches):
         for pdf in batches:
-            recs = pdf.to_dict("records")
+            for c, m in mask_of.items():
+                null_rows = pdf[m].fillna(False)
+                if null_rows.any():
+                    # object dtype first: assigning None into a float64
+                    # column would coerce straight back to NaN
+                    pdf[c] = pdf[c].astype(object)
+                    pdf.loc[null_rows, c] = None
+            recs = pdf[cols].to_dict("records")
             keys = [
                 frame(encode_record(key_fields, r), key_schema_id)
                 for r in recs
@@ -245,6 +268,18 @@ def decode_frames(df, key_fields, val_fields):
         [n for n, _ in key_fields] + [n for n, _ in val_fields]
     ))
 
+    base_types = {}
+    for name, typ in list(key_fields) + list(val_fields):
+        if name not in base_types:
+            base_types[name] = typ[1] if isinstance(typ, list) else typ
+    # the Arrow output boundary collapses pandas float NaN to NULL, so
+    # a decoded NaN payload would silently become SQL NULL — carry a
+    # boolean mask out of the UDF and rebuild the NaN JVM-side
+    float_names = [
+        n for n, b in base_types.items() if b in ("double", "float")
+    ]
+    nan_mask_of = {n: f"__isnan_{n}" for n in float_names}
+
     def body(batches):
         for pdf in batches:
             rows = []
@@ -255,18 +290,36 @@ def decode_frames(df, key_fields, val_fields):
                     _, vb = unframe(bytes(v))
                     vrec, _ = decode_record(val_fields, vb)
                     rec.update(vrec)
+                for n, m in nan_mask_of.items():
+                    val = rec.get(n)
+                    is_nan = isinstance(val, float) and val != val
+                    rec[m] = is_nan
+                    if is_nan:
+                        rec[n] = None  # rebuilt from the mask outside
                 rows.append(rec)
             # explicit columns: an EMPTY Arrow batch must still yield a
             # frame matching the declared schema, not a columnless one
-            yield pd.DataFrame(rows, columns=names)
+            yield pd.DataFrame(
+                rows, columns=names + list(nan_mask_of.values())
+            )
 
-    out_schema = []
-    seen = set()
-    for name, typ in list(key_fields) + list(val_fields):
-        if name in seen:
-            continue
-        seen.add(name)
-        base = typ[1] if isinstance(typ, list) else typ
-        spark_t = {v: k for k, v in SPARK_TO_AVRO.items()}[base]
-        out_schema.append(f"{name} {spark_t}")
-    return df.mapInPandas(body, schema=", ".join(out_schema))
+    inv = {v: k for k, v in SPARK_TO_AVRO.items()}
+    out_schema = [f"{n} {inv[base_types[n]]}" for n in names]
+    out_schema += [f"{m} boolean" for m in nan_mask_of.values()]
+    out = df.mapInPandas(body, schema=", ".join(out_schema))
+    from pyspark.sql import functions as F
+
+    cols = []
+    for n in names:
+        if n in nan_mask_of:
+            cols.append(
+                F.when(
+                    F.col(nan_mask_of[n]),
+                    F.lit(float("nan")).cast(inv[base_types[n]]),
+                )
+                .otherwise(F.col(n))
+                .alias(n)
+            )
+        else:
+            cols.append(F.col(n))
+    return out.select(*cols)

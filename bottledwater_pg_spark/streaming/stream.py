@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from bottledwater_pg_spark.operators.materialize import drop_tombstones
+from bottledwater_pg_spark.operators.materialize import compact, drop_tombstones
 from bottledwater_pg_spark.plans.envelope import ROW_JSON_OPTIONS, envelope_schema
 
 
@@ -155,11 +155,85 @@ class StreamingMaterializer:
         self.failed_at_lsn: int | None = None
         self.tracker = SchemaTracker() if relid is not None else None
         os.makedirs(state_dir, exist_ok=True)
-        self._have_state = False
+        # Restart-safe: a restarted process (same state_dir, same
+        # checkpointLocation — committed batches are NOT replayed) must
+        # MERGE into the standing state, not replace it; content-check
+        # rather than bare isdir so a crashed first write doesn't count
+        # (same discipline as StreamingDedupIndex)
+        self._have_state = self._state_on_disk()
+        if self.tracker is not None:
+            self._load_drift_meta()
 
     # -- state io ---------------------------------------------------
     def _state_path(self) -> str:
         return os.path.join(self.state_dir, "state")
+
+    def _state_on_disk(self) -> bool:
+        self._recover_state()
+        p = self._state_path()
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        )
+
+    def _recover_state(self) -> None:
+        """A crash between the two renames of a swap leaves no 'state'
+        path but a complete 'state.old' — promote it back so the
+        crash-never-corrupts-state invariant covers that window too."""
+        final = self._state_path()
+        swap = final + ".old"
+        if not os.path.isdir(final) and os.path.isdir(swap):
+            os.rename(swap, final)
+
+    def _swap_in(self, tmp: str) -> None:
+        """Replace the state dir with ``tmp``: clear any leftover
+        ``.old`` from a previous crash (os.rename onto a non-empty dir
+        raises), move the current state aside, promote, drop."""
+        import shutil
+
+        final = self._state_path()
+        swap = final + ".old"
+        if os.path.exists(swap):
+            shutil.rmtree(swap)
+        if os.path.exists(final):
+            os.rename(final, swap)
+        os.rename(tmp, final)
+        if os.path.exists(swap):
+            shutil.rmtree(swap)
+
+    # drift-mode durable metadata: the tracker's schema versions and
+    # the error-policy cursor persist beside the row state — after a
+    # restart the checkpoint does NOT replay the control events that
+    # built them, so memory-only copies would silently decode with the
+    # stale initial schema and resume a failed table's flow
+    def _drift_meta_path(self) -> str:
+        return os.path.join(self.state_dir, "drift_meta.json")
+
+    def _save_drift_meta(self) -> None:
+        import json as _json
+
+        tmp = self._drift_meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {
+                    "versions": self.tracker.versions,
+                    "failed_at_lsn": self.failed_at_lsn,
+                },
+                f,
+            )
+        os.replace(tmp, self._drift_meta_path())
+
+    def _load_drift_meta(self) -> None:
+        import json as _json
+
+        p = self._drift_meta_path()
+        if not os.path.exists(p):
+            return
+        with open(p) as f:
+            meta = _json.load(f)
+        self.tracker.versions = {
+            int(k): v for k, v in meta["versions"].items()
+        }
+        self.failed_at_lsn = meta["failed_at_lsn"]
 
     def read_state(self) -> DataFrame | None:
         if not self._have_state:
@@ -252,6 +326,8 @@ class StreamingMaterializer:
                     self.failed_at_lsn = int(r["lsn"])
                     continue
                 self.tracker.observe(r["relid"], r["schema_json"])
+            if ctl:
+                self._save_drift_meta()
             if self.failed_at_lsn is not None:
                 # drop this table's events from the poison lsn on —
                 # option (b): keep the pipe alive minus the table
@@ -269,58 +345,36 @@ class StreamingMaterializer:
                 & F.col("key").isNull()
                 & F.col("new_row").isNotNull()
             ).select("lsn", "new_row")
-            unkeyed.write.mode("overwrite").parquet(
-                os.path.join(self.state_dir, "unkeyed", f"epoch={epoch_id}")
-            )
+            # skip the write when the batch carries no unkeyed DML:
+            # a keyed-only drift table would otherwise accumulate one
+            # empty epoch= directory per batch forever and flip
+            # unkeyed_rows() from None permanently
+            if not unkeyed.isEmpty():
+                unkeyed.write.mode("overwrite").parquet(
+                    os.path.join(
+                        self.state_dir, "unkeyed", f"epoch={epoch_id}"
+                    )
+                )
         # compact the incoming batch, merge with stored state, compact
         # again — tombstones are KEPT in the state so a delete in a
         # later micro-batch still beats an insert already in the state
         # (and vice versa under out-of-order replay, decided by lsn);
         # the winning event's topic rides along so rename cells can
         # report post-rename routing
-        dml = batch.filter(
-            F.col("op").isin(*DML_OPS) & F.col("key").isNotNull()
-        )
-        compacted_batch = dml.groupBy("key").agg(
-            F.max_by(
-                F.struct("op", "lsn", "new_row", "topic"), F.col("lsn")
-            ).alias("last")
-        ).select(
-            "key",
-            F.col("last.op").alias("op"),
-            F.col("last.lsn").alias("lsn"),
-            F.col("last.new_row").alias("new_row"),
-            F.col("last.topic").alias("topic"),
-        )
+        compacted_batch = compact(batch, extra_cols=("topic",))
         prev = self.read_state()
         merged = (
             compacted_batch
             if prev is None
             else prev.unionByName(compacted_batch)
         )
-        # write-then-swap so a crash mid-write never corrupts state
-        new_state = merged.groupBy("key").agg(
-            F.max_by(
-                F.struct("op", "lsn", "new_row", "topic"), F.col("lsn")
-            ).alias("last")
-        ).select(
-            "key",
-            F.col("last.op").alias("op"),
-            F.col("last.lsn").alias("lsn"),
-            F.col("last.new_row").alias("new_row"),
-            F.col("last.topic").alias("topic"),
-        )
+        # write-then-swap so a crash mid-write never corrupts state;
+        # the merged rows are themselves a valid envelope slice (DML
+        # ops, non-null keys), so the re-merge is the same compact()
+        new_state = compact(merged, extra_cols=("topic",))
         tmp = self._state_path() + f".epoch{epoch_id}"
         new_state.write.mode("overwrite").parquet(tmp)
-        final = self._state_path()
-        swap = final + ".old"
-        if os.path.exists(final):
-            os.rename(final, swap)
-        os.rename(tmp, final)
-        if os.path.exists(swap):
-            import shutil
-
-            shutil.rmtree(swap)
+        self._swap_in(tmp)
         self._have_state = True
 
     def expire_tombstones(self, up_to_lsn: int | None = None) -> int:
@@ -348,13 +402,7 @@ class StreamingMaterializer:
         kept = state.filter(~doomed)
         tmp = self._state_path() + ".expire"
         kept.write.mode("overwrite").parquet(tmp)
-        final = self._state_path()
-        swap = final + ".old"
-        os.rename(final, swap)
-        os.rename(tmp, final)
-        import shutil
-
-        shutil.rmtree(swap)
+        self._swap_in(tmp)
         return n_before - self.read_state().count()
 
     def start(self, events_stream: DataFrame, checkpoint_dir: str):
@@ -887,15 +935,16 @@ class MultiTableMaterializer:
         # the TOUCHED count. The batch is persisted once so each
         # touched table's slice reads the same materialized input
         # instead of re-reading the source.
-        present = {
-            r[0]
-            for r in batch.select("relid").distinct().collect()
-        }
-        touched = [r for r in self.mats if r in present]
-        if not touched:
-            return
         cached = batch.persist()
         try:
+            # the distinct-relid pass runs over the cached frame, so
+            # this scan is also the one that populates the cache the
+            # per-table slices then read
+            present = {
+                r[0]
+                for r in cached.select("relid").distinct().collect()
+            }
+            touched = [r for r in self.mats if r in present]
             for relid in touched:
                 self.mats[relid].process_batch(
                     cached.filter(F.col("relid") == relid), epoch_id
@@ -945,18 +994,26 @@ class StreamingContaminationScreen:
         self.spark = spark
         self.state_dir = state_dir
         self.n = n
+        self.text_col = text_col
         os.makedirs(state_dir, exist_ok=True)
         bmp_path = os.path.join(state_dir, "bitmap")
         meta_path = os.path.join(state_dir, "meta.json")
-        have = os.path.isdir(bmp_path) and any(
-            f.endswith(".parquet") for f in os.listdir(bmp_path)
+        # a standing bitmap is only real if BOTH the parquet files and
+        # the recorded build parameters landed — a crash between the
+        # two writes must fall through to a rebuild, not a FileNotFound
+        have = (
+            os.path.isdir(bmp_path)
+            and any(f.endswith(".parquet") for f in os.listdir(bmp_path))
+            and os.path.exists(meta_path)
         )
         if have:
             # the standing bitmap fixes the gram size: a restarted
             # process probing with a different n would silently miss
             # everything — take n from the recorded build parameters
             with open(meta_path) as f:
-                self.n = int(_json.load(f)["n"])
+                meta = _json.load(f)
+            self.n = int(meta["n"])
+            self.text_col = meta.get("text_col", text_col)
         else:
             if eval_docs is None:
                 raise LookupError(
@@ -981,8 +1038,10 @@ class StreamingContaminationScreen:
                 ).alias("word")
             )
             bitmap.write.mode("overwrite").parquet(bmp_path)
-            with open(meta_path, "w") as f:
-                _json.dump({"n": n}, f)
+            tmp_meta = meta_path + ".tmp"
+            with open(tmp_meta, "w") as f:
+                _json.dump({"n": n, "text_col": text_col}, f)
+            os.replace(tmp_meta, meta_path)
         self._bitmap = spark.read.parquet(bmp_path)
 
     def _audit_path(self) -> str:
@@ -1003,7 +1062,7 @@ class StreamingContaminationScreen:
 
         grams = batch.select(
             "doc_id",
-            F.explode(word_shingles("text", self.n)).alias("gram"),
+            F.explode(word_shingles(self.text_col, self.n)).alias("gram"),
         )
         probes = grams.select(
             "doc_id",

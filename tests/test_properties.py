@@ -422,3 +422,33 @@ def test_avro_codec_pandas_null_scalars_take_null_branch():
         dec = decode_record(fields, enc)[0]
         assert dec["l"] is None
         assert math.isnan(dec["d"])
+
+
+def test_avro_frames_distinguish_null_from_nan_doubles(spark):
+    """The production encode path (avro_frames mapInPandas) must put a
+    SQL NULL double on the wire's null branch and a genuine NaN on the
+    double branch — the pandas float64 conversion collapses both to
+    NaN, so the JVM-computed null mask is what keeps them apart."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.sources.avro_codec import (
+        avro_fields_for,
+        avro_frames,
+        decode_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, None), (3, float("nan"))], "id bigint, v double"
+    )
+    frames = avro_frames(df, ["id"], ["id", "v"])
+    key_f = avro_fields_for(df.schema, ["id"])
+    val_f = avro_fields_for(df.schema, ["id", "v"])
+    back = {
+        r["id"]: r["v"]
+        for r in decode_frames(frames, key_f, val_f).collect()
+    }
+    assert back[1] == 1.5
+    assert back[2] is None          # SQL NULL -> wire null branch
+    assert math.isnan(back[3])      # genuine NaN -> IEEE754 payload

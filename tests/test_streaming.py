@@ -1407,3 +1407,100 @@ def test_streaming_error_policy_log_and_exit(spark, sf_dir):
             pd.testing.assert_frame_equal(
                 got[want.columns.tolist()], want, check_dtype=False
             )
+
+
+def test_materializer_process_restart_merges_into_standing_state(
+    spark, sf_dir, tmp_path
+):
+    """A NEW StreamingMaterializer instance over an existing state_dir
+    (process restart: checkpoint committed, batches NOT replayed) must
+    MERGE its first batch into the standing state, not replace it —
+    and drift metadata (schema versions, error-policy cursor) must
+    survive the restart too."""
+    import pandas as pd
+
+    from bottledwater_pg_spark.schema_tracker import table_schema_events
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+    from bottledwater_pg_spark.streaming.stream import StreamingMaterializer
+
+    relid = 33001
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    v2_base = base.select(
+        "c_custkey", "c_name", F.lit("x").alias("c_extra")
+    )
+    half_a = base.filter(F.col("c_custkey") % 2 == 0)
+    half_b = base.filter(F.col("c_custkey") % 2 == 1)
+    state_dir = str(tmp_path / "state")
+
+    mat1 = StreamingMaterializer(spark, state_dir, base.schema, relid=relid)
+    mat1.process_batch(
+        table_schema_events(base, relid, "customer", lsn=0).unionByName(
+            table_schema_events(v2_base, relid, "customer", lsn=1)
+        ).unionByName(
+            snapshot_events(half_a, ["c_custkey"], F.col("c_custkey"),
+                            relid, "customer")
+        ),
+        0,
+    )
+    n_first = mat1.current_rows().count()
+    assert n_first == half_a.count()
+    del mat1
+
+    # process restart: fresh instance, same state_dir; the committed
+    # batch 0 is NOT replayed — only batch 1 arrives
+    mat2 = StreamingMaterializer(spark, state_dir, base.schema, relid=relid)
+    # drift metadata reloaded: both schema versions visible, newest has
+    # the added column
+    assert len(mat2.tracker.versions[relid]) == 2
+    assert "c_extra" in mat2.current_schema().fieldNames()
+    mat2.process_batch(
+        snapshot_events(half_b, ["c_custkey"], F.col("c_custkey"),
+                        relid, "customer"),
+        1,
+    )
+    got = mat2.current_rows().select("c_custkey", "c_name").toPandas()
+    want = base.toPandas()
+    got = got.sort_values("c_custkey").reset_index(drop=True)
+    want = want.sort_values("c_custkey").reset_index(drop=True)
+    assert len(got) == len(want)  # NOT just half_b — state merged
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+
+
+def test_materializer_recovers_from_crash_between_swap_renames(
+    spark, sf_dir, tmp_path
+):
+    """Simulated crash between the swap's two renames (state moved to
+    .old, replacement not yet promoted): a fresh instance must recover
+    the .old state instead of reporting no state."""
+    import os as _os
+    import shutil as _shutil
+
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+    from bottledwater_pg_spark.streaming.stream import StreamingMaterializer
+
+    base = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    state_dir = str(tmp_path / "state")
+    mat = StreamingMaterializer(spark, state_dir, base.schema)
+    mat.process_batch(
+        snapshot_events(base, ["c_custkey"], F.col("c_custkey"), 1,
+                        "customer"),
+        0,
+    )
+    n = mat.current_rows().count()
+    # crash window: state renamed aside, promotion never happened
+    _os.rename(mat._state_path(), mat._state_path() + ".old")
+    mat2 = StreamingMaterializer(spark, state_dir, base.schema)
+    assert mat2.current_rows() is not None
+    assert mat2.current_rows().count() == n
+    # and a leftover .old next to a live state is cleared by the next
+    # swap rather than crashing os.rename
+    _shutil.copytree(mat2._state_path(), mat2._state_path() + ".old")
+    mat2.process_batch(
+        snapshot_events(base.limit(5), ["c_custkey"], F.col("c_custkey"),
+                        1, "customer").withColumn(
+            "lsn", F.col("lsn") + 1000
+        ),
+        1,
+    )
+    assert mat2.current_rows().count() == n
