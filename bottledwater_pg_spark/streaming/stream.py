@@ -34,6 +34,33 @@ from bottledwater_pg_spark.operators.materialize import compact, drop_tombstones
 from bottledwater_pg_spark.plans.envelope import ROW_JSON_OPTIONS, envelope_schema
 
 
+def _run_key_of(checkpoint_dir: str) -> str:
+    """Stable slice namespace for per-epoch state writes: epoch ids
+    are unique only within one checkpoint lineage, so slice dirs are
+    keyed by (checkpoint, epoch) — a restarted query (same checkpoint)
+    overwrites its replayed epoch slice, while a DIFFERENT query over
+    the same state dir gets its own namespace instead of clobbering
+    slice 0 of the first."""
+    import hashlib
+
+    return hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:12]
+
+
+def _is_datasource_lookup_failure(exc: Exception) -> bool:
+    """Only the class-not-found/lookup failure means 'package absent';
+    every other error (bad option, malformed pattern) must surface
+    as itself, not be relabeled."""
+    msg = str(exc)
+    return any(
+        t in msg
+        for t in (
+            "DATA_SOURCE_NOT_FOUND",
+            "Failed to find data source",
+            "ClassNotFoundException",
+        )
+    )
+
+
 def write_envelope_stream(events: DataFrame, path: str, num_files: int = 8):
     """Persist a generated CDC stream as parquet split into several
     files so the file-source can replay it as multiple micro-batches
@@ -79,7 +106,9 @@ def read_kafka_envelope_stream(
     )
     try:
         raw = reader.load()
-    except Exception as exc:  # noqa: BLE001 — data source lookup failure
+    except Exception as exc:  # noqa: BLE001 — inspect, relabel only lookup
+        if not _is_datasource_lookup_failure(exc):
+            raise
         raise RuntimeError(
             "kafka data source unavailable (spark-sql-kafka package not "
             "on the classpath); use read_envelope_stream for the "
@@ -111,6 +140,8 @@ def write_kafka_envelope_stream(
     try:
         return writer.start()
     except Exception as exc:  # noqa: BLE001
+        if not _is_datasource_lookup_failure(exc):
+            raise
         raise RuntimeError(
             "kafka data source unavailable (spark-sql-kafka package not "
             "on the classpath); use kafka_sink_frame + a tested sink"
@@ -154,6 +185,7 @@ class StreamingMaterializer:
         self.on_error = on_error
         self.failed_at_lsn: int | None = None
         self.tracker = SchemaTracker() if relid is not None else None
+        self._run_key = "adhoc"  # start() re-keys from the checkpoint
         os.makedirs(state_dir, exist_ok=True)
         # Restart-safe: a restarted process (same state_dir, same
         # checkpointLocation — committed batches are NOT replayed) must
@@ -276,7 +308,7 @@ class StreamingMaterializer:
         decoded with the newest schema."""
         path = os.path.join(self.state_dir, "unkeyed")
         if not os.path.isdir(path) or not any(
-            f.endswith(".parquet") or f.startswith("epoch=")
+            f.endswith(".parquet") or f.startswith(("epoch=", "run="))
             for f in os.listdir(path)
         ):
             return None
@@ -328,14 +360,16 @@ class StreamingMaterializer:
                 self.tracker.observe(r["relid"], r["schema_json"])
             if ctl:
                 self._save_drift_meta()
+            # drift mode is per-relid: scope EVERYTHING that follows
+            # to this table so an interleaved multi-table stream can't
+            # leak a foreign table's rows (pk-JSON keys collide across
+            # tables) into this state or its unkeyed store
+            batch = batch.filter(F.col("relid") == self.relid)
             if self.failed_at_lsn is not None:
                 # drop this table's events from the poison lsn on —
                 # option (b): keep the pipe alive minus the table
                 batch = batch.filter(
-                    ~(
-                        (F.col("relid") == self.relid)
-                        & (F.col("lsn") >= self.failed_at_lsn)
-                    )
+                    F.col("lsn") < self.failed_at_lsn
                 )
             # unkeyed DML is retained append-only, one idempotent
             # overwrite per epoch (a replayed batch rewrites the same
@@ -352,7 +386,8 @@ class StreamingMaterializer:
             if not unkeyed.isEmpty():
                 unkeyed.write.mode("overwrite").parquet(
                     os.path.join(
-                        self.state_dir, "unkeyed", f"epoch={epoch_id}"
+                        self.state_dir, "unkeyed",
+                        f"run={self._run_key}", f"epoch={epoch_id}",
                     )
                 )
         # compact the incoming batch, merge with stored state, compact
@@ -389,7 +424,13 @@ class StreamingMaterializer:
         correctness condition. Without expiry a long-running stream's
         state grows with every key EVER deleted, not with live keys —
         the state-growth leak the reference's valgrind matrix guards
-        (spec/functional/message_spec.rb:183-189)."""
+        (spec/functional/message_spec.rb:183-189).
+
+        MAINTENANCE WINDOW ONLY: call while no streaming query is
+        writing this state (the swap is not synchronized with a
+        concurrent process_batch — run it between triggers or with
+        the query stopped, the way Kafka compacts closed segments,
+        never the active head)."""
         state = self.read_state()
         if state is None:
             return 0
@@ -407,6 +448,7 @@ class StreamingMaterializer:
 
     def start(self, events_stream: DataFrame, checkpoint_dir: str):
         """Run the stream with a checkpoint (restart-safe offsets)."""
+        self._run_key = _run_key_of(checkpoint_dir)
         return (
             events_stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)
@@ -791,11 +833,22 @@ class StreamingDedupIndex:
     rule, the same keep-lowest-id discipline as SemDeDup), and appends
     the survivors to the accepted list.
 
+    Equality with the batch rule requires batches to arrive in
+    nondecreasing doc_id order (true for an append-only ingest where
+    ids are assigned at arrival); under arbitrary id order the
+    streaming rule degrades to earlier-seen-wins — doc 2 arriving
+    after its near-dup doc 5 is rejected, where the batch oracle
+    would keep 2 and reject 5.
+
     Idempotence under replay: probes exclude identity matches
     (match_id == doc_id), so a re-delivered batch matches only its
-    previous content under the SAME ids, is accepted identically, and
-    the accepted list is distinct-by-id — effective exactly-once
-    without coordination, like the materializer's lsn-max merge.
+    previous content under the SAME ids and is accepted identically;
+    state writes are per-epoch OVERWRITE directories, so a replayed
+    batch rewrites its own slice instead of appending duplicate index
+    rows (duplicated index rows would double every shingle count and
+    inflate the count-based Jaccard past its true value, over-
+    rejecting future docs) — effective exactly-once without
+    coordination, like the materializer's lsn-max merge.
 
     Scale: stores (doc_id, text) here for test-oracle simplicity; at
     cluster scale the index stores the banded signatures + shingle
@@ -810,6 +863,7 @@ class StreamingDedupIndex:
         self.spark = spark
         self.state_dir = state_dir
         self.threshold = threshold
+        self._run_key = "adhoc"  # start() re-keys from the checkpoint
         os.makedirs(state_dir, exist_ok=True)
         # Restart-safe: a restarted process (checkpointLocation exists,
         # state_dir populated by the previous incarnation) must probe
@@ -824,7 +878,8 @@ class StreamingDedupIndex:
     def _state_exists(self, name: str) -> bool:
         p = self._path(name)
         return os.path.isdir(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
+            f.endswith(".parquet") or f.startswith(("epoch=", "run="))
+            for f in os.listdir(p)
         )
 
     def _path(self, name: str) -> str:
@@ -833,12 +888,16 @@ class StreamingDedupIndex:
     def index_docs(self) -> DataFrame | None:
         if not self._have_index:
             return None
-        return self.spark.read.parquet(self._path("index"))
+        return self.spark.read.option(
+            "basePath", self._path("index")
+        ).parquet(self._path("index")).select("doc_id", "text")
 
     def accepted_ids(self) -> DataFrame | None:
         if not self._have_accepted:
             return None
-        return self.spark.read.parquet(self._path("accepted")).distinct()
+        return self.spark.read.option(
+            "basePath", self._path("accepted")
+        ).parquet(self._path("accepted")).select("doc_id").distinct()
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         from bottledwater_pg_spark.operators import dedup
@@ -868,11 +927,20 @@ class StreamingDedupIndex:
             else intra.unionByName(rejected_vs_index).distinct()
         )
         accepted = batch.join(rejected, "doc_id", "left_anti").select("doc_id")
-        # append-only state: parquet append is atomic enough per task
-        # file; replay re-appends the same ids and accepted_ids()
-        # reads distinct
-        accepted.write.mode("append").parquet(self._path("accepted"))
-        batch.write.mode("append").parquet(self._path("index"))
+        # per-epoch OVERWRITE: a replayed batch rewrites its own slice,
+        # never appending duplicate rows into the standing index
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(
+                self._path("accepted"),
+                f"run={self._run_key}", f"epoch={epoch_id}",
+            )
+        )
+        batch.write.mode("overwrite").parquet(
+            os.path.join(
+                self._path("index"),
+                f"run={self._run_key}", f"epoch={epoch_id}",
+            )
+        )
         self._have_index = True
         self._have_accepted = True
         from bottledwater_pg_spark.session import release_persisted
@@ -880,6 +948,7 @@ class StreamingDedupIndex:
         release_persisted()
 
     def start(self, docs_stream: DataFrame, checkpoint_dir: str):
+        self._run_key = _run_key_of(checkpoint_dir)
         return (
             docs_stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)
@@ -945,10 +1014,29 @@ class MultiTableMaterializer:
                 for r in cached.select("relid").distinct().collect()
             }
             touched = [r for r in self.mats if r in present]
-            for relid in touched:
-                self.mats[relid].process_batch(
-                    cached.filter(F.col("relid") == relid), epoch_id
-                )
+            # per-table materializations run CONCURRENTLY (Spark jobs
+            # are thread-safe; each table owns its state dir), so a
+            # hot table delays the trigger by max(table cost), not
+            # sum — the independence the reference's one-consumer-
+            # every-topic deployment expects
+            if len(touched) <= 1:
+                for relid in touched:
+                    self.mats[relid].process_batch(
+                        cached.filter(F.col("relid") == relid), epoch_id
+                    )
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                def one(relid):
+                    self.mats[relid].process_batch(
+                        cached.filter(F.col("relid") == relid), epoch_id
+                    )
+
+                with ThreadPoolExecutor(
+                    max_workers=min(8, len(touched))
+                ) as pool:
+                    for fut in [pool.submit(one, r) for r in touched]:
+                        fut.result()  # surface the first failure
         finally:
             cached.unpersist()
 
@@ -956,6 +1044,9 @@ class MultiTableMaterializer:
         return self.mats[relid].current_rows()
 
     def start(self, events_stream: DataFrame, checkpoint_dir: str):
+        key = _run_key_of(checkpoint_dir)
+        for mat in self.mats.values():
+            mat._run_key = key
         return (
             events_stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)
@@ -995,6 +1086,7 @@ class StreamingContaminationScreen:
         self.state_dir = state_dir
         self.n = n
         self.text_col = text_col
+        self._run_key = "adhoc"  # start() re-keys from the checkpoint
         os.makedirs(state_dir, exist_ok=True)
         bmp_path = os.path.join(state_dir, "bitmap")
         meta_path = os.path.join(state_dir, "meta.json")
@@ -1097,10 +1189,14 @@ class StreamingContaminationScreen:
             F.coalesce("n_flagged", F.lit(0)).cast("long").alias("n_flagged"),
         )
         out.write.mode("overwrite").parquet(
-            os.path.join(self._audit_path(), f"epoch={epoch_id}")
+            os.path.join(
+                self._audit_path(),
+                f"run={self._run_key}", f"epoch={epoch_id}",
+            )
         )
 
     def start(self, docs_stream: DataFrame, checkpoint_dir: str):
+        self._run_key = _run_key_of(checkpoint_dir)
         return (
             docs_stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)
