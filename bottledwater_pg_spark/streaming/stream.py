@@ -568,11 +568,58 @@ def sessionized_counts(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+# shared by the stateful latest-by-key family (plain / TTL / tws):
+# one source of truth for the operator's row and state shapes
+_STATEFUL_OUT_DDL = [
+    ("key", T.StringType()),
+    ("op", T.StringType()),
+    ("lsn", T.LongType()),
+    ("new_row", T.StringType()),
+]
+_STATEFUL_STATE_DDL = [
+    ("lsn", T.LongType()),
+    ("op", T.StringType()),
+    ("new_row", T.StringType()),
+]
+
+
+def _stateful_schemas():
+    out = T.StructType([T.StructField(n, t) for n, t in _STATEFUL_OUT_DDL])
+    st = T.StructType([T.StructField(n, t) for n, t in _STATEFUL_STATE_DDL])
+    return out, st
+
+
+def _dml_by_key(events_stream: DataFrame) -> DataFrame:
+    from bottledwater_pg_spark.plans.envelope import DML_OPS
+
+    return events_stream.filter(
+        F.col("op").isin(*DML_OPS) & F.col("key").isNotNull()
+    ).select("key", "op", "lsn", "new_row")
+
+
+def _fold_best(pdfs, best):
+    """Vectorized max-lsn fold: only each chunk's argmax row matters —
+    no per-row iterrows, no sort. Returns (best, changed)."""
+    best_lsn, best_op, best_row = best
+    changed = False
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        r = pdf.loc[pdf["lsn"].idxmax()]
+        if best_lsn is None or int(r["lsn"]) > best_lsn:
+            best_lsn = int(r["lsn"])
+            best_op = r["op"]
+            best_row = r["new_row"]
+            changed = True
+    return (best_lsn, best_op, best_row), changed
+
+
 def stateful_latest_by_key(events_stream: DataFrame):
     """TRUE streaming latest-by-key: a custom stateful operator via
     ``applyInPandasWithState`` — per-key GroupState holds the winning
     (lsn, op, new_row) across micro-batches and emits the new winner
-    whenever it changes.
+    ONLY when it changes (a batch of losing late/replayed events
+    produces no redundant re-emission).
 
     This is the always-on form of the foreachBatch materializer: state
     lives in the streaming state store (checkpointed, partitioned by
@@ -584,33 +631,16 @@ def stateful_latest_by_key(events_stream: DataFrame):
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = T.StructType(
-        [
-            T.StructField("key", T.StringType()),
-            T.StructField("op", T.StringType()),
-            T.StructField("lsn", T.LongType()),
-            T.StructField("new_row", T.StringType()),
-        ]
-    )
-    state_schema = T.StructType(
-        [
-            T.StructField("lsn", T.LongType()),
-            T.StructField("op", T.StringType()),
-            T.StructField("new_row", T.StringType()),
-        ]
-    )
+    out_schema, state_schema = _stateful_schemas()
 
     def update_fn(key, pdfs, state: "GroupState"):
-        best_lsn, best_op, best_row = (
-            state.get if state.exists else (None, None, None)
+        best, changed = _fold_best(
+            pdfs, state.get if state.exists else (None, None, None)
         )
-        for pdf in pdfs:
-            for _, r in pdf.sort_values("lsn").iterrows():
-                if best_lsn is None or r["lsn"] > best_lsn:
-                    best_lsn = int(r["lsn"])
-                    best_op = r["op"]
-                    best_row = r["new_row"]
-        state.update((best_lsn, best_op, best_row))
+        if not changed:
+            return
+        state.update(best)
+        best_lsn, best_op, best_row = best
         yield pd.DataFrame(
             {
                 "key": [key[0]],
@@ -620,10 +650,7 @@ def stateful_latest_by_key(events_stream: DataFrame):
             }
         )
 
-    dml = events_stream.filter(
-        F.col("op").isin("insert", "update", "delete") & F.col("key").isNotNull()
-    ).select("key", "op", "lsn", "new_row")
-    return dml.groupBy("key").applyInPandasWithState(
+    return _dml_by_key(events_stream).groupBy("key").applyInPandasWithState(
         update_fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -653,21 +680,7 @@ def stateful_latest_by_key_ttl(events_stream: DataFrame,
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = T.StructType(
-        [
-            T.StructField("key", T.StringType()),
-            T.StructField("op", T.StringType()),
-            T.StructField("lsn", T.LongType()),
-            T.StructField("new_row", T.StringType()),
-        ]
-    )
-    state_schema = T.StructType(
-        [
-            T.StructField("lsn", T.LongType()),
-            T.StructField("op", T.StringType()),
-            T.StructField("new_row", T.StringType()),
-        ]
-    )
+    out_schema, state_schema = _stateful_schemas()
 
     def update_fn(key, pdfs, state: "GroupState"):
         if state.hasTimedOut:
@@ -683,18 +696,18 @@ def stateful_latest_by_key_ttl(events_stream: DataFrame,
                     }
                 )
             return
-        best_lsn, best_op, best_row = (
-            state.get if state.exists else (None, None, None)
+        best, changed = _fold_best(
+            pdfs, state.get if state.exists else (None, None, None)
         )
-        for pdf in pdfs:
-            for _, r in pdf.sort_values("lsn").iterrows():
-                if best_lsn is None or r["lsn"] > best_lsn:
-                    best_lsn = int(r["lsn"])
-                    best_op = r["op"]
-                    best_row = r["new_row"]
-        state.update((best_lsn, best_op, best_row))
+        best_lsn, best_op, best_row = best
+        state.update(best)
+        # the timeout must be (re-)armed on EVERY invocation with data
+        # (timeouts clear when a key receives input), so this runs even
+        # when the winner did not change
         if best_op == "delete":
             state.setTimeoutDuration(tombstone_ttl_ms)
+        if not changed:
+            return
         yield pd.DataFrame(
             {
                 "key": [key[0]],
@@ -704,10 +717,7 @@ def stateful_latest_by_key_ttl(events_stream: DataFrame,
             }
         )
 
-    dml = events_stream.filter(
-        F.col("op").isin("insert", "update", "delete") & F.col("key").isNotNull()
-    ).select("key", "op", "lsn", "new_row")
-    return dml.groupBy("key").applyInPandasWithState(
+    return _dml_by_key(events_stream).groupBy("key").applyInPandasWithState(
         update_fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -811,10 +821,7 @@ def stateful_latest_by_key_tws(events_stream: DataFrame):
         def close(self) -> None:
             pass
 
-    dml = events_stream.filter(
-        F.col("op").isin("insert", "update", "delete") & F.col("key").isNotNull()
-    ).select("key", "op", "lsn", "new_row")
-    return dml.groupBy("key").transformWithStateInPandas(
+    return _dml_by_key(events_stream).groupBy("key").transformWithStateInPandas(
         statefulProcessor=LatestByKey(),
         outputStructType=out_schema,
         outputMode="Update",
