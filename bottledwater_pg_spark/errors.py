@@ -94,7 +94,9 @@ def with_observed_error_metrics(
     bad = oversized(col, max_bytes)
     observed = events.observe(
         obs,
-        F.sum(bad.cast("long")).alias("n_oversized"),
+        F.coalesce(F.sum(bad.cast("long")), F.lit(0)).alias(
+            "n_oversized"
+        ),
         F.count(F.lit(1)).alias("n_seen"),
     )
     return observed.filter(~bad), obs
@@ -163,7 +165,10 @@ def apply_ddl_error_policy(
         # store the topic verbatim (last dot-segment = table) so a
         # prefixed stream does not get the prefix re-applied
         registry.update(
-            r["relid"], r["topic"].rsplit(".", 1)[-1], topic=r["topic"]
+            r["relid"],
+            r["topic"].rsplit(".", 1)[-1],
+            row_schema_json=r["schema_json"],
+            topic=r["topic"],
         )
     if not fail_at:
         return events, registry

@@ -37,9 +37,13 @@ def committed_only(events: DataFrame) -> DataFrame:
 
 
 def max_complete_lsn(events: DataFrame) -> int | None:
-    """The checkpoint cursor (T2 analog): the highest commit-marker lsn
-    — everything at or below it is fully applied and restart-safe
-    (fsync_lsn semantics, bottledwater.c:678-715)."""
+    """The checkpoint cursor (T2 analog): the highest commit-marker
+    lsn (fsync_lsn semantics, bottledwater.c:678-715). Marker lsns
+    form their own commit-ordered control sequence (generator
+    txn_markers), so the restart-safety statement is per-TRANSACTION:
+    every xid whose commit lsn is at or below the cursor has had all
+    its events applied (committed_only gates by xid) — the cursor is
+    NOT comparable against data-event lsns, which order per key."""
     row = (
         events.filter(F.col("op") == OP_COMMIT)
         .agg(F.max("lsn").alias("lsn"))

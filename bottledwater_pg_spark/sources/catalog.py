@@ -14,7 +14,6 @@ semantics are reproduced exactly.
 
 from __future__ import annotations
 
-import fnmatch
 import os
 import re
 from dataclasses import dataclass
@@ -54,15 +53,23 @@ class TableInfo:
 
 
 def _like_to_regex(pattern: str) -> re.Pattern:
-    """SQL LIKE -> regex (% = any run, _ = one char), anchored."""
+    """SQL LIKE -> regex (% = any run, _ = one char, backslash
+    escapes the next character — PG's default ESCAPE), anchored."""
     out = []
-    for ch in pattern:
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
         if ch == "%":
             out.append(".*")
         elif ch == "_":
             out.append(".")
         else:
             out.append(re.escape(ch))
+        i += 1
     return re.compile("^" + "".join(out) + "$")
 
 
@@ -83,7 +90,11 @@ def get_table_list(
         if f.endswith(".parquet")
     )
     for i, name in enumerate(names):
-        if not rx.match(name):
+        # the reference matches the QUALIFIED name (snapshot.c:204-229
+        # compares n.nspname||'.'||relname); every fixture table lives
+        # in 'public', so accept either form — a reference-style
+        # 'public.%' pattern captures everything here too
+        if not (rx.match(name) or rx.match(f"public.{name}")):
             continue
         keys = tuple(TABLE_KEYS.get(name, ()))
         if not keys and not allow_unkeyed:
@@ -101,14 +112,6 @@ def get_table_list(
             )
         )
     return infos
-
-
-def fnmatch_tables(sf_dir: str, glob_pattern: str) -> list[str]:
-    """Convenience glob-style filter (non-SQL pattern)."""
-    names = sorted(
-        f[:-8] for f in os.listdir(sf_dir) if f.endswith(".parquet")
-    )
-    return [n for n in names if fnmatch.fnmatch(n, glob_pattern)]
 
 
 # integer expression used for snapshot lsn assignment per fixture table
@@ -162,6 +165,12 @@ def export_snapshot(
     parts = []
     for t in get_table_list(sf_dir, pattern, allow_unkeyed):
         df = load_table(spark, sf_dir, t.name)
+        if t.name not in TABLE_PKNUM_SQL:
+            raise LookupError(
+                f"table {t.name!r} has no pk-number expression: new "
+                f"fixture tables must be registered in BOTH "
+                f"catalog.TABLE_KEYS and catalog.TABLE_PKNUM_SQL"
+            )
         pk_num = F.expr(TABLE_PKNUM_SQL[t.name])
         topic = topic_name(t.name, namespace, topic_prefix)
         ctl = table_schema_events(df, t.relid, topic, lsn=-1)

@@ -105,13 +105,20 @@ def _encode(
     topic: str,
     new_row: Column | None,
     old_row: Column | None,
+    key_override: Column | None = None,
 ) -> DataFrame:
-    """Project a table DataFrame into envelope rows for one event kind."""
-    key = (
-        F.to_json(F.struct(*[F.col(c) for c in pk_cols]), ROW_JSON_OPTIONS)
-        if pk_cols
-        else F.lit(None).cast("string")
-    )
+    """Project a table DataFrame into envelope rows for one event kind.
+    ``key_override`` substitutes the key expression (the pk-change
+    Insert carries the NEW key) — one encoding of the envelope column
+    list, not two drifting copies."""
+    if key_override is not None:
+        key = key_override
+    else:
+        key = (
+            F.to_json(F.struct(*[F.col(c) for c in pk_cols]), ROW_JSON_OPTIONS)
+            if pk_cols
+            else F.lit(None).cast("string")
+        )
     return df.select(
         F.lit(op).alias("op"),
         F.lit(relid).cast("long").alias("relid"),
@@ -245,19 +252,23 @@ def mutation_events(
                 F.expr(overrides.get(c, c)).alias(c) if c == pk0 else F.col(c)
                 for c in pk_cols
             ]
-            new_key = F.to_json(F.struct(*shifted_keys), ROW_JSON_OPTIONS)
-            encoded = part_df.select(
-                F.lit(OP_INSERT).alias("op"),
-                F.lit(relid).cast("long").alias("relid"),
-                F.lit(XID_PKCHANGE).cast("long").alias("xid"),
-                (pk_num.cast("long") * LSN_STRIDE + PHASE_PKCHANGE).alias("lsn"),
-                new_key.alias("key"),
-                F.lit(None).cast("string").alias("old_row"),
-                _row_json(part_df, overrides).alias("new_row"),
-                F.lit(None).cast("string").alias("schema_json"),
-                F.lit(topic).alias("topic"),
+            parts.append(
+                _encode(
+                    part_df,
+                    OP_INSERT,
+                    pk_cols,
+                    pk_num,
+                    PHASE_PKCHANGE,
+                    XID_PKCHANGE,
+                    relid,
+                    topic,
+                    new_row=_row_json(part_df, overrides),
+                    old_row=None,
+                    key_override=F.to_json(
+                        F.struct(*shifted_keys), ROW_JSON_OPTIONS
+                    ),
+                )
             )
-            parts.append(encoded)
 
         # xid 3: deletes of original keys. Rows that also moved are
         # EXCLUDED: their original key was already deleted in xid 2, and
@@ -295,7 +306,13 @@ def mutation_events(
 def txn_markers(spark: SparkSession, relid: int, xids: list[int]) -> DataFrame:
     """Begin/Commit control events per transaction (logdecoder.c:93-124).
 
-    Commit order == xid order here; lsn encodes begin-before-commit.
+    Marker lsns live in their own compact CONTROL sequence
+    (begin=xid*2, commit=xid*2+1) whose order is commit order; they
+    are NOT interleaved with the data-event lsn domain (pk*10+phase),
+    which orders events per key, not per transaction. Consumers gate
+    by XID (operators/txn.committed_only), never by comparing a
+    marker lsn against a data lsn — see max_complete_lsn for the
+    checkpoint-cursor semantics this implies.
     """
     rows = []
     for xid in xids:
@@ -328,8 +345,25 @@ def generate_cdc(
     when skip snapshot is configured"): the replication slot is created
     but no initial snapshot is streamed, so consumers see ONLY keys the
     stream subsequently mutates.
+
+    Constraints (validated where cheap, pinned by tests otherwise):
+    ``spec.update_exprs`` must not touch the primary-key column — a
+    pk change must go through the Delete+Insert rewrite (P5), never a
+    plain update (the event's key would disagree with its payload);
+    and ``spec.pk_shift`` must exceed the table's maximum pk value or
+    a shifted key collides with an existing base key (compaction then
+    silently drops the pk-change insert) —
+    tests/test_cdc_plane.py pins shift > max(pk) for every fixture SF.
     """
     spec = spec or MutationSpec()
+    if pk_cols and pk_cols[0] in spec.update_exprs:
+        raise ValueError(
+            f"update_exprs must not touch the pk column "
+            f"{pk_cols[0]!r}: pk changes go through the "
+            f"Delete+Insert rewrite (set pkchange_mod), not a plain "
+            f"update — the update event's key would disagree with "
+            f"its new_row payload"
+        )
     muts = mutation_events(
         df, pk_cols, pk_num, relid, table, spec, namespace, topic_prefix
     )
@@ -358,7 +392,14 @@ def oracle_final_state_sql(
     materializing :func:`generate_cdc`'s stream must produce — the
     correctness oracle for the whole CDC plane."""
     spec = spec or MutationSpec()
-    pk0 = pk_cols[0] if pk_cols else None
+    if not pk_cols:
+        raise ValueError(
+            "oracle_final_state_sql models latest-by-key state; an "
+            "unkeyed table materializes append-only (inserts + the "
+            "update wave, no deletes/pk-changes) — use a count/append "
+            "formula instead (see cdc_queries._replicate_counts_sql)"
+        )
+    pk0 = pk_cols[0]
     select_parts = []
     for c in all_cols:
         expr = c

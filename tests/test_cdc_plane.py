@@ -161,3 +161,31 @@ def test_per_key_lsn_monotonic(spark, sf_dir):
         .filter(F.col("count") > 1)
     )
     assert dup.count() == 0
+
+
+def test_pk_shift_exceeds_every_fixture_max_key(spark, sf_dir):
+    """Guard for the pk-change scheme: a shifted key (pk + pk_shift)
+    colliding with an EXISTING base key would make compaction silently
+    drop the pk-change insert while the closed-form oracle keeps both
+    rows. This pins shift > max(pk) for every keyed fixture table at
+    the gate SF — when fixtures outgrow the shift, this fails loudly
+    instead of the oracles drifting silently."""
+    from bottledwater_pg_spark.sources.catalog import (
+        TABLE_KEYS,
+        TABLE_PKNUM_SQL,
+        get_table_list,
+    )
+    from bottledwater_pg_spark.sources.generator import MutationSpec
+
+    shift = MutationSpec().pk_shift
+    for t in get_table_list(sf_dir, "%", allow_unkeyed=True):
+        if not t.key_columns:
+            continue
+        mx = (
+            load_table(spark, sf_dir, t.name)
+            .selectExpr(f"max({TABLE_PKNUM_SQL[t.name]}) AS m")
+            .collect()[0]["m"]
+        )
+        assert mx < shift, (
+            f"{t.name}: max pk {mx} >= pk_shift {shift}; raise pk_shift"
+        )
