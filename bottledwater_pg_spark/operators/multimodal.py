@@ -78,11 +78,15 @@ def decode_ppm(data: bytes):
     return w, h, np.frombuffer(rest[:need], dtype=np.uint8).reshape(h, w, 3)
 
 
-def _decode_one(data: bytes) -> dict:
+def _decode_one(data: bytes, strict: bool | None = None) -> dict:
     """Image decode. PPM (P6) payloads decode for REAL (header parse +
     numpy pixel buffer); other formats would need codecs this
     container lacks — deterministic fake (or NotImplementedError in
-    strict mode), swapped for `PIL.Image.open` in production."""
+    strict mode), swapped for `PIL.Image.open` in production.
+
+    ``strict`` must be passed BY VALUE into executor closures: the
+    module-level STRICT flag is re-imported fresh (False) on Python
+    workers, so a driver-side assignment alone never reaches them."""
     if data.startswith(PPM_MAGIC):
         w, h, _ = decode_ppm(data)
         return {
@@ -91,7 +95,7 @@ def _decode_one(data: bytes) -> dict:
             "height": h,
             "content_hash": hashlib.md5(data).hexdigest(),
         }
-    if STRICT:
+    if STRICT if strict is None else strict:
         raise NotImplementedError("no image codecs in this container")
     n = len(data)
     return {
@@ -102,11 +106,12 @@ def _decode_one(data: bytes) -> dict:
     }
 
 
-def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def decode_batches(batches: Iterator[pd.DataFrame],
+                   strict: bool | None = None) -> Iterator[pd.DataFrame]:
     """mapInPandas body: per Arrow batch, decode every binary payload.
     Vectorized per batch, never per-row round trips to the JVM."""
     for pdf in batches:
-        metas = pdf["data"].map(_decode_one)
+        metas = pdf["data"].map(lambda d: _decode_one(d, strict))
         out = pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -129,8 +134,15 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def decode_metadata(df: DataFrame) -> DataFrame:
     """The multimodal decode operator: binary in, typed metadata out,
-    executed as Arrow-batched Python per partition."""
-    return df.mapInPandas(decode_batches, schema=META_SCHEMA)
+    executed as Arrow-batched Python per partition. STRICT is captured
+    BY VALUE here (driver side) so it actually reaches the executors —
+    workers re-import the module fresh with the default False."""
+    strict = bool(STRICT)
+
+    def body(batches):
+        return decode_batches(batches, strict)
+
+    return df.mapInPandas(body, schema=META_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_bytes: int = 64) -> DataFrame:
@@ -211,14 +223,20 @@ def ppm_channel_stats(df: DataFrame) -> DataFrame:
 def resize_ppm(df: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
     """REAL nearest-neighbor resize for PPM payloads (pure numpy index
     striding — the actual resampling algorithm, not a byte fake),
-    re-encoded as P6. Non-PPM payloads fall back to resize_stub's
-    behavior via the gate in _decode_one's contract."""
+    re-encoded as P6. A non-PPM payload in the column falls back to a
+    deterministic truncated-bytes stand-in (the stub discipline)
+    rather than failing the whole job over one foreign blob."""
     import numpy as np
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             def shrink(data: bytes) -> bytes:
-                w, h, px = decode_ppm(bytes(data))
+                data = bytes(data)
+                if not data.startswith(PPM_MAGIC):
+                    # deterministic non-image fallback, proportional to
+                    # the requested size like resize_stub
+                    return data[: max(1, width * height)]
+                w, h, px = decode_ppm(data)
                 xs = (np.arange(width) * w // width).clip(0, w - 1)
                 ys = (np.arange(height) * h // height).clip(0, h - 1)
                 return encode_ppm(width, height, px[np.ix_(ys, xs)])
@@ -331,8 +349,18 @@ def decode_wav(data: bytes):
     pos, rate, samples = 12, None, None
     while pos + 8 <= len(data):
         cid, clen = struct.unpack("<4sI", data[pos:pos + 8])
+        if pos + 8 + clen > len(data):
+            # a declared length past the buffer is a truncated payload
+            # — fail loudly like the PPM decoder, never return partial
+            # sample counts silently
+            raise ValueError(
+                f"truncated {cid!r} chunk: declares {clen} bytes, "
+                f"{len(data) - pos - 8} remain"
+            )
         body = data[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("fmt chunk shorter than PCM header")
             fmt_code, channels, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )

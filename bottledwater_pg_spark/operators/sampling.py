@@ -108,12 +108,18 @@ def negative_sample_pairs(
     ranked = d.withColumn("rn", F.row_number().over(w)).withColumn(
         "cnt", F.count("*").over(Window.partitionBy("_b"))
     )
+    # j runs to min(k, cnt-1): a bucket smaller than k+1 cannot supply
+    # k DISTINCT partners, and letting j wrap the ring again would
+    # emit the same (id, neg_id) under two j values — silent duplicate
+    # negatives for the contrastive consumer
     withj = ranked.select(
         "_id",
         "_b",
         "rn",
         "cnt",
-        F.explode(F.expr(f"sequence(1, {k})")).alias("j"),
+        F.explode(
+            F.expr(f"sequence(1, least({k}, cnt - 1))")
+        ).alias("j"),
     ).withColumn("prn", (F.col("rn") - 1 + F.col("j")) % F.col("cnt") + 1)
     partners = ranked.select(
         F.col("_b").alias("_b2"),
@@ -148,7 +154,8 @@ ranked AS (
 ),
 withj AS (
   SELECT id, b, rn, cnt, j
-  FROM ranked, LATERAL (SELECT unnest(generate_series(1, {k})) AS j)
+  FROM ranked,
+       LATERAL (SELECT unnest(generate_series(1, least({k}, CAST(cnt AS INT) - 1))) AS j)
 )
 SELECT w.id AS id, p.id AS neg_id, w.j AS j
 FROM withj w
@@ -164,6 +171,7 @@ def sequence_pack(
     order_col: str,
     size_col: str,
     budget: int,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """GPT-style concat-and-chunk packing: documents are concatenated
     in a fixed deterministic order within each stratum and cut every
@@ -180,9 +188,15 @@ def sequence_pack(
     at that point pack per shard-of-stratum, which changes nothing
     downstream since bins are already per-stratum.
     """
+    # determinism requires a TOTAL order inside the stratum: pass a
+    # unique order_col (all in-repo callers use doc_id) or supply
+    # tiebreak_col — with ties and no tiebreak, pack_offset at the tie
+    # depends on shuffle arrival order and the bit-stability contract
+    # is void
+    order = [order_col] + ([tiebreak_col] if tiebreak_col else [])
     w = (
         Window.partitionBy(stratum)
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offset = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
@@ -213,9 +227,18 @@ def global_shuffle_index(
     but with deterministic hash-derived boundaries instead of sampled
     ones, so positions are bit-stable across runs and cluster layouts.
     """
+    from bottledwater_pg_spark.session import persist_tracked
+
     h = split_key(id_col, salt)
-    bucketed = df.withColumn("_h", h).withColumn(
-        "_bkt", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int")
+    # persisted: the bucketed frame feeds the driver-side count
+    # collect AND the final ranked output — without this the whole
+    # upstream pipeline (these run after dedup/filter stages) computes
+    # twice, and a nondeterministic upstream would break the dense-
+    # permutation property between the two passes
+    bucketed = persist_tracked(
+        df.withColumn("_h", h).withColumn(
+            "_bkt", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int")
+        )
     )
     counts = {
         r["_bkt"]: r["c"]
@@ -339,14 +362,27 @@ def weighted_systematic_sample(
     Returns the sampled rows with ``cum_before`` (exclusive prefix
     weight) and ``sample_pos`` (which stride boundary the row spans).
     """
+    from bottledwater_pg_spark.session import persist_tracked
+
     h = split_key(id_col, salt)
-    bucketed = df.withColumn("_h", h).withColumn(
-        "_bkt", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int")
+    # persisted for the same two-consumers reason as
+    # global_shuffle_index (driver prefix-sum collect + final window)
+    bucketed = persist_tracked(
+        df.withColumn("_h", h).withColumn(
+            "_bkt", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int")
+        )
     )
     sums = {
         r["_bkt"]: r["s"]
         for r in bucketed.groupBy("_bkt")
-        .agg(F.sum(weight_col).cast("long").alias("s"))
+        .agg(
+            # a bucket whose weights are ALL null sums to null; the
+            # driver-side prefix sum needs 0, like SQL SUM over an
+            # empty set after null-skipping
+            F.coalesce(F.sum(weight_col), F.lit(0))
+            .cast("long")
+            .alias("s")
+        )
         .collect()
     }
     bases, acc = {}, 0

@@ -109,8 +109,14 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     its n_probe nearest centroid cells; candidates are ranked by exact
     quantized cosine. Unlike LSH banding, each corpus vector lives in
     exactly ONE cell, so candidates need no distinct()."""
-    cent = ivf_centroids(corpus, n_list, id_col, vec_col)
-    assigned = ivf_assign(corpus, cent, id_col, vec_col)
+    from bottledwater_pg_spark.session import persist_tracked
+
+    # the corpus quantization feeds BOTH the centroid sample and the
+    # assignment scan; the assignment feeds the probe join — persist
+    # them or the corpus is quantized twice per action (the dedup
+    # twin, hyperplane_lsh_near_dup, persists for the same reason)
+    cent = persist_tracked(ivf_centroids(corpus, n_list, id_col, vec_col))
+    assigned = persist_tracked(ivf_assign(corpus, cent, id_col, vec_col))
     qv = quantized_vectors(queries, id_col, vec_col)
     qscored = qv.crossJoin(F.broadcast(cent)).withColumn(
         "cos", cosine_pre("qvec", "cent_q", "qnorm", "cent_n")
@@ -156,7 +162,13 @@ def semdedup_prune(corpus: DataFrame, n_clusters: int = 8,
     epsilon-neighborhood; here the kept member is the LOWEST id, so
     the pruned set is a pure function of the corpus (a vector is
     pruned iff some lower-id same-cluster vector is within
-    threshold) and cross-engine checkable.
+    threshold) and cross-engine checkable. Note ``kept_by`` is the
+    lowest-id WITHIN-THRESHOLD lower neighbor, which may itself be
+    pruned (1~2 and 2~3 but 1!~3 prunes both 2 and 3, with 3's witness
+    being the pruned 2): the KEPT set is exactly {ids not in the
+    pruned set}; consumers needing a canonical representative per
+    chain should run the pair list through connected components (the
+    ensemble dedup query does precisely that).
 
     Scale design: this is the whole point of SemDeDup — the O(n²)
     all-pairs cosine becomes sum(c_i²) over cluster sizes. Clustering
@@ -210,8 +222,15 @@ def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
     old 4x4 (recall@5 on the fixture corpus 71-73% vs 44-47%) at a
     moderately larger candidate set — band count trades probe cost
     for recall, band WIDTH trades both against bucket size."""
-    cb = banded_srp(corpus, num_bits, bands, id_col, vec_col).select(
-        F.col("sid").alias("neighbor_id"), "band", "bval"
+    from bottledwater_pg_spark.session import persist_tracked
+
+    # corpus-side banding and the quantized verify table are each read
+    # by one join but share the corpus scan — persist the banding (the
+    # expensive num_bits-projection aggregation) once
+    cb = persist_tracked(
+        banded_srp(corpus, num_bits, bands, id_col, vec_col).select(
+            F.col("sid").alias("neighbor_id"), "band", "bval"
+        )
     )
     qb = banded_srp(queries, num_bits, bands, id_col, vec_col).select(
         F.col("sid").alias("query_id"), "band", "bval"
