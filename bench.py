@@ -196,7 +196,11 @@ def streaming_soak(spark, sf_dir: str) -> dict:
         # (Kafka delete.retention analog, safe past the replay
         # horizon) must bring state rows back to exactly live keys
         rows_before_expiry = mat.read_state().count()
-        n_expired = mat.expire_tombstones()
+        # explicit replay horizon: the source stream is fully drained
+        # (processAllAvailable returned), so every producer has
+        # delivered through the max lsn in the event set
+        replay_horizon = events.agg(F.max("lsn")).collect()[0][0]
+        n_expired = mat.expire_tombstones(up_to_lsn=int(replay_horizon))
         rows_after_expiry = mat.read_state().count()
         ordered = sorted(batch_sec)
         return {

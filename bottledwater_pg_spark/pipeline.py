@@ -67,6 +67,16 @@ def replicate_database(
     parts = []
     schemas = {}
     for t in tables:
+        # same guard as catalog.export_snapshot: with allow_unkeyed a
+        # fixture table absent from TABLE_KEYS is admitted by
+        # get_table_list, and TABLE_PKNUM_SQL[t.name] below would raise
+        # a bare KeyError instead of naming the registries to fix
+        if t.name not in TABLE_PKNUM_SQL:
+            raise LookupError(
+                f"table {t.name!r} has no pk-number expression: new "
+                f"fixture tables must be registered in BOTH "
+                f"catalog.TABLE_KEYS and catalog.TABLE_PKNUM_SQL"
+            )
         df = load_table(spark, sf_dir, t.name)
         schemas[t.relid] = (t.name, df.schema)
         topic = topic_name(t.name, "public", topic_prefix)

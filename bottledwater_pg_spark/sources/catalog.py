@@ -89,12 +89,18 @@ def get_table_list(
         for f in os.listdir(sf_dir)
         if f.endswith(".parquet")
     )
+    # the reference matches the QUALIFIED name (snapshot.c:204-229
+    # compares n.nspname||'.'||relname). Matching BOTH forms for every
+    # pattern over-selects: 'p%' / '%.%' would match every
+    # 'public.<table>'. So a pattern containing a (literal) dot is a
+    # qualified-name pattern and matches only the qualified form; a
+    # dotless pattern matches only the bare name.
+    # ('.' is not a LIKE wildcard, so any dot — escaped or not — is a
+    # literal dot, which only a qualified name can contain)
+    qualified = "." in pattern
     for i, name in enumerate(names):
-        # the reference matches the QUALIFIED name (snapshot.c:204-229
-        # compares n.nspname||'.'||relname); every fixture table lives
-        # in 'public', so accept either form — a reference-style
-        # 'public.%' pattern captures everything here too
-        if not (rx.match(name) or rx.match(f"public.{name}")):
+        subject = f"public.{name}" if qualified else name
+        if not rx.match(subject):
             continue
         keys = tuple(TABLE_KEYS.get(name, ()))
         if not keys and not allow_unkeyed:

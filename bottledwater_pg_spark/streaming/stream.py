@@ -40,10 +40,17 @@ def _run_key_of(checkpoint_dir: str) -> str:
     keyed by (checkpoint, epoch) — a restarted query (same checkpoint)
     overwrites its replayed epoch slice, while a DIFFERENT query over
     the same state dir gets its own namespace instead of clobbering
-    slice 0 of the first."""
+    slice 0 of the first.
+
+    The path is resolved (realpath) before hashing so a restart that
+    spells the SAME checkpoint differently — relative vs absolute,
+    trailing slash, symlink — lands in the same namespace and its
+    replayed epochs overwrite their own slices instead of duplicating
+    them under a fresh run key."""
     import hashlib
 
-    return hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:12]
+    resolved = os.path.realpath(checkpoint_dir)
+    return hashlib.md5(resolved.encode("utf-8")).hexdigest()[:12]
 
 
 def _is_datasource_lookup_failure(exc: Exception) -> bool:
@@ -412,32 +419,40 @@ class StreamingMaterializer:
         self._swap_in(tmp)
         self._have_state = True
 
-    def expire_tombstones(self, up_to_lsn: int | None = None) -> int:
+    def expire_tombstones(self, up_to_lsn: int | str) -> int:
         """Kafka ``delete.retention.ms`` applied to the parquet state
         (the reference's compacted topics eventually forget deleted
         keys, README.md:283-297; kafka/bottledwater.c:533-541 emits the
         null-value tombstone for exactly this): drop tombstone entries
-        with ``lsn <= up_to_lsn`` (default: all) and return how many
-        were dropped. Only expire past the point every producer has
-        replayed — an older re-delivered insert for an expired key
-        would otherwise resurrect it; bounding by lsn is the
-        correctness condition. Without expiry a long-running stream's
-        state grows with every key EVER deleted, not with live keys —
-        the state-growth leak the reference's valgrind matrix guards
-        (spec/functional/message_spec.rb:183-189).
+        with ``lsn <= up_to_lsn`` and return how many were dropped.
+        ``up_to_lsn`` is REQUIRED — the caller must assert the replay
+        horizon; pass the explicit sentinel ``'all'`` only when no
+        producer can ever re-deliver (e.g. the source stream is
+        finished and deleted). Only expire past the point every
+        producer has replayed — an older re-delivered insert for an
+        expired key would otherwise resurrect it; bounding by lsn is
+        the correctness condition. Without expiry a long-running
+        stream's state grows with every key EVER deleted, not with
+        live keys — the state-growth leak the reference's valgrind
+        matrix guards (spec/functional/message_spec.rb:183-189).
 
         MAINTENANCE WINDOW ONLY: call while no streaming query is
         writing this state (the swap is not synchronized with a
         concurrent process_batch — run it between triggers or with
         the query stopped, the way Kafka compacts closed segments,
         never the active head)."""
+        if isinstance(up_to_lsn, str) and up_to_lsn != "all":
+            raise ValueError(
+                "up_to_lsn must be an lsn bound or the explicit "
+                "sentinel 'all'"
+            )
         state = self.read_state()
         if state is None:
             return 0
         from bottledwater_pg_spark.plans.envelope import OP_DELETE
 
         doomed = (F.col("op") == OP_DELETE)
-        if up_to_lsn is not None:
+        if up_to_lsn != "all":
             doomed = doomed & (F.col("lsn") <= F.lit(up_to_lsn))
         n_before = state.count()
         kept = state.filter(~doomed)
@@ -892,12 +907,19 @@ class StreamingDedupIndex:
     def _path(self, name: str) -> str:
         return os.path.join(self.state_dir, name)
 
-    def index_docs(self) -> DataFrame | None:
+    def _index_slices(self) -> DataFrame | None:
+        """The standing index WITH its (run, epoch) partition columns —
+        the probe path needs them to exclude a replayed batch's own
+        previously-written slice."""
         if not self._have_index:
             return None
         return self.spark.read.option(
             "basePath", self._path("index")
-        ).parquet(self._path("index")).select("doc_id", "text")
+        ).parquet(self._path("index"))
+
+    def index_docs(self) -> DataFrame | None:
+        full = self._index_slices()
+        return None if full is None else full.select("doc_id", "text")
 
     def accepted_ids(self) -> DataFrame | None:
         if not self._have_accepted:
@@ -910,12 +932,29 @@ class StreamingDedupIndex:
         from bottledwater_pg_spark.operators import dedup
 
         batch = batch.select("doc_id", "text")
-        idx = self.index_docs()
+        # probe only slices that were PRIOR to this epoch the first
+        # time it ran: within the own run, epochs strictly below
+        # epoch_id (a replayed epoch wrote its own slice before the
+        # crash — probing it would reject a doc whose intra-batch
+        # near-dup mate sits there, since match_id != new_id only
+        # excludes exact self-matches; and epochs AFTER it hold docs
+        # that were not yet indexed on the original pass, whose
+        # higher-id near-dups would likewise flip an accept to a
+        # reject); slices of OTHER runs (previous incarnations over
+        # different checkpoints) are all earlier-seen by construction.
+        # Without this, the per-epoch overwrite durably drops docs the
+        # original run accepted, breaking the 'accepted identically'
+        # replay contract.
+        idx = self._index_slices()
         rejected_vs_index = None
         if idx is not None:
+            prior = idx.filter(
+                (F.col("run") != self._run_key)
+                | (F.col("epoch") < F.lit(epoch_id))
+            ).select("doc_id", "text")
             rejected_vs_index = (
                 dedup.incremental_lsh_matches(
-                    idx, batch, threshold=self.threshold
+                    prior, batch, threshold=self.threshold
                 )
                 .filter(F.col("match_id") != F.col("new_id"))
                 .select(F.col("new_id").alias("doc_id"))

@@ -637,8 +637,19 @@ def test_streaming_dedup_index_equals_batch_rule_and_replay_idempotent(
     } - rejected_batch_rule
     assert accepted == expected
 
-    # replay the middle batch: identity matches are excluded, accepted
-    # list is distinct-by-id -> unchanged
+    # SAME-epoch replay (crash after the epoch-1 slice write, before
+    # the checkpoint commit → foreachBatch re-runs with epoch_id=1):
+    # the probe must exclude the batch's own previously-written index
+    # slice, or a doc whose intra-batch near-dup mate sits in that
+    # slice gets rejected via rejected_vs_index and the per-epoch
+    # overwrite durably drops a doc the original run accepted
+    idx.process_batch(batches[1], 1)
+    again = {r.doc_id for r in idx.accepted_ids().collect()}
+    assert again == accepted
+
+    # different-epoch replay (at-least-once re-delivery under a fresh
+    # epoch): identity matches are excluded, accepted list is
+    # distinct-by-id -> unchanged
     idx.process_batch(batches[1], 99)
     again = {r.doc_id for r in idx.accepted_ids().collect()}
     assert again == accepted
@@ -1119,6 +1130,8 @@ def test_expire_tombstones_bounds_state_to_live_keys(spark, sf_dir):
     tombstone per deleted key; expiring tombstones up to the replay
     horizon returns state to exactly the live keys, and an lsn-bounded
     expiry keeps newer tombstones (the resurrection guard)."""
+    import pytest
+
     from bottledwater_pg_spark.operators.cdc_queries import CUSTOMER_SPEC
     from bottledwater_pg_spark.streaming.stream import StreamingMaterializer
 
@@ -1140,8 +1153,14 @@ def test_expire_tombstones_bounds_state_to_live_keys(spark, sf_dir):
         ).agg(F.expr("percentile(lsn, 0.5)").cast("long")).collect()[0][0]
         dropped = mat.expire_tombstones(up_to_lsn=int(horizon))
         assert 0 < dropped < n_tomb
-        # full expiry: state == live keys exactly
-        dropped2 = mat.expire_tombstones()
+        # full expiry needs the explicit 'all' sentinel (the generator
+        # is finished — no producer can re-deliver); a bare call or a
+        # random string must be refused
+        with pytest.raises(TypeError):
+            mat.expire_tombstones()
+        with pytest.raises(ValueError):
+            mat.expire_tombstones("everything")
+        dropped2 = mat.expire_tombstones("all")
         assert dropped + dropped2 == n_tomb
         assert mat.read_state().count() == live
         # the surviving rows still decode to the same materialized view
