@@ -453,11 +453,93 @@ def hyperplane_signature(df: DataFrame, num_bits: int = 16,
     return agg.select("sid", sig.cast("long").alias("srp"))
 
 
+def srp_signs_md5(spark, dim: int, num_bits: int) -> DataFrame:
+    """The ±1 hyperplane matrix as a tiny broadcastable table
+    ``(j, s0..s{num_bits-1})``: sign(i, j) = +1 iff the 60-bit
+    md5-prefix integer of ``"{i}_{j}"`` is even. md5 over the same
+    UTF-8 string yields the same hex in Spark and DuckDB (the
+    ``md5_token_hash`` trick), so BOTH engines derive the identical
+    matrix from nothing but (dim, num_bits) — dim*num_bits md5 calls
+    total, never per data row."""
+    cols = [
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.concat_ws("_", F.lit(i), F.col("j")), "UTF-8"
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+            == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias(f"s{i}")
+        for i in range(num_bits)
+    ]
+    return spark.range(dim).select(F.col("id").cast("int").alias("j"), *cols)
+
+
+def hyperplane_signature_md5(df: DataFrame, num_bits: int = 32,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             dim: int | None = None) -> DataFrame:
+    """SRP signature a SQL oracle can recompute bit-for-bit: the sign
+    matrix comes from md5 parity (:func:`srp_signs_md5`) instead of
+    xxhash64, and each projection is an EXACT int64 sum of
+    integer-quantized elements times ±1 — no float summation, so no
+    order sensitivity; identical inputs give the identical signature
+    in every engine. :func:`hyperplane_signature` (xxhash64, raw
+    doubles) stays the JVM-fast production path; this variant exists
+    so SRP-LSH ANN results are value-hash oracle-able (the reference
+    certifies values, not engine internals —
+    /root/reference/spec/bin/generate_type_specs.rb:30-45).
+
+    Same plan shape as the twin: posexplode + one broadcast join
+    against the num_bits-column sign table + one partial-aggregated
+    sum per bit. The ``dim`` probe is a 1-value bounded collect."""
+    from bottledwater_pg_spark.functions.vectors import quantize
+
+    spark = df.sparkSession
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    signs = srp_signs_md5(spark, dim, num_bits)
+    elems = df.select(
+        F.col(id_col).alias("sid"),
+        F.posexplode(F.col(vec_col)).alias("j", "x"),
+    ).withColumn("q", F.expr(quantize("x")))
+    joined = elems.join(F.broadcast(signs), "j")
+    projs = [
+        F.sum(F.col("q") * F.col(f"s{i}")).alias(f"p{i}")
+        for i in range(num_bits)
+    ]
+    agg = joined.groupBy("sid").agg(*projs)
+    sig = sum(
+        (F.when(F.col(f"p{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        for i in range(num_bits)
+    )
+    return agg.select("sid", sig.cast("long").alias("srp"))
+
+
 def banded_srp(df: DataFrame, num_bits: int, bands: int,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(sid, band, bval) — the SRP signature split into LSH bands."""
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               variant: str = "xxhash") -> DataFrame:
+    """(sid, band, bval) — the SRP signature split into LSH bands.
+    ``variant='md5'`` uses the oracle-reproducible signature."""
     width = num_bits // bands
-    sig = hyperplane_signature(df, num_bits, id_col, vec_col)
+    sig = (
+        hyperplane_signature_md5(df, num_bits, id_col, vec_col)
+        if variant == "md5"
+        else hyperplane_signature(df, num_bits, id_col, vec_col)
+    )
     band_structs = F.array(
         *[
             F.struct(

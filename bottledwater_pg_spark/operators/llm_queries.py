@@ -169,11 +169,27 @@ def prefix_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup (xxhash64 signature — the JVM-fast
-    production path). No SQL oracle: DuckDB does not implement
-    xxhash64 — driver does the rows-only check; tests/test_llm_ops.py
-    asserts the semantics, and ``simhash_md5_near_dup`` below is the
-    SAME algorithm under a cross-engine hash, hash-certified."""
+    """SimHash banded near-dup at the operator's default geometry
+    (32-bit signature, 4x8-bit bands, Hamming <= 6) with the
+    md5-prefix token hash — DuckDB recomputes the identical
+    signatures, so this is FULLY hash-oracled (it was the r1-r6
+    rows-only cell). ``simhash_xxhash_near_dup`` below is the same
+    algorithm under xxhash64 — the JVM-fast production path, kept
+    rows-only with its accuracy certified by
+    ``simhash_injected_recall``."""
+    pairs = dedup.simhash_near_pairs(
+        docs_with_near_dups(spark, sf_dir),
+        hash_col=dedup.md5_token_hash("tok"),
+    )
+    return pairs.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def simhash_xxhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup, xxhash64 signature — the JVM-fast
+    production hash (one 64-bit hash per token vs md5's full digest).
+    No SQL oracle: DuckDB does not implement xxhash64 — driver does
+    the rows-only check; recall of the known injected pairs is
+    hash-certified by ``simhash_injected_recall``."""
     return dedup.simhash_near_pairs(docs_with_near_dups(spark, sf_dir))
 
 
@@ -207,8 +223,13 @@ def simhash_md5_near_dup(spark: SparkSession, sf_dir: str,
     return pairs.withColumn("hamming", F.col("hamming").cast("long"))
 
 
-def _simhash_md5_sql() -> str:
-    bits, bands = SIMHASH_MD5_BITS, SIMHASH_MD5_BANDS
+def _simhash_md5_sql(bits: int = SIMHASH_MD5_BITS,
+                     bands: int = SIMHASH_MD5_BANDS,
+                     max_hamming: int = SIMHASH_MD5_MAXHAM) -> str:
+    """SQL twin of ``dedup.simhash_near_pairs`` with the md5 token
+    hash, parameterized so one generator serves both the 60-bit
+    variant (``simhash_md5_near_dup``) and the operator-default 32-bit
+    geometry (``lsh_simhash_near_dup``)."""
     width = bits // bands
     bsums = ",\n    ".join(
         f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS b{i}"
@@ -241,7 +262,7 @@ SELECT DISTINCT a.sid AS a_id, b.sid AS b_id,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval
 WHERE a.sid < b.sid
-  AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MD5_MAXHAM}
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
@@ -296,9 +317,25 @@ SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
 
 
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via SRP-LSH candidate probing. Approximate by
-    design (recall < 1 on random vectors) -> rows-only check; accuracy
-    asserted against brute force in tests/test_llm_ops.py."""
+    """Approximate top-k via SRP-LSH candidate probing, md5-derived
+    hyperplanes + exact integer projections
+    (dedup.hyperplane_signature_md5): DuckDB recomputes the identical
+    signatures, hence the identical candidate set and the identical
+    ranked result — FULLY hash-oracled, though still approximate vs
+    brute force by design. ``lsh_ann_topk_xxhash`` is the JVM-fast
+    production twin (rows-only; recall certified by
+    ``lsh_ann_recall_vs_exact``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.topk_lsh(emb, queries, k=5, variant="md5")
+
+
+def ann_topk_lsh_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH top-k with xxhash64 hyperplanes and float projections —
+    the JVM-fast production path (no md5 per (bit, dim), raw-double
+    sums). No SQL oracle (DuckDB lacks xxhash64; float-sum order
+    sensitivity) -> rows-only; recall vs brute force is hash-certified
+    by ``lsh_ann_recall_vs_exact``."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.topk_lsh(emb, queries, k=5)
@@ -306,12 +343,131 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via an IVF-flat index (32 cells, 8 probed).
-    Approximate by design (the true neighbor's cell may go unprobed)
-    -> rows-only check; accuracy asserted against brute force in
-    tests/test_llm_ops.py."""
+    The coarse quantizer is the deterministic lowest-id sample over
+    integer-quantized vectors and every assignment/probe/rank step is
+    exact-int dot products with pinned tie-breaks, so DuckDB replays
+    the ENTIRE index build + probe — fully hash-oracled (this was the
+    r1-r6 rows-only cell); still approximate vs brute force by design
+    (recall certified by ``ivf_ann_recall_vs_exact``)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.topk_ivf(emb, queries, k=5, n_list=32, n_probe=8)
+
+
+# DuckDB twins of the quantized-vector primitives (vectors.py
+# quantized_vec / dot_pre / norm_pre) over the embeddings table
+_QN_CTE = """
+qv AS (
+  SELECT vec_id AS sid,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qvec
+  FROM embeddings
+),
+qn AS (
+  SELECT sid, qvec,
+         sqrt(CAST(CAST(list_sum(list_transform(qvec, v -> v * v)) AS BIGINT) AS DOUBLE)) AS n
+  FROM qv
+)"""
+
+_DOT_AB = (
+    "CAST(list_sum(list_transform(list_zip(a.qvec, b.qvec), "
+    "p -> p[1] * p[2])) AS BIGINT)"
+)
+
+_SCORE_RANK_TAIL = f"""
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         CAST({_DOT_AB} AS DOUBLE) / (a.n * b.n) AS cos
+  FROM cand
+  JOIN qn a ON a.sid = cand.query_id
+  JOIN qn b ON b.sid = cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5
+"""
+
+
+def _lsh_ann_md5_sql(num_bits: int = 32, bands: int = 8, dim: int = 64) -> str:
+    """Full replay of the md5-SRP top-k: sign matrix from md5 parity,
+    exact int64 projections, 4-bit banding, candidate equi-join, exact
+    quantized cosine, (cos DESC, neighbor_id) rank — every step the
+    bit-for-bit twin of similarity.topk_lsh(variant='md5')."""
+    width = num_bits // bands
+    return f"""
+WITH signs AS (
+  SELECT i, j,
+         CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(range({num_bits})) AS i), (SELECT unnest(range({dim})) AS j)
+),
+{_QN_CTE},
+elems AS (
+  SELECT sid, unnest(range(len(qvec))) AS j, unnest(qvec) AS q FROM qn
+),
+proj AS (
+  SELECT sid, i, SUM(q * s) AS p FROM elems JOIN signs USING (j) GROUP BY sid, i
+),
+sig AS (
+  SELECT sid, CAST(SUM(CASE WHEN p > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS srp
+  FROM proj GROUP BY sid
+),
+banded AS (
+  SELECT sid, band, (srp >> (band * {width})) & {(1 << width) - 1} AS bval
+  FROM sig, (SELECT unnest(range({bands})) AS band)
+),
+cand AS (
+  SELECT DISTINCT q.sid AS query_id, c.sid AS neighbor_id
+  FROM banded c JOIN banded q ON c.band = q.band AND c.bval = q.bval
+  WHERE q.sid < 20 AND c.sid <> q.sid
+),
+{_SCORE_RANK_TAIL}"""
+
+
+def _ivf_ann_sql(n_list: int = 32, n_probe: int = 8) -> str:
+    """Full replay of the IVF-flat index: lowest-id centroid sample,
+    nearest-centroid assignment (ties to lowest cent_id — the Spark
+    side's max_by(cent_id, struct(cos, -cent_id))), n_probe nearest
+    cells per query, exact cosine rank within probed cells."""
+    dot_qc = (
+        "CAST(list_sum(list_transform(list_zip(qn.qvec, cent.cent_q), "
+        "p -> p[1] * p[2])) AS BIGINT)"
+    )
+    return f"""
+WITH {_QN_CTE},
+cent AS (
+  SELECT sid AS cent_id, qvec AS cent_q, n AS cent_n
+  FROM qn ORDER BY sid LIMIT {n_list}
+),
+ascore AS (
+  SELECT qn.sid, cent.cent_id,
+         CAST({dot_qc} AS DOUBLE) / (qn.n * cent.cent_n) AS cos
+  FROM qn CROSS JOIN cent
+),
+assigned AS (
+  SELECT sid, cent_id FROM (
+    SELECT sid, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, cent_id) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT sid AS query_id, cent_id FROM (
+    SELECT sid, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, cent_id) AS rn
+    FROM ascore WHERE sid < 20
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.sid AS neighbor_id
+  FROM probe p JOIN assigned a USING (cent_id)
+  WHERE a.sid <> p.query_id
+),
+{_SCORE_RANK_TAIL}"""
 
 
 # ------------- sketch-accuracy certification (driver-hashable)
@@ -360,13 +516,15 @@ def _recall_vs_exact(exact: DataFrame, approx: DataFrame,
 
 
 def lsh_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-hashable accuracy certificate for ``lsh_ann_topk``:
-    its top-k joined against the brute-force twin, recall floored at
-    55% (measured 71-73% across sf0.001/0.01/0.1 at the 8x4-bit
-    banding)."""
+    """Driver-hashable accuracy certificate for ``lsh_ann_topk_xxhash``
+    (the JVM-fast twin whose raw output has no SQL oracle): its top-k
+    joined against the brute-force twin, recall floored at 55%
+    (measured 71-73% across sf0.001/0.01/0.1 at the 8x4-bit banding).
+    The md5 variant needs no certificate — its output is itself
+    hash-oracled."""
     return _recall_vs_exact(
         ann_topk_cosine(spark, sf_dir),
-        ann_topk_lsh(spark, sf_dir),
+        ann_topk_lsh_xxhash(spark, sf_dir),
         LSH_ANN_RECALL_FLOOR_BP,
     )
 
@@ -392,18 +550,20 @@ FROM ({ANN_SQL}) exact_twin
 
 
 def simhash_injected_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-hashable certificate for ``lsh_simhash_near_dup``: the
+    """Driver-hashable certificate for ``simhash_xxhash_near_dup``
+    (the JVM-fast twin whose raw output has no SQL oracle): the
     corpus injects one near-copy per ``doc_id % NEAR_COPY_MOD == 0``
     (suffix append), so the true near-dup pair set is known in SQL;
     the xxhash64 SimHash must recover >= 90% of those injected pairs
-    (measured 96-98%)."""
+    (measured 96-98%). The md5 variants need no certificate — their
+    outputs are themselves hash-oracled."""
     docs = load_table(spark, sf_dir, "documents")
     inj = docs.filter(F.col("doc_id") % NEAR_COPY_MOD == 0).select(
         F.col("doc_id").alias("a_id"),
         (F.col("doc_id") + 200000).alias("b_id"),
     )
     hit = (
-        lsh_simhash_near_dup(spark, sf_dir)
+        simhash_xxhash_near_dup(spark, sf_dir)
         .select("a_id", "b_id")
         .withColumn("hit", F.lit(1))
     )
@@ -870,10 +1030,12 @@ QUERIES = {
     "prefix_jaccard_near_dup": prefix_jaccard_near_dup,
     "lsh_simhash_near_dup": lsh_simhash_near_dup,
     "simhash_md5_near_dup": simhash_md5_near_dup,
+    "simhash_xxhash_near_dup": simhash_xxhash_near_dup,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "lsh_embedding_near_dup": lsh_embedding_near_dup,
     "ann_topk_cosine": ann_topk_cosine,
     "lsh_ann_topk": ann_topk_lsh,
+    "lsh_ann_topk_xxhash": ann_topk_lsh_xxhash,
     "ivf_ann_topk": ann_topk_ivf,
     "lsh_ann_recall_vs_exact": lsh_ann_recall_vs_exact,
     "ivf_ann_recall_vs_exact": ivf_ann_recall_vs_exact,
@@ -898,8 +1060,13 @@ ORACLES = {
     "prefix_jaccard_near_dup": DEDUP_JACCARD_SQL,
     "dedup_embedding_cosine": EMB_COS_SQL,
     "simhash_md5_near_dup": _simhash_md5_sql(),
+    "lsh_simhash_near_dup": _simhash_md5_sql(
+        bits=dedup.SIMHASH_BITS, bands=4, max_hamming=6
+    ),
     "lsh_embedding_near_dup": EMB_COS_SQL,
     "ann_topk_cosine": ANN_SQL,
+    "lsh_ann_topk": _lsh_ann_md5_sql(),
+    "ivf_ann_topk": _ivf_ann_sql(),
     "lsh_ann_recall_vs_exact": _ann_recall_sql(LSH_ANN_RECALL_FLOOR_BP),
     "ivf_ann_recall_vs_exact": _ann_recall_sql(IVF_ANN_RECALL_FLOOR_BP),
     "simhash_injected_recall": SIMHASH_INJECTED_RECALL_SQL,
@@ -912,9 +1079,12 @@ ORACLES = {
     "multimodal_decode_meta": MULTIMODAL_META_SQL,
     "multimodal_ppm_stats": MULTIMODAL_PPM_SQL,
     "multimodal_frame_sample": FRAME_SAMPLE_SQL,
-    # lsh_simhash_near_dup, lsh_ann_topk, ivf_ann_topk: rows-only
-    # (xxhash64-based / approximate by design) — semantics asserted in
-    # tests instead.
+    # lsh_ann_topk_xxhash, simhash_xxhash_near_dup: rows-only — the
+    # deliberately xxhash64-based JVM-fast twins (DuckDB cannot
+    # recompute the hash); their accuracy is hash-certified by
+    # lsh_ann_recall_vs_exact / simhash_injected_recall, and the
+    # md5-signature variants (lsh_ann_topk, lsh_simhash_near_dup,
+    # simhash_md5_near_dup) are fully oracled.
 }
 
 

@@ -213,7 +213,8 @@ def semdedup_pairs_pruned(assigned: DataFrame,
 
 def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
              num_bits: int = 32, bands: int = 8,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             variant: str = "xxhash") -> DataFrame:
     """Approximate top-k: SRP-LSH banding restricts each query's probe
     to corpus vectors sharing at least one signature band; candidates
     are deduped as id pairs, then ranked by exact quantized cosine.
@@ -221,18 +222,24 @@ def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Defaults are 8 bands x 4 bits: more OR-chances per pair than the
     old 4x4 (recall@5 on the fixture corpus 71-73% vs 44-47%) at a
     moderately larger candidate set — band count trades probe cost
-    for recall, band WIDTH trades both against bucket size."""
+    for recall, band WIDTH trades both against bucket size.
+
+    ``variant='md5'`` derives the hyperplanes from md5 parity with
+    exact integer projections (dedup.hyperplane_signature_md5) — the
+    identical candidate set is recomputable in DuckDB, making the
+    whole top-k value-hash oracle-able; xxhash64 stays the JVM-fast
+    production default."""
     from bottledwater_pg_spark.session import persist_tracked
 
     # corpus-side banding and the quantized verify table are each read
     # by one join but share the corpus scan — persist the banding (the
     # expensive num_bits-projection aggregation) once
     cb = persist_tracked(
-        banded_srp(corpus, num_bits, bands, id_col, vec_col).select(
+        banded_srp(corpus, num_bits, bands, id_col, vec_col, variant).select(
             F.col("sid").alias("neighbor_id"), "band", "bval"
         )
     )
-    qb = banded_srp(queries, num_bits, bands, id_col, vec_col).select(
+    qb = banded_srp(queries, num_bits, bands, id_col, vec_col, variant).select(
         F.col("sid").alias("query_id"), "band", "bval"
     )
     cand = (
