@@ -227,13 +227,19 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 32,
 
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.6, id_col: str = "doc_id",
-                      text_col: str = "text", n: int = 3) -> DataFrame:
+                      text_col: str = "text", n: int = 3,
+                      shingles: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH + exact Jaccard verify.
 
     rows-per-band = num_hashes/bands; candidate pairs are an equi-join
     on (band, band-signature) — no quadratic all-pairs pass. Candidates
     are then verified with exact Jaccard (computed only for candidates,
     via a semi-join on the shingle table).
+
+    ``shingles``: an ALREADY-persisted ``(sid, shingle)`` table to use
+    instead of deriving one from ``df`` — ensemble callers that feed
+    several modalities from one tokenization pass share it (the
+    identical expression, so results are unchanged).
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
@@ -243,7 +249,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
     # cached/checkpointed intermediate dataset)
     from pyspark import StorageLevel
 
-    sh_cached = persist_tracked(
+    sh_cached = shingles if shingles is not None else persist_tracked(
         shingle_table(df, id_col, text_col, n), StorageLevel.MEMORY_AND_DISK
     )
     sig = _signatures_from_shingles(sh_cached, num_hashes)
@@ -305,7 +311,8 @@ SIMHASH_BITS = 32
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-            bits: int = SIMHASH_BITS, hash_col: "F.Column | None" = None):
+            bits: int = SIMHASH_BITS, hash_col: "F.Column | None" = None,
+            token_arrays: DataFrame | None = None):
     """Charikar SimHash over token counts: for each bit, sum +count when
     the token hash has the bit set else -count; bit = sign. One
     aggregation; all bit math in built-in functions.
@@ -313,11 +320,19 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     ``hash_col`` chooses the token hash (default xxhash64 — JVM-fast;
     pass the md5-prefix form for a DuckDB-reproducible signature) and
     ``bits`` the signature width (<= 60 so 1<<bit stays in a signed
-    long for either hash).
+    long for either hash). ``token_arrays``: a pre-tokenized
+    ``(sid, toks)`` table (functions.text.tokens — the identical
+    split expression) to explode instead of re-splitting ``df`` —
+    lets ensemble callers share one tokenization scan across
+    modalities without changing the result.
     """
-    toks = df.select(
-        F.col(id_col).alias("sid"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    toks = (
+        token_arrays.select("sid", F.explode("toks").alias("tok"))
+        if token_arrays is not None
+        else df.select(
+            F.col(id_col).alias("sid"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        )
     )
     counted = toks.groupBy("sid", "tok").agg(F.count("*").alias("cnt"))
     hashed = counted.withColumn(
@@ -351,11 +366,13 @@ def md5_token_hash(tok_col: str = "tok") -> "F.Column":
 def simhash_near_pairs(df: DataFrame, max_hamming: int = 6,
                        id_col: str = "doc_id", text_col: str = "text",
                        bands: int = 4, bits: int = SIMHASH_BITS,
-                       hash_col: "F.Column | None" = None) -> DataFrame:
+                       hash_col: "F.Column | None" = None,
+                       token_arrays: DataFrame | None = None) -> DataFrame:
     """Near-dup candidates by banded SimHash blocking (pairs agreeing on
     at least one band), verified by exact Hamming distance."""
     width = bits // bands
-    sig = simhash(df, id_col, text_col, bits=bits, hash_col=hash_col)
+    sig = simhash(df, id_col, text_col, bits=bits, hash_col=hash_col,
+                  token_arrays=token_arrays)
     band_structs = F.array(
         *[
             F.struct(

@@ -134,12 +134,16 @@ def connected_components_star(
     )
     # node universe BEFORE dropping self-loops: a node appearing only
     # in a (v, v) edge still "appears in an edge" and must label
-    # itself — same contract as connected_components
+    # itself — same contract as connected_components. LAZY checkpoint:
+    # it is only read by the final labeling join, so materializing it
+    # there (instead of as a standalone job up front) saves one job of
+    # scheduling without re-deriving it per round (nothing reads it
+    # per round)
     all_nodes = (
         e0.select(F.col("a").alias("id"))
         .unionByName(e0.select(F.col("b").alias("id")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     e = e0.filter(F.col("a") != F.col("b"))
     # (hi, lo) orientation is the canonical small-star input

@@ -145,7 +145,8 @@ DEDUP_JACCARD_SQL = DOCS_NEAR_CTE + JACCARD_PAIRS_SQL
 
 
 def lsh_minhash_near_dup(spark: SparkSession, sf_dir: str,
-                         corpus: DataFrame | None = None) -> DataFrame:
+                         corpus: DataFrame | None = None,
+                         shingles: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH near-dup (the scale path). 16 bands x 2 rows gives
     candidate-recall ~1-8e-8 at J=0.8, and candidates are verified with
     exact Jaccard — so on this corpus it provably returns the same
@@ -155,6 +156,7 @@ def lsh_minhash_near_dup(spark: SparkSession, sf_dir: str,
         num_hashes=32,
         bands=16,
         threshold=JACCARD_THRESHOLD,
+        shingles=shingles,
     )
 
 
@@ -199,7 +201,8 @@ SIMHASH_MD5_MAXHAM = 10
 
 
 def simhash_md5_near_dup(spark: SparkSession, sf_dir: str,
-                         corpus: DataFrame | None = None) -> DataFrame:
+                         corpus: DataFrame | None = None,
+                         token_arrays: DataFrame | None = None) -> DataFrame:
     """Charikar SimHash near-dup with a FULL SQL oracle: the 60-bit
     signature derives from an md5-prefix token hash both engines
     compute bit-identically (dedup.py ``md5_token_hash``), so the
@@ -219,6 +222,7 @@ def simhash_md5_near_dup(spark: SparkSession, sf_dir: str,
         bands=SIMHASH_MD5_BANDS,
         bits=SIMHASH_MD5_BITS,
         hash_col=dedup.md5_token_hash("tok"),
+        token_arrays=token_arrays,
     )
     return pairs.withColumn("hamming", F.col("hamming").cast("long"))
 
@@ -2665,6 +2669,14 @@ def dedup_cluster_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct over pair keys; clustering is the O(log² n)-round star
     variant. The edge set, not the corpus, drives CC cost.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import StorageLevel
+
+    from bottledwater_pg_spark.functions.text import (
+        tokens,
+        word_shingles_from_tokens,
+    )
     from bottledwater_pg_spark.operators.graph import (
         connected_components_star,
     )
@@ -2672,17 +2684,43 @@ def dedup_cluster_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE persisted corpus feeds all three modalities and the final
     # doc join — without it each constituent re-runs the scan + union
     corpus = persist_tracked(docs_with_near_dups(spark, sf_dir))
-    p1 = lsh_minhash_near_dup(spark, sf_dir, corpus).select("a_id", "b_id")
-    p2 = simhash_md5_near_dup(spark, sf_dir, corpus).select("a_id", "b_id")
+    # ONE tokenization pass feeds BOTH the MinHash shingle table and
+    # the SimHash tf counts (the identical split expression, so the
+    # pair sets are unchanged); winnowing fingerprints char k-grams
+    # of the raw text, so it genuinely shares only the corpus scan
+    toks = persist_tracked(
+        corpus.select(F.col("doc_id").alias("sid"), tokens("text").alias("toks")),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    shingles = persist_tracked(
+        toks.select(
+            "sid",
+            F.explode(word_shingles_from_tokens("toks", 3)).alias("shingle"),
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    p1 = lsh_minhash_near_dup(
+        spark, sf_dir, corpus, shingles=shingles
+    ).select("a_id", "b_id")
+    p2 = simhash_md5_near_dup(
+        spark, sf_dir, corpus, token_arrays=toks
+    ).select("a_id", "b_id")
     p3 = winnow_near_dup_pairs(spark, sf_dir, corpus).select("a_id", "b_id")
+    # materialize the three pair sets CONCURRENTLY (independent Spark
+    # jobs; each persists its own result) — wall cost becomes roughly
+    # max(modality) instead of sum, the same independence the
+    # per-table materializer exploits; the shared corpus/token/shingle
+    # caches are computed once by whichever job gets there first
+    parts = [persist_tracked(p) for p in (p1, p2, p3)]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [pool.submit(p.count) for p in parts]:
+            fut.result()
     # persist the unioned pair set: star CC materializes its input
-    # TWICE up front (node universe + oriented edges are separate
-    # eager checkpoints) — without this the three sketch pipelines run
-    # end-to-end twice. Warm wall cost is the sum of the three
-    # constituent pipelines (the md5 winnowing scan dominates) plus
-    # ~4 star-CC rounds at roughly a second of scheduling each at
-    # sf0.1 — measured ~12 s warm, ~16 s cold in the exact gate.
-    edges = persist_tracked(p1.unionByName(p2).unionByName(p3).distinct())
+    # TWICE up front (node universe + oriented edges) — with the
+    # parts cached the union re-reads memory, not the pipelines
+    edges = persist_tracked(
+        parts[0].unionByName(parts[1]).unionByName(parts[2]).distinct()
+    )
     comp = connected_components_star(edges, "a_id", "b_id")
     docs = corpus.select("doc_id")
     return docs.join(
