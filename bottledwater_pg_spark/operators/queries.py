@@ -1846,11 +1846,16 @@ def _bucketed_group_ranks(j: DataFrame, group_col: str, rank_exprs: list[str]) -
         .orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # n for the rank-expression filter comes from a second window over
+    # the SAME tiny bucket table (total per group) rather than a join
+    # back to stats — one fewer stage in the wanted-broadcast chain;
+    # the output's n rides on b, which already carries stats
+    wtot = Window.partitionBy(group_col)
     cnts = persist_tracked(
         cnts.withColumn(
             "_bbase",
             F.coalesce(F.sum("_cnt").over(wb), F.lit(0)).cast("long"),
-        ).join(stats.select(group_col, "n"), group_col)
+        ).withColumn("n", F.sum("_cnt").over(wtot).cast("long"))
     )
     wanted_pred = None
     for e in rank_exprs:
