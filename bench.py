@@ -227,11 +227,13 @@ def many_table_soak(spark, sf_dir: str) -> dict:
     the database through one slot (snapshot.c:199-298). The same
     customer CDC event volume is sliced into N synthetic tables by a
     stable key hash and run through ONE MultiTableMaterializer at
-    N=10 and N=50. Reported: per-touched-table per-batch cost at each
+    N=10, N=50, and N=200 (the reference's promise is EVERY table in
+    the database — a 200-table schema is an ordinary production
+    catalog). Reported: per-touched-table per-batch cost at each
     width; a flatness ratio ~1 means adding tables costs only the
     tables actually touched — the property the whole-database promise
-    needs. Parity: the 3 busiest tables at N=50 are count-checked
-    against their direct batch materialization."""
+    needs. Parity: the 3 busiest tables at the widest width are
+    count-checked against their direct batch materialization."""
     import shutil
     import tempfile
 
@@ -253,7 +255,8 @@ def many_table_soak(spark, sf_dir: str) -> dict:
     )
     out: dict = {}
     parity_ok = None
-    for n_tables in (10, 50):
+    widths = (10, 50, 200)
+    for n_tables in widths:
         stream = base_stream.withColumn(
             "relid",
             (F.lit(20000) + F.pmod(F.xxhash64("key"), F.lit(n_tables)))
@@ -281,7 +284,7 @@ def many_table_soak(spark, sf_dir: str) -> dict:
             out[f"per_table_batch_sec_{n_tables}"] = round(
                 wall / (n_tables * n_batches), 4
             )
-            if n_tables == 50:
+            if n_tables == widths[-1]:
                 sp = stream.persist()
                 busiest = [
                     r["relid"]
@@ -302,7 +305,64 @@ def many_table_soak(spark, sf_dir: str) -> dict:
     out["flatness_ratio_50_vs_10"] = round(
         out["per_table_batch_sec_50"] / out["per_table_batch_sec_10"], 3
     )
+    out["flatness_ratio_200_vs_50"] = round(
+        out["per_table_batch_sec_200"] / out["per_table_batch_sec_50"], 3
+    )
     out["parity_3_sampled_tables"] = parity_ok
+    return out
+
+
+def scale_soak(spark, sf_dir: str, factor: int = 10) -> dict:
+    """Measured scaling evidence: run two representative operators
+    (MinHash-LSH dedup, CDC compaction) at x1 and x{factor} of the
+    bench fixtures — union-replicated with key offsets and per-replica
+    token prefixes (scale_fixtures.py), so the x{factor} corpus
+    behaves like {factor} independent shards of fresh data. Reported
+    per op: wall at both scales, the ratio, and superlinearity =
+    ratio/factor (1.0 = perfectly linear; <= ~1.3 is the budget —
+    scheduling constants and bigger shuffles). The FULL soak over the
+    five most expensive operators is scripts/scale_soak.py, recorded
+    in SCALE.md."""
+    import shutil
+    import tempfile
+
+    from bottledwater_pg_spark.operators.cdc_queries import (
+        cdc_materialize_customer,
+    )
+    from bottledwater_pg_spark.operators.llm_queries import (
+        lsh_minhash_near_dup,
+    )
+    from bottledwater_pg_spark.scale_fixtures import build_scaled_dir
+    from bottledwater_pg_spark.session import release_persisted
+
+    ops = [
+        ("lsh_minhash_near_dup", lsh_minhash_near_dup),
+        ("cdc_materialize_customer", cdc_materialize_customer),
+    ]
+    base = tempfile.mkdtemp(prefix="bench_scale_")
+    out: dict = {"factor": factor}
+    try:
+        dirs = {
+            f: build_scaled_dir(
+                spark, sf_dir, os.path.join(base, f"x{f}"), f,
+                tables=("documents", "customer"),
+            )
+            for f in (1, factor)
+        }
+        for name, fn in ops:
+            release_persisted()
+            fn(spark, dirs[1]).count()  # absorb per-op cold start
+            rec = {}
+            for f in (1, factor):
+                release_persisted()
+                t0 = time.perf_counter()
+                rec[f"x{f}_rows"] = fn(spark, dirs[f]).count()
+                rec[f"x{f}_sec"] = round(time.perf_counter() - t0, 3)
+            rec["ratio"] = round(rec[f"x{factor}_sec"] / rec["x1_sec"], 2)
+            rec["superlinearity"] = round(rec["ratio"] / factor, 3)
+            out[name] = rec
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     return out
 
 
@@ -382,6 +442,7 @@ def main() -> None:
     host_ratio = round(ratios[len(ratios) // 2], 3) if ratios else None
     streaming = streaming_soak(spark, sf_dir)
     many_table = many_table_soak(spark, sf_dir)
+    scaling = scale_soak(spark, sf_dir)
     controls = {
         "r01_sec": controls_r01,
         "this_run_sec": {n: timings.get(n) for n in controls_r01},
@@ -396,6 +457,7 @@ def main() -> None:
         "cdc_events_per_sec": cdc_eps,
         "streaming": streaming,
         "many_table": many_table,
+        "scale_soak": scaling,
         "controls": controls,
     }
     # Full per-query detail: one line on stdout AND a local artifact
@@ -422,6 +484,7 @@ def main() -> None:
                 "streaming_p50_batch_sec": streaming.get("p50_batch_sec"),
                 "streaming_events_per_sec": streaming.get("events_per_sec"),
                 "many_table": many_table,
+                "scale_soak": scaling,
                 "controls": controls,
                 "queries": dict(
                     sorted(

@@ -1297,6 +1297,199 @@ def test_crash_mid_batch_replay_is_state_safe(spark, sf_dir):
     )
 
 
+def test_crash_between_schema_re_resolution_and_swap_converges(spark, sf_dir):
+    """Crash INSIDE the drift micro-batch that carries a DDL widen —
+    AFTER the in-band schema re-resolution durably recorded the new
+    version (drift_meta.json written) but BEFORE the state swap
+    promoted the batch's rows (the reference crash matrix kills
+    bottledwater around ALTERs under both error policies,
+    topic_spec.rb:113-274). The restarted query must replay that batch
+    against the already-v2-aware tracker (observe() is idempotent for
+    a re-seen version) and converge to the batch widen oracle — under
+    BOTH on_error modes, since the announcement is valid."""
+    import json as _json
+
+    import pandas as pd
+
+    from bottledwater_pg_spark.operators.cdc_queries import (
+        cdc_schema_evolution_widen,
+    )
+    from bottledwater_pg_spark.schema_tracker import table_schema_events
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingMaterializer,
+        read_envelope_stream,
+    )
+
+    relid = 32007
+    v1_base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        (F.col("c_custkey") % 1000).cast("int").alias("c_points"),
+    )
+    v1 = table_schema_events(v1_base, relid, "customer", lsn=0).unionByName(
+        snapshot_events(v1_base, ["c_custkey"], F.col("c_custkey"), relid,
+                        "customer")
+    )
+    v2_base = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 5 == 0
+    ).select(
+        "c_custkey", "c_name",
+        (F.col("c_custkey") % 1000 + F.lit(5_000_000_000))
+        .cast("long").alias("c_points"),
+    )
+    v2 = table_schema_events(v2_base, relid, "customer", lsn=1).unionByName(
+        snapshot_events(v2_base, ["c_custkey"], F.col("c_custkey"), relid,
+                        "customer")
+        .withColumn("lsn", F.col("lsn") + 1)
+        .withColumn("op", F.lit("update"))
+    )
+    want = cdc_schema_evolution_widen(spark, sf_dir).toPandas().sort_values(
+        "c_custkey"
+    ).reset_index(drop=True)
+
+    for policy in ("exit", "log"):
+        with tempfile.TemporaryDirectory() as tmp:
+            src = f"{tmp}/events"
+            v1.coalesce(1).write.parquet(src)
+            v2.coalesce(1).write.mode("append").parquet(src)
+            mat = StreamingMaterializer(
+                spark, f"{tmp}/state", v1_base.schema, relid=relid,
+                on_error=policy,
+            )
+            orig_swap = mat._swap_in
+            crashed = {"n": 0}
+
+            def faulty_swap(tmp_state, _orig=orig_swap, _c=crashed):
+                # the v2 batch (epoch 1): die after re-resolution,
+                # before its state promotion
+                if tmp_state.endswith(".epoch1") and not _c["n"]:
+                    _c["n"] = 1
+                    raise RuntimeError(
+                        "injected crash between re-resolution and swap"
+                    )
+                _orig(tmp_state)
+
+            mat._swap_in = faulty_swap
+            q = mat.start(read_envelope_stream(spark, src, 1), f"{tmp}/ckpt")
+            try:
+                q.processAllAvailable()
+            except Exception:
+                pass
+            finally:
+                q.stop()
+            assert crashed["n"] == 1
+            # the crash window's contract: the NEW schema version is
+            # already durable, the state is not
+            meta = _json.load(open(f"{tmp}/state/drift_meta.json"))
+            assert len(meta["versions"][str(relid)]) == 2
+            # restart: fresh instance (process restart), same
+            # checkpoint — epoch 1 replays with the v2-aware tracker
+            mat2 = StreamingMaterializer(
+                spark, f"{tmp}/state", v1_base.schema, relid=relid,
+                on_error=policy,
+            )
+            q2 = mat2.start(
+                read_envelope_stream(spark, src, 1), f"{tmp}/ckpt"
+            )
+            q2.processAllAvailable()
+            q2.stop()
+            assert len(mat2.tracker.versions[relid]) == 2
+            got = (
+                mat2.current_rows()
+                .select("c_custkey", "c_name", "c_points")
+                .toPandas()
+                .sort_values("c_custkey")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(
+                got[want.columns.tolist()], want, check_dtype=False
+            )
+
+
+def test_crash_after_poison_lsn_recorded_before_swap(spark, sf_dir):
+    """Crash in the SAME window during a POISONED announcement under
+    on_error=log: the failed_at_lsn cursor is already durable, the
+    state swap never ran. The restarted query must keep dropping the
+    table's events from the poison lsn (cursor reloaded from
+    drift_meta, not re-derived from replayed control events) and
+    converge to the pre-DDL snapshot — the reference's log policy
+    keeps the pipe alive minus the failed table
+    (table_mapper.c:88-118)."""
+    import pandas as pd
+
+    from bottledwater_pg_spark.schema_tracker import table_schema_events
+    from bottledwater_pg_spark.sources.generator import snapshot_events
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingMaterializer,
+        read_envelope_stream,
+    )
+
+    relid = 32008
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    phase1 = table_schema_events(base, relid, "customer", lsn=0).unionByName(
+        snapshot_events(base, ["c_custkey"], F.col("c_custkey"), relid,
+                        "customer")
+    )
+    poison = phase1.limit(1).select(
+        F.lit("table_schema").alias("op"), "relid", "xid",
+        F.lit(1 << 62).cast("long").alias("lsn"),
+        "key", "old_row", "new_row",
+        F.lit('{"not": a schema').alias("schema_json"), "topic",
+    )
+    post = (
+        snapshot_events(
+            base.withColumn("c_acctbal", F.col("c_acctbal") + 999),
+            ["c_custkey"], F.col("c_custkey"), relid, "customer",
+        )
+        .withColumn("lsn", F.col("lsn") + (1 << 62) + 1)
+        .withColumn("op", F.lit("update"))
+    )
+    phase2 = poison.unionByName(post)
+    want = base.toPandas().sort_values("c_custkey").reset_index(drop=True)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/events"
+        phase1.coalesce(1).write.parquet(src)
+        phase2.coalesce(1).write.mode("append").parquet(src)
+        mat = StreamingMaterializer(
+            spark, f"{tmp}/state", base.schema, relid=relid, on_error="log",
+        )
+        orig_swap = mat._swap_in
+        crashed = {"n": 0}
+
+        def faulty_swap(tmp_state, _orig=orig_swap, _c=crashed):
+            if tmp_state.endswith(".epoch1") and not _c["n"]:
+                _c["n"] = 1
+                raise RuntimeError("injected crash after poison cursor")
+            _orig(tmp_state)
+
+        mat._swap_in = faulty_swap
+        q = mat.start(read_envelope_stream(spark, src, 1), f"{tmp}/ckpt")
+        try:
+            q.processAllAvailable()
+        except Exception:
+            pass
+        finally:
+            q.stop()
+        assert crashed["n"] == 1
+        mat2 = StreamingMaterializer(
+            spark, f"{tmp}/state", base.schema, relid=relid, on_error="log",
+        )
+        # the poison cursor survived the crash via drift_meta
+        assert mat2.failed_at_lsn == 1 << 62
+        q2 = mat2.start(read_envelope_stream(spark, src, 1), f"{tmp}/ckpt")
+        q2.processAllAvailable()
+        q2.stop()
+        got = mat2.current_rows().toPandas().sort_values(
+            "c_custkey"
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[want.columns.tolist()], want, check_dtype=False
+        )
+
+
 def test_streaming_contamination_screen_matches_batch(spark, sf_dir):
     """The always-on Bloom screen must flag, across micro-batches and
     a restart (standing bitmap reloaded from disk), exactly the docs
