@@ -131,3 +131,31 @@ def parse_int_range(col: str) -> Column:
         f"'lo_inc', substring({col}, 1, 1) = '[', "
         f"'hi_inc', substring({col}, length({col}), 1) = ']')"
     )
+
+
+def parse_pg_composite(col: str) -> Column:
+    """PG composite (row type) text form -> array<string> of field
+    texts, null for empty (NULL) fields.
+
+    Handles the CANONICAL output quoting (PG docs 8.16.6, the form
+    the reference would receive from the type's output function,
+    oid2avro.c:317-349): fields containing ``( ) , " \\`` or
+    whitespace arrive double-quoted, internal quotes doubled
+    (``""``), internal backslashes doubled (``\\\\``); an unquoted
+    empty field is NULL, a quoted empty string (``""``) is ''.
+
+    The comma split uses an even-quotes-ahead lookahead, correct
+    because canonical output always balances quotes (a doubled quote
+    counts twice). Java regex only — round-trip oracles rebuild
+    expected values from base columns, so no RE2 twin is needed.
+    """
+    inner = f"substring({col}, 2, length({col}) - 2)"
+    fields = f"split({inner}, ',(?=([^\"]*\"[^\"]*\")*[^\"]*$)')"
+    unq = "substring(f, 2, length(f) - 2)"
+    return F.expr(
+        f"transform({fields}, f -> "
+        f"CASE WHEN f = '' THEN NULL "
+        f"WHEN substring(f, 1, 1) = '\"' THEN "
+        f"replace(replace({unq}, '\"\"', '\"'), '\\\\\\\\', '\\\\') "
+        f"ELSE f END)"
+    )

@@ -3991,3 +3991,92 @@ QUERIES["pg_interval_roundtrip"] = pg_interval_roundtrip
 ORACLES["pg_interval_roundtrip"] = PG_INTERVAL_SQL
 QUERIES["pg_timetz_roundtrip"] = pg_timetz_roundtrip
 ORACLES["pg_timetz_roundtrip"] = PG_TIMETZ_SQL
+
+
+def pg_composite_enum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG composite + enum + domain text round-trip as a driver query
+    (the reference's generated corpus covers every visible pg_type —
+    enum/composite/domain values arrive through the type's output
+    function as text, oid2avro.c:317-349; corpus generator
+    spec/bin/generate_type_specs.rb:30-45).
+
+    Per customer a CANONICAL composite literal is built — a quoted
+    field containing quotes/commas (internal quotes doubled), an
+    unquoted numeric field, and an every-third-row NULL (empty) field
+    — then parsed back by functions.pg_text.parse_pg_composite. An
+    enum label (one of 5 pinned labels, a pure text value) rides the
+    JSON envelope encode/decode, and a domain over int keeps its base
+    value with the constraint evaluated as a flag. The oracle
+    recomputes every output straight from the base columns, so any
+    parser/quoting defect mismatches. Shuffle-free narrow projection.
+    """
+    from bottledwater_pg_spark.functions.pg_text import parse_pg_composite
+    from bottledwater_pg_spark.plans.envelope import ROW_JSON_OPTIONS
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name",
+                                             "c_mktsegment")
+    k = F.col("c_custkey")
+    name_field = F.concat(
+        F.lit('said "'), F.col("c_name"), F.lit('", seg ('),
+        F.col("c_mktsegment"), F.lit(")"),
+    )
+    built = c.select(
+        "c_custkey",
+        F.concat(
+            F.lit('("'),
+            F.regexp_replace(name_field, '"', '""'),
+            F.lit('",'),
+            (k % 100).cast("string"),
+            F.lit(","),
+            F.when(k % 3 == 0, F.lit("")).otherwise(F.col("c_mktsegment")),
+            F.lit(")"),
+        ).alias("comp_txt"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in
+                      ("sad", "ok", "happy", "angry", "meh")]),
+            (k % 5 + 1).cast("int"),
+        ).alias("mood"),
+        ((k % 97) - 3).cast("int").alias("dom_val"),
+    )
+    parsed = built.select(
+        "c_custkey",
+        parse_pg_composite("comp_txt").alias("f"),
+        # enum labels are plain text on the wire: prove the envelope
+        # JSON round-trip is lossless for them
+        F.from_json(
+            F.to_json(F.struct(F.col("mood").alias("m")), ROW_JSON_OPTIONS),
+            "m string",
+            ROW_JSON_OPTIONS,
+        )["m"].alias("enum_label"),
+        "dom_val",
+    )
+    return parsed.select(
+        "c_custkey",
+        F.element_at("f", 1).alias("f_name"),
+        F.element_at("f", 2).cast("long").alias("f_num"),
+        F.element_at("f", 3).alias("f_seg"),
+        F.size("f").cast("long").alias("n_fields"),
+        "enum_label",
+        # domain posint_domain: base value + constraint verdict
+        F.col("dom_val").cast("long").alias("domain_value"),
+        (F.col("dom_val") > 0).cast("long").alias("domain_ok"),
+    )
+
+
+PG_COMPOSITE_ENUM_SQL = """
+SELECT c_custkey,
+       'said "' || c_name || '", seg (' || c_mktsegment || ')' AS f_name,
+       CAST(c_custkey % 100 AS BIGINT) AS f_num,
+       CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS f_seg,
+       CAST(3 AS BIGINT) AS n_fields,
+       CASE c_custkey % 5 WHEN 0 THEN 'sad' WHEN 1 THEN 'ok'
+            WHEN 2 THEN 'happy' WHEN 3 THEN 'angry' ELSE 'meh' END
+         AS enum_label,
+       CAST((c_custkey % 97) - 3 AS BIGINT) AS domain_value,
+       CAST(CASE WHEN (c_custkey % 97) - 3 > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS domain_ok
+FROM customer
+"""
+
+QUERIES["pg_composite_enum_roundtrip"] = pg_composite_enum_roundtrip
+ORACLES["pg_composite_enum_roundtrip"] = PG_COMPOSITE_ENUM_SQL

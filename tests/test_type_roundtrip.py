@@ -71,6 +71,15 @@ CORPUS = [
      "<widget id=\"1\"><name>sprocket &amp; co</name></widget>"),
     ("pg_lsn_text", T.StringType(), "16/B374D848"),
     ("interval_iso", T.StringType(), "P1Y2M3DT4H5M6.789S"),
+    # enum / composite / domain (the generated corpus covers every
+    # visible pg_type, incl. user-defined enums, row types, and
+    # domains — all ride as output-function text,
+    # generate_type_specs.rb:30-45, oid2avro.c:317-349)
+    ("enum_label", T.StringType(), "happy"),
+    ("composite_text", T.StringType(), '("fuzzy dice",42,1.99)'),
+    ("composite_quoted", T.StringType(), '("He said ""hi"", ok",7,)'),
+    ("domain_posint", T.IntegerType(), 7),
+    ("domain_us_postal", T.StringType(), "90210"),
 ]
 
 
@@ -179,10 +188,32 @@ def test_pg_interval_record(spark):
     }
 
 
+def test_pg_composite_field_decomposition(spark):
+    """Composite text form -> field array with PG's canonical quoting
+    rules (docs 8.16.6): quoted fields with doubled internal quotes
+    and backslashes, unquoted empty = NULL, quoted empty = ''."""
+    from bottledwater_pg_spark.functions.pg_text import parse_pg_composite
+
+    cases = [
+        ('("fuzzy dice",42,)', ["fuzzy dice", "42", None]),
+        ('("He said ""hi"", ok",7,"")', ['He said "hi", ok', "7", ""]),
+        ("(plain,-3,last)", ["plain", "-3", "last"]),
+        ('("a\\\\b",1,c)', ["a\\b", "1", "c"]),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = {
+        r["t"]: list(r["p"])
+        for r in df.select("t", parse_pg_composite("t").alias("p")).collect()
+    }
+    for t, want in cases:
+        assert got[t] == want, f"{t}: {got[t]}"
+
+
 @pytest.mark.parametrize(
     "name,dtype,value",
     [c for c in CORPUS if c[0] in (
-        "integer", "bigint", "text_unicode", "uuid", "date", "timestamp_us")],
+        "integer", "bigint", "text_unicode", "uuid", "date", "timestamp_us",
+        "enum_label", "composite_quoted", "domain_posint")],
     ids=lambda v: str(v)[:20],
 )
 def test_value_works_as_key(spark, name, dtype, value):
