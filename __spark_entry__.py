@@ -46,43 +46,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # has a driver record from some round. scripts/exact_gate.py still
 # re-certifies all 157 locally (EXACTGATE_r5.json).
 _FAMILY_SPREAD = [
-    # ---- ROUND 6 window: the driver hashes the FIRST 50 entries.
-    # Slots 1-5: new r6 queries — the four sketch-accuracy
-    # certificates (the only rows-only cells left after r5) and the
-    # mixed-schema-id registry decode.
-    "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",
-    "simhash_injected_recall", "hll_error_bound_by_type",
-    "cdc_registry_evolution_decode", "cdc_many_table_fanout_state",
-    "bloom_contamination_screen", "cms_heavy_users_certificate",
-    "approx_quantile_rank_certificate", "cdc_replicate_all_counts",
-    # Slots 6-9: the rows-only sketch twins, recorded next to their
-    # certificates so the pairing is visible in one window.
+    # ---- ROUND 7 window: the driver hashes the FIRST 50 entries.
+    # Slots 1-3: the r1-r6 rows-only sketch queries FLIPPED to full
+    # hash oracles this round (md5-parity SRP hyperplanes with exact
+    # integer projections; parameterized md5 SimHash twin; full IVF
+    # index replay in SQL).
     "lsh_ann_topk", "ivf_ann_topk", "lsh_simhash_near_dup",
-    "hll_distinct_users_by_type",
-    # Slots 10-28: every query whose code path changed in r6 —
-    # banded-signature persists (minhash/simhash), shared-corpus
-    # ensemble, bucketed-rank persists (median family), POISON_LSN +
-    # registry-update fixes (error policy), avro NaN branch, and the
-    # DDL matrix now also live-streamed (test_streaming.py ddl twins).
-    "lsh_minhash_near_dup", "simhash_md5_near_dup",
-    "winnow_near_dup_pairs", "dedup_cluster_ensemble",
-    "dedup_threshold_sensitivity", "dedup_cluster_canonical",
-    "dedup_cluster_canonical_star", "incremental_dedup_matches",
+    # Slots 4-6: new r7 queries — the composite/enum/domain type
+    # round-trip, and the xxhash64 production twins that deliberately
+    # stay rows-only (DuckDB cannot recompute the hash; their
+    # accuracy certificates sit in slots 7-9).
+    "pg_composite_enum_roundtrip",
+    "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
+    # Slots 7-10: the sketch-accuracy certificates (repointed at the
+    # xxhash twins this round) and the remaining genuinely
+    # engine-internal rows-only cell.
+    "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",
+    "simhash_injected_recall", "hll_distinct_users_by_type",
+    # Slots 11-30: every query whose code path changed in r7 —
+    # shared-tokenization ensemble + its constituents, the star-CC
+    # lazy node-universe checkpoint (all CC consumers), the
+    # rank-family window fusion, the SRP banding variant plumbing,
+    # and the catalog LIKE qualified-name gating (export paths).
+    "dedup_cluster_ensemble", "lsh_minhash_near_dup",
+    "simhash_md5_near_dup", "winnow_near_dup_pairs",
+    "dedup_cluster_canonical", "dedup_cluster_canonical_star",
+    "incremental_dedup_matches", "dedup_threshold_sensitivity",
     "median_order_value_by_segment", "mad_order_value_by_segment",
     "quartiles_order_value_by_segment", "value_percentiles_by_type",
-    "cdc_error_policy_ddl", "cdc_error_policy_log",
-    "cdc_avro_envelope_roundtrip", "cdc_add_primary_key_midstream",
-    "cdc_schema_evolution_widen", "cdc_schema_evolution_rename",
-    "cdc_zero_column_table",
-    # Slots 29-50: core-family re-certification (flagship + one per
-    # family) and the r5 additions kept warm.
+    "lsh_embedding_near_dup", "ann_topk_cosine",
+    "cdc_export_snapshot_counts", "cdc_replicate_all_counts",
+    "cdc_skip_snapshot_customer", "cdc_many_table_fanout_state",
+    "pagerank_copurchase", "semdedup_prune_stats",
+    # Slots 31-50: core-family re-certification (flagship + one per
+    # family) and the r6 additions kept warm.
     "cdc_materialize_customer", "cdc_merge_sink_customer",
     "cdc_stream_table_join", "q1_pricing_summary",
-    "fraud_rolling_anomalies", "lsh_embedding_near_dup",
-    "ann_topk_cosine", "dedup_exact", "prefix_jaccard_near_dup",
-    "pagerank_copurchase", "bm25_topk_docs", "semdedup_prune_stats",
+    "fraud_rolling_anomalies", "hll_error_bound_by_type",
+    "cdc_registry_evolution_decode", "bloom_contamination_screen",
+    "cms_heavy_users_certificate", "approx_quantile_rank_certificate",
+    "dedup_exact", "prefix_jaccard_near_dup", "bm25_topk_docs",
     "alpha_mixture_weights", "ngram_diversity_by_source",
     "pg_interval_roundtrip", "pg_timetz_roundtrip",
+    "cdc_error_policy_ddl", "cdc_error_policy_log",
     "cdc_topic_routing_counts",
     # ---- 50-entry window boundary (everything below already has a
     # driver record from r1-r4 and is re-certified in EXACTGATE_r5)

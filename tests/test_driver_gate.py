@@ -17,10 +17,16 @@ ORACLES = entrymod.oracle_sql()
 def test_every_query_has_an_oracle_or_is_flagged():
     missing = [name for name in QUERIES if name not in ORACLES]
     # non-SQL-expressible ops are allowed to omit the oracle, but keep
-    # the list deliberate — every entry here must be justified
+    # the list deliberate — every entry here must be justified:
+    # the two xxhash64 production twins (DuckDB cannot recompute the
+    # hash; their md5 variants are fully oracled and their accuracy is
+    # hash-certified) and the DataSketches HLL estimate
+    # (engine-internal registers; certified by hll_error_bound_by_type)
     allowed_rows_only = {
-        n for n in missing if n.startswith(("lsh_", "ivf_", "stream_"))
-    } | {"hll_distinct_users_by_type"}  # sketch estimate: engine-specific
+        "lsh_ann_topk_xxhash",
+        "simhash_xxhash_near_dup",
+        "hll_distinct_users_by_type",
+    }
     assert set(missing) == allowed_rows_only, f"unexplained oracle-less: {missing}"
 
 
@@ -35,29 +41,34 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert_df_matches_oracle(df, duck, ORACLES[name])
 
 
-def test_round6_window_keeps_the_ledger_closed():
+def test_round7_window_keeps_the_ledger_closed():
     """The driver hashes only the first 50 queries() entries. The
-    round-6 window must contain (a) every query with NO driver record
-    from r1-r5 (the new r6 queries), so the every-query-has-a-record
-    invariant from r5 survives the rotation, and (b) the four
-    sketch-accuracy certificates next to their rows-only twins.
-    Rows-only entries inside the window stay limited to the four
-    sketch ops whose raw outputs are engine-specific by design."""
+    round-7 window must contain (a) every query with NO driver record
+    from r1-r6 (the new r7 queries), so the every-query-has-a-record
+    invariant survives the rotation, (b) the three newly hash-oracled
+    flips (lsh_ann_topk / ivf_ann_topk / lsh_simhash_near_dup) so the
+    r6 rows-only cells re-record as hash-green, and (c) the accuracy
+    certificates next to their rows-only xxhash twins. Rows-only
+    entries inside the window stay limited to the ops whose raw
+    outputs are engine-specific by design."""
     import json
     import os
 
     window = list(QUERIES)[:50]
-    new_ops = [
+    must_be_in_window = [
+        # new r7 queries (no prior driver record)
+        "pg_composite_enum_roundtrip",
+        "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
+        # r6 rows-only cells flipped to full oracles
+        "lsh_ann_topk", "ivf_ann_topk", "lsh_simhash_near_dup",
+        # certificates beside their twins
         "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",
-        "simhash_injected_recall", "hll_error_bound_by_type",
-        "cdc_registry_evolution_decode", "cdc_many_table_fanout_state",
-        "bloom_contamination_screen", "cms_heavy_users_certificate",
-        "approx_quantile_rank_certificate", "cdc_replicate_all_counts",
+        "simhash_injected_recall",
     ]
-    assert not [n for n in new_ops if n not in window]
+    assert not [n for n in must_be_in_window if n not in window]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     recs: dict = {}
-    for r in (1, 2, 3, 4, 5):
+    for r in (1, 2, 3, 4, 5, 6):
         p = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(p):
             recs.update(json.load(open(p)))
@@ -66,7 +77,7 @@ def test_round6_window_keeps_the_ledger_closed():
     ]
     assert not uncovered, uncovered
     allowed_rows_only = {
-        "lsh_ann_topk", "ivf_ann_topk", "lsh_simhash_near_dup",
+        "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
         "hll_distinct_users_by_type",
     }
     unoracled = [
