@@ -70,6 +70,27 @@ class LocalSchemaRegistry:
         versions = self._load(subject)
         return versions[-1] if versions else None
 
+    def subjects(self) -> list[str]:
+        """Registered subjects (sanitized names), sorted."""
+        return sorted(
+            name[: -len(".json")]
+            for name in os.listdir(self.state_dir)
+            if name.endswith(".json")
+        )
+
+    def versions(self, subject: str) -> list[dict]:
+        """All versions of a subject, ascending."""
+        return self._load(subject)
+
+    def snapshot(self) -> dict[int, object]:
+        """Every registered schema by id — the driver-side map a
+        consumer ships to executors for per-frame resolution."""
+        out: dict[int, object] = {}
+        for s in self.subjects():
+            for v in self.versions(s):
+                out[int(v["id"])] = v["schema"]
+        return out
+
     def by_id(self, sid: int) -> object | None:
         for name in os.listdir(self.state_dir):
             if not name.endswith(".json"):
@@ -99,7 +120,7 @@ def frames_with_registry(df, key_cols: list[str], val_cols: list[str],
                        key_schema_id=key_id, val_schema_id=val_id)
 
 
-def decode_with_registry(df, registry: LocalSchemaRegistry,
+def decode_with_registry(df, registry,
                          topic: str | None = None):
     """Consumer-side: resolve EACH frame's embedded schema id against
     the registry (the reference consumer resolves per-frame ids, so a
@@ -111,7 +132,13 @@ def decode_with_registry(df, registry: LocalSchemaRegistry,
     the add-column evolution semantics. Pass ``topic`` to bound the
     output columns to that topic's ``-key``/``-value`` subjects when
     the registry serves many topics; resolution still accepts any
-    registered id."""
+    registered id.
+
+    ``registry`` is any transport exposing ``subjects()`` /
+    ``versions(subject)`` — the file-backed
+    :class:`LocalSchemaRegistry` or the HTTP client
+    (``registry_http.HttpSchemaRegistry`` against a real Confluent
+    service)."""
     import pandas as pd
 
     from bottledwater_pg_spark.sources.avro_codec import (
@@ -127,18 +154,15 @@ def decode_with_registry(df, registry: LocalSchemaRegistry,
     want = None
     if topic is not None:
         safe = topic.replace("/", "_")
-        want = {f"{safe}-key.json", f"{safe}-value.json"}
-    for name in sorted(os.listdir(registry.state_dir)):
-        if not name.endswith(".json"):
-            continue
-        with open(os.path.join(registry.state_dir, name)) as f:
-            for v in json.load(f):
-                fields = [tuple(fld) for fld in v["schema"]]
-                by_id[int(v["id"])] = fields
-                if want is not None and name not in want:
-                    continue
-                for fname, ftyp in fields:
-                    union_fields[fname] = ftyp  # newest version wins
+        want = {f"{safe}-key", f"{safe}-value"}
+    for subject in sorted(registry.subjects()):
+        for v in registry.versions(subject):
+            fields = [tuple(fld) for fld in v["schema"]]
+            by_id[int(v["id"])] = fields
+            if want is not None and subject not in want:
+                continue
+            for fname, ftyp in fields:
+                union_fields[fname] = ftyp  # newest version wins
     if not by_id or not union_fields:
         raise LookupError(
             "registry holds no schemas for this decode; pass fields "

@@ -1,0 +1,94 @@
+"""HTTP schema-registry transport (registry_http.py): the Confluent
+REST wire the reference speaks (kafka/registry.c:93-138), exercised
+END-TO-END over loopback — client POST/GET against the in-process
+server, parity with the file-backed registry, and the full
+publish-with-ids → decode-by-id Spark round-trip through the HTTP
+client."""
+
+from __future__ import annotations
+
+import pytest
+
+from bottledwater_pg_spark.session import load_table
+from bottledwater_pg_spark.sources.registry_client import (
+    LocalSchemaRegistry,
+    decode_with_registry,
+    frames_with_registry,
+    schema_id_of,
+)
+from bottledwater_pg_spark.sources.registry_http import (
+    HttpSchemaRegistry,
+    serve_registry,
+)
+
+F1 = [["c_custkey", "long"]]
+F2 = [["c_custkey", "long"], ["c_name", "string"]]
+
+
+@pytest.fixture()
+def http_reg(tmp_path):
+    server, url = serve_registry(str(tmp_path / "reg"))
+    try:
+        yield HttpSchemaRegistry(url), LocalSchemaRegistry(
+            str(tmp_path / "reg")
+        )
+    finally:
+        server.shutdown()
+
+
+def test_http_register_returns_content_id_and_versions(http_reg):
+    http, local = http_reg
+    i1 = http.register("customer-key", F1)
+    assert i1 == schema_id_of(F1)  # same deterministic content id
+    assert http.register("customer-key", F1) == i1  # idempotent
+    i2 = http.register("customer-key", F2)
+    assert i2 != i1
+    # both transports see the same subject state
+    assert http.subjects() == local.subjects() == ["customer-key"]
+    hv = http.versions("customer-key")
+    lv = local.versions("customer-key")
+    assert [(v["version"], v["id"]) for v in hv] == [
+        (v["version"], v["id"]) for v in lv
+    ]
+    assert http.latest("customer-key")["id"] == i2
+    assert [tuple(x) for x in http.by_id(i1)] == [tuple(x) for x in F1]
+    assert http.by_id(999) is None
+    assert http.latest("nope") is None
+    assert http.versions("nope") == []
+    assert http.snapshot() == {
+        int(k): v for k, v in local.snapshot().items()
+    }
+
+
+def test_http_registry_spark_roundtrip(spark, sf_dir, tmp_path):
+    """frames_with_registry registers over HTTP; decode_with_registry
+    resolves ids over HTTP — the reference producer/consumer pair with
+    the registry actually on the wire."""
+    import pandas as pd
+
+    server, url = serve_registry(str(tmp_path / "reg"))
+    try:
+        http = HttpSchemaRegistry(url)
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal"
+        ).limit(50)
+        frames = frames_with_registry(
+            cust, ["c_custkey"], ["c_custkey", "c_name", "c_acctbal"],
+            http, "customer",
+        )
+        back = decode_with_registry(frames, http, topic="customer")
+        got = back.toPandas().sort_values("c_custkey").reset_index(drop=True)
+        want = cust.toPandas().sort_values("c_custkey").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+        # and the file-backed view of the same state dir decodes the
+        # same frames — transports are interchangeable
+        local = LocalSchemaRegistry(str(tmp_path / "reg"))
+        got2 = (
+            decode_with_registry(frames, local, topic="customer")
+            .toPandas()
+            .sort_values("c_custkey")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got2[want.columns.tolist()], want)
+    finally:
+        server.shutdown()
