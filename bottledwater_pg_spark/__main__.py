@@ -72,6 +72,15 @@ def main(argv: list[str] | None = None) -> int:
         help="run micro-batched through the checkpointed "
         "MultiTableMaterializer instead of one batch pass",
     )
+    pr = sub.add_parser(
+        "serve-registry",
+        help="run the Confluent-compatible schema-registry HTTP "
+        "server over a local state dir (registry.c:93-138 wire; "
+        "producers/consumers point HttpSchemaRegistry at the URL)",
+    )
+    pr.add_argument("--state-dir", required=True)
+    pr.add_argument("--host", default="127.0.0.1")
+    pr.add_argument("--port", type=int, default=8081)
     ps = sub.add_parser(
         "sql",
         help="run ad-hoc SQL with every fixture table registered as a "
@@ -86,6 +95,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     ps.add_argument("-n", type=int, default=20, help="rows to show")
     args = ap.parse_args(argv)
+
+    if args.cmd == "serve-registry":
+        from bottledwater_pg_spark.sources.registry_http import (
+            serve_registry,
+        )
+
+        server, url = serve_registry(
+            args.state_dir, host=args.host, port=args.port
+        )
+        print(f"schema registry serving at {url} (Ctrl-C to stop)")
+        try:
+            import time as _time
+
+            while True:
+                _time.sleep(3600)
+        except KeyboardInterrupt:
+            server.shutdown()
+        return 0
 
     sys.path.insert(0, os.getcwd())
     import __spark_entry__ as entry

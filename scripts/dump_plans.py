@@ -91,6 +91,12 @@ HEADLINE = {
     "pg_interval_roundtrip": "interval text round-trip: narrow regex projection, zero shuffles",
     "alpha_mixture_weights": "mixture weights: one partial-agg shuffle + 1-row total broadcast, integer output",
     "ngram_diversity_by_source": "diversity: COUNT(DISTINCT) as two-level agg keyed (source, shingle)",
+    # round 7
+    "lsh_ann_topk": "md5-parity SRP ANN: dim-row sign table broadcast, exact int64 projections in one partial agg, band equi-join probe — same plan family as the xxhash twin, now SQL-replayable",
+    "ivf_ann_topk": "IVF-flat ANN: centroid broadcast, one-shuffle max_by assignment, probe join keyed on cent_id (partition-prunable cells)",
+    "lsh_simhash_near_dup": "32-bit md5 SimHash: one tf agg + one 32-expression bit-sum agg, 4x8-bit banded equi-join, bit_count(xor) verify",
+    "pg_composite_enum_roundtrip": "composite/enum/domain round-trip: narrow regex + JSON projection, zero shuffles",
+    "quartiles_order_value_by_segment": "exact p25/50/75: two-phase bucketed rank; group size via window over the groups x 256 bucket table (no join back to stats)",
 }
 
 ALIAS = {
