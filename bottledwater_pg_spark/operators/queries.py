@@ -1777,93 +1777,91 @@ WHERE levenshtein(a.s_name, b.s_name) <= 2
 """
 
 
-_RANK_BUCKETS = 256
-
-
 def _bucketed_group_ranks(j: DataFrame, group_col: str, rank_exprs: list[str]) -> DataFrame:
     """Two-phase exact rank extraction: per ``group_col``, return the
     rows holding the 1-based ranks named by ``rank_exprs`` (SQL
     expressions over the group size ``n``), each row carrying its
     global in-group rank ``rn`` (ordered by ``v``) and ``n``.
 
-    Scale path (NO single-partition-per-group sort): ``v``'s range is
-    split into 256 monotone buckets per group; per-(group, bucket)
-    counts — a groups x 256 table, independent of data size —
-    prefix-sum into exclusive bucket bases; only the buckets that
-    straddle a requested rank are ranked, with a window partitioned by
-    (group, bucket) so the sort unit is a bucket (~n/256 rows), not
-    the whole group.  With 5 groups the naive windowed rank caps
-    parallelism at 5 tasks regardless of cluster size; this plan runs
-    groups x straddling-buckets tasks and touches ~1/256 of the rows
-    in the rank stage.  Same discipline as the deterministic global
-    shuffle (sampling.py ``global_shuffle_index``), but with NO driver
-    collect at all — the count table stays distributed.
+    Scale path (NO single-partition-per-group sort): each value maps
+    to a DATA-INDEPENDENT monotone log-scale bucket (~1.6% relative
+    width); per-(group, bucket) counts — a tiny table independent of
+    row count — prefix-sum into exclusive bucket bases; only the
+    buckets that straddle a requested rank are ranked, with a window
+    partitioned by (group, bucket) so the sort unit is one bucket's
+    rows, never the whole group. With 5 groups the naive windowed
+    rank caps parallelism at 5 tasks regardless of cluster size;
+    this plan runs groups x straddling-buckets tasks and touches a
+    ~1.6%-wide value slice in the rank stage. Because the bucket is a
+    pure function of ``v``, there is no per-group min/max pass and no
+    stats broadcast — the whole extraction is two passes over the
+    cached rows (one count aggregation, one straddler rank), the
+    minimum any exact-rank scheme needs without a pre-sorted input.
+    Degenerate distributions (all values equal / a point mass) fall
+    into one bucket and sort it whole — the same worst case the
+    former equi-width map had when lo == hi.
 
-    The stats/wanted sides are broadcast explicitly: they are
-    groups-sized (and wanted is further capped at straddling buckets
-    only, <= 2 per requested rank), always orders of magnitude
-    smaller than the data side; at extreme group cardinality (say
-    >10M groups) drop the hints and AQE picks the join strategy.
+    ``wanted`` is broadcast explicitly: groups x straddling buckets
+    (<= 2 per requested rank), always orders of magnitude smaller
+    than the data side; at extreme group cardinality (>10M groups)
+    drop the hint and AQE picks the join strategy.
     """
     from pyspark.sql import Window
 
     from bottledwater_pg_spark.session import persist_tracked
 
-    # j feeds three consumers (stats, bucket counts, the final rank
-    # join) — persist it once or the upstream join/scan recomputes per
+    # j feeds two consumers (bucket counts, the final rank join) —
+    # persist it once or the upstream join/scan recomputes per
     # consumer; callers like the MAD query invoke this twice, making
     # the recompute quadratic in passes without this
     j = persist_tracked(j)
-    # stats and the bucket-count table are groups-sized (and
-    # groups x 256) — persisting them costs nothing and stops each
-    # broadcast build (b, the n-join, wanted) re-running the upstream
-    # aggregation: measured 0.97 -> 0.61 s on the sf0.1 median
-    stats = persist_tracked(
-        j.groupBy(group_col).agg(
-            F.count("*").alias("n"),
-            F.min("v").cast("double").alias("_lo"),
-            F.max("v").cast("double").alias("_hi"),
+    # DATA-INDEPENDENT monotone value->bucket map: ~1.6% relative
+    # resolution (floor(log2(v) * 64)), with the zero and negative
+    # bands offset below every positive bucket (log2 of a double
+    # spans ±~68.7k after the x64, so -200k / -400k-f keep the three
+    # bands disjoint and ordered). Equal v -> equal bucket; v1 <= v2
+    # -> bkt1 <= bkt2 (log/floor/negation of the same IEEE doubles
+    # are monotone), so per-bucket rank + bucket base reconstructs
+    # the exact global rank. Being a pure function of v, the bucket
+    # needs NO per-group min/max pass and no broadcast-stats join —
+    # the former stats job disappears and the whole extraction is two
+    # passes over the cached rows (count buckets, rank straddlers).
+    vd = F.col("v").cast("double")
+    bkt = (
+        F.when(F.col("v") > 0, F.floor(F.log(2.0, vd) * 64))
+        .when(
+            F.col("v") < 0,
+            F.lit(-400000) - F.floor(F.log(2.0, -vd) * 64),
         )
+        .otherwise(F.lit(-200000))
+        .cast("long")
     )
-    # monotone range->bucket map: equal v always same bucket, v1 <= v2
-    # implies bkt1 <= bkt2 (double ops are monotone), so per-bucket
-    # rank + bucket base reconstructs the exact global rank
-    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(_RANK_BUCKETS))
-    b = j.join(F.broadcast(stats), group_col).withColumn(
-        "_bkt",
-        F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
-            F.least(
-                F.lit(_RANK_BUCKETS - 1),
-                F.floor(
-                    (F.col("v").cast("double") - F.col("_lo")) / width
-                ).cast("int"),
-            )
-        ),
-    )
+    b = j.withColumn("_bkt", bkt)
     cnts = b.groupBy(group_col, "_bkt").agg(F.count("*").alias("_cnt"))
     wb = (
         Window.partitionBy(group_col)
         .orderBy("_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # n for the rank-expression filter comes from a second window over
-    # the SAME tiny bucket table (total per group) rather than a join
-    # back to stats — one fewer stage in the wanted-broadcast chain;
-    # the output's n rides on b, which already carries stats
+    # group size for the rank expressions comes from a second window
+    # over the SAME tiny bucket table — no join back to any stats
     wtot = Window.partitionBy(group_col)
-    cnts = persist_tracked(
-        cnts.withColumn(
-            "_bbase",
-            F.coalesce(F.sum("_cnt").over(wb), F.lit(0)).cast("long"),
-        ).withColumn("n", F.sum("_cnt").over(wtot).cast("long"))
-    )
+    cnts = cnts.withColumn(
+        "_bbase",
+        F.coalesce(F.sum("_cnt").over(wb), F.lit(0)).cast("long"),
+    ).withColumn("n", F.sum("_cnt").over(wtot).cast("long"))
     wanted_pred = None
     for e in rank_exprs:
         p = (F.col("_bbase") < F.expr(e)) & (
             (F.col("_bbase") + F.col("_cnt")) >= F.expr(e)
         )
         wanted_pred = p if wanted_pred is None else (wanted_pred | p)
-    wanted = cnts.filter(wanted_pred).select(group_col, "_bkt", "_bbase")
+    # wanted carries n so the final join needs nothing else; it is
+    # groups x straddling-buckets rows (<= 2 per requested rank) —
+    # always broadcastable
+    wanted = cnts.filter(wanted_pred).select(
+        group_col, "_bkt", "_bbase", "n"
+    )
     wloc = Window.partitionBy(group_col, "_bkt").orderBy("v")
     return (
         b.join(F.broadcast(wanted), [group_col, "_bkt"])

@@ -209,6 +209,50 @@ def test_pg_composite_field_decomposition(spark):
         assert got[t] == want, f"{t}: {got[t]}"
 
 
+def test_pg_composite_randomized_corpus(spark):
+    """Adversarial randomized corpus (seeded): 200 random 3-field rows
+    over an alphabet dense in the quoting metacharacters, rendered in
+    PG's canonical row-output form (quote when empty or containing
+    ``( ) , " \\`` or whitespace; double internal quotes and
+    backslashes — docs 8.16.6), must parse back field-for-field."""
+    import random
+
+    rng = random.Random(20260814)
+    alphabet = list('abXY01(),"\\ 	.☃') + ["''"]
+
+    def rand_field():
+        if rng.random() < 0.1:
+            return None
+        return "".join(
+            rng.choice(alphabet) for _ in range(rng.randrange(0, 12))
+        )
+
+    def canon(v):
+        if v is None:
+            return ""
+        if v == "" or any(c in v for c in '(),"\\ \t\n'):
+            return '"' + v.replace("\\", "\\\\").replace('"', '""') + '"'
+        return v
+
+    rows = []
+    for i in range(200):
+        fields = [rand_field(), rand_field(), rand_field()]
+        rows.append(
+            (i, "(" + ",".join(canon(f) for f in fields) + ")", fields)
+        )
+    from bottledwater_pg_spark.functions.pg_text import parse_pg_composite
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "id long, t string"
+    )
+    got = {
+        r["id"]: list(r["p"])
+        for r in df.select("id", parse_pg_composite("t").alias("p")).collect()
+    }
+    for i, _t, want in rows:
+        assert got[i] == want, f"row {i}: {_t!r} -> {got[i]} != {want}"
+
+
 @pytest.mark.parametrize(
     "name,dtype,value",
     [c for c in CORPUS if c[0] in (
