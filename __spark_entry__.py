@@ -52,11 +52,13 @@ _FAMILY_SPREAD = [
     # integer projections; parameterized md5 SimHash twin; full IVF
     # index replay in SQL).
     "lsh_ann_topk", "ivf_ann_topk", "lsh_simhash_near_dup",
-    # Slots 4-6: new r7 queries — the composite/enum/domain type
-    # round-trip, and the xxhash64 production twins that deliberately
-    # stay rows-only (DuckDB cannot recompute the hash; their
-    # accuracy certificates sit in slots 7-9).
+    # Slots 4-8: new r7 queries — the composite/enum/domain type
+    # round-trip, the BPE merge-learning loop + LM quality filter
+    # (both fully hash-oracled), and the xxhash64 production twins
+    # that deliberately stay rows-only (DuckDB cannot recompute the
+    # hash; their accuracy certificates sit just below).
     "pg_composite_enum_roundtrip",
+    "bpe_learn_merges", "lm_surprise_outliers",
     "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
     # Slots 7-10: the sketch-accuracy certificates (repointed at the
     # xxhash twins this round) and the remaining genuinely
@@ -85,7 +87,7 @@ _FAMILY_SPREAD = [
     "fraud_rolling_anomalies", "hll_error_bound_by_type",
     "cdc_registry_evolution_decode", "bloom_contamination_screen",
     "cms_heavy_users_certificate", "approx_quantile_rank_certificate",
-    "dedup_exact", "prefix_jaccard_near_dup", "bm25_topk_docs",
+    "bm25_topk_docs",
     "alpha_mixture_weights", "ngram_diversity_by_source",
     "pg_interval_roundtrip", "pg_timetz_roundtrip",
     "cdc_error_policy_ddl", "cdc_error_policy_log",

@@ -3026,3 +3026,300 @@ FROM sh GROUP BY source
 
 QUERIES["ngram_diversity_by_source"] = ngram_diversity_by_source
 ORACLES["ngram_diversity_by_source"] = NGRAM_DIVERSITY_SQL
+
+
+# -------------------------------------- LM-based quality filtering
+
+
+def lm_surprise_outliers(spark: SparkSession, sf_dir: str,
+                         docs: DataFrame | None = None) -> DataFrame:
+    """CCNet-style language-model quality filter (Wenzek et al. 2020
+    train a KenLM on clean text and drop high-perplexity documents;
+    the reference delegates all such consumer-side scoring,
+    README.md:30-32): a bigram model with add-one smoothing is
+    trained ON the corpus itself, every document is scored, and the
+    20 most surprising documents (boilerplate, repetition, junk) are
+    returned with their scores.
+
+    Cross-engine determinism: instead of summing float log
+    probabilities (Math.log is not correctly-rounded, so Spark and
+    DuckDB can differ in the last ulp and summation order is
+    non-associative), each token's smoothed INVERSE probability
+    (c1 + V) / (c2 + 1) is quantized to an exact integer
+    ``(c1 + V) * 10000 div (c2 + 1)`` and summed in int64 — the
+    per-doc mean inverse probability (the arithmetic-mean bound on
+    perplexity, which is its geometric mean). Monotone in the same
+    direction as perplexity, bit-identical everywhere. A production
+    pipeline swaps in float logs with one line; the plan is
+    unchanged.
+
+    Scale: the model is the distinct-bigram table (vocabulary-sized,
+    not corpus-sized) built in one partially-aggregated pass; scoring
+    is one shuffle of doc bigrams against it keyed (prev, cur);
+    context counts ride the same table (broadcast when small, AQE
+    otherwise); V is a 1-row scalar broadcast. Top-20 via
+    TakeOrderedAndProject over per-doc aggregates.
+    """
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.expr("filter(split(trim(lower(text)), '\\\\s+'), "
+                         "t -> t rlike '^[a-z]+$')").alias("toks"),
+    )
+    bi = persist_tracked(
+        toks.filter(F.size("toks") >= 2).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS prev, toks[i + 1] AS cur))"
+                )
+            ).alias("p"),
+        ).select("doc_id", F.col("p.prev").alias("prev"),
+                 F.col("p.cur").alias("cur"))
+    )
+    model = persist_tracked(
+        bi.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    )
+    ctx = model.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    vocab = toks.select(F.explode("toks").alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    )
+    scored = (
+        bi.join(model, ["prev", "cur"])
+        .join(ctx, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "surprise_q",
+            F.expr("((c1 + v) * 10000) div (c2 + 1)").cast("long"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("surprise_q").alias("surprise_total_q"),
+    )
+    return (
+        per_doc.withColumn(
+            "mean_surprise_q",
+            F.expr("surprise_total_q div n_bigrams").cast("long"),
+        )
+        .orderBy(F.desc("mean_surprise_q"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("surprise_total_q").cast("long").alias("surprise_total_q"),
+            "mean_surprise_q",
+        )
+    )
+
+
+LM_SURPRISE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> regexp_matches(t, '^[a-z]+$')) AS toks
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, p[1] AS prev, p[2] AS cur
+  FROM (
+    SELECT doc_id,
+           unnest(list_zip(toks[1:-2], toks[2:-1])) AS p
+    FROM toks WHERE len(toks) >= 2
+  )
+),
+model AS (
+  SELECT prev, cur, COUNT(*) AS c2 FROM bi GROUP BY prev, cur
+),
+ctx AS (
+  SELECT prev, SUM(c2) AS c1 FROM model GROUP BY prev
+),
+vocab AS (
+  SELECT COUNT(DISTINCT t) AS v
+  FROM (SELECT unnest(toks) AS t FROM toks)
+),
+scored AS (
+  SELECT bi.doc_id,
+         ((ctx.c1 + vocab.v) * 10000) // (model.c2 + 1) AS surprise_q
+  FROM bi
+  JOIN model USING (prev, cur)
+  JOIN ctx USING (prev)
+  CROSS JOIN vocab
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         SUM(surprise_q) AS surprise_total_q
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(surprise_total_q AS BIGINT) AS surprise_total_q,
+       CAST(surprise_total_q // n_bigrams AS BIGINT) AS mean_surprise_q
+FROM per_doc
+ORDER BY mean_surprise_q DESC, doc_id
+LIMIT 20
+"""
+
+QUERIES["lm_surprise_outliers"] = lm_surprise_outliers
+ORACLES["lm_surprise_outliers"] = LM_SURPRISE_SQL
+
+
+# ------------------------------------------- BPE merge learning
+
+BPE_MERGE_STEPS = 8
+
+# one tokenization expression shared by the trainer and its SQL twin:
+# lowercase, whitespace-split, alphabetic words only (the standard
+# BPE pre-tokenization discipline keeps the symbol alphabet clean)
+_BPE_WORDS = (
+    "filter(split(trim(lower(text)), '\\\\s+'), t -> t rlike '^[a-z]+$')"
+)
+_BPE_WORDS_SQL = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+    "t -> regexp_matches(t, '^[a-z]+$'))"
+)
+
+
+def _bpe_pairs(vocab: DataFrame) -> DataFrame:
+    """(a, b, cnt): frequency-weighted adjacent symbol pairs of a
+    space-joined symbol-string vocabulary ``(ws, freq)``."""
+    return (
+        vocab.select(
+            "freq",
+            F.expr(
+                "CASE WHEN size(split(trim(ws), ' +')) < 2 THEN array() "
+                "ELSE transform(sequence(0, size(split(trim(ws), ' +')) - 2), "
+                "i -> struct(split(trim(ws), ' +')[i] AS a, "
+                "split(trim(ws), ' +')[i + 1] AS b)) END"
+            ).alias("ps"),
+        )
+        .select("freq", F.explode("ps").alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str,
+                     steps: int = BPE_MERGE_STEPS,
+                     docs: DataFrame | None = None) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016, arXiv:1508.07909)
+    — the merge-learning loop itself, not just pair statistics: start
+    from the character alphabet over the word-frequency vocabulary,
+    then ``steps`` times (a) count frequency-weighted adjacent symbol
+    pairs, (b) take the most frequent pair (ties: lexicographic on
+    (left, right)), (c) merge every left-to-right occurrence. Returns
+    the learned merge table ``(step, merge_left, merge_right,
+    pair_count)`` — the artifact a tokenizer ships.
+
+    Iteration runs on the VOCABULARY (distinct words + frequencies),
+    never the corpus — the classic BPE trick; one corpus pass builds
+    it. Per step: one partially-aggregated pair count over the vocab
+    plus a ONE-ROW argmax collect (the same bounded driver transfer
+    as CC's convergence count); the merge applies as three chained
+    ``replace`` passes over the space-joined symbol string — pass 1
+    takes every other occurrence of a boundary-sharing chain, pass 2
+    the rest, pass 3 is idempotent margin — which both engines
+    execute bit-identically (scan left, continue after each
+    replacement), making the WHOLE training loop hash-oracle-able.
+    """
+    from bottledwater_pg_spark.session import persist_tracked
+
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.select("text")
+    words = docs.select(
+        F.explode(F.expr(_BPE_WORDS)).alias("w")
+    ).groupBy("w").agg(F.count("*").alias("freq"))
+    vocab = persist_tracked(
+        words.select(
+            F.concat(
+                F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")
+            ).alias("ws"),
+            "freq",
+        )
+    )
+    merges = []
+    for step in range(1, steps + 1):
+        top = (
+            _bpe_pairs(vocab)
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise RuntimeError(
+                f"BPE vocabulary exhausted at step {step}: no adjacent "
+                "symbol pairs remain"
+            )
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((step, a, b, cnt))
+        # symbols are concatenations of [a-z] characters (the
+        # pre-tokenization filter guarantees it), so inlining them
+        # into the expression string needs no escaping
+        vocab = persist_tracked(
+            vocab.select(
+                F.expr(
+                    "replace(replace(replace(ws, "
+                    f"' {a} {b} ', ' {a}{b} '), "
+                    f"' {a} {b} ', ' {a}{b} '), "
+                    f"' {a} {b} ', ' {a}{b} ')"
+                ).alias("ws"),
+                "freq",
+            )
+        )
+    return spark.createDataFrame(
+        merges,
+        "step long, merge_left string, merge_right string, pair_count long",
+    )
+
+
+def _bpe_merges_sql(steps: int = BPE_MERGE_STEPS) -> str:
+    """SQL twin: the identical loop unrolled as chained CTEs — per
+    step a pair-count aggregation, a LIMIT-1 argmax, and the same
+    three replace passes applied via a 1-row cross join."""
+    parts = [f"""
+WITH words AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest({_BPE_WORDS_SQL}) AS w FROM documents
+  ) GROUP BY w
+),
+v0 AS (
+  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS ws, freq
+  FROM words
+)"""]
+    for k in range(1, steps + 1):
+        prev = f"v{k - 1}"
+        parts.append(f""",
+p{k} AS (
+  SELECT p[1] AS a, p[2] AS b, SUM(freq) AS cnt FROM (
+    SELECT unnest(list_zip(arr[1:-2], arr[2:-1])) AS p, freq FROM (
+      SELECT string_split_regex(trim(ws), ' +') AS arr, freq FROM {prev}
+    )
+  ) GROUP BY 1, 2
+),
+b{k} AS (
+  SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+),
+v{k} AS (
+  SELECT replace(replace(replace({prev}.ws,
+           ' ' || b{k}.a || ' ' || b{k}.b || ' ',
+           ' ' || b{k}.a || b{k}.b || ' '),
+           ' ' || b{k}.a || ' ' || b{k}.b || ' ',
+           ' ' || b{k}.a || b{k}.b || ' '),
+           ' ' || b{k}.a || ' ' || b{k}.b || ' ',
+           ' ' || b{k}.a || b{k}.b || ' ') AS ws, freq
+  FROM {prev}, b{k}
+)""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, a AS merge_left, "
+        f"b AS merge_right, CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, steps + 1)
+    )
+    parts.append("\n" + sel + "\nORDER BY step")
+    return "".join(parts)
+
+
+QUERIES["bpe_learn_merges"] = bpe_learn_merges
+ORACLES["bpe_learn_merges"] = _bpe_merges_sql()

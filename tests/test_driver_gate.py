@@ -58,6 +58,7 @@ def test_round7_window_keeps_the_ledger_closed():
     must_be_in_window = [
         # new r7 queries (no prior driver record)
         "pg_composite_enum_roundtrip",
+        "bpe_learn_merges", "lm_surprise_outliers",
         "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
         # r6 rows-only cells flipped to full oracles
         "lsh_ann_topk", "ivf_ann_topk", "lsh_simhash_near_dup",

@@ -427,3 +427,48 @@ def test_ensemble_clustering_subsumes_each_modality(spark, sf_dir):
         groups[c].append(did)
     for members in groups.values():
         assert len({ens[m] for m in members}) == 1
+
+
+def test_bpe_learn_merges_hand_corpus(spark):
+    """BPE training on a hand-computable corpus (Sennrich-style):
+    words abab (freq 2) + ab (freq 1). Step 1: pair (a,b) has
+    frequency-weighted count 2*2 + 1 = 5 (beats (b,a) at 2); step 2:
+    (ab, ab) at 2; step 3 has no pairs left and must refuse loudly."""
+    import pytest
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab ab")], "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in bpe_learn_merges(spark, "", steps=2, docs=docs)
+        .orderBy("step").collect()
+    ]
+    assert got == [(1, "a", "b", 5), (2, "ab", "ab", 2)]
+    with pytest.raises(RuntimeError, match="exhausted"):
+        bpe_learn_merges(spark, "", steps=3, docs=docs)
+
+
+def test_lm_surprise_ranks_rare_bigrams_highest(spark):
+    """The LM filter's contract: a document of corpus-frequent bigrams
+    scores LESS surprising than a document whose bigrams are unique in
+    the corpus — the CCNet keep/drop direction."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        lm_surprise_outliers,
+    )
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((100, "zq xv qn kr wt pl"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lm_surprise_outliers(spark, "", docs=docs).collect()
+    assert out[0]["doc_id"] == 100  # the junk doc tops the list
+    junk = out[0]["mean_surprise_q"]
+    common = [r["mean_surprise_q"] for r in out if r["doc_id"] != 100]
+    assert all(junk > c for c in common)
+    # deterministic: a second run returns the identical ranking
+    again = lm_surprise_outliers(spark, "", docs=docs).collect()
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in out]
