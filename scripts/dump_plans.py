@@ -96,7 +96,8 @@ HEADLINE = {
     "ivf_ann_topk": "IVF-flat ANN: centroid broadcast, one-shuffle max_by assignment, probe join keyed on cent_id (partition-prunable cells)",
     "lsh_simhash_near_dup": "32-bit md5 SimHash: one tf agg + one 32-expression bit-sum agg, 4x8-bit banded equi-join, bit_count(xor) verify",
     "pg_composite_enum_roundtrip": "composite/enum/domain round-trip: narrow regex + JSON projection, zero shuffles",
-    "quartiles_order_value_by_segment": "exact p25/50/75: two-phase bucketed rank; group size via window over the groups x 256 bucket table (no join back to stats)",
+    "quartiles_order_value_by_segment": "exact p25/50/75: two-phase bucketed rank; group size via window over the tiny bucket-count table (no join back to stats)",
+    "lm_surprise_outliers": "LM quality filter: vocabulary-sized bigram model (one partial-agg pass), doc bigrams join the model keyed (prev, cur), V as 1-row scalar broadcast, exact int64 surprise sums, top-20 via TakeOrderedAndProject",
 }
 
 ALIAS = {
