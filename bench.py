@@ -132,6 +132,15 @@ BENCH_QUERIES = [
     "bloom_contamination_screen",
     "cms_heavy_users_certificate",
     "approx_quantile_rank_certificate",
+    # round 7 additions: the newly hash-oracled md5 ANN/SimHash
+    # variants (ivf_ann_topk is benched in the LLM block above), the
+    # composite/enum type round-trip, and the two new LLM-pipeline
+    # operators (BPE merge learning, LM quality filter)
+    "lsh_ann_topk",
+    "lsh_simhash_near_dup",
+    "pg_composite_enum_roundtrip",
+    "bpe_learn_merges",
+    "lm_surprise_outliers",
     # cdc_replicate_all_counts is gate-checked but not benched: it is
     # the sum of the 10 per-table materializations benched above, and
     # re-timing the whole loop adds ~25 s of pure duplication
