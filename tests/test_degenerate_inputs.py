@@ -229,3 +229,45 @@ def test_sequence_gaps_cross_bucket_and_missing_bucket(spark):
     # gap-free dense sequence -> empty
     dense = spark.createDataFrame([(i,) for i in range(100)], "event_id long")
     assert sequence_gap_ranges(dense, "event_id").count() == 0
+
+
+def test_lm_surprise_degenerate_corpora(spark):
+    """LM filter edge cases: a corpus with NO valid tokens (nothing
+    survives the [a-z]+ pre-tokenization) and single-token documents
+    (no bigrams) must yield an empty result, not a crash; a 1-doc
+    corpus scores itself (everything maximally familiar)."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        lm_surprise_outliers,
+    )
+
+    no_tokens = spark.createDataFrame(
+        [(1, "123 456 !!!"), (2, "   ")], "doc_id long, text string"
+    )
+    assert lm_surprise_outliers(spark, "", docs=no_tokens).count() == 0
+    singles = spark.createDataFrame(
+        [(1, "hello"), (2, "world")], "doc_id long, text string"
+    )
+    assert lm_surprise_outliers(spark, "", docs=singles).count() == 0
+    one = spark.createDataFrame(
+        [(1, "a b a b")], "doc_id long, text string"
+    )
+    rows = lm_surprise_outliers(spark, "", docs=one).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 1
+    assert rows[0]["n_bigrams"] == 3
+
+
+def test_bpe_single_char_vocabulary_refuses(spark):
+    """A vocabulary of single-character words has no adjacent pairs —
+    the trainer must refuse loudly at step 1 (silently returning zero
+    merges would look like a trained tokenizer)."""
+    import pytest
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b")], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="exhausted"):
+        bpe_learn_merges(spark, "", steps=1, docs=docs)
