@@ -3184,15 +3184,24 @@ _BPE_WORDS_SQL = (
 
 def _bpe_pairs(vocab: DataFrame) -> DataFrame:
     """(a, b, cnt): frequency-weighted adjacent symbol pairs of a
-    space-joined symbol-string vocabulary ``(ws, freq)``."""
+    space-joined symbol-string vocabulary ``(ws, freq)``.
+
+    The split is projected into a bound ``arr`` column first (the SQL
+    twin's ``p{k}`` CTE does the same) so the symbol string is split
+    ONCE per row, not once per pair index — inlining the split inside
+    the transform lambda is the O(tokens²)-per-row pattern
+    functions/text.py word_shingles_from_tokens documents as a
+    measured 3x regression."""
     return (
         vocab.select(
+            "freq", F.split(F.trim(F.col("ws")), " +").alias("arr")
+        )
+        .select(
             "freq",
             F.expr(
-                "CASE WHEN size(split(trim(ws), ' +')) < 2 THEN array() "
-                "ELSE transform(sequence(0, size(split(trim(ws), ' +')) - 2), "
-                "i -> struct(split(trim(ws), ' +')[i] AS a, "
-                "split(trim(ws), ' +')[i + 1] AS b)) END"
+                "CASE WHEN size(arr) < 2 THEN array() "
+                "ELSE transform(sequence(0, size(arr) - 2), "
+                "i -> struct(arr[i] AS a, arr[i + 1] AS b)) END"
             ).alias("ps"),
         )
         .select("freq", F.explode("ps").alias("p"))

@@ -81,7 +81,16 @@ def get_table_list(
     Mirrors snapshot.c:199-298: deterministic ordering, key resolution,
     and the unkeyed-table refusal. ``relid`` is assigned stably from
     the sorted table list (16384 + index), standing in for the PG OID.
-    """
+
+    Pattern matching is gated on qualification: a pattern containing a
+    (literal) dot matches the QUALIFIED form ``public.<table>`` only;
+    a dotless pattern matches the BARE table name only. This is a
+    deliberate tightening over matching both forms (which would make
+    ``p%`` select every ``public.*`` table): a dotless pattern whose
+    wildcard used to span the dot of the qualified form — e.g.
+    ``public_customer`` (``_`` matching ``.``) or ``pub%customer`` —
+    now selects nothing; such patterns get a warning below rather than
+    a silent empty result."""
     rx = _like_to_regex(pattern)
     infos: list[TableInfo] = []
     names = sorted(
@@ -98,6 +107,18 @@ def get_table_list(
     # ('.' is not a LIKE wildcard, so any dot — escaped or not — is a
     # literal dot, which only a qualified name can contain)
     qualified = "." in pattern
+    if not qualified and not any(rx.match(n) for n in names) and any(
+        rx.match(f"public.{n}") for n in names
+    ):
+        import warnings
+
+        warnings.warn(
+            f"table pattern {pattern!r} matches no bare table name but "
+            f"would match a qualified 'public.<table>' form; dotless "
+            f"patterns match bare names only — qualify the pattern "
+            f"(e.g. 'public.%') to match qualified names",
+            stacklevel=2,
+        )
     for i, name in enumerate(names):
         subject = f"public.{name}" if qualified else name
         if not rx.match(subject):

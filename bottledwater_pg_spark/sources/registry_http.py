@@ -143,19 +143,45 @@ def serve_registry(state_dir: str, host: str = "127.0.0.1", port: int = 0):
             self.end_headers()
             self.wfile.write(body)
 
+        # the server is user-reachable (CLI `serve-registry`), so
+        # malformed input must come back as a JSON error, never as an
+        # uncaught exception that resets the connection: 422 mirrors
+        # Confluent's 422xx invalid-schema/invalid-version family,
+        # anything else unexpected is a 500 with the message attached
         def do_POST(self):  # noqa: N802 — http.server API
+            try:
+                self._post()
+            except (ValueError, KeyError, TypeError,
+                    UnicodeDecodeError) as exc:
+                self._send(422, {"error_code": 42201,
+                                 "message": f"invalid request: {exc}"})
+            except Exception as exc:  # pragma: no cover — safety net
+                self._send(500, {"error_code": 50001, "message": str(exc)})
+
+        def do_GET(self):  # noqa: N802
+            try:
+                self._get()
+            except (ValueError, KeyError, TypeError) as exc:
+                self._send(422, {"error_code": 42202,
+                                 "message": f"invalid request: {exc}"})
+            except Exception as exc:  # pragma: no cover — safety net
+                self._send(500, {"error_code": 50001, "message": str(exc)})
+
+        def _post(self):
             parts = [p for p in self.path.split("/") if p]
             if len(parts) == 3 and parts[0] == "subjects" \
                     and parts[2] == "versions":
                 subject = urllib.parse.unquote(parts[1])
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n).decode("utf-8"))
+                if not isinstance(req, dict) or "schema" not in req:
+                    raise KeyError("body must be a JSON object with 'schema'")
                 schema = json.loads(req["schema"])
                 self._send(200, {"id": reg.register(subject, schema)})
                 return
             self._send(404, {"error_code": 404, "message": "not found"})
 
-        def do_GET(self):  # noqa: N802
+        def _get(self):
             parts = [p for p in self.path.split("/") if p]
             if parts == ["subjects"]:
                 self._send(200, reg.subjects())
@@ -171,12 +197,21 @@ def serve_registry(state_dir: str, host: str = "127.0.0.1", port: int = 0):
                     self._send(200, [v["version"] for v in versions])
                     return
                 if len(parts) == 4 and parts[2] == "versions":
+                    # Confluent distinguishes the two 404s: a missing
+                    # SUBJECT is 40401 even on a /versions/<v> lookup;
+                    # 40402 is only "this subject exists but has no
+                    # such version"
+                    if not versions:
+                        self._send(404, {"error_code": 40401,
+                                         "message": "subject not found"})
+                        return
                     pick = None
                     if parts[3] == "latest":
-                        pick = versions[-1] if versions else None
+                        pick = versions[-1]
                     else:
+                        want = int(parts[3])  # non-integer → 422 42202
                         for v in versions:
-                            if v["version"] == int(parts[3]):
+                            if v["version"] == want:
                                 pick = v
                     if pick is None:
                         self._send(404, {"error_code": 40402,

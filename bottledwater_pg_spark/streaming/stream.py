@@ -53,6 +53,51 @@ def _run_key_of(checkpoint_dir: str) -> str:
     return hashlib.md5(resolved.encode("utf-8")).hexdigest()[:12]
 
 
+def _fold_legacy_run_slices(
+    roots: tuple[str, ...], checkpoint_dir: str
+) -> int:
+    """Migration shim for the realpath normalization of run keys:
+    slices written BEFORE the normalization were keyed by the
+    checkpoint path AS SPELLED, so a state dir whose producer spelled
+    the same checkpoint with a relative path / trailing slash /
+    symlink now sits under a key the restarted query no longer owns —
+    its first replayed epoch would then DUPLICATE its slice under the
+    fresh key instead of overwriting, and StreamingDedupIndex's probe
+    filter would treat the stale same-checkpoint slice as a prior run.
+
+    On start(), fold the legacy (unresolved-spelling) run dir into the
+    resolved one: move each ``epoch=`` child across, preferring the
+    resolved key's copy when both exist (it was re-written after the
+    upgrade, so it is the authoritative replay). Returns how many
+    epoch slices were folded. Only the spelling handed to THIS start()
+    can be reconstructed — a legacy run written under a third spelling
+    of the same checkpoint stays a foreign run, which is the pre-fix
+    behavior, not a new failure mode."""
+    import hashlib
+    import shutil
+
+    legacy = hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:12]
+    resolved = _run_key_of(checkpoint_dir)
+    if legacy == resolved:
+        return 0
+    folded = 0
+    for root in roots:
+        src = os.path.join(root, f"run={legacy}")
+        if not os.path.isdir(src):
+            continue
+        dst = os.path.join(root, f"run={resolved}")
+        os.makedirs(dst, exist_ok=True)
+        for child in os.listdir(src):
+            s, d = os.path.join(src, child), os.path.join(dst, child)
+            if os.path.exists(d):
+                shutil.rmtree(s)  # post-upgrade replay already rewrote it
+            else:
+                os.rename(s, d)
+                folded += 1
+        os.rmdir(src)
+    return folded
+
+
 def _is_datasource_lookup_failure(exc: Exception) -> bool:
     """Only the class-not-found/lookup failure means 'package absent';
     every other error (bad option, malformed pattern) must surface
@@ -441,10 +486,23 @@ class StreamingMaterializer:
         concurrent process_batch — run it between triggers or with
         the query stopped, the way Kafka compacts closed segments,
         never the active head)."""
-        if isinstance(up_to_lsn, str) and up_to_lsn != "all":
-            raise ValueError(
-                "up_to_lsn must be an lsn bound or the explicit "
-                "sentinel 'all'"
+        # positive validation: only an int bound or the literal
+        # sentinel pass — in particular None (the old implicit-full-
+        # expiry default) must NOT fall through to the lsn comparison
+        # below, where `lsn <= NULL` is NULL for every tombstone and
+        # filter(~doomed) would silently drop them ALL (i.e. None
+        # would behave exactly like 'all' without the caller asserting
+        # the replay horizon)
+        if isinstance(up_to_lsn, str):
+            if up_to_lsn != "all":
+                raise ValueError(
+                    "up_to_lsn must be an lsn bound or the explicit "
+                    "sentinel 'all'"
+                )
+        elif not isinstance(up_to_lsn, int) or isinstance(up_to_lsn, bool):
+            raise TypeError(
+                "up_to_lsn must be an int lsn bound or the explicit "
+                f"sentinel 'all', got {up_to_lsn!r}"
             )
         state = self.read_state()
         if state is None:
@@ -463,6 +521,9 @@ class StreamingMaterializer:
 
     def start(self, events_stream: DataFrame, checkpoint_dir: str):
         """Run the stream with a checkpoint (restart-safe offsets)."""
+        _fold_legacy_run_slices(
+            (os.path.join(self.state_dir, "unkeyed"),), checkpoint_dir
+        )
         self._run_key = _run_key_of(checkpoint_dir)
         return (
             events_stream.writeStream.foreachBatch(self.process_batch)
@@ -994,6 +1055,9 @@ class StreamingDedupIndex:
         release_persisted()
 
     def start(self, docs_stream: DataFrame, checkpoint_dir: str):
+        _fold_legacy_run_slices(
+            (self._path("accepted"), self._path("index")), checkpoint_dir
+        )
         self._run_key = _run_key_of(checkpoint_dir)
         return (
             docs_stream.writeStream.foreachBatch(self.process_batch)
@@ -1090,6 +1154,13 @@ class MultiTableMaterializer:
         return self.mats[relid].current_rows()
 
     def start(self, events_stream: DataFrame, checkpoint_dir: str):
+        _fold_legacy_run_slices(
+            tuple(
+                os.path.join(mat.state_dir, "unkeyed")
+                for mat in self.mats.values()
+            ),
+            checkpoint_dir,
+        )
         key = _run_key_of(checkpoint_dir)
         for mat in self.mats.values():
             mat._run_key = key
@@ -1242,6 +1313,7 @@ class StreamingContaminationScreen:
         )
 
     def start(self, docs_stream: DataFrame, checkpoint_dir: str):
+        _fold_legacy_run_slices((self._audit_path(),), checkpoint_dir)
         self._run_key = _run_key_of(checkpoint_dir)
         return (
             docs_stream.writeStream.foreachBatch(self.process_batch)

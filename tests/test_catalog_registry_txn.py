@@ -30,6 +30,27 @@ def test_catalog_like_pattern_and_keys(sf_dir):
     assert [t.name for t in get_table_list(sf_dir, "par_")] == ["part"]
 
 
+def test_catalog_dotless_pattern_spanning_dot_warns(sf_dir):
+    """Dotless patterns match bare names only (qualified-name gating);
+    a pattern that would only have matched via the qualified form with
+    a wildcard spanning the dot gets a warning, not a silent empty
+    result."""
+    import warnings
+
+    for pat in ("public_customer", "pub%customer"):
+        with pytest.warns(UserWarning, match="qualified"):
+            assert get_table_list(sf_dir, pat, allow_unkeyed=True) == []
+    # a plainly unmatched pattern stays silent — no qualified form
+    # would have matched either
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert get_table_list(sf_dir, "zzz%", allow_unkeyed=True) == []
+        # and qualified patterns match the qualified form, silently
+        assert [
+            t.name for t in get_table_list(sf_dir, "public.c%")
+        ] == ["customer"]
+
+
 def test_catalog_refuses_unkeyed_without_flag(sf_dir):
     with pytest.raises(UnkeyedTableError):
         get_table_list(sf_dir, "events")

@@ -60,6 +60,58 @@ def test_http_register_returns_content_id_and_versions(http_reg):
     }
 
 
+def test_http_registry_malformed_inputs_get_json_errors(http_reg):
+    """The server is user-reachable (CLI serve-registry): malformed
+    input must produce a JSON 4xx, never an uncaught exception that
+    resets the connection; the 404 error codes follow Confluent
+    (40401 subject missing — even via /versions/<v>; 40402 version
+    missing on an EXISTING subject)."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    http, _ = http_reg
+    base = http.base_url
+
+    def req(path, data=None):
+        r = urllib.request.Request(
+            base + path, data=data,
+            headers={"Content-Type": "application/json"} if data else {},
+        )
+        try:
+            with urllib.request.urlopen(r, timeout=10) as resp:
+                return resp.status, json.loads(resp.read().decode())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read().decode())
+
+    # non-JSON POST body
+    code, body = req("/subjects/s/versions", b"not json at all")
+    assert code == 422 and body["error_code"] == 42201
+    # JSON body missing the schema key
+    code, body = req("/subjects/s/versions", b'{"nope": 1}')
+    assert code == 422 and body["error_code"] == 42201
+    # schema key holding invalid JSON
+    code, body = req("/subjects/s/versions", b'{"schema": "{oops"}')
+    assert code == 422 and body["error_code"] == 42201
+    # non-integer version id
+    http.register("t-key", F1)
+    code, body = req("/subjects/t-key/versions/banana")
+    assert code == 422 and body["error_code"] == 42202
+    # non-integer schema id
+    code, body = req("/schemas/ids/banana")
+    assert code == 422 and body["error_code"] == 42202
+    # missing SUBJECT on a version lookup -> 40401 (not 40402)
+    code, body = req("/subjects/ghost/versions/latest")
+    assert code == 404 and body["error_code"] == 40401
+    code, body = req("/subjects/ghost/versions/1")
+    assert code == 404 and body["error_code"] == 40401
+    # existing subject, missing VERSION -> 40402
+    code, body = req("/subjects/t-key/versions/99")
+    assert code == 404 and body["error_code"] == 40402
+    # the server is still healthy after all the bad requests
+    assert http.versions("t-key")
+
+
 def test_http_registry_spark_roundtrip(spark, sf_dir, tmp_path):
     """frames_with_registry registers over HTTP; decode_with_registry
     resolves ids over HTTP — the reference producer/consumer pair with

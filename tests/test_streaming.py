@@ -1160,6 +1160,16 @@ def test_expire_tombstones_bounds_state_to_live_keys(spark, sf_dir):
             mat.expire_tombstones()
         with pytest.raises(ValueError):
             mat.expire_tombstones("everything")
+        # None (the old implicit default) would make `lsn <= NULL`
+        # NULL-out the doomed predicate and silently drop EVERY
+        # tombstone — it must be refused like any non-int non-sentinel
+        with pytest.raises(TypeError):
+            mat.expire_tombstones(None)
+        with pytest.raises(TypeError):
+            mat.expire_tombstones(True)
+        with pytest.raises(TypeError):
+            mat.expire_tombstones(1.5)
+        assert mat.read_state().count() == live + (n_tomb - dropped)
         dropped2 = mat.expire_tombstones("all")
         assert dropped + dropped2 == n_tomb
         assert mat.read_state().count() == live
@@ -1716,3 +1726,67 @@ def test_materializer_recovers_from_crash_between_swap_renames(
         1,
     )
     assert mat2.current_rows().count() == n
+
+
+def test_legacy_run_key_slices_fold_into_resolved_key(spark, tmp_path):
+    """Migration shim for the realpath run-key normalization: slices a
+    pre-upgrade run wrote under md5(checkpoint AS SPELLED) are folded
+    into the resolved key on start(), preferring the resolved copy
+    when both hold the same epoch (the post-upgrade replay already
+    rewrote it) — so the restarted query overwrites its own replayed
+    slices instead of duplicating them, and the dedup probe filter
+    sees them as the OWN run, not a prior one."""
+    import hashlib
+    import os
+
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingDedupIndex,
+        _fold_legacy_run_slices,
+        _run_key_of,
+    )
+
+    spelled = str(tmp_path / "ckpt") + "/"  # trailing-slash spelling
+    legacy = hashlib.md5(spelled.encode("utf-8")).hexdigest()[:12]
+    resolved = _run_key_of(spelled)
+    assert legacy != resolved
+
+    idx = StreamingDedupIndex(spark, str(tmp_path / "state"))
+    roots = (idx._path("index"), idx._path("accepted"))
+    df = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string"
+    )
+    for root in roots:
+        # pre-upgrade epoch 0 exists only under the legacy key
+        df([(1, "aaa"), (2, "bbb")]).write.mode("overwrite").parquet(
+            os.path.join(root, f"run={legacy}", "epoch=0")
+        )
+        # epoch 1 exists under BOTH keys: the resolved copy is the
+        # authoritative post-upgrade replay and must win
+        df([(3, "stale")]).write.mode("overwrite").parquet(
+            os.path.join(root, f"run={legacy}", "epoch=1")
+        )
+        df([(4, "fresh")]).write.mode("overwrite").parquet(
+            os.path.join(root, f"run={resolved}", "epoch=1")
+        )
+
+    folded = _fold_legacy_run_slices(roots, spelled)
+    assert folded == 2  # one epoch-0 move per root
+    for root in roots:
+        assert not os.path.isdir(os.path.join(root, f"run={legacy}"))
+
+    idx2 = StreamingDedupIndex(spark, str(tmp_path / "state"))
+    idx2._run_key = resolved
+    slices = idx2._index_slices()
+    assert [
+        r["run"] for r in slices.select("run").distinct().collect()
+    ] == [resolved]
+    assert sorted(
+        r["doc_id"] for r in slices.filter("epoch = 0").collect()
+    ) == [1, 2]
+    assert [
+        r["doc_id"] for r in slices.filter("epoch = 1").collect()
+    ] == [4]  # resolved copy kept, stale legacy replay dropped
+
+    # idempotent second call; already-resolved spelling is a no-op
+    assert _fold_legacy_run_slices(roots, spelled) == 0
+    assert _fold_legacy_run_slices(roots, os.path.realpath(spelled)) == 0
