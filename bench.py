@@ -141,6 +141,10 @@ BENCH_QUERIES = [
     "pg_composite_enum_roundtrip",
     "bpe_learn_merges",
     "lm_surprise_outliers",
+    # round 8 additions: exact-substring duplicate spans (Lee et al.
+    # 2022) and DSIR hashed-ngram importance weights (Xie et al. 2023)
+    "exact_substring_spans",
+    "dsir_importance_weights",
     # cdc_replicate_all_counts is gate-checked but not benched: it is
     # the sum of the 10 per-table materializations benched above, and
     # re-timing the whole loop adds ~25 s of pure duplication

@@ -26,6 +26,7 @@ from bottledwater_pg_spark.functions.text import (
     sql_word_shingles,
     stopword_count,
     token_count,
+    tokens,
     word_shingles,
 )
 from bottledwater_pg_spark.operators import dedup, multimodal, similarity
@@ -3332,3 +3333,278 @@ v{k} AS (
 
 QUERIES["bpe_learn_merges"] = bpe_learn_merges
 ORACLES["bpe_learn_merges"] = _bpe_merges_sql()
+
+
+# --------------------------------------- exact-substring duplicate spans
+
+EXACT_SUBSTR_K = 8  # minimum duplicated run, in tokens
+
+
+def exact_substring_spans(spark: SparkSession, sf_dir: str,
+                          docs: DataFrame | None = None,
+                          k: int = EXACT_SUBSTR_K) -> DataFrame:
+    """Exact-substring deduplication audit (Lee et al. 2022,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    Models Better"): per document, the MAXIMAL token spans that occur
+    verbatim in at least one OTHER document — the memorization-driving
+    duplication MinHash-style whole-doc dedup misses (a boilerplate
+    footer pasted into thousands of otherwise-unique pages). The paper
+    builds a corpus suffix array; the distributed re-expression is
+    positional k-token grams: a token position is covered iff some
+    k-gram through it is cross-document duplicated, and runs of
+    duplicated gram starts merge into maximal spans (gap > k breaks a
+    span because the k-long intervals stop overlapping). Returns, per
+    affected doc: span count, duplicated-token total, and duplicated
+    fraction in basis points — all integers, hash-exact cross-engine.
+
+    Scale path: the gram table is one row per token position (the same
+    O(corpus tokens) a suffix array costs); cross-doc duplication is
+    `min(doc_id) != max(doc_id)` over a window partitioned by gram —
+    ONE shuffle on the gram, no groupBy+join-back double explode and
+    no per-gram doc list materialized (the min/max pair is O(1) state
+    per gram, so a boilerplate gram hot-keys nothing). The span merge
+    re-shuffles only the surviving duplicated positions by doc. At
+    warehouse scale hash the gram to 8 bytes first (md5/xxhash) so the
+    shuffle moves integers; kept textual here so DuckDB computes the
+    identical window.
+    """
+    from pyspark.sql import Window
+
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.select("doc_id", "text")
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    g = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) < {k} THEN array() "
+                f"ELSE transform(sequence(1, size(toks) - {k} + 1), "
+                f"i -> struct(i AS pos, "
+                f"concat_ws(' ', slice(toks, i, {k})) AS gram)) END"
+            )
+        ).alias("pg"),
+    ).select(
+        "doc_id", "n_tokens",
+        F.col("pg.pos").cast("long").alias("pos"),
+        F.col("pg.gram").alias("gram"),
+    )
+    wg = Window.partitionBy("gram")
+    dup = (
+        g.withColumn("_mn", F.min("doc_id").over(wg))
+        .withColumn("_mx", F.max("doc_id").over(wg))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("doc_id", "n_tokens", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    # two duplicated k-gram starts p < q cover a contiguous token run
+    # iff q - p <= k ([p, p+k-1] and [q, q+k-1] overlap or touch);
+    # islands of such starts are the maximal duplicated spans
+    isl = dup.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(wd) <= k, F.lit(0))
+        .otherwise(F.lit(1)),
+    ).withColumn(
+        "island",
+        F.sum("_new").over(
+            wd.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = isl.groupBy("doc_id", "n_tokens", "island").agg(
+        (F.max("pos") + F.lit(k) - F.min("pos")).alias("covered")
+    )
+    return (
+        spans.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum("covered").cast("long").alias("dup_tokens"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_spans", "dup_tokens",
+            F.expr("dup_tokens * 10000 div n_tokens").alias("dup_frac_bp"),
+        )
+    )
+
+
+EXACT_SUBSTR_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(i AS BIGINT) AS pos,
+         array_to_string(toks[i : i + {EXACT_SUBSTR_K - 1}], ' ') AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - {EXACT_SUBSTR_K - 1}, 0) + 1))
+       AS r(i)
+), dup AS (
+  SELECT doc_id, n_tokens, pos FROM (
+    SELECT doc_id, n_tokens, pos,
+           min(doc_id) OVER (PARTITION BY gram) AS mn,
+           max(doc_id) OVER (PARTITION BY gram) AS mx
+    FROM g
+  ) WHERE mn <> mx
+), isl AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT doc_id, n_tokens, pos,
+           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                          ORDER BY pos)
+                     <= {EXACT_SUBSTR_K}
+                THEN 0 ELSE 1 END AS nw
+    FROM dup
+  )
+), spans AS (
+  SELECT doc_id, n_tokens, island,
+         max(pos) + {EXACT_SUBSTR_K} - min(pos) AS covered
+  FROM isl GROUP BY doc_id, n_tokens, island
+)
+SELECT doc_id, n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(covered) AS BIGINT) AS dup_tokens,
+       CAST(SUM(covered) * 10000 // n_tokens AS BIGINT) AS dup_frac_bp
+FROM spans GROUP BY doc_id, n_tokens
+"""
+
+QUERIES["exact_substring_spans"] = exact_substring_spans
+ORACLES["exact_substring_spans"] = EXACT_SUBSTR_SQL
+
+
+# ------------------------------------ DSIR importance weights (data
+# selection via hashed-n-gram importance resampling)
+
+DSIR_BUCKETS = 64
+DSIR_TOPK = 20
+DSIR_LOG_SCALE = 1_000_000
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str,
+                            docs: DataFrame | None = None) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how much it
+    resembles a TARGET distribution, estimated over hashed unigram
+    buckets — the lightweight bag-of-hashed-ngrams proxy DSIR shows
+    selects pretraining data nearly as well as a trained classifier.
+    Target here: the corpus's English documents (the stand-in for the
+    paper's Wikipedia+books formal-text target); raw: every document.
+    Per bucket ``b``: add-1-smoothed probabilities ``p_t[b]`` /
+    ``p_r[b]``; per document: log importance weight = sum over token
+    occurrences of ``log(p_t[b]/p_r[b])``. Returns the TOPK docs by
+    weight — the resampling front-runners.
+
+    Determinism: the per-bucket log-ratio is ONE double log of a ratio
+    of exact integers, quantized to int (floor x 1e6) in the 64-row
+    bucket table; per-doc weights are then pure INTEGER sums of
+    (occurrences x quantized score) — associative, so Spark's partial
+    aggregation order cannot perturb them (the same quantize-then-sum
+    discipline as the LM quality filter).
+
+    Scale: one pass builds per-(doc, bucket) occurrence counts; the
+    bucket score table is B rows (independent of corpus size) and
+    broadcasts; no shuffle ever carries a token string — only bucket
+    ids and counts. This is the whole DSIR pipeline shape: O(tokens)
+    map, O(docs x B) aggregate, O(B) model.
+    """
+    from bottledwater_pg_spark.operators.dedup import md5_token_hash
+    from bottledwater_pg_spark.session import persist_tracked
+
+    B = DSIR_BUCKETS
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.select("doc_id", "lang", "text")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("tok")
+    ).select(
+        "doc_id", "lang", (md5_token_hash("tok") % B).alias("b")
+    )
+    # per-(doc, bucket) occurrence counts: feeds the raw model, the
+    # target model, and the per-doc scorer — one persisted pass
+    db = persist_tracked(
+        tok.groupBy("doc_id", "lang", "b").agg(
+            F.count("*").cast("long").alias("occ")
+        )
+    )
+    raw = db.groupBy("b").agg(F.sum("occ").cast("long").alias("cnt_r"))
+    tgt = (
+        db.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.sum("occ").cast("long").alias("cnt_t"))
+    )
+    model = (
+        raw.join(tgt, "b", "left")
+        .na.fill({"cnt_t": 0})
+        .crossJoin(
+            F.broadcast(
+                raw.agg(F.sum("cnt_r").cast("long").alias("tot_r"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                tgt.agg(F.sum("cnt_t").cast("long").alias("tot_t"))
+            )
+        )
+        .select(
+            "b",
+            # floor(log(((cnt_t+1)*(tot_r+B)) / ((cnt_r+1)*(tot_t+B)))
+            #       * 1e6) — exact-integer operands into ONE double log
+            F.expr(
+                f"CAST(floor(ln("
+                f"(CAST((cnt_t + 1) * (tot_r + {B}) AS DOUBLE)) / "
+                f"(CAST((cnt_r + 1) * (tot_t + {B}) AS DOUBLE))"
+                f") * {DSIR_LOG_SCALE}) AS BIGINT)"
+            ).alias("score_q"),
+        )
+    )
+    return (
+        db.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("long").alias("n_tokens"),
+            F.sum(F.col("occ") * F.col("score_q"))
+            .cast("long")
+            .alias("logw_q"),
+        )
+        .orderBy(F.desc("logw_q"), "doc_id")
+        .limit(DSIR_TOPK)
+    )
+
+
+DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(t.tok), 1, 15))::BIGINT % {DSIR_BUCKETS} AS b
+  FROM documents,
+       unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)
+), db AS (
+  SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS occ
+  FROM tok GROUP BY doc_id, lang, b
+), raw AS (
+  SELECT b, CAST(SUM(occ) AS BIGINT) AS cnt_r FROM db GROUP BY b
+), tgt AS (
+  SELECT b, CAST(SUM(occ) AS BIGINT) AS cnt_t
+  FROM db WHERE lang = 'en' GROUP BY b
+), model AS (
+  SELECT raw.b,
+         CAST(floor(ln(
+           CAST((COALESCE(cnt_t, 0) + 1) *
+                ((SELECT SUM(cnt_r) FROM raw) + {DSIR_BUCKETS})
+                AS DOUBLE) /
+           CAST((cnt_r + 1) *
+                ((SELECT COALESCE(SUM(cnt_t), 0) FROM tgt)
+                 + {DSIR_BUCKETS}) AS DOUBLE)
+         ) * {DSIR_LOG_SCALE}) AS BIGINT) AS score_q
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+)
+SELECT doc_id,
+       CAST(SUM(occ) AS BIGINT) AS n_tokens,
+       CAST(SUM(occ * score_q) AS BIGINT) AS logw_q
+FROM db JOIN model ON db.b = model.b
+GROUP BY doc_id
+ORDER BY logw_q DESC, doc_id
+LIMIT {DSIR_TOPK}
+"""
+
+QUERIES["dsir_importance_weights"] = dsir_importance_weights
+ORACLES["dsir_importance_weights"] = DSIR_SQL

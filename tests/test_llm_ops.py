@@ -472,3 +472,84 @@ def test_lm_surprise_ranks_rare_bigrams_highest(spark):
     # deterministic: a second run returns the identical ranking
     again = lm_surprise_outliers(spark, "", docs=docs).collect()
     assert [r["doc_id"] for r in again] == [r["doc_id"] for r in out]
+
+
+def test_exact_substring_spans_hand_corpus(spark):
+    """Span semantics pinned on a constructed corpus: overlapping
+    duplicated k-gram starts merge into ONE maximal span; a gap > k
+    tokens splits spans; a doc duplicated only WITHIN itself reports
+    nothing (cross-document means min(doc)!=max(doc)); unique docs are
+    absent from the output."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        exact_substring_spans,
+    )
+
+    w = lambda *xs: " ".join(xs)  # noqa: E731
+    shared = w(*[f"s{i}" for i in range(10)])     # 10-token shared run
+    shared2 = w(*[f"z{i}" for i in range(8)])     # exactly k tokens
+    docs = spark.createDataFrame(
+        [
+            # doc 1: shared run at the start, then 20 unique tokens,
+            # then the second shared run -> TWO spans (gap 20 > k)
+            (1, shared + " " + w(*[f"u{i}" for i in range(20)]) + " "
+             + shared2),
+            # doc 2: the first shared run embedded mid-doc -> ONE span
+            (2, w("a", "b", "c") + " " + shared + " " + w("d", "e")),
+            # doc 3: the second shared run verbatim -> ONE span
+            (3, shared2),
+            # doc 4: internal repetition only -> NOT in the output
+            (4, w(*(["r"] * 30))),
+            # doc 5: all unique -> NOT in the output
+            (5, w(*[f"q{i}" for i in range(30)])),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_spans(spark, "", docs=docs).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # doc 1: 10 dup tokens (positions 1..3 of the k-grams merge) plus
+    # the 8-token tail run
+    assert out[1]["n_spans"] == 2
+    assert out[1]["dup_tokens"] == 10 + 8
+    assert out[1]["n_tokens"] == 38
+    assert out[1]["dup_frac_bp"] == (18 * 10000) // 38
+    # doc 2: one 10-token span even though three 8-gram starts overlap
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 10
+    # doc 3: the whole 8-token doc is one span
+    assert out[3]["n_spans"] == 1 and out[3]["dup_tokens"] == 8
+    assert out[3]["dup_frac_bp"] == 10000
+
+
+def test_dsir_importance_weights_hand_corpus(spark):
+    """DSIR pin: docs made of target-distribution tokens outscore
+    docs of off-target tokens; weights are integers and the per-doc
+    weight equals occurrences x the bucket's quantized score."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        dsir_importance_weights,
+    )
+
+    tgt_text = " ".join(["alpha"] * 12)
+    off_text = " ".join(["omega"] * 12)
+    docs = spark.createDataFrame(
+        [
+            (1, "en", tgt_text),       # the target distribution itself
+            (2, "de", tgt_text),       # raw doc matching the target
+            (3, "de", off_text),       # raw doc far from the target
+            (4, "de", "alpha " * 5 + "omega " * 5),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(spark, "", docs=docs).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    # target-matching docs outrank the off-target doc
+    assert rows[2]["logw_q"] > rows[4]["logw_q"] > rows[3]["logw_q"]
+    assert rows[1]["logw_q"] == rows[2]["logw_q"]  # identical text
+    # integer weights, linear in occurrences: every 'alpha' token sits
+    # in one bucket, so doc 2's weight is 12x the per-token score
+    assert rows[2]["logw_q"] % 12 == 0
+    assert rows[2]["n_tokens"] == 12

@@ -396,3 +396,47 @@ def test_bloom_screen_broadcasts_bitmap_no_cartesian(spark, sf_dir):
     plan = formatted_plan(bloom_contamination_screen(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_exact_substring_spans_one_gram_shuffle_no_cartesian(spark, sf_dir):
+    """Exact-substring span audit: the gram table must shuffle ONCE on
+    the gram (window min/max — no groupBy+join-back double explode of
+    the positional grams), then once more on doc for the span merge;
+    nothing may cartesian and no data-sized broadcast exists."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        exact_substring_spans,
+    )
+    from bottledwater_pg_spark.plans.inspect import (
+        count_exchanges,
+        formatted_plan,
+    )
+
+    df = exact_substring_spans(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # exactly two shuffles: the gram window, then the doc-side span
+    # merge (the island windows and both aggs reuse the doc exchange)
+    assert count_exchanges(df) == 2
+    # exactly one explode of the positional gram table (the tree
+    # renders the node as '+- Generate (n)')
+    assert plan.count(" Generate (") == 1
+
+
+def test_dsir_broadcasts_model_no_token_string_shuffle(spark, sf_dir):
+    """DSIR: the B-row bucket model must broadcast into the per-doc
+    scorer (never shuffle the doc-bucket table by model key), and the
+    only sort is the final TOPK take-ordered, not a global sort."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        dsir_importance_weights,
+    )
+    from bottledwater_pg_spark.plans.inspect import (
+        count_broadcast_joins,
+        formatted_plan,
+    )
+
+    df = dsir_importance_weights(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # model join + the two 1-row total joins are all broadcasts
+    assert count_broadcast_joins(df) >= 3
+    assert "TakeOrderedAndProject" in plan
