@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     # 2022) and DSIR hashed-ngram importance weights (Xie et al. 2023)
     "exact_substring_spans",
     "dsir_importance_weights",
+    "bpe_encode_stats",
     # cdc_replicate_all_counts is gate-checked but not benched: it is
     # the sum of the 10 per-table materializations benched above, and
     # re-timing the whole loop adds ~25 s of pure duplication

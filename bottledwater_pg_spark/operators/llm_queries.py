@@ -3234,6 +3234,18 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str,
     execute bit-identically (scan left, continue after each
     replacement), making the WHOLE training loop hash-oracle-able.
     """
+    merges, _ = _bpe_train(spark, sf_dir, steps, docs)
+    return spark.createDataFrame(
+        merges,
+        "step long, merge_left string, merge_right string, pair_count long",
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, steps: int,
+               docs: DataFrame | None):
+    """The training loop shared by :func:`bpe_learn_merges` (returns
+    the merge table) and :func:`bpe_encode_stats` (returns the final
+    word->symbol-string vocabulary the merges induce)."""
     from bottledwater_pg_spark.session import persist_tracked
 
     if docs is None:
@@ -3279,16 +3291,14 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str,
                 "freq",
             )
         )
-    return spark.createDataFrame(
-        merges,
-        "step long, merge_left string, merge_right string, pair_count long",
-    )
+    return merges, vocab
 
 
-def _bpe_merges_sql(steps: int = BPE_MERGE_STEPS) -> str:
-    """SQL twin: the identical loop unrolled as chained CTEs — per
-    step a pair-count aggregation, a LIMIT-1 argmax, and the same
-    three replace passes applied via a 1-row cross join."""
+def _bpe_cte_prefix(steps: int) -> str:
+    """The shared CTE chain (word vocab -> v{steps}) both BPE SQL
+    twins start from: per step a pair-count aggregation, a LIMIT-1
+    argmax, and the same three replace passes applied via a 1-row
+    cross join."""
     parts = [f"""
 WITH words AS (
   SELECT w, COUNT(*) AS freq FROM (
@@ -3322,17 +3332,106 @@ v{k} AS (
            ' ' || b{k}.a || b{k}.b || ' ') AS ws, freq
   FROM {prev}, b{k}
 )""")
+    return "".join(parts)
+
+
+def _bpe_merges_sql(steps: int = BPE_MERGE_STEPS) -> str:
+    """SQL twin of :func:`bpe_learn_merges`: the identical loop
+    unrolled over the shared CTE chain."""
     sel = "\nUNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS step, a AS merge_left, "
         f"b AS merge_right, CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
         for k in range(1, steps + 1)
     )
-    parts.append("\n" + sel + "\nORDER BY step")
-    return "".join(parts)
+    return _bpe_cte_prefix(steps) + "\n" + sel + "\nORDER BY step"
 
 
 QUERIES["bpe_learn_merges"] = bpe_learn_merges
 ORACLES["bpe_learn_merges"] = _bpe_merges_sql()
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str,
+                     steps: int = BPE_MERGE_STEPS,
+                     docs: DataFrame | None = None) -> DataFrame:
+    """BPE tokenizer APPLICATION — the other half of the tokenizer
+    lifecycle: train the merge table (:func:`_bpe_train`), then encode
+    the corpus with it and report per-source fertility (the
+    tokens-per-word and chars-per-token ratios pretraining pipelines
+    budget by; Sennrich et al. 2016 §3). The trained vocabulary maps
+    each word to its final symbol string, and because symbols are the
+    word's characters in order, ``replace(trim(ws), ' ', '')``
+    reconstructs the word losslessly — so encoding the corpus is ONE
+    equi-join of the word stream against the vocab, never a re-run of
+    the merge loop per document.
+
+    Scale: the vocabulary is distinct words (orders of magnitude
+    smaller than the corpus, the same table the trainer iterates); the
+    corpus side is one explode + join on the word, then a per-source
+    integer aggregation. All outputs are integers (basis points), so
+    the whole train-then-apply pipeline stays hash-oracle-able.
+    """
+    _, vocab = _bpe_train(spark, sf_dir, steps, docs)
+    enc = vocab.select(
+        F.regexp_replace(F.trim("ws"), " ", "").alias("w"),
+        F.size(F.split(F.trim("ws"), " +")).cast("long").alias("n_sym"),
+    )
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docw = docs.select(
+        "source", F.explode(F.expr(_BPE_WORDS)).alias("w")
+    )
+    return (
+        docw.join(enc, "w")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "source", "n_words", "n_bpe_tokens", "n_chars",
+            F.expr(
+                "n_bpe_tokens * 10000 div n_words"
+            ).alias("tokens_per_word_bp"),
+            F.expr(
+                "n_chars * 10000 div n_bpe_tokens"
+            ).alias("chars_per_token_bp"),
+        )
+    )
+
+
+def _bpe_encode_sql(steps: int = BPE_MERGE_STEPS) -> str:
+    """SQL twin of :func:`bpe_encode_stats`: the shared training CTE
+    chain, then the same reconstruct-the-word join and per-source
+    integer aggregation."""
+    return _bpe_cte_prefix(steps) + f""",
+enc AS (
+  SELECT replace(trim(ws), ' ', '') AS w,
+         CAST(len(string_split_regex(trim(ws), ' +')) AS BIGINT) AS n_sym
+  FROM v{steps}
+),
+docw AS (
+  SELECT source, unnest({_BPE_WORDS_SQL}) AS w FROM documents
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+         CAST(SUM(len(w)) AS BIGINT) AS n_chars
+  FROM docw JOIN enc USING (w)
+  GROUP BY source
+)
+SELECT source, n_words, n_bpe_tokens, n_chars,
+       CAST(n_bpe_tokens * 10000 // n_words AS BIGINT)
+         AS tokens_per_word_bp,
+       CAST(n_chars * 10000 // n_bpe_tokens AS BIGINT)
+         AS chars_per_token_bp
+FROM agg
+"""
+
+
+QUERIES["bpe_encode_stats"] = bpe_encode_stats
+ORACLES["bpe_encode_stats"] = _bpe_encode_sql()
 
 
 # --------------------------------------- exact-substring duplicate spans

@@ -553,3 +553,32 @@ def test_dsir_importance_weights_hand_corpus(spark):
     # in one bucket, so doc 2's weight is 12x the per-token score
     assert rows[2]["logw_q"] % 12 == 0
     assert rows[2]["n_tokens"] == 12
+
+
+def test_bpe_encode_stats_hand_corpus(spark):
+    """Train-then-apply parity: words fully merged by training encode
+    to ONE token; unseen structure stays at character granularity; the
+    fertility ratios are integer basis points."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        bpe_encode_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s1", ("ab " * 6).strip()), (2, "s2", "xy xy qz")],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        r["source"]: r
+        for r in bpe_encode_stats(spark, "", steps=2, docs=docs).collect()
+    }
+    # step 1 merges (a,b) [freq 6]; step 2 merges (x,y) [freq 2] —
+    # so every s1 word is one 'ab' token, every s2 word one token of
+    # 'xy' except 'qz' which stays... 'qz' appears once; after 2 steps
+    # only 'ab' and 'xy' merged, so 'qz' is still 2 symbols
+    assert rows["s1"]["n_words"] == 6
+    assert rows["s1"]["n_bpe_tokens"] == 6          # 'ab' -> 1 symbol
+    assert rows["s1"]["tokens_per_word_bp"] == 10000
+    assert rows["s1"]["chars_per_token_bp"] == 20000  # 2 chars/token
+    assert rows["s2"]["n_words"] == 3
+    assert rows["s2"]["n_bpe_tokens"] == 2 + 2      # xy,xy=1 each; qz=2
+    assert rows["s2"]["tokens_per_word_bp"] == (4 * 10000) // 3
