@@ -11,8 +11,13 @@ the driver gate):
   2b. DEDUP    MinHash-LSH near-dup pairs over the NORMALIZED text ->
                connected components -> keep the canonical doc per
                cluster
+  2c. SPANS    exact-substring span audit (Lee et al. 2022): drop
+               survivors that are mostly verbatim-duplicated tokens
+               (the boilerplate whole-doc dedup misses)
   3. FILTER    language-ID + quality scoring, keep docs passing both
   4. PII       redact emails/phones in the surviving text
+  4b. DSIR     hashed-ngram importance weights against the English
+               target (Xie et al. 2023) — the sampling-weight stage
   5. SPLIT     hash-deterministic train/val/test assignment
   6. DECONTAM  drop train docs sharing a discriminative word 8-gram
                with any val/test doc (partial-inclusion leak check)
@@ -82,8 +87,23 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         .drop("id", "comp", "canonical_id")
     )
 
+    # 2b. exact-substring span audit (Lee et al. 2022): whole-doc
+    # near-dup dedup above misses a boilerplate passage pasted into
+    # otherwise-unique pages; drop survivors that are mostly (>= 50%)
+    # verbatim-duplicated tokens and keep the audit table
+    from bottledwater_pg_spark.operators.llm_queries import (
+        dsir_importance_weights,
+        exact_substring_spans,
+    )
+
+    span_audit = exact_substring_spans(spark, sf_dir, docs=canonical)
+    heavy_dup = span_audit.filter(F.col("dup_frac_bp") >= 5000).select(
+        "doc_id"
+    )
+    despanned = canonical.join(heavy_dup, "doc_id", "left_anti")
+
     # 3. filter: keep docs with enough text and a confident language
-    filtered = canonical.filter(
+    filtered = despanned.filter(
         (F.col("n_chars") >= 64) & (F.col("lang").isNotNull())
     )
 
@@ -94,6 +114,13 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
         ),
     )
+
+    # 4b. DSIR importance shortlist (Xie et al. 2023): score every
+    # clean doc against the English-target hashed-ngram model — the
+    # ranking a curation run feeds into weighted sampling (kept as a
+    # scoring stage here; the weights, not a hard cut, are the
+    # product)
+    dsir_top = dsir_importance_weights(spark, sf_dir, docs=clean)
 
     # 5. deterministic split
     split_docs = hash_split(clean, "doc_id")
@@ -162,6 +189,8 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "current": current,
         "eval_sample": eval_sample,
         "canonical": canonical,
+        "span_audit": span_audit,
+        "dsir_top": dsir_top,
         "clean": clean,
         "split_docs": split_docs,
         "decontaminated": decontaminated,

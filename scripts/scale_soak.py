@@ -54,6 +54,11 @@ def main() -> int:
         ("lsh_minhash_near_dup", L.lsh_minhash_near_dup),
         ("cdc_materialize_customer", C.cdc_materialize_customer),
         ("many_table_export", many_table_export),
+        # r8: O(corpus tokens) positional-gram span dedup (the gram
+        # shuffle is the scale risk) and the DSIR scorer (model stays
+        # B rows however big the corpus gets)
+        ("exact_substring_spans", L.exact_substring_spans),
+        ("dsir_importance_weights", L.dsir_importance_weights),
     ]
 
     base = tempfile.mkdtemp(prefix="scale_soak_")

@@ -125,6 +125,16 @@ def test_training_pipeline_example_end_to_end(spark, sf_dir):
     n_canonical = stages["canonical"].count()
     n_clean = stages["clean"].count()
     assert n_current >= n_canonical >= n_clean > 0
+    # span audit reports only canonical docs; the DSIR shortlist is
+    # bounded and scores only clean (surviving) docs
+    canon_ids = {r["doc_id"] for r in stages["canonical"].collect()}
+    assert {
+        r["doc_id"] for r in stages["span_audit"].collect()
+    } <= canon_ids
+    dsir_rows = stages["dsir_top"].collect()
+    assert 0 < len(dsir_rows) <= 20
+    clean_ids = {r["doc_id"] for r in stages["clean"].collect()}
+    assert {r["doc_id"] for r in dsir_rows} <= clean_ids
     from pyspark.sql import functions as F
 
     split_counts = dict(
