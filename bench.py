@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "exact_substring_spans",
     "dsir_importance_weights",
     "bpe_encode_stats",
+    "pq_ann_topk",
+    "pq_ann_recall_vs_exact",
     # cdc_replicate_all_counts is gate-checked but not benched: it is
     # the sum of the 10 per-table materializations benched above, and
     # re-timing the whole loop adds ~25 s of pure duplication

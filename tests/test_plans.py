@@ -440,3 +440,21 @@ def test_dsir_broadcasts_model_no_token_string_shuffle(spark, sf_dir):
     # model join + the two 1-row total joins are all broadcasts
     assert count_broadcast_joins(df) >= 3
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pq_ann_broadcasts_codebook_and_dtab_no_cartesian(spark, sf_dir):
+    """PQ-ADC: the codebook join (encode) and the distance-table join
+    (scan) must both be broadcasts — the corpus-side index never
+    shuffles by codebook key — and the re-rank joins the bounded
+    shortlist; nothing may cartesian."""
+    from bottledwater_pg_spark.operators.llm_queries import pq_ann_topk
+    from bottledwater_pg_spark.plans.inspect import (
+        count_broadcast_joins,
+        formatted_plan,
+    )
+
+    df = pq_ann_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # codebook (encode), dtab (ADC scan), query-vector re-rank join
+    assert count_broadcast_joins(df) >= 3

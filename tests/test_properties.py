@@ -452,3 +452,73 @@ def test_avro_frames_distinguish_null_from_nan_doubles(spark):
     assert back[1] == 1.5
     assert back[2] is None          # SQL NULL -> wire null branch
     assert math.isnan(back[3])      # genuine NaN -> IEEE754 payload
+
+
+# ------------------------------- exact-substring spans vs brute force
+
+_span_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=30
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _brute_spans(docs: list[list[str]], k: int) -> dict[int, tuple]:
+    """Reference implementation: per doc, the union of token intervals
+    [p, p+k-1] whose k-gram occurs in at least one OTHER doc; returns
+    {doc_id: (n_spans, dup_tokens, n_tokens)}."""
+    from collections import defaultdict
+
+    where = defaultdict(set)
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - k + 1):
+            where[tuple(toks[p:p + k])].add(i)
+    out = {}
+    for i, toks in enumerate(docs):
+        marks = [False] * len(toks)
+        for p in range(len(toks) - k + 1):
+            if len(where[tuple(toks[p:p + k])] - {i}) > 0:
+                for q in range(p, p + k):
+                    marks[q] = True
+        spans, j = [], 0
+        while j < len(marks):
+            if marks[j]:
+                s = j
+                while j < len(marks) and marks[j]:
+                    j += 1
+                spans.append(j - s)
+            else:
+                j += 1
+        if spans:
+            out[i + 1] = (len(spans), sum(spans), len(toks))
+    return out
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_span_corpus)
+def test_exact_substring_spans_matches_bruteforce(spark, corpus):
+    """The positional-k-gram + interval-union plan equals a direct
+    per-position marking over random tiny-alphabet corpora (heavy
+    overlap by construction, so island merging and the cross-doc
+    min/max rule both get exercised)."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        exact_substring_spans,
+    )
+
+    k = 3
+    docs = spark.createDataFrame(
+        [(i + 1, " ".join(toks)) for i, toks in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["n_tokens"])
+        for r in exact_substring_spans(spark, "", docs=docs, k=k).collect()
+    }
+    want = _brute_spans(corpus, k)
+    assert got == want
