@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "bpe_encode_stats",
     "pq_ann_topk",
     "pq_ann_recall_vs_exact",
+    "ivfpq_ann_topk",
     # cdc_replicate_all_counts is gate-checked but not benched: it is
     # the sum of the 10 per-table materializations benched above, and
     # re-timing the whole loop adds ~25 s of pure duplication

@@ -3809,3 +3809,130 @@ QUERIES["pq_ann_recall_vs_exact"] = pq_ann_recall_vs_exact
 ORACLES["pq_ann_recall_vs_exact"] = _ann_recall_sql(
     PQ_ANN_RECALL_FLOOR_BP
 )
+
+
+# --------------------------------------------- IVF-PQ (composed index)
+
+IVFPQ_RECALL_FLOOR_BP = 6500
+
+
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ system (similarity.topk_ivfpq): coarse cells
+    prune the scan, PQ codes make the in-cell scan table lookups, the
+    ADC shortlist re-ranks exactly — all three stages deterministic,
+    so DuckDB replays the COMPOSED index end to end and the output is
+    fully hash-oracled. Recall certified by
+    ``ivfpq_ann_recall_vs_exact`` (floor 65%, measured 87-94%)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.topk_ivfpq(emb, queries, k=5)
+
+
+def ivfpq_ann_recall_vs_exact(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Driver-hashable accuracy certificate for ``ivfpq_ann_topk``:
+    recall vs brute force floored at 65% (measured 94/92/87% at
+    sf0.001/0.01/0.1 — the cell pruning costs a few points vs pure
+    PQ's refine-100 because a true neighbor outside the probed cells
+    can never be shortlisted)."""
+    return _recall_vs_exact(
+        ann_topk_cosine(spark, sf_dir),
+        ivfpq_ann_topk(spark, sf_dir),
+        IVFPQ_RECALL_FLOOR_BP,
+    )
+
+
+def _ivfpq_ann_sql(n_list: int = 32, n_probe: int = 8,
+                   n_sub: int = 16, k_sub: int = 32, refine: int = 50,
+                   dim: int = 64) -> str:
+    """Full replay of the composed IVF-PQ index: the IVF centroid/
+    assignment/probe CTEs, the PQ codebook/encode/distance-table CTEs,
+    ADC restricted to probed cells, shortlist, exact-cosine re-rank."""
+    sub = dim // n_sub
+    l2 = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
+          "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)")
+    dot_qc = (
+        "CAST(list_sum(list_transform(list_zip(qn.qvec, cent.cent_q), "
+        "p -> p[1] * p[2])) AS BIGINT)"
+    )
+    return f"""
+WITH {_QN_CTE},
+cent AS (
+  SELECT sid AS cent_id, qvec AS cent_q, n AS cent_n
+  FROM qn ORDER BY sid LIMIT {n_list}
+),
+ascore AS (
+  SELECT qn.sid, cent.cent_id,
+         CAST({dot_qc} AS DOUBLE) / (qn.n * cent.cent_n) AS cos
+  FROM qn CROSS JOIN cent
+),
+assigned AS (
+  SELECT sid, cent_id FROM (
+    SELECT sid, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, cent_id) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT sid AS query_id, cent_id FROM (
+    SELECT sid, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, cent_id) AS rn
+    FROM ascore WHERE sid < 20
+  ) WHERE rn <= {n_probe}
+),
+base AS (
+  SELECT qvec, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
+  FROM qn ORDER BY sid LIMIT {k_sub}
+),
+cb AS (
+  SELECT m, code, qvec[m * {sub} + 1 : (m + 1) * {sub}] AS cb_q
+  FROM base, (SELECT unnest(range({n_sub})) AS m)
+),
+sv AS (
+  SELECT sid, m, qvec[m * {sub} + 1 : (m + 1) * {sub}] AS sub_q
+  FROM qn, (SELECT unnest(range({n_sub})) AS m)
+),
+enc AS (
+  SELECT sid, m, code FROM (
+    SELECT sv.sid, sv.m, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY sv.sid, sv.m
+             ORDER BY {l2.format(a="sv.sub_q", b="cb.cb_q")}, cb.code
+           ) AS rn
+    FROM sv JOIN cb ON sv.m = cb.m
+  ) WHERE rn = 1
+),
+dtab AS (
+  SELECT sv.sid AS query_id, sv.m, cb.code,
+         {l2.format(a="sv.sub_q", b="cb.cb_q")} AS d
+  FROM sv JOIN cb ON sv.m = cb.m
+  WHERE sv.sid < 20
+),
+adc AS (
+  SELECT d.query_id, e.sid AS neighbor_id,
+         CAST(SUM(d.d) AS BIGINT) AS adc_dist_q
+  FROM enc e
+  JOIN assigned a ON e.sid = a.sid
+  JOIN probe p ON p.cent_id = a.cent_id
+  JOIN dtab d ON d.query_id = p.query_id
+             AND d.m = e.m AND d.code = e.code
+  WHERE e.sid <> p.query_id
+  GROUP BY d.query_id, e.sid
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist_q, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {refine}
+),
+{_SCORE_RANK_TAIL}"""
+
+
+QUERIES["ivfpq_ann_topk"] = ivfpq_ann_topk
+ORACLES["ivfpq_ann_topk"] = _ivfpq_ann_sql()
+QUERIES["ivfpq_ann_recall_vs_exact"] = ivfpq_ann_recall_vs_exact
+ORACLES["ivfpq_ann_recall_vs_exact"] = _ann_recall_sql(
+    IVFPQ_RECALL_FLOOR_BP
+)

@@ -412,3 +412,83 @@ def topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def topk_ivfpq(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               n_list: int = 32, n_probe: int = 8,
+               n_sub: int = 16, k_sub: int = 32, refine: int = 50,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ (the full Jégou et al. 2011 IVFADC-R system): coarse
+    quantizer prunes the scan to ``n_probe`` cells per query, PQ codes
+    give O(n_sub) table lookups per surviving candidate, the ADC
+    shortlist re-ranks by exact quantized cosine. This is THE
+    billion-scale ANN shape: at warehouse scale the corpus is
+    partitioned by ``cent_id`` (probes are partition-pruned reads) and
+    each partition stores only the ``n_sub`` small codes per vector —
+    full vectors are fetched for the refine set alone.
+
+    Deterministic end to end (lowest-id samples, integer distances,
+    pinned ties), so the whole three-stage index replays in SQL."""
+    from bottledwater_pg_spark.session import persist_tracked
+
+    cent = persist_tracked(ivf_centroids(corpus, n_list, id_col, vec_col))
+    assigned = persist_tracked(ivf_assign(corpus, cent, id_col, vec_col))
+    cb = persist_tracked(pq_codebooks(corpus, n_sub, k_sub, id_col, vec_col))
+    enc = pq_encode(corpus, cb, n_sub, id_col, vec_col).join(
+        assigned.select("sid", "cent_id"), "sid"
+    )
+    qv = quantized_vectors(queries, id_col, vec_col)
+    qscored = qv.crossJoin(F.broadcast(cent)).withColumn(
+        "cos", cosine_pre("qvec", "cent_q", "qnorm", "cent_n")
+    )
+    wp = Window.partitionBy("sid").orderBy(F.desc("cos"), F.col("cent_id"))
+    probe = (
+        qscored.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= n_probe)
+        .select(F.col("sid").alias("query_id"), "cent_id")
+    )
+    dtab = (
+        _subvectors(queries, n_sub, id_col, vec_col)
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("sid").alias("query_id"), "m", "code",
+            F.expr(_L2Q.format(a="sub_q", b="cb_q")).alias("d"),
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(probe), "cent_id")
+        .filter(F.col("sid") != F.col("query_id"))
+        .join(F.broadcast(dtab), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("sid").alias("neighbor_id"))
+        .agg(F.sum("d").cast("long").alias("adc_dist_q"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        "adc_dist_q", "neighbor_id"
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    qq = _q(queries, "query", id_col, vec_col)
+    rescored = (
+        shortlist.join(F.broadcast(qq), "query_id")
+        .join(
+            assigned.select(
+                F.col("sid").alias("neighbor_id"),
+                F.col("qvec").alias("n_q"),
+                F.col("qnorm").alias("n_n"),
+            ),
+            "neighbor_id",
+        )
+        .withColumn("cos", cosine_pre("query_q", "n_q", "query_n", "n_n"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -458,3 +458,20 @@ def test_pq_ann_broadcasts_codebook_and_dtab_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # codebook (encode), dtab (ADC scan), query-vector re-rank join
     assert count_broadcast_joins(df) >= 3
+
+
+def test_ivfpq_probes_broadcast_and_no_cartesian(spark, sf_dir):
+    """IVF-PQ: probe set, distance table, and codebook all broadcast
+    into the scan side; the only crossJoin in the lineage is the
+    query-vs-32-centroid probe scoring (tiny side broadcast); the
+    corpus index never shuffles by a model key."""
+    from bottledwater_pg_spark.operators.llm_queries import ivfpq_ann_topk
+    from bottledwater_pg_spark.plans.inspect import (
+        count_broadcast_joins,
+        formatted_plan,
+    )
+
+    df = ivfpq_ann_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert count_broadcast_joins(df) >= 4
