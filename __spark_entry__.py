@@ -46,51 +46,59 @@ def entry(spark: SparkSession) -> DataFrame:
 # has a driver record from some round. scripts/exact_gate.py still
 # re-certifies all 157 locally (EXACTGATE_r5.json).
 _FAMILY_SPREAD = [
-    # ---- ROUND 7 window: the driver hashes the FIRST 50 entries.
-    # Slots 1-3: the r1-r6 rows-only sketch queries FLIPPED to full
-    # hash oracles this round (md5-parity SRP hyperplanes with exact
-    # integer projections; parameterized md5 SimHash twin; full IVF
-    # index replay in SQL).
-    "lsh_ann_topk", "ivf_ann_topk", "lsh_simhash_near_dup",
-    # Slots 4-8: new r7 queries — the composite/enum/domain type
-    # round-trip, the BPE merge-learning loop + LM quality filter
-    # (both fully hash-oracled), and the xxhash64 production twins
-    # that deliberately stay rows-only (DuckDB cannot recompute the
-    # hash; their accuracy certificates sit just below).
-    "pg_composite_enum_roundtrip",
+    # ---- ROUND 8 window: the driver hashes the FIRST 50 entries.
+    # Slots 1-7: the new r8 queries (no prior driver record) — the
+    # exact-substring duplicate-span audit, DSIR importance weights,
+    # BPE tokenizer application, and the PQ / IVF-PQ ANN family with
+    # its recall certificates (all fully hash-oracled).
+    "exact_substring_spans", "dsir_importance_weights",
+    "bpe_encode_stats",
+    "pq_ann_topk", "pq_ann_recall_vs_exact",
+    "ivfpq_ann_topk", "ivfpq_ann_recall_vs_exact",
+    # Slots 8-10: BPE trainer re-certification (the r8 _bpe_pairs
+    # split-binding rewrite + the shared-_bpe_train refactor touch its
+    # code path) and the r7 additions kept warm.
     "bpe_learn_merges", "lm_surprise_outliers",
+    "pg_composite_enum_roundtrip",
+    # Slots 11-16: the deliberate rows-only cells next to their
+    # hash-green accuracy certificates (xxhash64 twins + HLL
+    # internals — DuckDB cannot recompute those outputs by design).
     "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
-    # Slots 7-10: the sketch-accuracy certificates (repointed at the
-    # xxhash twins this round) and the remaining genuinely
-    # engine-internal rows-only cell.
+    "hll_distinct_users_by_type",
     "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",
-    "simhash_injected_recall", "hll_distinct_users_by_type",
-    # Slots 11-30: every query whose code path changed in r7 —
-    # shared-tokenization ensemble + its constituents, the star-CC
-    # lazy node-universe checkpoint (all CC consumers), the
-    # rank-family window fusion, the SRP banding variant plumbing,
-    # and the catalog LIKE qualified-name gating (export paths).
+    "simhash_injected_recall",
+    # Slots 17-24: the ANN family kept warm (similarity.py gained the
+    # PQ section this round) and the catalog-scan consumers (the r8
+    # dotless-pattern warning touches get_table_list's path).
+    "lsh_ann_topk", "ivf_ann_topk", "lsh_simhash_near_dup",
+    "ann_topk_cosine",
+    "cdc_export_snapshot_counts", "cdc_skip_snapshot_customer",
+    "cdc_replicate_all_counts", "cdc_many_table_fanout_state",
+    # Slots 25-38: dedup + rank families kept warm.
     "dedup_cluster_ensemble", "lsh_minhash_near_dup",
     "simhash_md5_near_dup", "winnow_near_dup_pairs",
     "dedup_cluster_canonical", "dedup_cluster_canonical_star",
     "incremental_dedup_matches", "dedup_threshold_sensitivity",
+    "semdedup_prune_stats", "lsh_embedding_near_dup",
     "median_order_value_by_segment", "mad_order_value_by_segment",
     "quartiles_order_value_by_segment", "value_percentiles_by_type",
-    "lsh_embedding_near_dup", "ann_topk_cosine",
-    "cdc_export_snapshot_counts", "cdc_replicate_all_counts",
-    "cdc_skip_snapshot_customer", "cdc_many_table_fanout_state",
-    "pagerank_copurchase", "semdedup_prune_stats",
-    # Slots 31-50: core-family re-certification (flagship + one per
-    # family) and the r6 additions kept warm.
+    # Slots 39-50: core-family re-certification (flagship + one per
+    # family).
     "cdc_materialize_customer", "cdc_merge_sink_customer",
     "cdc_stream_table_join", "q1_pricing_summary",
     "fraud_rolling_anomalies", "hll_error_bound_by_type",
     "cdc_registry_evolution_decode", "bloom_contamination_screen",
     "cms_heavy_users_certificate", "approx_quantile_rank_certificate",
+    "pagerank_copurchase", "cdc_error_policy_log",
+    # ---- rotated out this round (driver records live in
+    # CORRECTNESS_r07): bm25_topk_docs, alpha_mixture_weights,
+    # ngram_diversity_by_source, pg_interval_roundtrip,
+    # pg_timetz_roundtrip, cdc_error_policy_ddl,
+    # cdc_topic_routing_counts.
     "bm25_topk_docs",
     "alpha_mixture_weights", "ngram_diversity_by_source",
     "pg_interval_roundtrip", "pg_timetz_roundtrip",
-    "cdc_error_policy_ddl", "cdc_error_policy_log",
+    "cdc_error_policy_ddl",
     "cdc_topic_routing_counts",
     # ---- 50-entry window boundary (everything below already has a
     # driver record from r1-r4 and is re-certified in EXACTGATE_r5)

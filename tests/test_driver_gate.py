@@ -41,35 +41,40 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert_df_matches_oracle(df, duck, ORACLES[name])
 
 
-def test_round7_window_keeps_the_ledger_closed():
+def test_round8_window_keeps_the_ledger_closed():
     """The driver hashes only the first 50 queries() entries. The
-    round-7 window must contain (a) every query with NO driver record
-    from r1-r6 (the new r7 queries), so the every-query-has-a-record
-    invariant survives the rotation, (b) the three newly hash-oracled
-    flips (lsh_ann_topk / ivf_ann_topk / lsh_simhash_near_dup) so the
-    r6 rows-only cells re-record as hash-green, and (c) the accuracy
-    certificates next to their rows-only xxhash twins. Rows-only
-    entries inside the window stay limited to the ops whose raw
-    outputs are engine-specific by design."""
+    round-8 window must contain (a) every query with NO driver record
+    from r1-r7 (the new r8 queries: exact-substring spans, DSIR,
+    BPE encode, and the PQ / IVF-PQ family with its certificates), so
+    the every-query-has-a-record invariant survives the rotation,
+    (b) the BPE trainer whose code path the r8 refactor touched, and
+    (c) the deliberate rows-only cells next to their hash-green
+    accuracy certificates. Rows-only entries inside the window stay
+    limited to the ops whose raw outputs are engine-specific by
+    design."""
     import json
     import os
 
     window = list(QUERIES)[:50]
     must_be_in_window = [
-        # new r7 queries (no prior driver record)
-        "pg_composite_enum_roundtrip",
-        "bpe_learn_merges", "lm_surprise_outliers",
+        # new r8 queries (no prior driver record)
+        "exact_substring_spans", "dsir_importance_weights",
+        "bpe_encode_stats",
+        "pq_ann_topk", "pq_ann_recall_vs_exact",
+        "ivfpq_ann_topk", "ivfpq_ann_recall_vs_exact",
+        # r8-touched code paths re-certified
+        "bpe_learn_merges",
+        "cdc_export_snapshot_counts",
+        # rows-only cells + their certificates stay paired in-window
         "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
-        # r6 rows-only cells flipped to full oracles
-        "lsh_ann_topk", "ivf_ann_topk", "lsh_simhash_near_dup",
-        # certificates beside their twins
+        "hll_distinct_users_by_type",
         "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",
         "simhash_injected_recall",
     ]
     assert not [n for n in must_be_in_window if n not in window]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     recs: dict = {}
-    for r in (1, 2, 3, 4, 5, 6):
+    for r in (1, 2, 3, 4, 5, 6, 7):
         p = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(p):
             recs.update(json.load(open(p)))
