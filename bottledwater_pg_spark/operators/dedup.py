@@ -696,3 +696,67 @@ def incremental_lsh_matches(index_df: DataFrame, new_df: DataFrame,
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "match_id", "jaccard")
     )
+
+
+def incremental_cosine_matches(index_df: DataFrame, new_df: DataFrame,
+                               threshold: float = 0.99,
+                               num_bits: int = 24, bands: int = 4,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """Incremental (new-batch-vs-index) EMBEDDING near-dup matching —
+    the vector twin of :func:`incremental_lsh_matches`: a small new
+    batch of vectors is checked against the standing corpus index via
+    the same SRP band signatures :func:`hyperplane_lsh_near_dup` uses
+    for the symmetric self-join, then exact quantized cosine verifies.
+    Returns ``(new_id, match_id, cos)`` for every index vector within
+    ``threshold`` of a new vector.
+
+    Because a vector's SRP signature is a pure function of the vector
+    (fixed hyperplanes), a new vector collides with an index vector
+    exactly as it would have in the symmetric join — which is what
+    makes a batched stream's candidate set EQUAL the batch self-join's
+    regardless of how arrival slices the corpus.
+
+    Scale: at warehouse scale the index stores (band, bval) bucketed —
+    the probe broadcasts the new batch's bands against a bucketed read
+    and fetches quantized vectors only for candidate ids. Cost scales
+    with the batch, not the corpus."""
+    from pyspark import StorageLevel
+
+    b_idx = banded_srp(index_df, num_bits, bands, id_col, vec_col)
+    b_new = banded_srp(new_df, num_bits, bands, id_col, vec_col)
+    cand = (
+        b_idx.select(F.col("sid").alias("match_id"), "band", "bval")
+        .join(
+            F.broadcast(
+                b_new.select(F.col("sid").alias("new_id"), "band", "bval")
+            ),
+            ["band", "bval"],
+        )
+        .select("new_id", "match_id")
+        .distinct()
+    )
+    q_idx = persist_tracked(
+        quantized_vectors(index_df, id_col, vec_col),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    q_new = quantized_vectors(new_df, id_col, vec_col)
+    return (
+        cand.join(
+            q_idx.select(F.col("sid").alias("match_id"),
+                         F.col("qvec").alias("qa"),
+                         F.col("qnorm").alias("na")),
+            "match_id",
+        )
+        .join(
+            F.broadcast(
+                q_new.select(F.col("sid").alias("new_id"),
+                             F.col("qvec").alias("qb"),
+                             F.col("qnorm").alias("nb"))
+            ),
+            "new_id",
+        )
+        .withColumn("cos", cosine_pre("qa", "qb", "na", "nb"))
+        .filter(F.col("cos") >= threshold)
+        .select("new_id", "match_id", "cos")
+    )

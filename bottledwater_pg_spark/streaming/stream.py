@@ -1321,3 +1321,126 @@ class StreamingContaminationScreen:
             .outputMode("update")
             .start()
         )
+
+
+class StreamingVectorDedupIndex:
+    """Continuous ingest-time SEMANTIC near-dup rejection over an
+    embedding stream — the vector twin of :class:`StreamingDedupIndex`
+    and the streaming form of SemDeDup's prune rule (Abbas et al.
+    2023): a batch vector is rejected iff an earlier-seen (or
+    earlier-in-batch, lower-id) vector is within ``threshold`` cosine.
+    Candidates come from the SAME SRP band signatures on both the
+    intra-batch self-join and the index probe
+    (dedup.hyperplane_lsh_near_dup / dedup.incremental_cosine_matches)
+    — and because a vector's signature is a pure function of the
+    vector, the streamed candidate set equals the batch self-join's
+    however arrival slices the corpus, so id-ordered ingest reproduces
+    the batch min-id-witness rule exactly.
+
+    State/replay discipline is identical to StreamingDedupIndex:
+    per-epoch OVERWRITE slices keyed by (run, epoch), probes exclude
+    the replayed epoch's own slice and later same-run slices, restart
+    probes the standing index from the first batch (content-checked),
+    legacy run-key slices fold in on start().
+
+    Scale: the index stores (vec_id, embedding) here for oracle
+    simplicity; at cluster scale it stores the banded signatures +
+    quantized vectors bucketed by (band, bval), so a probe is a
+    broadcast of the batch's bands against a bucketed read. Cost per
+    batch is O(batch), not O(corpus)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 threshold: float = 0.99,
+                 num_bits: int = 24, bands: int = 4):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.threshold = threshold
+        self.num_bits = num_bits
+        self.bands = bands
+        self._run_key = "adhoc"  # start() re-keys from the checkpoint
+        os.makedirs(state_dir, exist_ok=True)
+        self._have_index = self._state_exists("index")
+        self._have_accepted = self._state_exists("accepted")
+
+    _state_exists = StreamingDedupIndex._state_exists
+    _path = StreamingDedupIndex._path
+    _index_slices = StreamingDedupIndex._index_slices
+
+    def index_vectors(self) -> DataFrame | None:
+        full = self._index_slices()
+        return None if full is None else full.select("vec_id", "embedding")
+
+    def accepted_ids(self) -> DataFrame | None:
+        if not self._have_accepted:
+            return None
+        return self.spark.read.option(
+            "basePath", self._path("accepted")
+        ).parquet(self._path("accepted")).select("vec_id").distinct()
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from bottledwater_pg_spark.operators import dedup
+
+        batch = batch.select("vec_id", "embedding")
+        idx = self._index_slices()
+        rejected_vs_index = None
+        if idx is not None:
+            # same prior-slice discipline as StreamingDedupIndex: a
+            # replayed epoch must not probe its own earlier write
+            prior = idx.filter(
+                (F.col("run") != self._run_key)
+                | (F.col("epoch") < F.lit(epoch_id))
+            ).select("vec_id", "embedding")
+            rejected_vs_index = (
+                dedup.incremental_cosine_matches(
+                    prior, batch, threshold=self.threshold,
+                    num_bits=self.num_bits, bands=self.bands,
+                )
+                .filter(F.col("match_id") != F.col("new_id"))
+                .select(F.col("new_id").alias("vec_id"))
+                .distinct()
+            )
+        intra = (
+            dedup.hyperplane_lsh_near_dup(
+                batch, threshold=self.threshold,
+                num_bits=self.num_bits, bands=self.bands,
+            )
+            .select(F.col("b_id").alias("vec_id"))
+            .distinct()
+        )
+        rejected = (
+            intra
+            if rejected_vs_index is None
+            else intra.unionByName(rejected_vs_index).distinct()
+        )
+        accepted = batch.join(rejected, "vec_id", "left_anti").select(
+            "vec_id"
+        )
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(
+                self._path("accepted"),
+                f"run={self._run_key}", f"epoch={epoch_id}",
+            )
+        )
+        batch.write.mode("overwrite").parquet(
+            os.path.join(
+                self._path("index"),
+                f"run={self._run_key}", f"epoch={epoch_id}",
+            )
+        )
+        self._have_index = True
+        self._have_accepted = True
+        from bottledwater_pg_spark.session import release_persisted
+
+        release_persisted()
+
+    def start(self, vecs_stream: DataFrame, checkpoint_dir: str):
+        _fold_legacy_run_slices(
+            (self._path("accepted"), self._path("index")), checkpoint_dir
+        )
+        self._run_key = _run_key_of(checkpoint_dir)
+        return (
+            vecs_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .start()
+        )

@@ -1790,3 +1790,63 @@ def test_legacy_run_key_slices_fold_into_resolved_key(spark, tmp_path):
     # idempotent second call; already-resolved spelling is a no-op
     assert _fold_legacy_run_slices(roots, spelled) == 0
     assert _fold_legacy_run_slices(roots, os.path.realpath(spelled)) == 0
+
+
+def test_streaming_vector_dedup_index_equals_batch_rule(
+    spark, sf_dir, tmp_path
+):
+    """StreamingVectorDedupIndex over the duplicate-injected embedding
+    corpus in 3 id-ordered micro-batches: the accepted set equals the
+    batch rule (vector rejected iff ANY lower-id SRP-candidate in the
+    whole corpus is within threshold cosine) — the SRP signature is a
+    pure function of the vector, so batching cannot change the
+    candidate set; replaying a batch (same or fresh epoch) changes
+    nothing."""
+    from bottledwater_pg_spark.operators import dedup
+    from bottledwater_pg_spark.operators.llm_queries import (
+        COSINE_THRESHOLD,
+        embeddings_with_dups,
+    )
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingVectorDedupIndex,
+    )
+
+    corpus = embeddings_with_dups(spark, sf_dir)
+    idx = StreamingVectorDedupIndex(
+        spark, str(tmp_path / "vstate"), threshold=COSINE_THRESHOLD
+    )
+    batches = [
+        corpus.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        for lo, hi in [(0, 30), (30, 100), (100, 10**9)]
+    ]
+    for e, b in enumerate(batches):
+        idx.process_batch(b, e)
+    accepted = {r.vec_id for r in idx.accepted_ids().collect()}
+
+    pairs = dedup.hyperplane_lsh_near_dup(
+        corpus, threshold=COSINE_THRESHOLD
+    ).toPandas()
+    expected = {
+        r.vec_id for r in corpus.select("vec_id").collect()
+    } - set(pairs.b_id)
+    assert accepted == expected
+    # the injected copies are exactly the rejected set's core: every
+    # +100000 copy has its original as a lower-id exact match
+    assert {v for v in expected if v >= 100000} == set()
+
+    # same-epoch replay (crash before checkpoint commit)
+    idx.process_batch(batches[1], 1)
+    assert {r.vec_id for r in idx.accepted_ids().collect()} == accepted
+    # fresh-epoch re-delivery
+    idx.process_batch(batches[1], 99)
+    assert {r.vec_id for r in idx.accepted_ids().collect()} == accepted
+
+    # restart: a NEW instance over the same state probes the standing
+    # index from its first batch — re-feeding batch 2 under a new
+    # epoch accepts nothing new
+    idx2 = StreamingVectorDedupIndex(
+        spark, str(tmp_path / "vstate"), threshold=COSINE_THRESHOLD
+    )
+    idx2._run_key = "otherrun"
+    idx2.process_batch(batches[2], 0)
+    assert {r.vec_id for r in idx2.accepted_ids().collect()} == accepted
