@@ -3641,7 +3641,15 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str,
         )
         .crossJoin(
             F.broadcast(
-                tgt.agg(F.sum("cnt_t").cast("long").alias("tot_t"))
+                # a corpus with NO target docs must degrade to the
+                # uniform add-1 model, not NULL out every weight —
+                # sum over zero rows is NULL, coalesce like the SQL
+                # twin's COALESCE(SUM(cnt_t), 0)
+                tgt.agg(
+                    F.coalesce(F.sum("cnt_t"), F.lit(0))
+                    .cast("long")
+                    .alias("tot_t")
+                )
             )
         )
         .select(

@@ -271,3 +271,92 @@ def test_bpe_single_char_vocabulary_refuses(spark):
     )
     with pytest.raises(RuntimeError, match="exhausted"):
         bpe_learn_merges(spark, "", steps=1, docs=docs)
+
+
+def test_exact_substring_spans_empty_and_short_docs(spark):
+    """Empty corpus -> empty; docs shorter than k produce no grams and
+    never crash the sequence() bound; identical SHORT docs (< k
+    tokens) share no k-gram so they report nothing."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        exact_substring_spans,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_substring_spans(spark, "", docs=empty).count() == 0
+    shorts = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    assert exact_substring_spans(spark, "", docs=shorts).count() == 0
+
+
+def test_dsir_empty_and_no_target(spark):
+    """Empty corpus -> empty result; a corpus with NO target-language
+    docs still scores (the add-1-smoothed target model degrades to
+    uniform — every bucket score is the same finite integer)."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        dsir_importance_weights,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, lang string, text string")
+    assert dsir_importance_weights(spark, "", docs=empty).count() == 0
+    no_target = spark.createDataFrame(
+        [(1, "de", "x y"), (2, "fr", "x z")],
+        "doc_id long, lang string, text string",
+    )
+    rows = dsir_importance_weights(spark, "", docs=no_target).collect()
+    assert len(rows) == 2
+    assert all(isinstance(r["logw_q"], int) for r in rows)
+
+
+def test_bpe_encode_stats_refuses_empty_vocab(spark):
+    """A corpus with no alphabetic words exhausts the BPE vocabulary
+    at step 1 — training refuses loudly (same contract as
+    bpe_learn_merges), never returns an empty merge table silently."""
+    import pytest
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        bpe_encode_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s", "123 456 !!!")], "doc_id long, source string, text string"
+    )
+    with pytest.raises(RuntimeError, match="exhausted"):
+        bpe_encode_stats(spark, "", docs=docs).collect()
+
+
+def test_pq_handles_corpus_smaller_than_codebook(spark):
+    """PQ with fewer corpus vectors than k_sub codebook slots: the
+    deterministic sample just yields a smaller codebook; encode and
+    ADC still run and return every non-self neighbor."""
+    from bottledwater_pg_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.topk_pq(
+        vecs, vecs.filter(F.col("vec_id") == 0), k=3,
+        n_sub=2, k_sub=16, refine=10,
+    ).collect()
+    assert len(out) == 3  # the 3 non-self vectors, ranked
+    assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_streaming_vector_dedup_empty_batch(spark, tmp_path):
+    """An empty micro-batch writes empty slices and leaves the
+    accepted set unchanged — no crash, no state corruption."""
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingVectorDedupIndex,
+    )
+
+    idx = StreamingVectorDedupIndex(spark, str(tmp_path / "v"))
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    idx.process_batch(vecs, 0)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    idx.process_batch(empty, 1)
+    assert {r.vec_id for r in idx.accepted_ids().collect()} == {1, 2}
