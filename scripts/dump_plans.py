@@ -98,6 +98,11 @@ HEADLINE = {
     "pg_composite_enum_roundtrip": "composite/enum/domain round-trip: narrow regex + JSON projection, zero shuffles",
     "quartiles_order_value_by_segment": "exact p25/50/75: two-phase bucketed rank; group size via window over the tiny bucket-count table (no join back to stats)",
     "lm_surprise_outliers": "LM quality filter: vocabulary-sized bigram model (one partial-agg pass), doc bigrams join the model keyed (prev, cur), V as 1-row scalar broadcast, exact int64 surprise sums, top-20 via TakeOrderedAndProject",
+    "exact_substring_spans": "exact-substring dedup: ONE positional-gram explode, cross-doc via window min/max on the gram (one gram shuffle, O(1) state per gram), island merge re-shuffles only surviving positions by doc",
+    "dsir_importance_weights": "DSIR: per-(doc,bucket) counts in one pass; B-row model + two 1-row totals all broadcast; integer score sums; TakeOrderedAndProject top-k",
+    "bpe_encode_stats": "BPE encode: trained vocab reconstructs its words (space-strip), one equi-join of the word stream against it, per-source integer agg",
+    "pq_ann_topk": "PQ-ADC: codebook + per-query distance table broadcast (data-size independent), scan is index join + partial-agg sum, exact re-rank on the bounded shortlist",
+    "ivfpq_ann_topk": "IVF-PQ: probe set + codebook + dtab broadcast; in-cell ADC via (cent_id) join — at scale a partition-pruned read; re-rank touches refine*|Q| vectors",
 }
 
 ALIAS = {
