@@ -55,10 +55,13 @@ def main() -> int:
         ("cdc_materialize_customer", C.cdc_materialize_customer),
         ("many_table_export", many_table_export),
         # r8: O(corpus tokens) positional-gram span dedup (the gram
-        # shuffle is the scale risk) and the DSIR scorer (model stays
-        # B rows however big the corpus gets)
+        # shuffle is the scale risk), the DSIR scorer (model stays
+        # B rows however big the corpus gets), and the composed
+        # IVF-PQ index (assignment + encode are the corpus-sized
+        # stages; the probe is cell-pruned)
         ("exact_substring_spans", L.exact_substring_spans),
         ("dsir_importance_weights", L.dsir_importance_weights),
+        ("ivfpq_ann_topk", L.ivfpq_ann_topk),
     ]
 
     base = tempfile.mkdtemp(prefix="scale_soak_")

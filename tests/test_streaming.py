@@ -1850,3 +1850,48 @@ def test_streaming_vector_dedup_index_equals_batch_rule(
     idx2._run_key = "otherrun"
     idx2.process_batch(batches[2], 0)
     assert {r.vec_id for r in idx2.accepted_ids().collect()} == accepted
+
+
+def test_streaming_vector_dedup_index_runs_as_real_stream(spark, sf_dir):
+    """StreamingVectorDedupIndex behind an actual readStream (file
+    source, checkpointed): the accepted set equals the batch SRP-
+    candidate rule — the foreachBatch hook, per-epoch slices, and
+    run-key fold all work under the real streaming engine."""
+    from bottledwater_pg_spark.operators import dedup
+    from bottledwater_pg_spark.operators.llm_queries import (
+        COSINE_THRESHOLD,
+        embeddings_with_dups,
+    )
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingVectorDedupIndex,
+    )
+
+    corpus = embeddings_with_dups(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/vecs"
+        for i, (lo, hi) in enumerate([(0, 30), (30, 100), (100, 10**9)]):
+            corpus.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+        streams = [
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b{i}")
+            for i in range(3)
+        ]
+        idx = StreamingVectorDedupIndex(
+            spark, f"{tmp}/state", threshold=COSINE_THRESHOLD
+        )
+        for i, st in enumerate(streams):
+            q = idx.start(st, f"{tmp}/ckpt{i}")
+            q.processAllAvailable()
+            q.stop()
+        accepted = {r.vec_id for r in idx.accepted_ids().collect()}
+
+    pairs = dedup.hyperplane_lsh_near_dup(
+        corpus, threshold=COSINE_THRESHOLD
+    ).toPandas()
+    expected = {
+        r.vec_id for r in corpus.select("vec_id").collect()
+    } - set(pairs.b_id)
+    assert accepted == expected
