@@ -47,14 +47,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-certifies all 157 locally (EXACTGATE_r5.json).
 _FAMILY_SPREAD = [
     # ---- ROUND 8 window: the driver hashes the FIRST 50 entries.
-    # Slots 1-7: the new r8 queries (no prior driver record) — the
+    # Slots 1-8: the new r8 queries (no prior driver record) — the
     # exact-substring duplicate-span audit, DSIR importance weights,
-    # BPE tokenizer application, and the PQ / IVF-PQ ANN family with
-    # its recall certificates (all fully hash-oracled).
+    # BPE tokenizer application, the PQ / IVF-PQ ANN family with its
+    # recall certificates, and the triangle census (all fully
+    # hash-oracled).
     "exact_substring_spans", "dsir_importance_weights",
     "bpe_encode_stats",
     "pq_ann_topk", "pq_ann_recall_vs_exact",
     "ivfpq_ann_topk", "ivfpq_ann_recall_vs_exact",
+    "supplier_triangle_counts",
     # Slots 8-10: BPE trainer re-certification (the r8 _bpe_pairs
     # split-binding rewrite + the shared-_bpe_train refactor touch its
     # code path) and the r7 additions kept warm.
@@ -89,12 +91,13 @@ _FAMILY_SPREAD = [
     "fraud_rolling_anomalies", "hll_error_bound_by_type",
     "cdc_registry_evolution_decode", "bloom_contamination_screen",
     "cms_heavy_users_certificate", "approx_quantile_rank_certificate",
-    "pagerank_copurchase", "cdc_error_policy_log",
+    "pagerank_copurchase",
     # ---- rotated out this round (driver records live in
     # CORRECTNESS_r07): bm25_topk_docs, alpha_mixture_weights,
     # ngram_diversity_by_source, pg_interval_roundtrip,
     # pg_timetz_roundtrip, cdc_error_policy_ddl,
-    # cdc_topic_routing_counts.
+    # cdc_error_policy_log, cdc_topic_routing_counts.
+    "cdc_error_policy_log",
     "bm25_topk_docs",
     "alpha_mixture_weights", "ngram_diversity_by_source",
     "pg_interval_roundtrip", "pg_timetz_roundtrip",

@@ -294,3 +294,86 @@ def pagerank_integer(
         if (i + 1) % 8 == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_counts(pairs: DataFrame, a_col: str = "a",
+                    b_col: str = "b") -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as
+    DISTINCT canonical pairs (``a < b``, one row per edge) — the
+    degree-ordered node-iterator algorithm (Schank & Wagner 2005;
+    the shape Cohen's MapReduce triangle paper and GraphX's
+    TriangleCount use): orient every edge from its lower-(degree, id)
+    endpoint to the higher one, enumerate wedges u→v, u→w only from
+    each node's OUT-edges, and close each wedge against the oriented
+    edge set. Every triangle is counted exactly once, at its
+    lowest-ordered vertex.
+
+    Scale: orientation bounds each node's out-degree by O(sqrt(|E|))
+    on any graph (a high-degree hub keeps only edges to even
+    higher-ordered nodes), so the wedge self-join — the quadratic
+    step in the naive algorithm — is quadratic only in the ORIENTED
+    out-degree. Three hash joins on ids, one partial-agg count; no
+    adjacency list ever materializes per node.
+
+    Returns (node, n_triangles) for every node in at least one
+    triangle; pure integers, deterministic."""
+    from bottledwater_pg_spark.session import persist_tracked
+
+    deg = (
+        pairs.select(F.col(a_col).alias("n"))
+        .unionByName(pairs.select(F.col(b_col).alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    # orient by (deg, id): u -> v iff (deg_u, u) < (deg_v, v)
+    e = (
+        pairs.join(deg.withColumnRenamed("n", a_col), a_col)
+        .withColumnRenamed("deg", "dega")
+        .join(deg.withColumnRenamed("n", b_col), b_col)
+        .withColumnRenamed("deg", "degb")
+    )
+    oriented = persist_tracked(
+        e.select(
+            F.when(
+                (F.col("dega") < F.col("degb"))
+                | (
+                    (F.col("dega") == F.col("degb"))
+                    & (F.col(a_col) < F.col(b_col))
+                ),
+                F.struct(
+                    F.col(a_col).alias("u"), F.col(b_col).alias("v")
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col(b_col).alias("u"), F.col(a_col).alias("v")
+                )
+            )
+            .alias("s")
+        ).select(F.col("s.u").alias("u"), F.col("s.v").alias("v"))
+    )
+    # wedges from out-edges only; v < w canonicalizes the wedge so
+    # each unordered {v, w} pair closes against ONE oriented edge
+    # probe per direction
+    w1 = oriented.select("u", F.col("v").alias("x"))
+    w2 = oriented.select("u", F.col("v").alias("y"))
+    wedges = w1.join(w2, "u").filter(F.col("x") < F.col("y"))
+    # the closing edge may be oriented x->y or y->x; probe both
+    tri = wedges.join(
+        oriented.select(
+            F.col("u").alias("x"), F.col("v").alias("y")
+        ).unionByName(
+            oriented.select(
+                F.col("v").alias("x"), F.col("u").alias("y")
+            )
+        ),
+        ["x", "y"],
+    )
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("x").alias("node")))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return per_node

@@ -4078,3 +4078,121 @@ FROM customer
 
 QUERIES["pg_composite_enum_roundtrip"] = pg_composite_enum_roundtrip
 ORACLES["pg_composite_enum_roundtrip"] = PG_COMPOSITE_ENUM_SQL
+
+
+# --------------------------------------- triangle counting (graph)
+
+TRIANGLE_EDGE_BUDGET = 5000
+
+
+def supplier_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-occurrence graph (two
+    suppliers are adjacent iff they serve the SAME order) — the
+    clustering-coefficient numerator, the classic graph-analytics
+    companion to PageRank for community/cohesion signals. Uses the
+    degree-ordered node-iterator (:func:`operators.graph.
+    triangle_counts`): each triangle is counted once at its
+    lowest-(degree, id) vertex, and orientation bounds the wedge
+    self-join by the oriented out-degree (O(sqrt(|E|)) on any graph)
+    — the property that keeps the quadratic step tractable on a
+    power-law graph at warehouse scale. Returns the top 20 suppliers
+    by triangle participation plus the global triangle count.
+
+    Edge build: per-order supplier sets are tiny (<= 7 lineitems per
+    order), so the same-order self-join is bounded per order. Raw
+    co-occurrence saturates toward the COMPLETE graph as orders
+    accumulate (every supplier eventually shares some order with every
+    other — measured: sf0.01's 100 suppliers form all 4,950 pairs), so
+    the graph is the TOP-5000 STRONGEST ties by shared-order count
+    (ties broken by (a, b)) — the standard sparsification for
+    co-occurrence networks, which keeps the census on meaningful
+    community structure and the wedge join bounded at every scale.
+    """
+    from bottledwater_pg_spark.operators.graph import triangle_counts
+    from bottledwater_pg_spark.session import persist_tracked
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    os_ = li.distinct()
+    weighted = (
+        os_.alias("x")
+        .join(os_.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .groupBy(
+            F.col("x.l_suppkey").alias("a"),
+            F.col("y.l_suppkey").alias("b"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    # orderBy+limit plans as TakeOrderedAndProject — the distributed
+    # top-k, never a single-partition global sort of the pair table
+    pairs = persist_tracked(
+        weighted.orderBy(F.desc("cnt"), "a", "b")
+        .limit(TRIANGLE_EDGE_BUDGET)
+        .select("a", "b")
+    )
+    per_node = triangle_counts(pairs)
+    total = per_node.agg(
+        (F.sum("n_triangles") / 3).cast("long").alias("total_triangles")
+    )
+    return (
+        per_node.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(20)
+    )
+
+
+TRIANGLE_SQL = f"""
+WITH os AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), weighted AS (
+  SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM os x JOIN os y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_suppkey < y.l_suppkey
+  GROUP BY x.l_suppkey, y.l_suppkey
+), pairs AS (
+  SELECT a, b FROM weighted
+  ORDER BY cnt DESC, a, b LIMIT {TRIANGLE_EDGE_BUDGET}
+), deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS n FROM pairs UNION ALL SELECT b AS n FROM pairs
+  ) GROUP BY n
+), oriented AS (
+  SELECT CASE WHEN (da.deg < db.deg)
+                OR (da.deg = db.deg AND p.a < p.b)
+              THEN p.a ELSE p.b END AS u,
+         CASE WHEN (da.deg < db.deg)
+                OR (da.deg = db.deg AND p.a < p.b)
+              THEN p.b ELSE p.a END AS v
+  FROM pairs p
+  JOIN deg da ON da.n = p.a
+  JOIN deg db ON db.n = p.b
+), wedges AS (
+  SELECT w1.u, w1.v AS x, w2.v AS y
+  FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u
+  WHERE w1.v < w2.v
+), closing AS (
+  SELECT u AS x, v AS y FROM oriented
+  UNION ALL
+  SELECT v AS x, u AS y FROM oriented
+), tri AS (
+  SELECT w.u, w.x, w.y
+  FROM wedges w JOIN closing c ON w.x = c.x AND w.y = c.y
+), per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT x FROM tri
+    UNION ALL SELECT y FROM tri
+  ) GROUP BY node
+), total AS (
+  SELECT CAST(SUM(n_triangles) / 3 AS BIGINT) AS total_triangles
+  FROM per_node
+)
+SELECT node, n_triangles, total_triangles
+FROM per_node, total
+ORDER BY n_triangles DESC, node
+LIMIT 20
+"""
+
+QUERIES["supplier_triangle_counts"] = supplier_triangle_counts
+ORACLES["supplier_triangle_counts"] = TRIANGLE_SQL

@@ -475,3 +475,19 @@ def test_ivfpq_probes_broadcast_and_no_cartesian(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert count_broadcast_joins(df) >= 4
+
+
+def test_triangle_census_takeordered_edges_no_cartesian(spark, sf_dir):
+    """Triangle census: the edge sparsification must plan as the
+    distributed top-k (TakeOrderedAndProject), never a
+    single-partition global sort of the pair table; wedge close is
+    hash joins; nothing cartesians."""
+    from bottledwater_pg_spark.operators.queries import (
+        supplier_triangle_counts,
+    )
+    from bottledwater_pg_spark.plans.inspect import formatted_plan
+
+    df = supplier_triangle_counts(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -139,3 +139,26 @@ def test_pagerank_integer_hand_computed_path_graph(spark):
         for r in pagerank_integer(edges, iters=2, scale=100).collect()
     }
     assert r2 == {1: 93, 2: 111, 3: 93}
+
+
+def test_triangle_counts_hand_graph(spark):
+    """Triangle semantics pinned: K4 has C(4,3)=4 triangles, every
+    vertex in 3; adding a pendant vertex changes nothing; a square
+    (4-cycle) has none; each triangle counted once (sum = 3x count)."""
+    from bottledwater_pg_spark.operators.graph import triangle_counts
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    out = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(k4, "a long, b long")
+        ).collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}  # pendant 5 absent
+    square = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    assert (
+        triangle_counts(
+            spark.createDataFrame(square, "a long, b long")
+        ).count()
+        == 0
+    )
