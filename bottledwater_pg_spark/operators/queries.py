@@ -4131,11 +4131,28 @@ def supplier_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     per_node = triangle_counts(pairs)
+    deg = (
+        pairs.select(F.col("a").alias("node"))
+        .unionByName(pairs.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
     total = per_node.agg(
         (F.sum("n_triangles") / 3).cast("long").alias("total_triangles")
     )
     return (
-        per_node.crossJoin(F.broadcast(total))
+        per_node.join(deg, "node")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "node", "n_triangles", "deg",
+            # local clustering coefficient in basis points: closed
+            # wedges at v / possible wedges at v (deg >= 2 whenever a
+            # triangle exists, so the div is safe)
+            F.expr(
+                "n_triangles * 2 * 10000 div (deg * (deg - 1))"
+            ).alias("clustering_bp"),
+            "total_triangles",
+        )
         .orderBy(F.desc("n_triangles"), "node")
         .limit(20)
     )
@@ -4188,8 +4205,11 @@ WITH os AS (
   SELECT CAST(SUM(n_triangles) / 3 AS BIGINT) AS total_triangles
   FROM per_node
 )
-SELECT node, n_triangles, total_triangles
-FROM per_node, total
+SELECT node, n_triangles, deg.deg AS deg,
+       CAST(n_triangles * 2 * 10000 // (deg.deg * (deg.deg - 1))
+            AS BIGINT) AS clustering_bp,
+       total_triangles
+FROM per_node JOIN deg ON deg.n = per_node.node, total
 ORDER BY n_triangles DESC, node
 LIMIT 20
 """
