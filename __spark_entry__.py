@@ -56,7 +56,7 @@ _FAMILY_SPREAD = [
     "bpe_encode_stats",
     "pq_ann_topk", "pq_ann_recall_vs_exact",
     "ivfpq_ann_topk", "ivfpq_ann_recall_vs_exact",
-    "supplier_triangle_counts",
+    "supplier_triangle_counts", "token_pmi_topk",
     # Slots 8-10: BPE trainer re-certification (the r8 _bpe_pairs
     # split-binding rewrite + the shared-_bpe_train refactor touch its
     # code path) and the r7 additions kept warm.
@@ -91,12 +91,13 @@ _FAMILY_SPREAD = [
     "fraud_rolling_anomalies", "hll_error_bound_by_type",
     "cdc_registry_evolution_decode", "bloom_contamination_screen",
     "cms_heavy_users_certificate", "approx_quantile_rank_certificate",
-    "pagerank_copurchase",
     # ---- rotated out this round (driver records live in
-    # CORRECTNESS_r07): bm25_topk_docs, alpha_mixture_weights,
-    # ngram_diversity_by_source, pg_interval_roundtrip,
-    # pg_timetz_roundtrip, cdc_error_policy_ddl,
-    # cdc_error_policy_log, cdc_topic_routing_counts.
+    # CORRECTNESS_r07): pagerank_copurchase, bm25_topk_docs,
+    # alpha_mixture_weights, ngram_diversity_by_source,
+    # pg_interval_roundtrip, pg_timetz_roundtrip,
+    # cdc_error_policy_ddl, cdc_error_policy_log,
+    # cdc_topic_routing_counts.
+    "pagerank_copurchase",
     "cdc_error_policy_log",
     "bm25_topk_docs",
     "alpha_mixture_weights", "ngram_diversity_by_source",

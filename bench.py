@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "pq_ann_recall_vs_exact",
     "ivfpq_ann_topk",
     "supplier_triangle_counts",
+    "token_pmi_topk",
     # cdc_replicate_all_counts is gate-checked but not benched: it is
     # the sum of the 10 per-table materializations benched above, and
     # re-timing the whole loop adds ~25 s of pure duplication

@@ -3944,3 +3944,90 @@ QUERIES["ivfpq_ann_recall_vs_exact"] = ivfpq_ann_recall_vs_exact
 ORACLES["ivfpq_ann_recall_vs_exact"] = _ann_recall_sql(
     IVFPQ_RECALL_FLOOR_BP
 )
+
+
+# ------------------------------------------ PMI collocations
+
+PMI_MIN_PAIR_COUNT = 5
+PMI_TOPK = 20
+
+
+def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information (Church &
+    Hanks 1990) over adjacent token bigrams — the corpus statistic
+    collocation extraction, tokenizer-vocabulary curation, and
+    compositionality probes start from. PMI = log(P(a,b) / (P(a)P(b)))
+    is MONOTONE in the rational c(a,b)*N / (c(a)*c(b)), so ranking by
+    the integer-quantized RATIO (x10000, floor-div) needs no
+    cross-engine log at all — pure int64 arithmetic, hash-exact. A
+    minimum pair count screens out the degenerate PMI-loves-rare-pairs
+    tail (the standard discipline).
+
+    Scale: one explode pass builds bigram counts (partial-agg), the
+    unigram model joins back keyed on each side's token, N is a 1-row
+    scalar broadcast. Nothing quadratic: only OBSERVED bigrams are
+    scored.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = docs.select(tokens("text").alias("arr"))
+    big = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(arr) < 2 THEN array() "
+                    "ELSE transform(sequence(0, size(arr) - 2), "
+                    "i -> struct(arr[i] AS a, arr[i + 1] AS b)) END"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_PAIR_COUNT)
+    )
+    uni = (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n = uni.agg(F.sum("c").cast("long").alias("n_tokens"))
+    return (
+        big.join(uni.select(F.col("t").alias("a"),
+                            F.col("c").alias("c_a")), "a")
+        .join(uni.select(F.col("t").alias("b"),
+                         F.col("c").alias("c_b")), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a", "b", "c_ab",
+            F.expr(
+                "c_ab * n_tokens * 10000 div (c_a * c_b)"
+            ).alias("pmi_ratio_q"),
+        )
+        .orderBy(F.desc("pmi_ratio_q"), "a", "b")
+        .limit(PMI_TOPK)
+    )
+
+
+PMI_SQL = f"""
+WITH toks AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS arr FROM documents
+), big AS (
+  SELECT p[1] AS a, p[2] AS b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM (
+    SELECT unnest(list_zip(arr[1:-2], arr[2:-1])) AS p FROM toks
+  ) GROUP BY 1, 2
+  HAVING COUNT(*) >= {PMI_MIN_PAIR_COUNT}
+), uni AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT unnest(arr) AS t FROM toks
+  ) GROUP BY t
+), n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni)
+SELECT big.a, big.b, c_ab,
+       CAST(c_ab * n_tokens * 10000 // (ua.c * ub.c) AS BIGINT)
+         AS pmi_ratio_q
+FROM big JOIN uni ua ON ua.t = big.a
+         JOIN uni ub ON ub.t = big.b, n
+ORDER BY pmi_ratio_q DESC, big.a, big.b
+LIMIT {PMI_TOPK}
+"""
+
+QUERIES["token_pmi_topk"] = token_pmi_topk
+ORACLES["token_pmi_topk"] = PMI_SQL
