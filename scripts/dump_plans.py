@@ -103,6 +103,8 @@ HEADLINE = {
     "bpe_encode_stats": "BPE encode: trained vocab reconstructs its words (space-strip), one equi-join of the word stream against it, per-source integer agg",
     "pq_ann_topk": "PQ-ADC: codebook + per-query distance table broadcast (data-size independent), scan is index join + partial-agg sum, exact re-rank on the bounded shortlist",
     "ivfpq_ann_topk": "IVF-PQ: probe set + codebook + dtab broadcast; in-cell ADC via (cent_id) join — at scale a partition-pruned read; re-rank touches refine*|Q| vectors",
+    "supplier_triangle_counts": "triangle census: TakeOrderedAndProject edge budget (distributed top-k, no global sort), degree-oriented wedge hash joins, partial-agg count",
+    "token_pmi_topk": "PMI collocations: one bigram explode + partial agg, unigram model joined back on each side, 1-row N broadcast, TakeOrderedAndProject top-k",
 }
 
 ALIAS = {
