@@ -47,36 +47,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-certifies all 157 locally (EXACTGATE_r5.json).
 _FAMILY_SPREAD = [
     # ---- ROUND 8 window: the driver hashes the FIRST 50 entries.
-    # Slots 1-8: the new r8 queries (no prior driver record) — the
+    # Slots 1-9: the new r8 queries (no prior driver record) — the
     # exact-substring duplicate-span audit, DSIR importance weights,
     # BPE tokenizer application, the PQ / IVF-PQ ANN family with its
-    # recall certificates, and the triangle census (all fully
-    # hash-oracled).
+    # recall certificates, the triangle census, and PMI collocations
+    # (all fully hash-oracled).
     "exact_substring_spans", "dsir_importance_weights",
     "bpe_encode_stats",
     "pq_ann_topk", "pq_ann_recall_vs_exact",
     "ivfpq_ann_topk", "ivfpq_ann_recall_vs_exact",
     "supplier_triangle_counts", "token_pmi_topk",
-    # Slots 8-10: BPE trainer re-certification (the r8 _bpe_pairs
+    # Slots 10-12: BPE trainer re-certification (the r8 _bpe_pairs
     # split-binding rewrite + the shared-_bpe_train refactor touch its
     # code path) and the r7 additions kept warm.
     "bpe_learn_merges", "lm_surprise_outliers",
     "pg_composite_enum_roundtrip",
-    # Slots 11-16: the deliberate rows-only cells next to their
+    # Slots 13-18: the deliberate rows-only cells next to their
     # hash-green accuracy certificates (xxhash64 twins + HLL
     # internals — DuckDB cannot recompute those outputs by design).
     "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
     "hll_distinct_users_by_type",
     "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",
     "simhash_injected_recall",
-    # Slots 17-24: the ANN family kept warm (similarity.py gained the
+    # Slots 19-26: the ANN family kept warm (similarity.py gained the
     # PQ section this round) and the catalog-scan consumers (the r8
     # dotless-pattern warning touches get_table_list's path).
     "lsh_ann_topk", "ivf_ann_topk", "lsh_simhash_near_dup",
     "ann_topk_cosine",
     "cdc_export_snapshot_counts", "cdc_skip_snapshot_customer",
     "cdc_replicate_all_counts", "cdc_many_table_fanout_state",
-    # Slots 25-38: dedup + rank families kept warm.
+    # Slots 27-40: dedup + rank families kept warm.
     "dedup_cluster_ensemble", "lsh_minhash_near_dup",
     "simhash_md5_near_dup", "winnow_near_dup_pairs",
     "dedup_cluster_canonical", "dedup_cluster_canonical_star",
@@ -84,8 +84,9 @@ _FAMILY_SPREAD = [
     "semdedup_prune_stats", "lsh_embedding_near_dup",
     "median_order_value_by_segment", "mad_order_value_by_segment",
     "quartiles_order_value_by_segment", "value_percentiles_by_type",
-    # Slots 39-50: core-family re-certification (flagship + one per
-    # family).
+    # Slots 41-50: core-family re-certification (flagship + one per
+    # family). Slot 50 is approx_quantile_rank_certificate — verify
+    # with list(queries())[:50] when rotating.
     "cdc_materialize_customer", "cdc_merge_sink_customer",
     "cdc_stream_table_join", "q1_pricing_summary",
     "fraud_rolling_anomalies", "hll_error_bound_by_type",

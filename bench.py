@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "pq_ann_topk",
     "pq_ann_recall_vs_exact",
     "ivfpq_ann_topk",
+    "ivfpq_ann_recall_vs_exact",
     "supplier_triangle_counts",
     "token_pmi_topk",
     # cdc_replicate_all_counts is gate-checked but not benched: it is

@@ -698,11 +698,15 @@ def incremental_lsh_matches(index_df: DataFrame, new_df: DataFrame,
     )
 
 
-def incremental_cosine_matches(index_df: DataFrame, new_df: DataFrame,
+def incremental_cosine_matches(index_df: DataFrame | None,
+                               new_df: DataFrame,
                                threshold: float = 0.99,
                                num_bits: int = 24, bands: int = 4,
                                id_col: str = "vec_id",
-                               vec_col: str = "embedding") -> DataFrame:
+                               vec_col: str = "embedding",
+                               index_banded: DataFrame | None = None,
+                               index_quant: DataFrame | None = None,
+                               ) -> DataFrame:
     """Incremental (new-batch-vs-index) EMBEDDING near-dup matching —
     the vector twin of :func:`incremental_lsh_matches`: a small new
     batch of vectors is checked against the standing corpus index via
@@ -717,13 +721,23 @@ def incremental_cosine_matches(index_df: DataFrame, new_df: DataFrame,
     makes a batched stream's candidate set EQUAL the batch self-join's
     regardless of how arrival slices the corpus.
 
-    Scale: at warehouse scale the index stores (band, bval) bucketed —
-    the probe broadcasts the new batch's bands against a bucketed read
-    and fetches quantized vectors only for candidate ids. Cost scales
-    with the batch, not the corpus."""
+    Scale: the index side accepts PRECOMPUTED signatures and quantized
+    vectors (``index_banded`` / ``index_quant`` — what a standing
+    index stores, bucketed by (band, bval)); when given, the probe
+    does NO per-call work over the corpus: it broadcasts the new
+    batch's bands against the stored signatures and fetches stored
+    quantized vectors only for candidate ids. Cost scales with the
+    batch, not the corpus. Without them (ad-hoc batch use) both are
+    derived from ``index_df`` on the fly — an O(corpus) recompute per
+    call, fine for one-shot matching, wrong for a standing stream
+    (StreamingVectorDedupIndex stores both per epoch slice)."""
     from pyspark import StorageLevel
 
-    b_idx = banded_srp(index_df, num_bits, bands, id_col, vec_col)
+    b_idx = (
+        index_banded
+        if index_banded is not None
+        else banded_srp(index_df, num_bits, bands, id_col, vec_col)
+    )
     b_new = banded_srp(new_df, num_bits, bands, id_col, vec_col)
     cand = (
         b_idx.select(F.col("sid").alias("match_id"), "band", "bval")
@@ -736,9 +750,13 @@ def incremental_cosine_matches(index_df: DataFrame, new_df: DataFrame,
         .select("new_id", "match_id")
         .distinct()
     )
-    q_idx = persist_tracked(
-        quantized_vectors(index_df, id_col, vec_col),
-        StorageLevel.MEMORY_AND_DISK,
+    q_idx = (
+        index_quant
+        if index_quant is not None
+        else persist_tracked(
+            quantized_vectors(index_df, id_col, vec_col),
+            StorageLevel.MEMORY_AND_DISK,
+        )
     )
     q_new = quantized_vectors(new_df, id_col, vec_col)
     return (

@@ -3655,11 +3655,15 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str,
         .select(
             "b",
             # floor(log(((cnt_t+1)*(tot_r+B)) / ((cnt_r+1)*(tot_t+B)))
-            #       * 1e6) — exact-integer operands into ONE double log
+            #       * 1e6) — each FACTOR casts to DOUBLE before the
+            # multiply (an int64 product (cnt+1)*(tot+B) wraps around
+            # ~1e19 on very large corpora, and a wrapped-negative
+            # ratio would NULL the ln; factors themselves stay exact
+            # doubles up to 2^53 tokens), then ONE double log
             F.expr(
                 f"CAST(floor(ln("
-                f"(CAST((cnt_t + 1) * (tot_r + {B}) AS DOUBLE)) / "
-                f"(CAST((cnt_r + 1) * (tot_t + {B}) AS DOUBLE))"
+                f"(CAST(cnt_t + 1 AS DOUBLE) * CAST(tot_r + {B} AS DOUBLE)) / "
+                f"(CAST(cnt_r + 1 AS DOUBLE) * CAST(tot_t + {B} AS DOUBLE))"
                 f") * {DSIR_LOG_SCALE}) AS BIGINT)"
             ).alias("score_q"),
         )
@@ -3695,12 +3699,12 @@ WITH tok AS (
 ), model AS (
   SELECT raw.b,
          CAST(floor(ln(
-           CAST((COALESCE(cnt_t, 0) + 1) *
-                ((SELECT SUM(cnt_r) FROM raw) + {DSIR_BUCKETS})
-                AS DOUBLE) /
-           CAST((cnt_r + 1) *
-                ((SELECT COALESCE(SUM(cnt_t), 0) FROM tgt)
-                 + {DSIR_BUCKETS}) AS DOUBLE)
+           (CAST(COALESCE(cnt_t, 0) + 1 AS DOUBLE) *
+            CAST((SELECT SUM(cnt_r) FROM raw) + {DSIR_BUCKETS}
+                 AS DOUBLE)) /
+           (CAST(cnt_r + 1 AS DOUBLE) *
+            CAST((SELECT COALESCE(SUM(cnt_t), 0) FROM tgt)
+                 + {DSIR_BUCKETS} AS DOUBLE))
          ) * {DSIR_LOG_SCALE}) AS BIGINT) AS score_q
   FROM raw LEFT JOIN tgt ON raw.b = tgt.b
 )
@@ -3754,18 +3758,17 @@ def pq_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_ann_sql(n_sub: int = PQ_N_SUB, k_sub: int = PQ_K_SUB,
-                refine: int = PQ_REFINE, dim: int = 64) -> str:
-    """Full replay of the PQ index: lowest-id codebook sample per
-    subspace, min-(d, code) encoding, per-query ADC distance table,
-    (dist ASC, neighbor_id) shortlist of ``refine``, then the shared
-    exact-cosine re-rank tail."""
+def _pq_cte_block(n_sub: int, k_sub: int, dim: int) -> str:
+    """The PQ codebook/encode/distance-table CTE chain (base, cb, sv,
+    enc, dtab) shared by :func:`_pq_ann_sql` and
+    :func:`_ivfpq_ann_sql` — the two oracles MUST replay the identical
+    codebook build and encoding (same discipline as
+    :func:`_bpe_cte_prefix` for the BPE twins); expects a ``qn`` CTE
+    in scope."""
     sub = dim // n_sub
     l2 = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
           "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)")
-    return f"""
-WITH {_QN_CTE},
-base AS (
+    return f"""base AS (
   SELECT qvec, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
   FROM qn ORDER BY sid LIMIT {k_sub}
 ),
@@ -3792,7 +3795,18 @@ dtab AS (
          {l2.format(a="sv.sub_q", b="cb.cb_q")} AS d
   FROM sv JOIN cb ON sv.m = cb.m
   WHERE sv.sid < 20
-),
+)"""
+
+
+def _pq_ann_sql(n_sub: int = PQ_N_SUB, k_sub: int = PQ_K_SUB,
+                refine: int = PQ_REFINE, dim: int = 64) -> str:
+    """Full replay of the PQ index: the shared codebook/encode/dtab
+    CTE block, ADC over the whole corpus, (dist ASC, neighbor_id)
+    shortlist of ``refine``, then the shared exact-cosine re-rank
+    tail."""
+    return f"""
+WITH {_QN_CTE},
+{_pq_cte_block(n_sub, k_sub, dim)},
 adc AS (
   SELECT dtab.query_id, enc.sid AS neighbor_id,
          CAST(SUM(dtab.d) AS BIGINT) AS adc_dist_q
@@ -3854,11 +3868,9 @@ def _ivfpq_ann_sql(n_list: int = 32, n_probe: int = 8,
                    n_sub: int = 16, k_sub: int = 32, refine: int = 50,
                    dim: int = 64) -> str:
     """Full replay of the composed IVF-PQ index: the IVF centroid/
-    assignment/probe CTEs, the PQ codebook/encode/distance-table CTEs,
-    ADC restricted to probed cells, shortlist, exact-cosine re-rank."""
-    sub = dim // n_sub
-    l2 = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
-          "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)")
+    assignment/probe CTEs, the SHARED PQ codebook/encode/distance-table
+    block (:func:`_pq_cte_block`), ADC restricted to probed cells,
+    shortlist, exact-cosine re-rank."""
     dot_qc = (
         "CAST(list_sum(list_transform(list_zip(qn.qvec, cent.cent_q), "
         "p -> p[1] * p[2])) AS BIGINT)"
@@ -3888,34 +3900,7 @@ probe AS (
     FROM ascore WHERE sid < 20
   ) WHERE rn <= {n_probe}
 ),
-base AS (
-  SELECT qvec, ROW_NUMBER() OVER (ORDER BY sid) - 1 AS code
-  FROM qn ORDER BY sid LIMIT {k_sub}
-),
-cb AS (
-  SELECT m, code, qvec[m * {sub} + 1 : (m + 1) * {sub}] AS cb_q
-  FROM base, (SELECT unnest(range({n_sub})) AS m)
-),
-sv AS (
-  SELECT sid, m, qvec[m * {sub} + 1 : (m + 1) * {sub}] AS sub_q
-  FROM qn, (SELECT unnest(range({n_sub})) AS m)
-),
-enc AS (
-  SELECT sid, m, code FROM (
-    SELECT sv.sid, sv.m, cb.code,
-           ROW_NUMBER() OVER (
-             PARTITION BY sv.sid, sv.m
-             ORDER BY {l2.format(a="sv.sub_q", b="cb.cb_q")}, cb.code
-           ) AS rn
-    FROM sv JOIN cb ON sv.m = cb.m
-  ) WHERE rn = 1
-),
-dtab AS (
-  SELECT sv.sid AS query_id, sv.m, cb.code,
-         {l2.format(a="sv.sub_q", b="cb.cb_q")} AS d
-  FROM sv JOIN cb ON sv.m = cb.m
-  WHERE sv.sid < 20
-),
+{_pq_cte_block(n_sub, k_sub, dim)},
 adc AS (
   SELECT d.query_id, e.sid AS neighbor_id,
          CAST(SUM(d.d) AS BIGINT) AS adc_dist_q
@@ -3998,8 +3983,15 @@ def token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select(
             "a", "b", "c_ab",
+            # the numerator c_ab * N * 10000 overflows int64 around
+            # 1e9-token corpora with hot bigrams — compute the exact
+            # integer ratio in DECIMAL(38,0) (Spark) / HUGEINT
+            # (DuckDB twin), both exact wide-integer arithmetic, and
+            # only the bounded QUOTIENT (<= 10000 * N / min_count^2)
+            # narrows back to BIGINT
             F.expr(
-                "c_ab * n_tokens * 10000 div (c_a * c_b)"
+                "CAST(CAST(c_ab AS DECIMAL(38,0)) * n_tokens * 10000 "
+                "div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"
             ).alias("pmi_ratio_q"),
         )
         .orderBy(F.desc("pmi_ratio_q"), "a", "b")
@@ -4021,7 +4013,8 @@ WITH toks AS (
   ) GROUP BY t
 ), n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni)
 SELECT big.a, big.b, c_ab,
-       CAST(c_ab * n_tokens * 10000 // (ua.c * ub.c) AS BIGINT)
+       CAST(CAST(c_ab AS HUGEINT) * n_tokens * 10000
+            // (CAST(ua.c AS HUGEINT) * ub.c) AS BIGINT)
          AS pmi_ratio_q
 FROM big JOIN uni ua ON ua.t = big.a
          JOIN uni ub ON ub.t = big.b, n

@@ -264,6 +264,18 @@ def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
 # ------------------------------------------------------ PQ (ADC scan)
 
 
+def _subvector_expr(n_sub: int, out_name: str) -> str:
+    """The ONE subvector-split expression shared by codebook build and
+    corpus/query encoding — these must stay bit-identical for PQ codes
+    to mean anything (an edit changing e.g. tail-dimension handling
+    must hit both sides at once)."""
+    return (
+        f"transform(sequence(0, {n_sub - 1}), m -> struct("
+        f"m AS m, slice(qvec, m * (size(qvec) div {n_sub}) + 1, "
+        f"size(qvec) div {n_sub}) AS {out_name}))"
+    )
+
+
 def pq_codebooks(corpus: DataFrame, n_sub: int = 8, k_sub: int = 16,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
@@ -286,13 +298,7 @@ def pq_codebooks(corpus: DataFrame, n_sub: int = 8, k_sub: int = 16,
     )
     return base.select(
         "code",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_sub - 1}), m -> struct("
-                f"m AS m, slice(qvec, m * (size(qvec) div {n_sub}) + 1, "
-                f"size(qvec) div {n_sub}) AS cb_q))"
-            )
-        ).alias("s"),
+        F.explode(F.expr(_subvector_expr(n_sub, "cb_q"))).alias("s"),
     ).select(F.col("s.m").alias("m"), "code", F.col("s.cb_q").alias("cb_q"))
 
 
@@ -302,13 +308,7 @@ def _subvectors(df: DataFrame, n_sub: int, id_col: str,
     q = quantized_vectors(df, id_col, vec_col)
     return q.select(
         "sid",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_sub - 1}), m -> struct("
-                f"m AS m, slice(qvec, m * (size(qvec) div {n_sub}) + 1, "
-                f"size(qvec) div {n_sub}) AS sub_q))"
-            )
-        ).alias("s"),
+        F.explode(F.expr(_subvector_expr(n_sub, "sub_q"))).alias("s"),
     ).select("sid", F.col("s.m").alias("m"), F.col("s.sub_q").alias("sub_q"))
 
 

@@ -905,44 +905,36 @@ def stateful_latest_by_key_tws(events_stream: DataFrame):
     )
 
 
-class StreamingDedupIndex:
-    """Continuous ingest-time near-dup rejection: the streaming twin of
-    ``operators/dedup.incremental_lsh_matches``. State on disk is the
-    corpus of SEEN documents; each micro-batch probes the standing
-    index for matches, rejects every doc with an earlier-seen (or
-    earlier-in-batch, lower-id) near-duplicate, appends the WHOLE
-    batch to the index (rejected docs still serve as witnesses — this
-    is what makes the streaming result equal the batch min-id-witness
-    rule, the same keep-lowest-id discipline as SemDeDup), and appends
-    the survivors to the accepted list.
+class _SlicedDedupIndexBase:
+    """Shared machinery for the continuous ingest-time dedup indexes
+    (text :class:`StreamingDedupIndex`, embedding
+    :class:`StreamingVectorDedupIndex`): per-epoch OVERWRITE slices
+    keyed by (run, epoch) under each slice root, the replay-exclusion
+    probe filter, restart content-checks, and legacy run-key fold-in
+    on start(). The replay predicate and the write ordering live HERE,
+    once — a correctness fix to either reaches both indexes.
 
-    Equality with the batch rule requires batches to arrive in
-    nondecreasing doc_id order (true for an append-only ingest where
-    ids are assigned at arrival); under arbitrary id order the
-    streaming rule degrades to earlier-seen-wins — doc 2 arriving
-    after its near-dup doc 5 is rejected, where the batch oracle
-    would keep 2 and reject 5.
+    Idempotence under replay: probes exclude identity matches, so a
+    re-delivered batch matches only its previous content under the
+    SAME ids and is accepted identically; state writes are per-epoch
+    OVERWRITE directories, so a replayed batch rewrites its own slice
+    instead of appending duplicate index rows — effective exactly-once
+    without coordination, like the materializer's lsn-max merge.
 
-    Idempotence under replay: probes exclude identity matches
-    (match_id == doc_id), so a re-delivered batch matches only its
-    previous content under the SAME ids and is accepted identically;
-    state writes are per-epoch OVERWRITE directories, so a replayed
-    batch rewrites its own slice instead of appending duplicate index
-    rows (duplicated index rows would double every shingle count and
-    inflate the count-based Jaccard past its true value, over-
-    rejecting future docs) — effective exactly-once without
-    coordination, like the materializer's lsn-max merge.
+    Equality with the batch min-id-witness rule requires batches to
+    arrive in nondecreasing id order (true for an append-only ingest
+    where ids are assigned at arrival); under arbitrary id order the
+    streaming rule degrades to earlier-seen-wins.
 
-    Scale: stores (doc_id, text) here for test-oracle simplicity; at
-    cluster scale the index stores the banded signatures + shingle
-    table instead (both partitioned by their join keys), so a probe
-    is a broadcast of the batch's bands against a bucketed read and
-    the raw text never re-shuffles. Cost per batch is O(batch), not
-    O(corpus) — the property that makes always-on dedup feasible.
-    """
+    Subclasses define the id/payload columns, the intra-batch
+    rejector, the index probe, and any EXTRA per-epoch slices."""
+
+    ID_COL = "doc_id"
+    PAYLOAD_COLS: tuple = ("doc_id", "text")
+    EXTRA_SLICES: tuple = ()
 
     def __init__(self, spark: SparkSession, state_dir: str,
-                 threshold: float = 0.8):
+                 threshold: float):
         self.spark = spark
         self.state_dir = state_dir
         self.threshold = threshold
@@ -958,6 +950,7 @@ class StreamingDedupIndex:
         self._have_index = self._state_exists("index")
         self._have_accepted = self._state_exists("accepted")
 
+    # -- slice io -----------------------------------------------------
     def _state_exists(self, name: str) -> bool:
         p = self._path(name)
         return os.path.isdir(p) and any(
@@ -968,102 +961,169 @@ class StreamingDedupIndex:
     def _path(self, name: str) -> str:
         return os.path.join(self.state_dir, name)
 
-    def _index_slices(self) -> DataFrame | None:
-        """The standing index WITH its (run, epoch) partition columns —
-        the probe path needs them to exclude a replayed batch's own
+    def _read_slices(self, name: str) -> DataFrame:
+        """A slice root WITH its (run, epoch) partition columns — the
+        probe path needs them to exclude a replayed batch's own
         previously-written slice."""
+        return self.spark.read.option(
+            "basePath", self._path(name)
+        ).parquet(self._path(name))
+
+    def _index_slices(self) -> DataFrame | None:
         if not self._have_index:
             return None
-        return self.spark.read.option(
-            "basePath", self._path("index")
-        ).parquet(self._path("index"))
+        return self._read_slices("index")
 
-    def index_docs(self) -> DataFrame | None:
-        full = self._index_slices()
-        return None if full is None else full.select("doc_id", "text")
+    def _prior(self, sliced: DataFrame, epoch_id: int) -> DataFrame:
+        """Probe only slices that were PRIOR to this epoch the first
+        time it ran: within the own run, epochs strictly below
+        epoch_id (a replayed epoch wrote its own slice before the
+        crash — probing it would reject a row whose intra-batch
+        near-dup mate sits there, since the identity exclusion only
+        covers exact self-matches; and epochs AFTER it hold rows that
+        were not yet indexed on the original pass, whose higher-id
+        near-dups would likewise flip an accept to a reject); slices
+        of OTHER runs (previous incarnations over different
+        checkpoints) are all earlier-seen by construction. Without
+        this, the per-epoch overwrite durably drops rows the original
+        run accepted, breaking the 'accepted identically' replay
+        contract. The filter is on PARTITION COLUMNS, so excluded
+        directories are pruned at file-listing time — the
+        replay-correctness fix costs zero scan."""
+        return sliced.filter(
+            (F.col("run") != self._run_key)
+            | (F.col("epoch") < F.lit(epoch_id))
+        )
+
+    def _write_slice(self, df: DataFrame, name: str,
+                     epoch_id: int) -> None:
+        # per-epoch OVERWRITE: a replayed batch rewrites its own slice,
+        # never appending duplicate rows into the standing state
+        df.write.mode("overwrite").parquet(
+            os.path.join(
+                self._path(name),
+                f"run={self._run_key}", f"epoch={epoch_id}",
+            )
+        )
 
     def accepted_ids(self) -> DataFrame | None:
         if not self._have_accepted:
             return None
-        return self.spark.read.option(
-            "basePath", self._path("accepted")
-        ).parquet(self._path("accepted")).select("doc_id").distinct()
-
-    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        from bottledwater_pg_spark.operators import dedup
-
-        batch = batch.select("doc_id", "text")
-        # probe only slices that were PRIOR to this epoch the first
-        # time it ran: within the own run, epochs strictly below
-        # epoch_id (a replayed epoch wrote its own slice before the
-        # crash — probing it would reject a doc whose intra-batch
-        # near-dup mate sits there, since match_id != new_id only
-        # excludes exact self-matches; and epochs AFTER it hold docs
-        # that were not yet indexed on the original pass, whose
-        # higher-id near-dups would likewise flip an accept to a
-        # reject); slices of OTHER runs (previous incarnations over
-        # different checkpoints) are all earlier-seen by construction.
-        # Without this, the per-epoch overwrite durably drops docs the
-        # original run accepted, breaking the 'accepted identically'
-        # replay contract.
-        idx = self._index_slices()
-        rejected_vs_index = None
-        if idx is not None:
-            prior = idx.filter(
-                (F.col("run") != self._run_key)
-                | (F.col("epoch") < F.lit(epoch_id))
-            ).select("doc_id", "text")
-            rejected_vs_index = (
-                dedup.incremental_lsh_matches(
-                    prior, batch, threshold=self.threshold
-                )
-                .filter(F.col("match_id") != F.col("new_id"))
-                .select(F.col("new_id").alias("doc_id"))
-                .distinct()
-            )
-        intra = (
-            dedup.minhash_lsh_pairs(
-                batch, num_hashes=32, bands=16, threshold=self.threshold
-            )
-            .select(F.col("b_id").alias("doc_id"))
-            .distinct()
+        return (
+            self._read_slices("accepted").select(self.ID_COL).distinct()
         )
+
+    # -- subclass hooks -----------------------------------------------
+    def _intra_rejects(self, batch: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _probe_index(self, batch: DataFrame,
+                     epoch_id: int) -> DataFrame:
+        raise NotImplementedError
+
+    def _write_extra_slices(self, batch: DataFrame,
+                            epoch_id: int) -> None:
+        pass
+
+    # -- the loop -----------------------------------------------------
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.select(*self.PAYLOAD_COLS)
+        rejected_vs_index = (
+            self._probe_index(batch, epoch_id)
+            if self._have_index
+            else None
+        )
+        intra = self._intra_rejects(batch)
         rejected = (
             intra
             if rejected_vs_index is None
             else intra.unionByName(rejected_vs_index).distinct()
         )
-        accepted = batch.join(rejected, "doc_id", "left_anti").select("doc_id")
-        # per-epoch OVERWRITE: a replayed batch rewrites its own slice,
-        # never appending duplicate rows into the standing index
-        accepted.write.mode("overwrite").parquet(
-            os.path.join(
-                self._path("accepted"),
-                f"run={self._run_key}", f"epoch={epoch_id}",
-            )
+        accepted = batch.join(rejected, self.ID_COL, "left_anti").select(
+            self.ID_COL
         )
-        batch.write.mode("overwrite").parquet(
-            os.path.join(
-                self._path("index"),
-                f"run={self._run_key}", f"epoch={epoch_id}",
-            )
-        )
+        self._write_slice(accepted, "accepted", epoch_id)
+        self._write_slice(batch, "index", epoch_id)
+        self._write_extra_slices(batch, epoch_id)
         self._have_index = True
         self._have_accepted = True
         from bottledwater_pg_spark.session import release_persisted
 
         release_persisted()
 
-    def start(self, docs_stream: DataFrame, checkpoint_dir: str):
+    def start(self, rows_stream: DataFrame, checkpoint_dir: str):
         _fold_legacy_run_slices(
-            (self._path("accepted"), self._path("index")), checkpoint_dir
+            tuple(
+                self._path(n)
+                for n in ("accepted", "index") + self.EXTRA_SLICES
+            ),
+            checkpoint_dir,
         )
         self._run_key = _run_key_of(checkpoint_dir)
         return (
-            docs_stream.writeStream.foreachBatch(self.process_batch)
+            rows_stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("update")
             .start()
+        )
+
+
+class StreamingDedupIndex(_SlicedDedupIndexBase):
+    """Continuous ingest-time near-dup rejection: the streaming twin of
+    ``operators/dedup.incremental_lsh_matches``. State on disk is the
+    corpus of SEEN documents; each micro-batch probes the standing
+    index for matches, rejects every doc with an earlier-seen (or
+    earlier-in-batch, lower-id) near-duplicate, appends the WHOLE
+    batch to the index (rejected docs still serve as witnesses — this
+    is what makes the streaming result equal the batch min-id-witness
+    rule, the same keep-lowest-id discipline as SemDeDup), and appends
+    the survivors to the accepted list. Slice/replay/restart semantics
+    are the base class's.
+
+    Scale: stores (doc_id, text) here for test-oracle simplicity; at
+    cluster scale the index stores the banded signatures + shingle
+    table instead (both partitioned by their join keys), so a probe
+    is a broadcast of the batch's bands against a bucketed read and
+    the raw text never re-shuffles. Cost per batch is O(batch), not
+    O(corpus) — the property that makes always-on dedup feasible.
+    """
+
+    ID_COL = "doc_id"
+    PAYLOAD_COLS = ("doc_id", "text")
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 threshold: float = 0.8):
+        super().__init__(spark, state_dir, threshold)
+
+    def index_docs(self) -> DataFrame | None:
+        full = self._index_slices()
+        return None if full is None else full.select("doc_id", "text")
+
+    def _intra_rejects(self, batch: DataFrame) -> DataFrame:
+        from bottledwater_pg_spark.operators import dedup
+
+        return (
+            dedup.minhash_lsh_pairs(
+                batch, num_hashes=32, bands=16, threshold=self.threshold
+            )
+            .select(F.col("b_id").alias("doc_id"))
+            .distinct()
+        )
+
+    def _probe_index(self, batch: DataFrame,
+                     epoch_id: int) -> DataFrame:
+        from bottledwater_pg_spark.operators import dedup
+
+        prior = self._prior(self._index_slices(), epoch_id).select(
+            "doc_id", "text"
+        )
+        return (
+            dedup.incremental_lsh_matches(
+                prior, batch, threshold=self.threshold
+            )
+            .filter(F.col("match_id") != F.col("new_id"))
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
         )
 
 
@@ -1323,83 +1383,47 @@ class StreamingContaminationScreen:
         )
 
 
-class StreamingVectorDedupIndex:
+class StreamingVectorDedupIndex(_SlicedDedupIndexBase):
     """Continuous ingest-time SEMANTIC near-dup rejection over an
     embedding stream — the vector twin of :class:`StreamingDedupIndex`
     and the streaming form of SemDeDup's prune rule (Abbas et al.
     2023): a batch vector is rejected iff an earlier-seen (or
     earlier-in-batch, lower-id) vector is within ``threshold`` cosine.
     Candidates come from the SAME SRP band signatures on both the
-    intra-batch self-join and the index probe
-    (dedup.hyperplane_lsh_near_dup / dedup.incremental_cosine_matches)
-    — and because a vector's signature is a pure function of the
-    vector, the streamed candidate set equals the batch self-join's
-    however arrival slices the corpus, so id-ordered ingest reproduces
-    the batch min-id-witness rule exactly.
+    intra-batch self-join and the index probe — and because a vector's
+    signature is a pure function of the vector, the streamed candidate
+    set equals the batch self-join's however arrival slices the
+    corpus, so id-ordered ingest reproduces the batch min-id-witness
+    rule exactly. Slice/replay/restart semantics are the base class's.
 
-    State/replay discipline is identical to StreamingDedupIndex:
-    per-epoch OVERWRITE slices keyed by (run, epoch), probes exclude
-    the replayed epoch's own slice and later same-run slices, restart
-    probes the standing index from the first batch (content-checked),
-    legacy run-key slices fold in on start().
+    Scale: each epoch ALSO writes the batch's band signatures (``sig``
+    slices, the probe's join key) and quantized vectors + norms
+    (``qv`` slices, the verify operands) — both pure functions of the
+    vector, computed ONCE at indexing time. A probe therefore does no
+    per-call work over the corpus: it broadcasts the batch's bands
+    against the stored signatures (partition-pruned like every slice
+    read) and fetches stored quantized vectors only for candidate
+    ids. Cost per batch is O(batch), never O(corpus)."""
 
-    Scale: the index stores (vec_id, embedding) here for oracle
-    simplicity; at cluster scale it stores the banded signatures +
-    quantized vectors bucketed by (band, bval), so a probe is a
-    broadcast of the batch's bands against a bucketed read. Cost per
-    batch is O(batch), not O(corpus)."""
+    ID_COL = "vec_id"
+    PAYLOAD_COLS = ("vec_id", "embedding")
+    EXTRA_SLICES = ("sig", "qv")
 
     def __init__(self, spark: SparkSession, state_dir: str,
                  threshold: float = 0.99,
                  num_bits: int = 24, bands: int = 4):
-        self.spark = spark
-        self.state_dir = state_dir
-        self.threshold = threshold
+        super().__init__(spark, state_dir, threshold)
         self.num_bits = num_bits
         self.bands = bands
-        self._run_key = "adhoc"  # start() re-keys from the checkpoint
-        os.makedirs(state_dir, exist_ok=True)
-        self._have_index = self._state_exists("index")
-        self._have_accepted = self._state_exists("accepted")
-
-    _state_exists = StreamingDedupIndex._state_exists
-    _path = StreamingDedupIndex._path
-    _index_slices = StreamingDedupIndex._index_slices
 
     def index_vectors(self) -> DataFrame | None:
         full = self._index_slices()
         return None if full is None else full.select("vec_id", "embedding")
 
-    def accepted_ids(self) -> DataFrame | None:
-        if not self._have_accepted:
-            return None
-        return self.spark.read.option(
-            "basePath", self._path("accepted")
-        ).parquet(self._path("accepted")).select("vec_id").distinct()
-
-    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+    def _intra_rejects(self, batch: DataFrame) -> DataFrame:
         from bottledwater_pg_spark.operators import dedup
 
-        batch = batch.select("vec_id", "embedding")
-        idx = self._index_slices()
-        rejected_vs_index = None
-        if idx is not None:
-            # same prior-slice discipline as StreamingDedupIndex: a
-            # replayed epoch must not probe its own earlier write
-            prior = idx.filter(
-                (F.col("run") != self._run_key)
-                | (F.col("epoch") < F.lit(epoch_id))
-            ).select("vec_id", "embedding")
-            rejected_vs_index = (
-                dedup.incremental_cosine_matches(
-                    prior, batch, threshold=self.threshold,
-                    num_bits=self.num_bits, bands=self.bands,
-                )
-                .filter(F.col("match_id") != F.col("new_id"))
-                .select(F.col("new_id").alias("vec_id"))
-                .distinct()
-            )
-        intra = (
+        return (
             dedup.hyperplane_lsh_near_dup(
                 batch, threshold=self.threshold,
                 num_bits=self.num_bits, bands=self.bands,
@@ -1407,40 +1431,36 @@ class StreamingVectorDedupIndex:
             .select(F.col("b_id").alias("vec_id"))
             .distinct()
         )
-        rejected = (
-            intra
-            if rejected_vs_index is None
-            else intra.unionByName(rejected_vs_index).distinct()
-        )
-        accepted = batch.join(rejected, "vec_id", "left_anti").select(
-            "vec_id"
-        )
-        accepted.write.mode("overwrite").parquet(
-            os.path.join(
-                self._path("accepted"),
-                f"run={self._run_key}", f"epoch={epoch_id}",
-            )
-        )
-        batch.write.mode("overwrite").parquet(
-            os.path.join(
-                self._path("index"),
-                f"run={self._run_key}", f"epoch={epoch_id}",
-            )
-        )
-        self._have_index = True
-        self._have_accepted = True
-        from bottledwater_pg_spark.session import release_persisted
 
-        release_persisted()
+    def _probe_index(self, batch: DataFrame,
+                     epoch_id: int) -> DataFrame:
+        from bottledwater_pg_spark.operators import dedup
 
-    def start(self, vecs_stream: DataFrame, checkpoint_dir: str):
-        _fold_legacy_run_slices(
-            (self._path("accepted"), self._path("index")), checkpoint_dir
+        prior_sig = self._prior(self._read_slices("sig"), epoch_id).select(
+            "sid", "band", "bval"
         )
-        self._run_key = _run_key_of(checkpoint_dir)
+        prior_qv = self._prior(self._read_slices("qv"), epoch_id).select(
+            "sid", "qvec", "qnorm"
+        )
         return (
-            vecs_stream.writeStream.foreachBatch(self.process_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("update")
-            .start()
+            dedup.incremental_cosine_matches(
+                None, batch, threshold=self.threshold,
+                num_bits=self.num_bits, bands=self.bands,
+                index_banded=prior_sig, index_quant=prior_qv,
+            )
+            .filter(F.col("match_id") != F.col("new_id"))
+            .select(F.col("new_id").alias("vec_id"))
+            .distinct()
         )
+
+    def _write_extra_slices(self, batch: DataFrame,
+                            epoch_id: int) -> None:
+        from bottledwater_pg_spark.operators.dedup import (
+            banded_srp,
+            quantized_vectors,
+        )
+
+        self._write_slice(
+            banded_srp(batch, self.num_bits, self.bands), "sig", epoch_id
+        )
+        self._write_slice(quantized_vectors(batch), "qv", epoch_id)
