@@ -56,7 +56,7 @@ _FAMILY_SPREAD = [
     "bpe_encode_stats",
     "pq_ann_topk", "pq_ann_recall_vs_exact",
     "ivfpq_ann_topk", "ivfpq_ann_recall_vs_exact",
-    "supplier_triangle_counts", "token_pmi_topk",
+    "supplier_triangle_counts", "token_pmi_topk", "supplier_kcore",
     # Slots 10-12: BPE trainer re-certification (the r8 _bpe_pairs
     # split-binding rewrite + the shared-_bpe_train refactor touch its
     # code path) and the r7 additions kept warm.
@@ -88,10 +88,12 @@ _FAMILY_SPREAD = [
     # family). Slot 50 is approx_quantile_rank_certificate — verify
     # with list(queries())[:50] when rotating.
     "cdc_materialize_customer", "cdc_merge_sink_customer",
-    "cdc_stream_table_join", "q1_pricing_summary",
+    "q1_pricing_summary",
     "fraud_rolling_anomalies", "hll_error_bound_by_type",
     "cdc_registry_evolution_decode", "bloom_contamination_screen",
     "cms_heavy_users_certificate", "approx_quantile_rank_certificate",
+    # (cdc_stream_table_join rotated below this round — r7 record)
+    "cdc_stream_table_join",
     # ---- rotated out this round (driver records live in
     # CORRECTNESS_r07): pagerank_copurchase, bm25_topk_docs,
     # alpha_mixture_weights, ngram_diversity_by_source,

@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "ivfpq_ann_recall_vs_exact",
     "supplier_triangle_counts",
     "token_pmi_topk",
+    "supplier_kcore",
     # cdc_replicate_all_counts is gate-checked but not benched: it is
     # the sum of the 10 per-table materializations benched above, and
     # re-timing the whole loop adds ~25 s of pure duplication

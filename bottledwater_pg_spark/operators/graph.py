@@ -377,3 +377,65 @@ def triangle_counts(pairs: DataFrame, a_col: str = "a",
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
     return per_node
+
+
+def kcore_members(pairs: DataFrame, k: int, max_rounds: int = 8,
+                  a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """K-core decomposition (Seidman 1983; the distributed peeling of
+    Montresor et al. 2013): repeatedly remove every node whose degree
+    within the surviving subgraph is below ``k`` until fixpoint. The
+    k-core is the standard cohesion backbone — community mining,
+    graph sampling, and influence analyses all start by discarding
+    the low-core periphery. Returns ``(node, core_deg)`` — the
+    members with their within-core degree.
+
+    Each peel round is one alive-filtered degree aggregation (two
+    semi-joins + partial-agg count; per-round state is the alive set,
+    node-sized, persisted). Rounds needed = graph's "degeneracy
+    depth", typically small; if ``max_rounds`` passes without
+    reaching the fixpoint this RAISES rather than returning a
+    non-core (the SQL twin unrolls the same fixed rounds, so a silent
+    non-fixpoint would break the oracle contract too). Convergence is
+    detected by a 1-row count per round — the same bounded driver
+    transfer as connected components' convergence check."""
+    from bottledwater_pg_spark.session import persist_tracked
+
+    edges = persist_tracked(pairs.select(a_col, b_col))
+    alive = persist_tracked(
+        edges.select(F.col(a_col).alias("node"))
+        .unionByName(edges.select(F.col(b_col).alias("node")))
+        .distinct()
+    )
+    n_alive = alive.count()
+    deg = None
+    for _ in range(max_rounds):
+        ea = edges.join(
+            alive.withColumnRenamed("node", a_col), a_col
+        ).join(alive.withColumnRenamed("node", b_col), b_col)
+        deg = (
+            ea.select(F.col(a_col).alias("node"))
+            .unionByName(ea.select(F.col(b_col).alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("long").alias("core_deg"))
+        )
+        survivors = persist_tracked(
+            deg.filter(F.col("core_deg") >= k)
+        )
+        # EAGER lineage truncation every round: the alive set feeds
+        # BOTH sides of the edge filter, so without truncation the
+        # logical plan doubles per round — Catalyst analysis goes
+        # exponential in the round count long before any data moves
+        # (PageRank only rations its checkpoints because its rank
+        # table is referenced once per round — linear growth there)
+        survivors = survivors.localCheckpoint(eager=True)
+        n_next = survivors.count()
+        if n_next == n_alive:
+            return survivors.select("node", "core_deg")
+        alive, n_alive = survivors.select("node"), n_next
+        if n_alive == 0:
+            return survivors.select("node", "core_deg")
+    raise RuntimeError(
+        f"k-core peeling did not converge within {max_rounds} rounds "
+        f"({n_alive} nodes still alive); raise max_rounds — the SQL "
+        "twin must unroll the same number"
+    )

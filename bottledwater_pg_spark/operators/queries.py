@@ -4085,6 +4085,35 @@ ORACLES["pg_composite_enum_roundtrip"] = PG_COMPOSITE_ENUM_SQL
 TRIANGLE_EDGE_BUDGET = 5000
 
 
+
+def _strongest_tie_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared supplier co-occurrence graph: top TRIANGLE_EDGE_BUDGET
+    strongest ties by shared-order count (ties broken by (a, b)),
+    persisted — the one edge set the triangle census and the k-core
+    decomposition both analyze (and the SQL twins both rebuild).
+    orderBy+limit plans as TakeOrderedAndProject — the distributed
+    top-k, never a single-partition global sort of the pair table."""
+    from bottledwater_pg_spark.session import persist_tracked
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    os_ = li.distinct()
+    weighted = (
+        os_.alias("x")
+        .join(os_.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .groupBy(
+            F.col("x.l_suppkey").alias("a"),
+            F.col("y.l_suppkey").alias("b"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return persist_tracked(
+        weighted.orderBy(F.desc("cnt"), "a", "b")
+        .limit(TRIANGLE_EDGE_BUDGET)
+        .select("a", "b")
+    )
+
+
 def supplier_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the supplier co-occurrence graph (two
     suppliers are adjacent iff they serve the SAME order) — the
@@ -4109,27 +4138,8 @@ def supplier_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     community structure and the wedge join bounded at every scale.
     """
     from bottledwater_pg_spark.operators.graph import triangle_counts
-    from bottledwater_pg_spark.session import persist_tracked
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    os_ = li.distinct()
-    weighted = (
-        os_.alias("x")
-        .join(os_.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
-        .groupBy(
-            F.col("x.l_suppkey").alias("a"),
-            F.col("y.l_suppkey").alias("b"),
-        )
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    # orderBy+limit plans as TakeOrderedAndProject — the distributed
-    # top-k, never a single-partition global sort of the pair table
-    pairs = persist_tracked(
-        weighted.orderBy(F.desc("cnt"), "a", "b")
-        .limit(TRIANGLE_EDGE_BUDGET)
-        .select("a", "b")
-    )
+    pairs = _strongest_tie_pairs(spark, sf_dir)
     per_node = triangle_counts(pairs)
     deg = (
         pairs.select(F.col("a").alias("node"))
@@ -4216,3 +4226,77 @@ LIMIT 20
 
 QUERIES["supplier_triangle_counts"] = supplier_triangle_counts
 ORACLES["supplier_triangle_counts"] = TRIANGLE_SQL
+
+
+KCORE_K = 6
+KCORE_MAX_ROUNDS = 8
+
+
+def supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-core backbone of the supplier co-occurrence graph
+    (operators/graph.py kcore_members over the same top-5000
+    strongest-tie edge set as the triangle census): peel every
+    supplier with fewer than KCORE_K surviving strong ties until the
+    fixpoint — the cohesion filter community mining and graph
+    sampling apply before anything else. Returns every core member
+    with its within-core degree; the member list plus degrees is the
+    whole decomposition for one k. Peeling converges in <= 5 rounds
+    here (measured); the Spark side detects the fixpoint with a 1-row
+    count per round and REFUSES past KCORE_MAX_ROUNDS, which is also
+    exactly how many rounds the SQL twin unrolls.
+    """
+    from bottledwater_pg_spark.operators.graph import kcore_members
+
+    pairs = _strongest_tie_pairs(spark, sf_dir)
+    return kcore_members(pairs, k=KCORE_K, max_rounds=KCORE_MAX_ROUNDS)
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_MAX_ROUNDS) -> str:
+    """SQL twin: the identical peeling unrolled as chained CTEs —
+    extra rounds past the fixpoint are no-ops, so a fixed unroll >= 
+    the convergence depth replays the Spark loop exactly."""
+    # AS MATERIALIZED everywhere: DuckDB inlines plain CTEs per
+    # reference, and the unrolled peel references pairs/a{{r}} twice
+    # per round — inlining would re-expand the whole chain
+    # exponentially (observed as a too-many-open-files blowup on the
+    # parquet scan)
+    parts = [f"""
+WITH os AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), weighted AS MATERIALIZED (
+  SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM os x JOIN os y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_suppkey < y.l_suppkey
+  GROUP BY x.l_suppkey, y.l_suppkey
+), pairs AS MATERIALIZED (
+  SELECT a, b FROM weighted
+  ORDER BY cnt DESC, a, b LIMIT {TRIANGLE_EDGE_BUDGET}
+), a0 AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs
+  )
+)"""]
+    for r in range(1, rounds + 1):
+        prev = f"a{r - 1}"
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+    SELECT p.a AS node FROM pairs p
+    JOIN {prev} x ON x.node = p.a JOIN {prev} y ON y.node = p.b
+    UNION ALL
+    SELECT p.b FROM pairs p
+    JOIN {prev} x ON x.node = p.a JOIN {prev} y ON y.node = p.b
+  ) GROUP BY node
+),
+a{r} AS MATERIALIZED (
+  SELECT node FROM d{r} WHERE core_deg >= {k}
+)""")
+    parts.append(f"""
+SELECT node, core_deg FROM d{rounds} WHERE core_deg >= {k}
+""")
+    return "".join(parts)
+
+
+QUERIES["supplier_kcore"] = supplier_kcore
+ORACLES["supplier_kcore"] = _kcore_sql()

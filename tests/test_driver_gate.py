@@ -62,7 +62,7 @@ def test_round8_window_keeps_the_ledger_closed():
         "bpe_encode_stats",
         "pq_ann_topk", "pq_ann_recall_vs_exact",
         "ivfpq_ann_topk", "ivfpq_ann_recall_vs_exact",
-        "supplier_triangle_counts", "token_pmi_topk",
+        "supplier_triangle_counts", "token_pmi_topk", "supplier_kcore",
         # r8-touched code paths re-certified
         "bpe_learn_merges",
         "cdc_export_snapshot_counts",

@@ -522,3 +522,46 @@ def test_exact_substring_spans_matches_bruteforce(spark, corpus):
     }
     want = _brute_spans(corpus, k)
     assert got == want
+
+
+# ------------------------------------ triangle counts vs brute force
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(1, 12), st.integers(1, 12)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_edge_lists)
+def test_triangle_counts_match_bruteforce(spark, raw_edges):
+    """Degree-ordered triangle counting equals brute-force triple
+    enumeration on random multigraphs (self-loops and duplicate edges
+    are canonicalized away first, as the operator contract requires
+    distinct a<b pairs)."""
+    from itertools import combinations
+
+    from bottledwater_pg_spark.operators.graph import triangle_counts
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    adj = set(edges)
+    nodes = sorted({n for e in edges for n in e})
+    want = {}
+    for u, v, w in combinations(nodes, 3):
+        if (u, v) in adj and (v, w) in adj and (u, w) in adj:
+            for n in (u, v, w):
+                want[n] = want.get(n, 0) + 1
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(
+            spark.createDataFrame(edges, "a long, b long")
+        ).collect()
+    }
+    assert got == want

@@ -162,3 +162,31 @@ def test_triangle_counts_hand_graph(spark):
         ).count()
         == 0
     )
+
+
+def test_kcore_hand_graph(spark):
+    """K-core semantics pinned: K4 plus a pendant chain — the 3-core
+    is exactly the K4 (each with in-core degree 3); a 2-core keeps the
+    triangle-of-triangles cycle; k above the max degree empties."""
+    import pytest
+
+    from bottledwater_pg_spark.operators.graph import kcore_members
+
+    # K4 (1-4) with a tail 4-5-6
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    core3 = {
+        r["node"]: r["core_deg"] for r in kcore_members(df, k=3).collect()
+    }
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=1 keeps everyone (degrees measured within the survivors)
+    assert kcore_members(df, k=1).count() == 6
+    # k beyond max degree -> empty fixpoint
+    assert kcore_members(df, k=7).count() == 0
+    # non-convergence within max_rounds refuses loudly: a long chain
+    # peels one END PAIR per round under k=2
+    chain = [(i, i + 1) for i in range(1, 12)]
+    cdf = spark.createDataFrame(chain, "a long, b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        kcore_members(cdf, k=2, max_rounds=2)
