@@ -105,6 +105,7 @@ HEADLINE = {
     "ivfpq_ann_topk": "IVF-PQ: probe set + codebook + dtab broadcast; in-cell ADC via (cent_id) join — at scale a partition-pruned read; re-rank touches refine*|Q| vectors",
     "supplier_triangle_counts": "triangle census: TakeOrderedAndProject edge budget (distributed top-k, no global sort), degree-oriented wedge hash joins, partial-agg count",
     "token_pmi_topk": "PMI collocations: one bigram explode + partial agg, unigram model joined back on each side, 1-row N broadcast, TakeOrderedAndProject top-k",
+    "supplier_kcore": "k-core peeling: per-round alive-filtered degree agg, eager lineage truncation (plan stays flat across rounds), fixpoint via 1-row counts",
 }
 
 ALIAS = {
