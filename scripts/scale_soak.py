@@ -62,6 +62,12 @@ def main() -> int:
         ("exact_substring_spans", L.exact_substring_spans),
         ("dsir_importance_weights", L.dsir_importance_weights),
         ("ivfpq_ann_topk", L.ivfpq_ann_topk),
+        # the budgeted-graph ops: wall time should be near
+        # scale-INVARIANT — the edge budget caps the graph however
+        # big the co-occurrence input grows; only the pair-count
+        # aggregation scales with data
+        ("supplier_triangle_counts", Q.supplier_triangle_counts),
+        ("supplier_kcore", Q.supplier_kcore),
     ]
 
     base = tempfile.mkdtemp(prefix="scale_soak_")
