@@ -565,3 +565,41 @@ def test_triangle_counts_match_bruteforce(spark, raw_edges):
         ).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_edge_lists, st.integers(2, 4))
+def test_kcore_matches_python_peel(spark, raw_edges, k):
+    """Distributed k-core peeling equals the sequential reference
+    (repeatedly delete all nodes with alive-degree < k) on random
+    graphs, including the within-core degrees."""
+    from collections import defaultdict
+
+    from bottledwater_pg_spark.operators.graph import kcore_members
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = set(adj)
+    while True:
+        doomed = {n for n in alive if len(adj[n] & alive) < k}
+        if not doomed:
+            break
+        alive -= doomed
+    want = {n: len(adj[n] & alive) for n in alive}
+    got = {
+        r["node"]: r["core_deg"]
+        for r in kcore_members(
+            spark.createDataFrame(edges, "a long, b long"),
+            k=k, max_rounds=16,
+        ).collect()
+    }
+    assert got == want
