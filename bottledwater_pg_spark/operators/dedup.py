@@ -733,6 +733,14 @@ def incremental_cosine_matches(index_df: DataFrame | None,
     (StreamingVectorDedupIndex stores both per epoch slice)."""
     from pyspark import StorageLevel
 
+    if index_df is None and (index_banded is None or index_quant is None):
+        raise ValueError(
+            "incremental_cosine_matches: index_df is required unless BOTH "
+            "index_banded and index_quant are provided (got banded=%s, "
+            "quant=%s) — a lone precomputed side cannot stand in for the "
+            "index" % (index_banded is not None, index_quant is not None)
+        )
+
     b_idx = (
         index_banded
         if index_banded is not None

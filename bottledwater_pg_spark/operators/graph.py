@@ -418,16 +418,18 @@ def kcore_members(pairs: DataFrame, k: int, max_rounds: int = 8,
             .groupBy("node")
             .agg(F.count("*").cast("long").alias("core_deg"))
         )
-        survivors = persist_tracked(
-            deg.filter(F.col("core_deg") >= k)
-        )
         # EAGER lineage truncation every round: the alive set feeds
         # BOTH sides of the edge filter, so without truncation the
         # logical plan doubles per round — Catalyst analysis goes
         # exponential in the round count long before any data moves
         # (PageRank only rations its checkpoints because its rank
-        # table is referenced once per round — linear growth there)
-        survivors = survivors.localCheckpoint(eager=True)
+        # table is referenced once per round — linear growth there).
+        # The checkpoint both truncates AND materializes, so no
+        # persist wrapper: a cached copy would never be read again
+        # and would pin executor memory for the rest of the peel.
+        survivors = deg.filter(F.col("core_deg") >= k).localCheckpoint(
+            eager=True
+        )
         n_next = survivors.count()
         if n_next == n_alive:
             return survivors.select("node", "core_deg")

@@ -946,8 +946,14 @@ class _SlicedDedupIndexBase:
         # indexed doc's near-dup would be re-accepted. Parquet state is
         # only real if a completed task file landed, hence the content
         # check rather than bare isdir (an empty dir from a crashed
-        # first batch must not count).
-        self._have_index = self._state_exists("index")
+        # first batch must not count). The gate covers EVERY root the
+        # probe reads — 'index' plus all EXTRA_SLICES — because a crash
+        # between the epoch-0 writes can leave some roots populated and
+        # others absent; a probe gated on 'index' alone would then read
+        # a nonexistent parquet path on every replay and crash-loop.
+        self._have_index = all(
+            self._state_exists(n) for n in ("index",) + self.EXTRA_SLICES
+        )
         self._have_accepted = self._state_exists("accepted")
 
     # -- slice io -----------------------------------------------------
@@ -1043,8 +1049,11 @@ class _SlicedDedupIndexBase:
             self.ID_COL
         )
         self._write_slice(accepted, "accepted", epoch_id)
-        self._write_slice(batch, "index", epoch_id)
+        # EXTRA slices land BEFORE 'index': together with the __init__
+        # gate over all roots, index existence then implies every probe
+        # input exists, whichever write a crash lands between.
         self._write_extra_slices(batch, epoch_id)
+        self._write_slice(batch, "index", epoch_id)
         self._have_index = True
         self._have_accepted = True
         from bottledwater_pg_spark.session import release_persisted

@@ -205,6 +205,35 @@ def test_incremental_dedup_empty_batch(spark, sf_dir):
     assert dedup.incremental_lsh_matches(docs, empty).count() == 0
 
 
+def test_incremental_cosine_requires_full_index(spark):
+    """index_df=None with only ONE precomputed side must fail the
+    contract loudly (ValueError naming the missing side), not die
+    later with an opaque AttributeError inside banded_srp(None)."""
+    import pytest
+
+    from bottledwater_pg_spark.operators import dedup
+
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    sig = spark.createDataFrame([], "sid long, band int, bval long")
+    qv = spark.createDataFrame(
+        [], "sid long, qvec array<int>, qnorm double"
+    )
+    for banded, quant in ((sig, None), (None, qv), (None, None)):
+        with pytest.raises(ValueError, match="index_df is required"):
+            dedup.incremental_cosine_matches(
+                None, batch, index_banded=banded, index_quant=quant
+            )
+    # both sides supplied → no index_df needed, call proceeds
+    assert (
+        dedup.incremental_cosine_matches(
+            None, batch, index_banded=sig, index_quant=qv
+        ).count()
+        == 0
+    )
+
+
 def test_sequence_gaps_cross_bucket_and_missing_bucket(spark):
     """Gap ranges spanning bucket boundaries and ENTIRE missing
     buckets must come out identical to the naive global-lag answer."""

@@ -1852,6 +1852,65 @@ def test_streaming_vector_dedup_index_equals_batch_rule(
     assert {r.vec_id for r in idx2.accepted_ids().collect()} == accepted
 
 
+def test_vector_dedup_index_restart_after_partial_epoch0_write(
+    spark, sf_dir, tmp_path
+):
+    """Crash between the epoch-0 slice writes must not crash-loop the
+    restarted query: whichever subset of roots the dying process left
+    behind ('index' without 'sig'/'qv' from a pre-reorder incarnation,
+    or 'sig'/'qv' without 'index' under the current write order), the
+    fresh instance's probe gate only opens when EVERY root the probe
+    reads exists, so the replay of epoch 0 runs clean and the final
+    accepted set still equals the batch rule."""
+    import shutil
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        COSINE_THRESHOLD,
+        embeddings_with_dups,
+    )
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingVectorDedupIndex,
+    )
+
+    corpus = embeddings_with_dups(spark, sf_dir)
+    batch0 = corpus.filter(F.col("vec_id") < 60)
+
+    for orphaned in (["index"], ["sig", "qv"]):
+        state = tmp_path / ("crash_" + orphaned[0])
+        pre = StreamingVectorDedupIndex(
+            spark, str(state), threshold=COSINE_THRESHOLD
+        )
+        pre.process_batch(batch0, 0)
+        # simulate the crash: keep only the orphaned roots
+        for name in ("index", "sig", "qv", "accepted"):
+            if name not in orphaned:
+                shutil.rmtree(state / name, ignore_errors=True)
+
+        post = StreamingVectorDedupIndex(
+            spark, str(state), threshold=COSINE_THRESHOLD
+        )
+        assert not post._have_index  # incomplete state must not open the gate
+        post.process_batch(batch0, 0)  # replay runs clean, no missing path
+        got = {r.vec_id for r in post.accepted_ids().collect()}
+        want = {
+            r.vec_id
+            for r in pre_accepted_of(spark, batch0, COSINE_THRESHOLD)
+        }
+        assert got == want
+
+
+def pre_accepted_of(spark, batch, threshold):
+    from bottledwater_pg_spark.operators import dedup
+
+    pairs = dedup.hyperplane_lsh_near_dup(batch, threshold=threshold)
+    rejected = {r.b_id for r in pairs.select("b_id").distinct().collect()}
+    return (
+        batch.select("vec_id")
+        .filter(~F.col("vec_id").isin(list(rejected) or [-1]))
+        .collect()
+    )
+
+
 def test_streaming_vector_dedup_index_runs_as_real_stream(spark, sf_dir):
     """StreamingVectorDedupIndex behind an actual readStream (file
     source, checkpointed): the accepted set equals the batch SRP-
