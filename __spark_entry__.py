@@ -63,8 +63,10 @@ _FAMILY_SPREAD = [
     "bpe_learn_merges", "lm_surprise_outliers",
     "pg_composite_enum_roundtrip",
     # Slots 13-18: the deliberate rows-only cells next to their
-    # hash-green accuracy certificates (xxhash64 twins + HLL
-    # internals — DuckDB cannot recompute those outputs by design).
+    # hash-green accuracy certificates (xxhash64 twins — DuckDB cannot
+    # recompute those outputs by design), plus the HLL estimator,
+    # hash-oracled since r9's own-register rewrite (md5-derived
+    # registers + integer harmonic sum replay exactly in DuckDB).
     "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
     "hll_distinct_users_by_type",
     "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",

@@ -3102,31 +3102,153 @@ ORACLES["mad_order_value_by_segment"] = MAD_SQL
 # ------------------------------------------- mergeable sketch surface
 
 
-def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch distinct counting (Apache DataSketches HLL via
-    Spark's hll_sketch_agg): per event type, the HLL estimate of
-    distinct users NEXT TO the exact count — the operational shape at
-    100 TB is "store a sketch per partition/day, merge at query time",
-    which the test pins via hll_union_agg; here the query also proves
-    the estimate lands within sketch tolerance of truth.
+# Own-register HyperLogLog (Flajolet et al. 2007), cross-engine exact:
+# p=12 → m=4096 registers; the item hash is the proven 60-bit
+# md5-prefix (dedup.md5_token_hash's trick) so BOTH engines derive the
+# identical registers; top 12 bits pick the register, rank of the
+# 48-bit suffix is 49 - length(bin(w)) (bin() exists in Spark AND
+# DuckDB and both drop leading zeros — no float log2 at a power-of-two
+# boundary). The harmonic sum is kept in scaled INTEGER arithmetic
+# (sum of 2^(49-rank) as BIGINT, max m*2^49 = 2^61 — exact and
+# addition-order-independent, the same quantization discipline as the
+# PMI rational), so the only floating-point steps are one literal
+# parse, one cast, one divide, and (small-range) one ln — all verified
+# bit-equal Spark-vs-DuckDB by exhaustive sweep (test_approx.py).
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+_HLL_RMAX = 60 - _HLL_P + 1  # rank of an all-zero 48-bit suffix
+_HLL_W_MOD = 1 << (60 - _HLL_P)
+# alpha_m * m^2 * 2^RMAX as ONE shortest-repr double literal: Python
+# repr round-trips, and both engines parse scientific literals to the
+# nearest double, so the numerator is bit-identical on both sides.
+_HLL_NUMER = repr((0.7213 / (1.0 + 1.079 / _HLL_M)) * 2.0 ** (2 * _HLL_P + _HLL_RMAX))
 
-    No DuckDB oracle (the estimate is engine-specific) — driver does
-    a rows-only check; accuracy and merge-invariance are pytest-pinned
-    (test_approx.py). Scale: both aggregations are partial+final; the
-    sketch buffer is KB-bounded regardless of cardinality, unlike the
-    exact distinct whose shuffle grows with user count — the query
-    exists to document exactly that trade."""
-    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
-    return ev.groupBy("event_type").agg(
-        F.ceil(
-            F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
-        ).alias("approx_users"),
-        F.count_distinct("user_id").alias("exact_users"),
+
+def hll_own_registers(df: DataFrame, key_cols: list,
+                      item_col: str) -> DataFrame:
+    """(key_cols..., bkt, r): the m-per-key HLL register table for
+    ``item_col`` under the md5-derived hash. groupBy(key, bkt).max is
+    a partial+final aggregate — per-key state is m rows regardless of
+    cardinality, which is the whole point of the sketch at 100 TB."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(F.lit("hll|"), F.col(item_col).cast("string")),
+                    "UTF-8",
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = h % F.lit(_HLL_W_MOD)
+    rank = F.when(w == 0, F.lit(_HLL_RMAX)).otherwise(
+        F.lit(_HLL_RMAX) - F.length(F.bin(w))
+    )
+    return (
+        df.groupBy(*key_cols, F.shiftright(h, 60 - _HLL_P).alias("bkt"))
+        .agg(F.max(rank).cast("long").alias("r"))
     )
 
 
+def hll_estimate_cols(present_col: str, s_present_col: str) -> "F.Column":
+    """The HLL estimate (BIGINT) from (#registers present, scaled
+    integer harmonic sum): raw harmonic estimate with the standard
+    linear-counting small-range correction when E <= 2.5m and empty
+    registers exist. Large-range correction is omitted on purpose —
+    it patches 32-bit hash saturation and this hash has 60 bits."""
+    v = F.lit(_HLL_M) - F.col(present_col)
+    s = F.col(s_present_col) + v * F.lit(1 << _HLL_RMAX)
+    e_raw = F.lit(float(_HLL_NUMER)) / s.cast("double")
+    m_d = F.lit(float(_HLL_M))
+    return (
+        F.when(
+            (e_raw <= F.lit(2.5 * _HLL_M)) & (v > 0),
+            F.round(m_d * F.log(m_d / v.cast("double"))),
+        )
+        .otherwise(F.round(e_raw))
+        .cast("long")
+    )
+
+
+def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: per event type, the
+    own-register HLL estimate of distinct users NEXT TO the exact
+    count. The operational shape at 100 TB is "store m registers per
+    partition/day, max-merge at query time" — register max-merge
+    equals whole-corpus registers by construction, pinned in
+    test_approx.py; the production DataSketches twin
+    (hll_sketch_agg) stays accuracy-certified by
+    ``hll_error_bound_by_type``.
+
+    DuckDB replays the estimator EXACTLY (md5-derived registers,
+    integer harmonic sum, one shared double literal), so this is
+    hash-oracled, not rows-only — certify the values, not engine
+    internals, the same way the generated corpus does for the
+    reference (spec/bin/generate_type_specs.rb:30-45). Scale: both
+    aggregations are partial+final; register state is m rows per
+    type regardless of user cardinality, unlike the exact distinct
+    whose shuffle grows with user count — the query exists to
+    document exactly that trade."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = hll_own_registers(ev, ["event_type"], "user_id")
+    est = regs.groupBy("event_type").agg(
+        F.count("*").alias("_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - r)")
+        ).alias("_s_present"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        est.select(
+            "event_type",
+            hll_estimate_cols("_present", "_s_present").alias("approx_users"),
+        )
+        .join(exact, "event_type")
+    )
+
+
+HLL_OWN_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h60
+  FROM events
+),
+reg AS (
+  SELECT event_type, h60 // {_HLL_W_MOD} AS bkt,
+         MAX(CASE WHEN h60 % {_HLL_W_MOD} = 0 THEN {_HLL_RMAX}
+                  ELSE {_HLL_RMAX} - length(bin(h60 % {_HLL_W_MOD})) END) AS r
+  FROM h GROUP BY event_type, h60 // {_HLL_W_MOD}
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS present,
+         SUM(1::BIGINT << ({_HLL_RMAX} - r))::BIGINT AS s_present
+  FROM reg GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         CAST(CASE WHEN {_HLL_NUMER} / CAST(s_present + ({_HLL_M} - present) * {1 << _HLL_RMAX}::BIGINT AS DOUBLE) <= {2.5 * _HLL_M}
+                    AND present < {_HLL_M}
+              THEN round({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST({_HLL_M} - present AS DOUBLE)))
+              ELSE round({_HLL_NUMER} / CAST(s_present + ({_HLL_M} - present) * {1 << _HLL_RMAX}::BIGINT AS DOUBLE))
+              END AS BIGINT) AS approx_users
+  FROM agg
+)
+SELECT est.event_type, est.approx_users,
+       x.exact_users
+FROM est JOIN (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY event_type
+) x USING (event_type)
+"""
+
 QUERIES["hll_distinct_users_by_type"] = hll_distinct_users_by_type
-# no ORACLES entry: approximate-by-design, rows-only driver check
+ORACLES["hll_distinct_users_by_type"] = HLL_OWN_SQL
 
 
 def hll_error_bound_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -69,6 +69,69 @@ def test_hll_sketch_accuracy_and_merge_invariance(spark, sf_dir):
         assert abs(direct[t] - merged[t]) <= 1e-9 * max(1.0, direct[t])
 
 
+def test_own_register_hll_harmonic_branch_cross_engine_and_merge(spark):
+    """The own-register HLL (the hash-oracled estimator inside
+    hll_distinct_users_by_type) on a 50k-cardinality synthetic — big
+    enough that the HARMONIC branch fires (E > 2.5m), which the
+    sf0.01/sf0.1 gates never reach (they sit in linear counting):
+    (a) DuckDB replays the estimate bit-exactly, (b) the estimate is
+    within 5% of truth (m=4096 → 1.6% standard error), and (c)
+    max-merging per-shard register tables equals the whole-corpus
+    registers — the 100 TB pre-aggregate-then-merge contract, now for
+    OUR registers rather than DataSketches'."""
+    import duckdb
+
+    from bottledwater_pg_spark.operators.queries import (
+        _HLL_M,
+        _HLL_RMAX,
+        HLL_OWN_SQL,
+        hll_estimate_cols,
+        hll_own_registers,
+    )
+
+    n = 50_000
+    ev = spark.range(n).select(
+        F.lit("t").alias("event_type"), F.col("id").alias("user_id")
+    )
+    regs = hll_own_registers(ev, ["event_type"], "user_id")
+    est = (
+        regs.groupBy("event_type")
+        .agg(
+            F.count("*").alias("_present"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - r)")
+            ).alias("_s_present"),
+        )
+        .select(hll_estimate_cols("_present", "_s_present").alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert est > 2.5 * _HLL_M  # proves the harmonic branch fired
+    assert abs(est - n) / n < 0.05
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT 't' AS event_type, "
+        f"range AS user_id FROM range({n})"
+    )
+    oracle = con.execute(HLL_OWN_SQL).fetchall()
+    assert oracle == [("t", est, n)]
+
+    # shard → max-merge invariance: registers of the union == merge of
+    # per-shard registers under max(r) per (key, bkt)
+    sharded = hll_own_registers(
+        ev.withColumn("shard", F.col("user_id") % 7),
+        ["event_type", "shard"],
+        "user_id",
+    )
+    merged = (
+        sharded.groupBy("event_type", "bkt").agg(F.max("r").alias("r"))
+    )
+    direct = regs.select("event_type", "bkt", "r")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
 def test_sketch_certification_companions_all_pass(spark, sf_dir):
     """The four driver-hashable accuracy certificates (LSH/IVF ANN
     recall, SimHash injected-pair recall, HLL error bound) must each

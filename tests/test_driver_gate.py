@@ -20,12 +20,12 @@ def test_every_query_has_an_oracle_or_is_flagged():
     # the list deliberate — every entry here must be justified:
     # the two xxhash64 production twins (DuckDB cannot recompute the
     # hash; their md5 variants are fully oracled and their accuracy is
-    # hash-certified) and the DataSketches HLL estimate
-    # (engine-internal registers; certified by hll_error_bound_by_type)
+    # hash-certified). The HLL estimate left this list in r9: the
+    # own-register estimator is DuckDB-replayable, so
+    # hll_distinct_users_by_type is now fully hash-oracled.
     allowed_rows_only = {
         "lsh_ann_topk_xxhash",
         "simhash_xxhash_near_dup",
-        "hll_distinct_users_by_type",
     }
     assert set(missing) == allowed_rows_only, f"unexplained oracle-less: {missing}"
 
@@ -85,7 +85,6 @@ def test_round8_window_keeps_the_ledger_closed():
     assert not uncovered, uncovered
     allowed_rows_only = {
         "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
-        "hll_distinct_users_by_type",
     }
     unoracled = [
         n for n in window if n not in ORACLES and n not in allowed_rows_only
