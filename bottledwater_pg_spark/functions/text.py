@@ -112,27 +112,34 @@ def sql_fingerprint(col: str = "text") -> str:
 
 
 def kgram_hashes(col: str, k: int = 8) -> Column:
-    """Array of rolling character k-gram hashes (md5-prefix strings).
+    """Array of rolling character k-gram hashes as 60-bit BIGINTs
+    (md5-prefix parsed base-16, the ``md5_token_hash`` trick).
 
     The winnowing scheme (Schleimer/Wilkerson/Aiken, "Winnowing: Local
     Algorithms for Document Fingerprinting", SIGMOD'03) hashes every
-    k-gram; md5-prefix hex is the cross-engine-stable stand-in for the
-    polynomial rolling hash (md5 renders identically in Spark and
-    DuckDB, and string order = hex order, so window minima agree).
-    O(n*k) per document, computed once per row — Catalyst evaluates the
-    projected array a single time, and the window-min pass below binds
-    it rather than recomputing per window.
+    k-gram; the md5 prefix is the cross-engine-stable stand-in for the
+    polynomial rolling hash, and because a FIXED-length hex prefix
+    orders lexicographically exactly as its numeric value, the window
+    minima over the parsed longs equal the minima over the hex
+    strings. Longs, not strings, on purpose: every downstream move —
+    the explode, the doc-frequency shuffle, the fingerprint equi-join
+    — then carries an 8-byte key instead of a 16-char string, and
+    array_min compares longs; at warehouse scale the fingerprint
+    shuffle is the operator's dominant cost. O(n*k) per document,
+    computed once per row — Catalyst evaluates the projected array a
+    single time, and the window-min pass below binds it rather than
+    recomputing per window.
     """
     return F.expr(
         f"transform(sequence(1, greatest(length({col}) - {k} + 1, 1)), "
-        f"i -> substring(md5(cast(substring({col}, i, {k}) as binary)), 1, 16))"
+        f"i -> CAST(conv(substring(md5(cast(substring({col}, i, {k}) as binary)), 1, 15), 16, 10) AS BIGINT))"
     )
 
 
 def sql_kgram_hashes(col: str, k: int = 8) -> str:
     return (
         f"list_transform(range(1, greatest(length({col}) - {k} + 1, 1) + 1), "
-        f"i -> substr(md5(substring({col}, i, {k})), 1, 16))"
+        f"i -> ('0x' || substr(md5(substring({col}, i, {k})), 1, 15))::BIGINT)"
     )
 
 
