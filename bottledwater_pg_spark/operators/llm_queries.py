@@ -3441,7 +3441,8 @@ EXACT_SUBSTR_K = 8  # minimum duplicated run, in tokens
 
 def exact_substring_spans(spark: SparkSession, sf_dir: str,
                           docs: DataFrame | None = None,
-                          k: int = EXACT_SUBSTR_K) -> DataFrame:
+                          k: int = EXACT_SUBSTR_K,
+                          hashed: bool = False) -> DataFrame:
     """Exact-substring deduplication audit (Lee et al. 2022,
     arXiv:2107.06499 "Deduplicating Training Data Makes Language
     Models Better"): per document, the MAXIMAL token spans that occur
@@ -3462,10 +3463,17 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str,
     ONE shuffle on the gram, no groupBy+join-back double explode and
     no per-gram doc list materialized (the min/max pair is O(1) state
     per gram, so a boilerplate gram hot-keys nothing). The span merge
-    re-shuffles only the surviving duplicated positions by doc. At
-    warehouse scale hash the gram to 8 bytes first (md5/xxhash) so the
-    shuffle moves integers; kept textual here so DuckDB computes the
-    identical window.
+    re-shuffles only the surviving duplicated positions by doc.
+
+    ``hashed=True`` is the warehouse-scale variant the textual form's
+    shuffle budget asks for: the gram goes through the 60-bit
+    md5-prefix (the winnowing/``md5_token_hash`` trick) INSIDE the
+    explode lambda, so the dominant gram shuffle moves 8-byte longs
+    instead of ~50-char token strings. md5-derived means DuckDB still
+    replays it bit-exactly — the variant keeps a full hash oracle; the
+    textual twin remains the exactness reference (a 60-bit collision
+    could mark a non-duplicated position, birthday-bounded at ~2^30
+    grams — parity on this corpus is pytest-pinned).
     """
     from pyspark.sql import Window
 
@@ -3473,15 +3481,22 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str,
         docs = load_table(spark, sf_dir, "documents")
     docs = docs.select("doc_id", "text")
     t = docs.select("doc_id", tokens("text").alias("toks"))
+    _gram = f"concat_ws(' ', slice(toks, i, {k}))"
+    if hashed:
+        _gram = (
+            f"CAST(conv(substring(md5(cast({_gram} as binary)), 1, 15), "
+            f"16, 10) AS BIGINT)"
+        )
+    _gt = "bigint" if hashed else "string"
     g = t.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
         F.explode(
             F.expr(
-                f"CASE WHEN size(toks) < {k} THEN array() "
+                f"CASE WHEN size(toks) < {k} THEN "
+                f"CAST(array() AS array<struct<pos:int,gram:{_gt}>>) "
                 f"ELSE transform(sequence(1, size(toks) - {k} + 1), "
-                f"i -> struct(i AS pos, "
-                f"concat_ws(' ', slice(toks, i, {k})) AS gram)) END"
+                f"i -> struct(i AS pos, {_gram} AS gram)) END"
             )
         ).alias("pg"),
     ).select(
@@ -3569,6 +3584,28 @@ FROM spans GROUP BY doc_id, n_tokens
 
 QUERIES["exact_substring_spans"] = exact_substring_spans
 ORACLES["exact_substring_spans"] = EXACT_SUBSTR_SQL
+
+
+def exact_substring_spans_hashed(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The warehouse-scale production form of
+    :func:`exact_substring_spans`: identical algorithm, gram shuffle
+    carries the 60-bit md5-prefix long instead of the token string
+    (see the base docstring). Fully hash-oracled — the hash is
+    md5-derived, so DuckDB replays the identical window; textual
+    parity on this corpus is pytest-pinned (test_llm_ops)."""
+    return exact_substring_spans(spark, sf_dir, hashed=True)
+
+
+EXACT_SUBSTR_HASHED_SQL = EXACT_SUBSTR_SQL.replace(
+    f"array_to_string(toks[i : i + {EXACT_SUBSTR_K - 1}], ' ') AS gram",
+    f"('0x' || substr(md5(array_to_string("
+    f"toks[i : i + {EXACT_SUBSTR_K - 1}], ' ')), 1, 15))::BIGINT AS gram",
+)
+assert EXACT_SUBSTR_HASHED_SQL != EXACT_SUBSTR_SQL
+
+QUERIES["exact_substring_spans_hashed"] = exact_substring_spans_hashed
+ORACLES["exact_substring_spans_hashed"] = EXACT_SUBSTR_HASHED_SQL
 
 
 # ------------------------------------ DSIR importance weights (data

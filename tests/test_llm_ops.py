@@ -532,6 +532,23 @@ def test_exact_substring_spans_hand_corpus(spark):
     assert out[3]["dup_frac_bp"] == 10000
 
 
+def test_exact_substring_spans_hashed_matches_textual(spark, sf_dir):
+    """Parity pin for the production hashed-gram variant: on the full
+    documents corpus the 60-bit gram hash must reproduce the textual
+    twin's spans row-for-row (no collision at this scale — and any
+    future collision would surface here as a diff, which is exactly
+    the audit the docstring promises)."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        exact_substring_spans,
+        exact_substring_spans_hashed,
+    )
+
+    textual = exact_substring_spans(spark, sf_dir)
+    hashed = exact_substring_spans_hashed(spark, sf_dir)
+    assert textual.exceptAll(hashed).count() == 0
+    assert hashed.exceptAll(textual).count() == 0
+
+
 def test_dsir_importance_weights_hand_corpus(spark):
     """DSIR pin: docs made of target-distribution tokens outscore
     docs of off-target tokens; weights are integers and the per-doc

@@ -422,6 +422,33 @@ def test_exact_substring_spans_one_gram_shuffle_no_cartesian(spark, sf_dir):
     assert plan.count(" Generate (") == 1
 
 
+def test_exact_substring_spans_hashed_shuffles_longs(spark, sf_dir):
+    """The production hashed-gram variant keeps the identical plan
+    shape (two shuffles, one explode, no cartesian) AND its gram
+    exchange carries an 8-byte bigint, not the token string — the
+    narrower shuffle the textual form's docstring budgets for."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        exact_substring_spans_hashed,
+    )
+    from bottledwater_pg_spark.plans.inspect import (
+        count_exchanges,
+        formatted_plan,
+    )
+
+    df = exact_substring_spans_hashed(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(df) == 2
+    assert plan.count(" Generate (") == 1
+    # the exploded gram column reaching the window exchange is a long
+    # (plan renders LongType attributes as gram#nL)
+    import re
+
+    assert re.search(r"gram#\d+L", plan), (
+        "gram attribute should be LongType (#nL) in the plan"
+    )
+
+
 def test_dsir_broadcasts_model_no_token_string_shuffle(spark, sf_dir):
     """DSIR: the B-row bucket model must broadcast into the per-doc
     scorer (never shuffle the doc-bucket table by model key), and the
