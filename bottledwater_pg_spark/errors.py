@@ -130,6 +130,32 @@ def apply_ddl_error_policy(
     distributed filter against a literal (relid, lsn) list — no
     shuffle, no per-row Python.
     """
+    registry, fail_at = ddl_registry_fold(events, policy)
+    if not fail_at:
+        return events, registry
+    dropped = None
+    for relid, lsn in fail_at.items():
+        c = (F.col("relid") == relid) & (F.col("lsn") >= lsn)
+        dropped = c if dropped is None else (dropped | c)
+    return events.filter(~dropped), registry
+
+
+def ddl_registry_fold(
+    ctl_source: DataFrame,
+    policy: ErrorPolicy | str = ErrorPolicy.LOG,
+):
+    """The registry fold of :func:`apply_ddl_error_policy` on its own:
+    collect the TableSchema announcements from ``ctl_source``, fold
+    them newest-last by lsn, and return ``(registry, fail_at)`` where
+    ``fail_at`` maps a failed relid to the lsn of its failed
+    registration. Split out so a caller that already holds the
+    control-event stream separately (the batch ``replicate_database``
+    loop builds its announcements driver-side, one 1-row frame per
+    table) can fold WITHOUT running a job against the full interleaved
+    union — at N tables the union's Catalyst optimization alone costs
+    seconds per job, all to re-extract rows the caller constructed.
+    ``ctl_source`` may be any envelope stream; only rows with
+    ``op = 'table_schema'`` are read."""
     import json as _json
 
     from pyspark.sql import types as T
@@ -140,7 +166,7 @@ def apply_ddl_error_policy(
     policy = ErrorPolicy(policy)
     fail_at: dict[int, int] = {}
     ctl = (
-        events.filter(F.col("op") == "table_schema")
+        ctl_source.filter(F.col("op") == "table_schema")
         .select("relid", "lsn", "schema_json", "topic")
         .orderBy("lsn")
         .collect()
@@ -170,10 +196,4 @@ def apply_ddl_error_policy(
             row_schema_json=r["schema_json"],
             topic=r["topic"],
         )
-    if not fail_at:
-        return events, registry
-    dropped = None
-    for relid, lsn in fail_at.items():
-        c = (F.col("relid") == relid) & (F.col("lsn") >= lsn)
-        dropped = c if dropped is None else (dropped | c)
-    return events.filter(~dropped), registry
+    return registry, fail_at

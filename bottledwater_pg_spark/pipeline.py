@@ -24,11 +24,11 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from bottledwater_pg_spark.errors import ErrorPolicy, apply_ddl_error_policy
+from bottledwater_pg_spark.errors import ErrorPolicy, ddl_registry_fold
 from bottledwater_pg_spark.operators.materialize import append_only, materialize
 from bottledwater_pg_spark.routing import topic_name
 from bottledwater_pg_spark.schema_tracker import table_schema_events
-from bottledwater_pg_spark.session import load_table, persist_tracked
+from bottledwater_pg_spark.session import load_table
 from bottledwater_pg_spark.sources.catalog import (
     TABLE_PKNUM_SQL,
     get_table_list,
@@ -91,15 +91,36 @@ def replicate_database(
             topic_prefix=topic_prefix,
             skip_snapshot=skip_snapshot,
         )
-        parts.append(ctl.unionByName(ev))
-    events = parts[0]
-    for p in parts[1:]:
-        events = events.unionByName(p)
-    good, registry = apply_ddl_error_policy(events, ErrorPolicy(on_error))
+        parts.append((t, ctl, ev))
+
+    # Registry fold over the announcements ONLY: the batch
+    # materializations below are per-table jobs over their own
+    # slices, so the full interleaved union would exist just to be
+    # re-split by relid — and at N tables its Catalyst optimization
+    # alone costs seconds per job. The announcements are 1-row
+    # driver-built frames; folding from their union is milliseconds.
+    ctl_union = parts[0][1]
+    for _, c, _e in parts[1:]:
+        ctl_union = ctl_union.unionByName(c)
+    registry, fail_at = ddl_registry_fold(ctl_union, ErrorPolicy(on_error))
+
+    def _table_events(t, ctl, ev):
+        """One table's policy-filtered stream (announcement first,
+        mirroring the wire order)."""
+        events = ctl.unionByName(ev)
+        if t.relid in fail_at:
+            events = events.filter(F.col("lsn") < F.lit(fail_at[t.relid]))
+        return events
 
     os.makedirs(out_dir, exist_ok=True)
     results: dict[str, int] = {}
     if stream:
+        # the streaming path DOES ship one interleaved stream — that
+        # is its wire format — so build the union here, where it runs
+        # through a single checkpointed query rather than N batch jobs
+        good = _table_events(*parts[0])
+        for part in parts[1:]:
+            good = good.unionByName(_table_events(*part))
         import shutil
         import tempfile
 
@@ -142,9 +163,18 @@ def replicate_database(
             shutil.rmtree(tmp, ignore_errors=True)
         return results
 
-    good = persist_tracked(good)
-    for t in tables:
-        sub = good.filter(F.col("relid") == t.relid)
+    # Per-table materializations are INDEPENDENT jobs, each over its
+    # own table's generation — no shared union, no shared cache — so
+    # run them concurrently from a thread pool: the same fan-out the
+    # streaming MultiTableMaterializer uses per micro-batch
+    # (stream.py), where the 50-table soak measures the win. Wall
+    # cost becomes roughly max(table) instead of sum(table); Spark
+    # schedules concurrent jobs from one session safely.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(part) -> tuple[str, int]:
+        t = part[0]
+        sub = _table_events(*part)
         state = (
             materialize(sub, schemas[t.relid][1])
             if t.keyed
@@ -152,5 +182,9 @@ def replicate_database(
         )
         dest = os.path.join(out_dir, t.name)
         state.write.mode("overwrite").parquet(dest)
-        results[t.name] = spark.read.parquet(dest).count()
+        return t.name, spark.read.parquet(dest).count()
+
+    with ThreadPoolExecutor(max_workers=min(8, len(parts))) as pool:
+        for name, n in pool.map(_one, parts):
+            results[name] = n
     return results
