@@ -4351,7 +4351,13 @@ ORACLES["supplier_triangle_counts"] = TRIANGLE_SQL
 
 
 KCORE_K = 6
-KCORE_MAX_ROUNDS = 8
+# Convergence bound: the plain fixtures peel in <= 5 rounds; the x10
+# scale-soak fixture (cross-replica stitched communities over a
+# budget-thinned internal remnant, scale_fixtures.py) measures 10 —
+# thinner graphs cascade DEEPER, so the bound carries margin over the
+# deepest measured fixture. Extra unrolled rounds in the SQL twin are
+# no-ops past the fixpoint.
+KCORE_MAX_ROUNDS = 16
 
 
 def supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4363,9 +4369,10 @@ def supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling apply before anything else. Returns every core member
     with its within-core degree; the member list plus degrees is the
     whole decomposition for one k. Peeling converges in <= 5 rounds
-    here (measured); the Spark side detects the fixpoint with a 1-row
-    count per round and REFUSES past KCORE_MAX_ROUNDS, which is also
-    exactly how many rounds the SQL twin unrolls.
+    here and in 10 on the stitched x10 soak fixture (both measured);
+    the Spark side detects the fixpoint with a 1-row count per round
+    and REFUSES past KCORE_MAX_ROUNDS, which is also exactly how many
+    rounds the SQL twin unrolls (extra rounds are no-ops).
     """
     from bottledwater_pg_spark.operators.graph import kcore_members
 

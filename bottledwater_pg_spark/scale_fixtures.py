@@ -71,7 +71,67 @@ def replicated_table(spark: SparkSession, sf_dir: str, name: str,
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if name == "lineitem" and factor > 1:
+        out = out.unionByName(_stitch_lineitems(spark, base, factor))
     return out
+
+
+# Cross-replica stitch for the supplier co-occurrence graph. Pure
+# key-offset replication makes the xN graph N DISJOINT copies whose
+# tie counts are identical, so the triangle/k-core top-5000 edge
+# budget tie-breaks onto replica 0 and the soak analyzes a thinned x1
+# graph — wall-scaling evidence, but degenerate structure (SCALE.md
+# r8 caveat). The stitch adds, between each adjacent replica pair, a
+# deterministic 48-supplier "community" (24 low-id suppliers from
+# each side interleaved on a ring) co-served through synthetic
+# orders: order o covers the 8 consecutive ring positions starting at
+# o mod 48, so a supplier pair at ring distance d shares
+# (8-d) * STITCH_ORDERS/48 orders — cnt 70..10 for d=1..7, all at or
+# above the measured max internal tie (12 at sf0.1). The budget's
+# spine is then genuinely cross-replica: the x10 graph holds dense
+# ring communities chaining the replicas (non-empty 6-core, triangle
+# count growing with N) while staying bounded — 8 suppliers per
+# stitch order (the per-order self-join bound the census relies on),
+# ~3.8k rows per replica seam vs ~7M replicated rows.
+STITCH_SUPPLIERS = 24   # per side; ring size 48
+STITCH_ORDERS = 480     # 10 full ring sweeps -> d<=4 ties cnt >= 40
+STITCH_SPAN = 8         # suppliers per synthetic order
+STITCH_OKEY_BASE = 5_000_000  # above any base/base-derived orderkey
+
+
+def _stitch_lineitems(spark: SparkSession, base: DataFrame,
+                      factor: int) -> DataFrame:
+    ring = 2 * STITCH_SUPPLIERS
+    template = F.broadcast(
+        base.orderBy("l_orderkey", "l_linenumber", "l_suppkey").limit(1)
+        .drop("l_orderkey", "l_suppkey", "l_linenumber")
+    )
+    idx = spark.range((factor - 1) * STITCH_ORDERS * STITCH_SPAN).select(
+        (F.col("id") / (STITCH_ORDERS * STITCH_SPAN))
+        .cast("long").alias("k"),          # seam: replica k <-> k+1
+        ((F.col("id") / STITCH_SPAN).cast("long") % STITCH_ORDERS)
+        .alias("o"),
+        (F.col("id") % STITCH_SPAN).alias("i"),
+    )
+    pos = (F.col("o") + F.col("i")) % ring
+    okey = (
+        F.col("k") * KEY_OFFSET + STITCH_OKEY_BASE + F.col("o")
+    )
+    # even ring positions draw from replica k, odd from replica k+1;
+    # position p maps to base supplier id (p div 2) + 1
+    suppkey = (
+        (pos / 2).cast("long") + 1
+        + (F.col("k") + pos % 2) * KEY_OFFSET
+    )
+    rows = idx.select(
+        okey.cast("long").alias("l_orderkey"),
+        suppkey.cast("long").alias("l_suppkey"),
+        (F.col("i") + 1).cast("int").alias("l_linenumber"),
+    )
+    lnum_type = base.schema["l_linenumber"].dataType
+    return rows.withColumn(
+        "l_linenumber", F.col("l_linenumber").cast(lnum_type)
+    ).crossJoin(template).select(*base.columns)
 
 
 def build_scaled_dir(spark: SparkSession, sf_dir: str, out_dir: str,

@@ -70,3 +70,41 @@ def test_replica_documents_share_no_tokens(spark, sf_dir):
     raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     rep0 = rep.filter(F.col("doc_id") < KEY_OFFSET).select("doc_id", "text")
     assert rep0.exceptAll(raw).count() == 0 and raw.exceptAll(rep0).count() == 0
+
+
+def test_stitched_replicas_give_connected_budgeted_graph(
+    spark, sf_dir, tmp_path
+):
+    """The xN lineitem fixture stitches adjacent replicas through
+    deterministic supplier ring-communities (scale_fixtures.py), so
+    the BUDGETED co-occurrence graph the triangle/k-core soak analyzes
+    is structurally meaningful at scale, not N disjoint thinned
+    copies: the 6-core is non-empty and spans multiple replica key
+    bands, cross-replica edges survive the top-5000 budget, and the
+    global triangle count grows over x1."""
+    from bottledwater_pg_spark.operators.graph import kcore_members
+    from bottledwater_pg_spark.operators.queries import (
+        KCORE_K,
+        KCORE_MAX_ROUNDS,
+        _strongest_tie_pairs,
+        supplier_triangle_counts,
+    )
+    from bottledwater_pg_spark.scale_fixtures import build_scaled_dir
+    from bottledwater_pg_spark.session import release_persisted
+
+    d3 = build_scaled_dir(spark, sf_dir, str(tmp_path / "x3"), 3)
+    pairs = _strongest_tie_pairs(spark, d3)
+    band = lambda c: (F.col(c) / KEY_OFFSET).cast("int")  # noqa: E731
+    assert pairs.filter(band("a") != band("b")).count() > 0
+
+    core = kcore_members(pairs, k=KCORE_K, max_rounds=KCORE_MAX_ROUNDS)
+    core_bands = {r["b"] for r in core.select(
+        band("node").alias("b")).distinct().collect()}
+    assert len(core_bands) >= 2, f"6-core stuck in bands {core_bands}"
+    release_persisted()
+
+    tri_x1 = supplier_triangle_counts(spark, sf_dir).collect()
+    release_persisted()
+    tri_x3 = supplier_triangle_counts(spark, d3).collect()
+    release_persisted()
+    assert tri_x3[0]["total_triangles"] > tri_x1[0]["total_triangles"]
