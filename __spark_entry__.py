@@ -46,68 +46,67 @@ def entry(spark: SparkSession) -> DataFrame:
 # has a driver record from some round. scripts/exact_gate.py still
 # re-certifies all 157 locally (EXACTGATE_r5.json).
 _FAMILY_SPREAD = [
-    # ---- ROUND 8 window: the driver hashes the FIRST 50 entries.
-    # Slots 1-9: the new r8 queries (no prior driver record) — the
-    # exact-substring duplicate-span audit, DSIR importance weights,
-    # BPE tokenizer application, the PQ / IVF-PQ ANN family with its
-    # recall certificates, the triangle census, and PMI collocations
-    # (all fully hash-oracled).
-    "exact_substring_spans", "dsir_importance_weights",
-    "bpe_encode_stats",
-    "pq_ann_topk", "pq_ann_recall_vs_exact",
-    "ivfpq_ann_topk", "ivfpq_ann_recall_vs_exact",
-    "supplier_triangle_counts", "token_pmi_topk", "supplier_kcore",
-    # Slots 10-12: BPE trainer re-certification (the r8 _bpe_pairs
-    # split-binding rewrite + the shared-_bpe_train refactor touch its
-    # code path) and the r7 additions kept warm.
-    "bpe_learn_merges", "lm_surprise_outliers",
-    "pg_composite_enum_roundtrip",
+    # ---- ROUND 9 window: the driver hashes the FIRST 50 entries.
+    # Slot 1: the one new r9 query (no prior driver record) — the
+    # hashed-gram production variant of the span audit, fully
+    # hash-oracled (md5-derived 60-bit grams replay in DuckDB).
+    "exact_substring_spans_hashed",
+    # Slots 2-12: every query whose code path r9 touched, re-certified
+    # in-window: the own-register HLL rewrite (+ its DataSketches
+    # accuracy certificate), the BIGINT winnowing fingerprints (and
+    # the ensemble that contains them), the spans base path (hashed
+    # param threading), the per-table concurrent replicate loop + the
+    # ddl_registry_fold refactor behind the error-policy queries, and
+    # the graph pair (kcore checkpoint cleanup, KCORE_MAX_ROUNDS 16).
+    "hll_distinct_users_by_type", "hll_error_bound_by_type",
+    "winnow_near_dup_pairs", "doc_fingerprint_winnow",
+    "dedup_cluster_ensemble", "exact_substring_spans",
+    "cdc_replicate_all_counts",
+    "cdc_error_policy_ddl", "cdc_error_policy_log",
+    "supplier_kcore", "supplier_triangle_counts",
     # Slots 13-18: the deliberate rows-only cells next to their
     # hash-green accuracy certificates (xxhash64 twins — DuckDB cannot
-    # recompute those outputs by design), plus the HLL estimator,
-    # hash-oracled since r9's own-register rewrite (md5-derived
-    # registers + integer harmonic sum replay exactly in DuckDB).
+    # recompute those outputs by design; the HLL cell left this group
+    # in r9, now hash-oracled above).
     "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
-    "hll_distinct_users_by_type",
     "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",
-    "simhash_injected_recall",
-    # Slots 19-26: the ANN family kept warm (similarity.py gained the
-    # PQ section this round) and the catalog-scan consumers (the r8
-    # dotless-pattern warning touches get_table_list's path).
-    "lsh_ann_topk", "ivf_ann_topk", "lsh_simhash_near_dup",
-    "ann_topk_cosine",
-    "cdc_export_snapshot_counts", "cdc_skip_snapshot_customer",
-    "cdc_replicate_all_counts", "cdc_many_table_fanout_state",
-    # Slots 27-40: dedup + rank families kept warm.
-    "dedup_cluster_ensemble", "lsh_minhash_near_dup",
-    "simhash_md5_near_dup", "winnow_near_dup_pairs",
-    "dedup_cluster_canonical", "dedup_cluster_canonical_star",
-    "incremental_dedup_matches", "dedup_threshold_sensitivity",
-    "semdedup_prune_stats", "lsh_embedding_near_dup",
+    "simhash_injected_recall", "pagerank_copurchase",
+    # Slots 19-27: the dedup family kept warm (dedup.py gained the
+    # incremental-cosine contract validation; the vector path feeds
+    # lsh_embedding_near_dup and semdedup).
+    "incremental_dedup_matches", "lsh_embedding_near_dup",
+    "semdedup_prune_stats", "dedup_cluster_canonical_star",
+    "dedup_cluster_canonical", "lsh_minhash_near_dup",
+    "simhash_md5_near_dup", "dedup_ngram_jaccard",
+    "dedup_threshold_sensitivity",
+    # Slots 28-36: flagship + certificates + the two r8 drift-watch
+    # queries re-timed on this window (VERDICT r8 blemish #2).
+    "cdc_materialize_customer", "cdc_merge_sink_customer",
+    "q1_pricing_summary", "fraud_rolling_anomalies",
+    "cdc_registry_evolution_decode", "lm_surprise_outliers",
+    "bloom_contamination_screen", "cms_heavy_users_certificate",
+    "approx_quantile_rank_certificate",
+    # Slots 37-50: rank family + the r8 LLM additions kept warm.
     "median_order_value_by_segment", "mad_order_value_by_segment",
     "quartiles_order_value_by_segment", "value_percentiles_by_type",
-    # Slots 41-50: core-family re-certification (flagship + one per
-    # family). Slot 50 is approx_quantile_rank_certificate — verify
-    # with list(queries())[:50] when rotating.
-    "cdc_materialize_customer", "cdc_merge_sink_customer",
-    "q1_pricing_summary",
-    "fraud_rolling_anomalies", "hll_error_bound_by_type",
-    "cdc_registry_evolution_decode", "bloom_contamination_screen",
-    "cms_heavy_users_certificate", "approx_quantile_rank_certificate",
-    # (cdc_stream_table_join rotated below this round — r7 record)
-    "cdc_stream_table_join",
+    "bpe_learn_merges", "bpe_encode_stats", "dsir_importance_weights",
+    "pq_ann_topk", "ivfpq_ann_topk",
+    "lsh_ann_topk", "ivf_ann_topk", "ann_topk_cosine",
+    "token_pmi_topk", "pg_composite_enum_roundtrip",
     # ---- rotated out this round (driver records live in
-    # CORRECTNESS_r07): pagerank_copurchase, bm25_topk_docs,
+    # CORRECTNESS_r08): pq_ann_recall_vs_exact,
+    # ivfpq_ann_recall_vs_exact, cdc_export_snapshot_counts,
+    # cdc_skip_snapshot_customer, cdc_many_table_fanout_state,
+    # lsh_simhash_near_dup, cdc_stream_table_join, bm25_topk_docs,
     # alpha_mixture_weights, ngram_diversity_by_source,
     # pg_interval_roundtrip, pg_timetz_roundtrip,
-    # cdc_error_policy_ddl, cdc_error_policy_log,
     # cdc_topic_routing_counts.
-    "pagerank_copurchase",
-    "cdc_error_policy_log",
-    "bm25_topk_docs",
+    "pq_ann_recall_vs_exact", "ivfpq_ann_recall_vs_exact",
+    "cdc_export_snapshot_counts", "cdc_skip_snapshot_customer",
+    "cdc_many_table_fanout_state", "lsh_simhash_near_dup",
+    "cdc_stream_table_join", "bm25_topk_docs",
     "alpha_mixture_weights", "ngram_diversity_by_source",
     "pg_interval_roundtrip", "pg_timetz_roundtrip",
-    "cdc_error_policy_ddl",
     "cdc_topic_routing_counts",
     # ---- 50-entry window boundary (everything below already has a
     # driver record from r1-r4 and is re-certified in EXACTGATE_r5)

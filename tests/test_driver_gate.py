@@ -41,41 +41,41 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert_df_matches_oracle(df, duck, ORACLES[name])
 
 
-def test_round8_window_keeps_the_ledger_closed():
+def test_round9_window_keeps_the_ledger_closed():
     """The driver hashes only the first 50 queries() entries. The
-    round-8 window must contain (a) every query with NO driver record
-    from r1-r7 (the new r8 queries: exact-substring spans, DSIR,
-    BPE encode, and the PQ / IVF-PQ family with its certificates), so
-    the every-query-has-a-record invariant survives the rotation,
-    (b) the BPE trainer whose code path the r8 refactor touched, and
-    (c) the deliberate rows-only cells next to their hash-green
-    accuracy certificates. Rows-only entries inside the window stay
-    limited to the ops whose raw outputs are engine-specific by
-    design."""
+    round-9 window must contain (a) every query with NO driver record
+    from r1-r8 (the one new r9 query: the hashed-gram span variant),
+    so the every-query-has-a-record invariant survives the rotation,
+    (b) every query whose code path r9 touched (own-register HLL,
+    BIGINT winnowing fingerprints + ensemble, per-table concurrent
+    replicate + ddl_registry_fold, the graph pair), and (c) the
+    deliberate rows-only cells next to their hash-green accuracy
+    certificates. Rows-only entries inside the window stay limited to
+    the ops whose raw outputs are engine-specific by design (the two
+    xxhash64 twins — the HLL cell is hash-oracled since r9)."""
     import json
     import os
 
     window = list(QUERIES)[:50]
     must_be_in_window = [
-        # new r8 queries (no prior driver record)
-        "exact_substring_spans", "dsir_importance_weights",
-        "bpe_encode_stats",
-        "pq_ann_topk", "pq_ann_recall_vs_exact",
-        "ivfpq_ann_topk", "ivfpq_ann_recall_vs_exact",
-        "supplier_triangle_counts", "token_pmi_topk", "supplier_kcore",
-        # r8-touched code paths re-certified
-        "bpe_learn_merges",
-        "cdc_export_snapshot_counts",
+        # new r9 query (no prior driver record)
+        "exact_substring_spans_hashed",
+        # r9-touched code paths re-certified
+        "hll_distinct_users_by_type", "hll_error_bound_by_type",
+        "winnow_near_dup_pairs", "doc_fingerprint_winnow",
+        "dedup_cluster_ensemble", "exact_substring_spans",
+        "cdc_replicate_all_counts",
+        "cdc_error_policy_ddl", "cdc_error_policy_log",
+        "supplier_kcore", "supplier_triangle_counts",
         # rows-only cells + their certificates stay paired in-window
         "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
-        "hll_distinct_users_by_type",
         "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",
         "simhash_injected_recall",
     ]
     assert not [n for n in must_be_in_window if n not in window]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     recs: dict = {}
-    for r in (1, 2, 3, 4, 5, 6, 7):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8):
         p = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(p):
             recs.update(json.load(open(p)))
