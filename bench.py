@@ -153,6 +153,11 @@ BENCH_QUERIES = [
     "supplier_triangle_counts",
     "token_pmi_topk",
     "supplier_kcore",
+    # round 9 addition: the hashed-gram production variant of the
+    # span audit (the gram shuffle moves longs; the textual twin
+    # above stays benched as the exactness reference)
+    "exact_substring_spans_hashed",
+    "hll_distinct_users_by_type",
     # cdc_replicate_all_counts is gate-checked but not benched: it is
     # the sum of the 10 per-table materializations benched above, and
     # re-timing the whole loop adds ~25 s of pure duplication
