@@ -1,0 +1,81 @@
+"""x1 -> x10 -> x100 scaling ladder for the two cheapest soaked ops
+(CDC compaction, exact-substring spans): build factor-scaled fixture
+dirs for JUST the tables each op reads and record the two-point
+scaling exponent alpha = log(t_100/t_10) / log(10) — alpha ~ 1.0 is
+linear wall growth, < 1 sub-linear (parallelism headroom still being
+consumed), > 1 names a super-linear scale problem the x10 soak is too
+small to see. Results recorded in SCALE.md.
+
+    python scripts/scale_ladder.py 2>/dev/null
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+FACTORS = (1, 10, 100)
+
+
+def main() -> int:
+    from bottledwater_pg_spark.operators import cdc_queries as C
+    from bottledwater_pg_spark.operators import llm_queries as L
+    from bottledwater_pg_spark.scale_fixtures import build_scaled_dir
+    from bottledwater_pg_spark.session import get_spark, release_persisted
+
+    spark = get_spark("scale_ladder")
+    spark.range(1).count()
+
+    ops = [
+        ("cdc_materialize_customer", C.cdc_materialize_customer,
+         ("customer",)),
+        ("exact_substring_spans_hashed", L.exact_substring_spans_hashed,
+         ("documents",)),
+    ]
+    base = tempfile.mkdtemp(prefix="scale_ladder_")
+    out: dict[str, dict] = {}
+    try:
+        for name, fn, tables in ops:
+            dirs = {}
+            for f in FACTORS:
+                t0 = time.perf_counter()
+                dirs[f] = build_scaled_dir(
+                    spark, SF_DIR, os.path.join(base, f"{name}_x{f}"),
+                    f, tables=tables,
+                )
+                print(json.dumps({
+                    "prep": f"{name} x{f}",
+                    "sec": round(time.perf_counter() - t0, 2),
+                }), flush=True)
+            rec = {}
+            fn(spark, dirs[1]).count()  # absorb cold start untimed
+            for f in FACTORS:
+                release_persisted()
+                t0 = time.perf_counter()
+                n = fn(spark, dirs[f]).count()
+                rec[f"x{f}_sec"] = round(time.perf_counter() - t0, 2)
+                rec[f"x{f}_rows"] = n
+            rec["alpha_10_100"] = round(
+                math.log(rec["x100_sec"] / rec["x10_sec"]) / math.log(10), 3
+            )
+            out[name] = rec
+            print(json.dumps({name: rec}), flush=True)
+            # reclaim the x100 dir before the next op's build
+            for f in FACTORS:
+                shutil.rmtree(dirs[f], ignore_errors=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"scale_ladder": out, "sf_dir": SF_DIR}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
