@@ -106,6 +106,8 @@ HEADLINE = {
     "supplier_triangle_counts": "triangle census: TakeOrderedAndProject edge budget (distributed top-k, no global sort), degree-oriented wedge hash joins, partial-agg count",
     "token_pmi_topk": "PMI collocations: one bigram explode + partial agg, unigram model joined back on each side, 1-row N broadcast, TakeOrderedAndProject top-k",
     "supplier_kcore": "k-core peeling: per-round alive-filtered degree agg, eager lineage truncation (plan stays flat across rounds), fixpoint via 1-row counts",
+    "exact_substring_spans_hashed": "hashed-gram spans: identical two-shuffle shape, gram attribute is LongType (#nL) so the dominant shuffle moves 8-byte keys",
+    "hll_distinct_users_by_type": "own-register HLL: one (type,bucket) partial+final agg (state m rows/key), integer harmonic sum, no data-sized anything",
 }
 
 ALIAS = {
