@@ -91,8 +91,10 @@ _FAMILY_SPREAD = [
     "quartiles_order_value_by_segment", "value_percentiles_by_type",
     "bpe_learn_merges", "bpe_encode_stats", "dsir_importance_weights",
     "pq_ann_topk", "ivfpq_ann_topk",
-    "lsh_ann_topk", "ivf_ann_topk", "ann_topk_cosine",
+    "lsh_ann_topk",
+    "kmeans_topic_clusters", "kmeans_semdedup_stats",
     "token_pmi_topk", "pg_composite_enum_roundtrip",
+    "ivf_ann_topk", "ann_topk_cosine",
     # ---- rotated out this round (driver records live in
     # CORRECTNESS_r08): pq_ann_recall_vs_exact,
     # ivfpq_ann_recall_vs_exact, cdc_export_snapshot_counts,

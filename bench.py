@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     # above stays benched as the exactness reference)
     "exact_substring_spans_hashed",
     "hll_distinct_users_by_type",
+    "kmeans_topic_clusters",
+    "kmeans_semdedup_stats",
     # cdc_replicate_all_counts is gate-checked but not benched: it is
     # the sum of the 10 per-table materializations benched above, and
     # re-timing the whole loop adds ~25 s of pure duplication

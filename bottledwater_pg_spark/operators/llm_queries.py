@@ -4061,3 +4061,217 @@ LIMIT {PMI_TOPK}
 
 QUERIES["token_pmi_topk"] = token_pmi_topk
 ORACLES["token_pmi_topk"] = PMI_SQL
+
+
+# ------------------------------------ k-means topic clustering (the
+# SemDeDup/IVF-training/topic-balance primitive, run to a fixed
+# iteration count)
+
+KMEANS_K = 8
+KMEANS_ITERS = 4
+EMB_DIM = 64  # fixture embedding dimensionality (TESTDATA.md)
+
+
+def kmeans_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus
+    (:func:`operators.similarity.kmeans_lloyd`, KMEANS_ITERS exact
+    integer rounds from lowest-id seeds), reported as the per-cluster
+    profile a topic-balance curation pass consumes: member count,
+    mean squared distance to the assigned centroid (cluster
+    tightness), and the updated centroid's L1 mass (certifies the
+    centroid VALUES, not just the partition). Every quantity is exact
+    int64, so the DuckDB oracle replays the entire four-round E/M
+    loop bit-identically (unrolled CTEs, the k-core discipline).
+
+    Scale: per round, centroids (k x dim) broadcast against the
+    corpus (a narrow broadcast nested loop — the deliberate tiny-side
+    BNLJ); the per-vector argmin is a map-side-combining aggregation
+    (the k candidate rows per vector collapse before the exchange, so
+    the shuffle carries ~|corpus| rows); the M-step is a (cid, dim)
+    keyed partial+final agg whose output is k x dim rows at any
+    corpus size. This is how MLlib's k-means distributes, minus the
+    driver-side centroid state (ours stay in a k-row DataFrame).
+    """
+    from bottledwater_pg_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    assign, cents = kmeans_lloyd(
+        emb, k=KMEANS_K, iters=KMEANS_ITERS
+    )
+    stats = assign.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.expr("sum(d2) div count(*)").cast("long").alias("mean_dist_q"),
+    )
+    l1 = cents.select(
+        "cid",
+        F.expr(
+            "aggregate(transform(cv, x -> abs(x)), CAST(0 AS BIGINT), "
+            "(acc, x) -> acc + x)"
+        ).alias("centroid_l1_q"),
+    )
+    return (
+        stats.join(l1, "cid")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            "n_members", "mean_dist_q", "centroid_l1_q",
+        )
+        .orderBy("cid")
+    )
+
+
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                dim: int = EMB_DIM, src: str = "embeddings",
+                open_with: bool = True) -> str:
+    """The identical E/M loop unrolled as chained MATERIALIZED CTEs
+    (DuckDB would otherwise inline each round's reference to the
+    previous one and re-expand the chain exponentially — the k-core
+    lesson). Assignment ties and integer means match the Spark side
+    exactly; `div`/`//` both truncate toward zero (probed, including
+    negatives)."""
+    d2 = (
+        "CAST(list_sum(list_transform(list_zip(q.qvec, c.cv), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+    )
+    head = "WITH " if open_with else ", "
+    parts = [f"""
+{head}qv AS MATERIALIZED (
+  SELECT vec_id AS sid,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qvec
+  FROM {src}
+),
+c0 AS MATERIALIZED (
+  SELECT sid AS cid, qvec AS cv FROM qv ORDER BY sid LIMIT {k}
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+a{i} AS MATERIALIZED (
+  SELECT sid, qvec, cid, d2 FROM (
+    SELECT sid, qvec, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY sid ORDER BY d2, cid) AS rn
+    FROM (
+      SELECT q.sid, q.qvec, c.cid, {d2} AS d2
+      FROM qv q CROSS JOIN c{i - 1} c
+    )
+  ) WHERE rn = 1
+),
+c{i} AS MATERIALIZED (
+  SELECT cid, list(qc ORDER BY dim) AS cv FROM (
+    SELECT cid, dim, CAST(SUM(qvec[dim]) // COUNT(*) AS BIGINT) AS qc
+    FROM a{i}, range(1, {dim} + 1) t(dim)
+    GROUP BY cid, dim
+  ) GROUP BY cid
+)""")
+    return "".join(parts)
+
+
+def _kmeans_profile_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                        dim: int = EMB_DIM) -> str:
+    return _kmeans_sql(k, iters, dim) + f""",
+l1 AS (
+  SELECT cid, CAST(list_sum(list_transform(cv, x -> abs(x))) AS BIGINT)
+              AS centroid_l1_q
+  FROM c{iters}
+)
+SELECT CAST(a.cid AS BIGINT) AS cid,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(a.d2) // COUNT(*) AS BIGINT) AS mean_dist_q,
+       l1.centroid_l1_q
+FROM a{iters} a JOIN l1 ON l1.cid = a.cid
+GROUP BY a.cid, l1.centroid_l1_q
+ORDER BY cid"""
+
+
+QUERIES["kmeans_topic_clusters"] = kmeans_topic_clusters
+ORACLES["kmeans_topic_clusters"] = _kmeans_profile_sql()
+
+
+def kmeans_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup exactly as the paper runs it (Abbas et al. 2023 §3:
+    k-means FIRST, then within-cluster cosine prune) — the trained
+    companion to ``semdedup_prune_stats``, whose clusters are the
+    cheap lowest-id-seed assignment. The duplicate-injected corpus is
+    clustered by four exact integer Lloyd's rounds
+    (:func:`operators.similarity.kmeans_lloyd`), then every vector
+    with a same-cluster lower-id twin at cosine >= 0.99 is pruned
+    (similarity.semdedup_pairs_pruned, the keep-lowest-id rule). Per
+    cluster: membership, prune count, and the exact integer sum of
+    pruned ids — a content-addressed checksum of WHICH vectors were
+    pruned. The DuckDB oracle replays the whole pipeline: four
+    unrolled E/M rounds, then the pair prune.
+
+    Scale: clustering as in ``kmeans_topic_clusters``; the prune's
+    quadratic term is bounded by cluster size (the SemDeDup point) —
+    at 10^9+ vectors you raise k to ~100k and every stage keeps the
+    same shape."""
+    from bottledwater_pg_spark.functions.vectors import norm_pre
+    from bottledwater_pg_spark.operators.similarity import kmeans_lloyd
+
+    corpus = embeddings_with_dups(spark, sf_dir)
+    assign, _cents = kmeans_lloyd(corpus, k=KMEANS_K, iters=KMEANS_ITERS)
+    assigned = persist_tracked(
+        assign.select(
+            "sid", F.col("cid").alias("cent_id"), "qvec"
+        ).withColumn("qnorm", norm_pre("qvec"))
+    )
+    pruned = similarity.semdedup_pairs_pruned(assigned, COSINE_THRESHOLD)
+    members = assigned.groupBy(F.col("cent_id").alias("cid")).agg(
+        F.count("*").alias("n_members")
+    )
+    pstats = pruned.groupBy(F.col("cent_id").alias("cid")).agg(
+        F.count("*").alias("n_pruned"),
+        F.sum("pruned_id").alias("pruned_id_sum"),
+    )
+    return (
+        members.join(pstats, "cid", "left")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.coalesce("n_pruned", F.lit(0)).cast("long").alias("n_pruned"),
+            F.coalesce("pruned_id_sum", F.lit(0))
+            .cast("long")
+            .alias("pruned_id_sum"),
+        )
+        .orderBy("cid")
+    )
+
+
+def _kmeans_semdedup_sql(iters: int = KMEANS_ITERS) -> str:
+    dot_ab = (
+        "CAST(list_sum(list_transform(list_zip(a.qvec, b.qvec), "
+        "p -> p[1] * p[2])) AS BIGINT)"
+    )
+    return (
+        EMB_CTE
+        + _kmeans_sql(src="corpus", open_with=False)
+        + f""",
+qn2 AS MATERIALIZED (
+  SELECT sid, cid, qvec,
+         sqrt(CAST(list_sum(list_transform(qvec, x -> x * x)) AS DOUBLE))
+           AS nrm
+  FROM a{iters}
+),
+pruned AS (
+  SELECT a.cid AS cid, b.sid AS pruned_id
+  FROM qn2 a JOIN qn2 b ON a.cid = b.cid AND a.sid < b.sid
+  WHERE CAST({dot_ab} AS DOUBLE) / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+  GROUP BY a.cid, b.sid
+),
+members AS (SELECT cid, COUNT(*) AS n_members FROM a{iters} GROUP BY cid),
+pstats AS (
+  SELECT cid, COUNT(*) AS n_pruned, SUM(pruned_id) AS pruned_id_sum
+  FROM pruned GROUP BY cid
+)
+SELECT CAST(m.cid AS BIGINT) AS cid,
+       CAST(m.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(p.n_pruned, 0) AS BIGINT) AS n_pruned,
+       CAST(COALESCE(p.pruned_id_sum, 0) AS BIGINT) AS pruned_id_sum
+FROM members m LEFT JOIN pstats p ON p.cid = m.cid
+ORDER BY cid"""
+    )
+
+
+QUERIES["kmeans_semdedup_stats"] = kmeans_semdedup_stats
+ORACLES["kmeans_semdedup_stats"] = _kmeans_semdedup_sql()

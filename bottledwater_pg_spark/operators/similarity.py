@@ -492,3 +492,84 @@ def topk_ivfpq(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 4,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+    """Distributed Lloyd's k-means over an embedding corpus, run to a
+    FIXED iteration count in exact integer arithmetic — the clustering
+    primitive behind SemDeDup's per-cluster prune (Abbas et al. 2023
+    run k-means first), IVF index training, and topic-balance curation
+    of pretraining mixtures. Returns ``(assignment, centroids)``:
+    the final assignment ``(sid, cid, d2, qvec)`` (``d2`` = exact
+    int64 squared euclidean distance to the assigned centroid of the
+    LAST assignment round) and the post-update centroids
+    ``(cid, cv)``.
+
+    Determinism, cross-engine: seeds are the k lowest-id vectors (the
+    :func:`ivf_centroids` convention); distances are exact int64 sums
+    of squared quantized differences; ties go to the lowest cid; the
+    M-step mean is integer division (``div`` truncates toward zero in
+    BOTH Spark and DuckDB — probed, including negatives), so every
+    round's centroids are bit-identical in both engines and the whole
+    loop unrolls into SQL CTEs the oracle replays exactly. Empty
+    clusters simply drop out of the update (both engines' GROUP BY).
+
+    Scale: each round is (a) one broadcast of the k x dim centroid
+    table against the corpus — a narrow map, no shuffle of the
+    vectors; (b) one max_by-style per-vector argmin (map-side
+    combining agg on sid); (c) one (cid, dim)-keyed partial+final
+    aggregation whose output is k x dim rows regardless of corpus
+    size. The per-round ``localCheckpoint`` truncates the iterative
+    lineage (k rows — milliseconds) so the plan stays flat across
+    rounds, the k-core lesson applied to the E/M loop.
+    """
+    from bottledwater_pg_spark.operators.dedup import quantized_vectors
+    from bottledwater_pg_spark.session import persist_tracked
+
+    q = persist_tracked(
+        quantized_vectors(corpus, id_col, vec_col).select("sid", "qvec")
+    )
+    cents = (
+        q.orderBy("sid").limit(k)
+        .select(F.col("sid").alias("cid"), F.col("qvec").alias("cv"))
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(qvec, cv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, p) -> acc + p)"
+    )
+    assign = None
+    for _ in range(iters):
+        scored = q.crossJoin(F.broadcast(cents)).withColumn("d2", d2)
+        assign = (
+            scored.groupBy("sid")
+            .agg(
+                F.min_by(
+                    F.struct("cid", "d2"), F.struct("d2", "cid")
+                ).alias("m"),
+                F.first("qvec").alias("qvec"),
+            )
+            .select(
+                "sid",
+                F.col("m.cid").alias("cid"),
+                F.col("m.d2").alias("d2"),
+                "qvec",
+            )
+        )
+        sums = (
+            assign.select("sid", "cid", F.posexplode("qvec").alias("dim", "qc"))
+            .groupBy("cid", "dim")
+            .agg(F.expr("sum(qc) div count(*)").cast("long").alias("qc"))
+        )
+        cents = (
+            sums.groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, qc))), "
+                    "s -> s.qc)"
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return assign, cents

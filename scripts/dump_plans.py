@@ -108,6 +108,7 @@ HEADLINE = {
     "supplier_kcore": "k-core peeling: per-round alive-filtered degree agg, eager lineage truncation (plan stays flat across rounds), fixpoint via 1-row counts",
     "exact_substring_spans_hashed": "hashed-gram spans: identical two-shuffle shape, gram attribute is LongType (#nL) so the dominant shuffle moves 8-byte keys",
     "hll_distinct_users_by_type": "own-register HLL: one (type,bucket) partial+final agg (state m rows/key), integer harmonic sum, no data-sized anything",
+    "kmeans_topic_clusters": "Lloyd's k-means, 4 integer rounds: centroids broadcast (tiny-side BNLJ), map-side-combining argmin, kxdim M-step agg, per-round checkpoint keeps the plan flat",
 }
 
 ALIAS = {

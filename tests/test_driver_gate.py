@@ -58,8 +58,9 @@ def test_round9_window_keeps_the_ledger_closed():
 
     window = list(QUERIES)[:50]
     must_be_in_window = [
-        # new r9 query (no prior driver record)
+        # new r9 queries (no prior driver record)
         "exact_substring_spans_hashed",
+        "kmeans_topic_clusters", "kmeans_semdedup_stats",
         # r9-touched code paths re-certified
         "hll_distinct_users_by_type", "hll_error_bound_by_type",
         "winnow_near_dup_pairs", "doc_fingerprint_winnow",

@@ -609,3 +609,72 @@ def test_bpe_encode_stats_hand_corpus(spark):
     assert rows["s2"]["n_words"] == 3
     assert rows["s2"]["n_bpe_tokens"] == 2 + 2      # xy,xy=1 each; qz=2
     assert rows["s2"]["tokens_per_word_bp"] == (4 * 10000) // 3
+
+
+def test_kmeans_lloyd_hand_corpus_converges_and_drops_empty(spark):
+    """Lloyd's pin on a constructed corpus: two well-separated blobs
+    with k=2 lowest-id seeds (one seed per blob) converge in one
+    round to the exact blob partition and exact integer centroid
+    means; running MORE rounds changes nothing (fixpoint); a seed
+    that captures no members simply drops out of the update."""
+    from bottledwater_pg_spark.operators.similarity import kmeans_lloyd
+
+    # blob A around (1, 0), blob B around (0, 1); ids interleaved so
+    # the 2 lowest-id seeds (0, 1) land one in each blob
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]), (3, [0.1, 0.9]),
+        (4, [1.1, -0.1]), (5, [-0.1, 1.1]),
+    ]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for iters in (1, 3):
+        assign, cents = kmeans_lloyd(docs, k=2, iters=iters)
+        got = {r["sid"]: r["cid"] for r in assign.collect()}
+        assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+        cv = {r["cid"]: r["cv"] for r in cents.collect()}
+        # exact integer means of the quantized members (0.9 -> 900000,
+        # 0.1 -> 100000, -0.1 -> -100000, 1.1 -> 1100000 under the
+        # FLOOR(x * 1e6) quantizer on this platform's doubles)
+        assert cv[0] == [(1_000_000 + 900_000 + 1_100_000) // 3,
+                         (0 + 100_000 - 100_000) // 3]
+        assert cv[1] == [(0 + 100_000 - 100_000) // 3,
+                         (1_000_000 + 900_000 + 1_100_000) // 3]
+
+    # k=3: seed 2 (inside blob A, farther than seed 0 for every A
+    # member except itself) keeps only itself; all clusters remain
+    # non-empty here, so instead make an empty one: a seed identical
+    # to another loses every tie to the lower cid and drops out
+    dup_seed = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    assign3, cents3 = kmeans_lloyd(dup_seed, k=2, iters=2)
+    got3 = {r["sid"]: r["cid"] for r in assign3.collect()}
+    assert got3 == {0: 0, 1: 0, 2: 0}  # cid=1 ties lose to cid=0
+    assert {r["cid"] for r in cents3.collect()} == {0}  # empty 1 dropped
+
+
+def test_kmeans_semdedup_prunes_every_injected_copy(spark, sf_dir):
+    """The trained-cluster SemDeDup must prune EVERY injected +100000
+    exact copy: an identical vector has identical distances, so the
+    tie-break assigns it to its original's cluster, where cosine 1.0
+    >= threshold prunes it. Totals reconcile with membership."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        NEAR_COPY_MOD,
+        embeddings_with_dups,
+        kmeans_semdedup_stats,
+    )
+
+    out = kmeans_semdedup_stats(spark, sf_dir).toPandas()
+    corpus = embeddings_with_dups(spark, sf_dir)
+    n_total = corpus.count()
+    n_copies = corpus.filter(F.col("vec_id") >= 100000).count()
+    assert out.n_members.sum() == n_total
+    assert out.n_pruned.sum() >= n_copies
+    # every injected copy is pruned: the pruned-id sum includes the
+    # full copy band, so subtracting it leaves only sub-100000 ids
+    copy_ids = {
+        r.vec_id for r in corpus.filter(F.col("vec_id") >= 100000)
+        .select("vec_id").collect()
+    }
+    assert out.pruned_id_sum.sum() >= sum(copy_ids)

@@ -449,6 +449,27 @@ def test_exact_substring_spans_hashed_shuffles_longs(spark, sf_dir):
     )
 
 
+def test_kmeans_broadcasts_centroids_partial_agg(spark, sf_dir):
+    """k-means rounds: the k x dim centroid table must BROADCAST
+    against the corpus (tiny-side BNLJ is the deliberate plan), every
+    aggregation carries partial aggregation (the per-vector argmin
+    collapses k candidate rows map-side; the M-step output is k x dim
+    rows), and nothing cartesians unbroadcast."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        kmeans_topic_clusters,
+    )
+    from bottledwater_pg_spark.plans.inspect import (
+        formatted_plan,
+        has_partial_aggregation,
+    )
+
+    df = kmeans_topic_clusters(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # centroids vs corpus
+    assert has_partial_aggregation(df)
+
+
 def test_dsir_broadcasts_model_no_token_string_shuffle(spark, sf_dir):
     """DSIR: the B-row bucket model must broadcast into the per-doc
     scorer (never shuffle the doc-bucket table by model key), and the
