@@ -1260,11 +1260,19 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     where ``n_exact = 0`` are the deterministic false positives the
     downstream exact verify would discard.
 
-    Scale: the bitmap is m/63 ~ 1k rows regardless of corpus size and
-    broadcasts; training grams join it on word_idx — no eval-side
-    shuffle ever touches the training corpus; only flagged docs (a
-    tiny fraction) reach the exact verify join, which is the entire
-    point of the screen at 100 TB."""
+    Scale: the bitmap is m/63 words (~8 KB at m=2^16) regardless of
+    corpus size — bounded METADATA, so it collects once and rides
+    into the probe as a single array LITERAL: each training gram
+    tests its k bits with pure per-row expressions (element_at +
+    variable shift), no k-way position explode, no join, and no
+    probe-side shuffle at all; the only aggregations touching the
+    training corpus are the per-doc distinct-flagged count and the
+    exact verify semi-join — the entire point of the screen at
+    100 TB. A much larger m stays executor-metadata-sized (2^30
+    bits = 17M longs ~ 136 MB); past that, swap the literal for the
+    broadcast word_idx join this function used before r9 (the
+    streaming screen still uses it — its bitmap lives on disk
+    between batches)."""
     from bottledwater_pg_spark.session import persist_tracked
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1295,6 +1303,13 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("word")
     )
 
+    # bounded-metadata collect: m/63 longs (~8 KB at m=2^16), the
+    # same budget class as the CMS point-query readback
+    n_words = BLOOM_M_BITS // 63 + 1
+    words = [0] * n_words
+    for r in bitmap.collect():
+        words[r["word_idx"]] = r["word"]
+
     tr_g = persist_tracked(
         train.select(
             "doc_id",
@@ -1304,30 +1319,22 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = tr_g.select(
         "doc_id",
         "gram",
-        F.posexplode(
-            F.array(*[_bloom_pos("gram", i) for i in range(BLOOM_K)])
-        ).alias("k_i", "pos"),
-    ).select(
-        "doc_id",
-        "gram",
-        (F.col("pos") / 63).cast("int").alias("word_idx"),
-        (F.col("pos") % 63).alias("bit"),
+        F.lit(words).alias("_bm"),
+        *[_bloom_pos("gram", i).alias(f"_p{i}") for i in range(BLOOM_K)],
     )
-    hit = probes.join(F.broadcast(bitmap), "word_idx", "left").select(
-        "doc_id",
-        "gram",
-        F.expr(
-            "CASE WHEN (shiftright(coalesce(word, CAST(0 AS BIGINT)), "
-            "CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE 0 END"
-        ).alias("bit_set"),
-    )
-    flagged = (
-        hit.groupBy("doc_id", "gram")
-        .agg(F.min("bit_set").alias("all_set"))
-        .filter(F.col("all_set") == 1)
-    )
-    n_flagged = flagged.groupBy("doc_id").agg(
-        F.count("*").alias("n_flagged")
+    all_set = None
+    for i in range(BLOOM_K):
+        test = F.expr(
+            f"(shiftright(element_at(_bm, CAST(_p{i} DIV 63 AS INT) + 1), "
+            f"CAST(_p{i} % 63 AS INT)) & 1) = 1"
+        )
+        all_set = test if all_set is None else (all_set & test)
+    # a gram repeated within a doc is one flagged gram (the pre-r9
+    # groupBy(doc, gram) + min(bit_set) semantics): distinct count
+    n_flagged = (
+        probes.filter(all_set)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_flagged"))
     )
     exact = (
         tr_g.join(ev_grams, "gram", "left_semi")

@@ -117,6 +117,19 @@ ALIAS = {
 }
 
 
+def _elide_literals(plan: str) -> str:
+    """Collapse huge inline array literals (the Bloom bitmap rides the
+    plan as a ~1k-long constant) so PLANS.md stays reviewable; the
+    live plan is unchanged — this edits only the dump."""
+    import re
+
+    return re.sub(
+        r"\[(?:-?\d+,){20,}-?\d+\]",
+        "[<int array literal elided>]",
+        plan,
+    )
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from bottledwater_pg_spark.plans.inspect import (
@@ -142,7 +155,7 @@ def main() -> None:
     for title, expectation in HEADLINE.items():
         name = ALIAS.get(title, title)
         df = queries[name](spark, SF_DIR)
-        plan = formatted_plan(df)
+        plan = _elide_literals(formatted_plan(df))
         metrics = (
             f"shuffles={count_exchanges(df)} "
             f"broadcast_joins={count_broadcast_joins(df)} "

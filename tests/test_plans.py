@@ -383,11 +383,13 @@ def test_sketch_certificates_broadcast_no_cartesian(spark, sf_dir):
     assert "HashAggregate" in plan
 
 
-def test_bloom_screen_broadcasts_bitmap_no_cartesian(spark, sf_dir):
-    """The Bloom contamination screen's probe must be a BROADCAST join
-    of the ~1k-word bitmap against the training grams — never a
-    shuffle of the training corpus keyed by eval-side data, and never
-    a cartesian."""
+def test_bloom_screen_literal_bitmap_no_probe_join(spark, sf_dir):
+    """The Bloom contamination screen's probe must test bits against
+    the collected bitmap as a pure per-row expression (element_at on
+    an array LITERAL + variable shift) — no join on a word_idx key,
+    no k-way position explode, and never a cartesian; the training
+    corpus is only ever shuffled by the per-doc aggregations and the
+    exact verify semi-join."""
     from bottledwater_pg_spark.operators.llm_queries import (
         bloom_contamination_screen,
     )
@@ -395,7 +397,9 @@ def test_bloom_screen_broadcasts_bitmap_no_cartesian(spark, sf_dir):
 
     plan = formatted_plan(bloom_contamination_screen(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "word_idx" not in plan          # the pre-r9 probe join key
+    assert "element_at" in plan            # literal-bitmap bit test
+    assert "posexplode" not in plan
 
 
 def test_exact_substring_spans_one_gram_shuffle_no_cartesian(spark, sf_dir):
