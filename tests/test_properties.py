@@ -603,3 +603,57 @@ def test_kcore_matches_python_peel(spark, raw_edges, k):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=120_000),
+    groups=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=999),
+)
+@settings(max_examples=8, deadline=None)
+def test_own_register_hll_cross_engine_and_error_bound(
+    spark, n, groups, seed
+):
+    """Own-register HLL property (random cardinality x group count x
+    id offset): DuckDB replays the Spark estimate bit-exactly through
+    BOTH branches (linear counting below ~2.5m, harmonic above), and
+    the estimate stays within 6% of truth (m=4096 -> 1.6% standard
+    error; 6% ~ 3.75 sigma, comfortably rare at 8 draws)."""
+    import duckdb
+
+    from bottledwater_pg_spark.operators.queries import (
+        _HLL_RMAX,
+        HLL_OWN_SQL,
+        hll_estimate_cols,
+        hll_own_registers,
+    )
+
+    ev = spark.range(n).select(
+        (F.col("id") % groups).cast("string").alias("event_type"),
+        (F.col("id") + seed * 1_000_003).alias("user_id"),
+    )
+    regs = hll_own_registers(ev, ["event_type"], "user_id")
+    est = (
+        regs.groupBy("event_type")
+        .agg(
+            F.count("*").alias("_present"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - r)")
+            ).alias("_s_present"),
+        )
+        .select(
+            "event_type",
+            hll_estimate_cols("_present", "_s_present").alias("approx"),
+        )
+    )
+    got = {r["event_type"]: r["approx"] for r in est.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT CAST(range % {groups} AS VARCHAR)"
+        f" AS event_type, range + {seed * 1_000_003} AS user_id"
+        f" FROM range({n})"
+    )
+    for typ, approx, exact in con.execute(HLL_OWN_SQL).fetchall():
+        assert got[typ] == approx, (typ, got[typ], approx)
+        assert abs(approx - exact) / exact <= 0.06, (typ, approx, exact)
