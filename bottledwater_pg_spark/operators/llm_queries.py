@@ -1230,25 +1230,35 @@ BLOOM_M_BITS = 1 << 16
 BLOOM_K = 4
 
 
-def _bloom_pos(gram_col: str, seed: int) -> F.Column:
-    """Position of ``gram`` under hash ``seed``: 60-bit md5 prefix of
-    'seed|gram' mod m — the cross-engine-stable hash family (same
-    construction as the SimHash md5 twin)."""
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.encode(
-                    F.concat_ws("|", F.lit(str(seed)), F.col(gram_col)),
-                    "UTF-8",
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
-    return F.pmod(h, F.lit(BLOOM_M_BITS))
+def _bloom_positions(gram_col: str,
+                     md5_col: str | None = None) -> "list[F.Column]":
+    """The gram's k bit positions by Kirsch-Mitzenmacher double
+    hashing ("Less Hashing, Same Performance", 2006): ONE md5 of the
+    gram yields two independent 60-bit halves h1/h2 (hex chars 1-15
+    and 16-30 of the 32-char digest), and position i is
+    (h1 + i*h2) mod m — the false-positive rate matches k independent
+    hashes asymptotically while the probe computes k-1 fewer md5s per
+    gram (md5 is the screen's dominant CPU at every scale). Both
+    halves are cross-engine-stable (the md5_token_hash trick), so
+    DuckDB replays the family exactly. The family is part of the
+    Bloom state contract: a PERSISTED bitmap (the streaming screen's
+    on-disk state) must be rebuilt if the family ever changes.
+
+    Pass ``md5_col`` (a projected ``F.md5`` column name) when probing
+    many positions per row: referencing the SAME projected column
+    shares the one digest explicitly instead of trusting codegen
+    subexpression elimination to merge k copies of the md5 subtree."""
+    md5 = (
+        F.col(md5_col)
+        if md5_col is not None
+        else F.md5(F.encode(F.col(gram_col), "UTF-8"))
+    )
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 16, 15), 16, 10).cast("long")
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(BLOOM_M_BITS))
+        for i in range(BLOOM_K)
+    ]
 
 
 def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1290,10 +1300,10 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ev_pos = ev_grams.select(
-        F.explode(
-            F.array(*[_bloom_pos("gram", i) for i in range(BLOOM_K)])
-        ).alias("pos")
+    ev_pos = ev_grams.withColumn(
+        "_h", F.md5(F.encode(F.col("gram"), "UTF-8"))
+    ).select(
+        F.explode(F.array(*_bloom_positions("gram", md5_col="_h"))).alias("pos")
     )
     bitmap = ev_pos.groupBy(
         (F.col("pos") / 63).cast("int").alias("word_idx")
@@ -1320,7 +1330,15 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "gram",
         F.lit(words).alias("_bm"),
-        *[_bloom_pos("gram", i).alias(f"_p{i}") for i in range(BLOOM_K)],
+        F.md5(F.encode(F.col("gram"), "UTF-8")).alias("_h"),
+    ).select(
+        "doc_id",
+        "gram",
+        "_bm",
+        *[
+            pos.alias(f"_p{i}")
+            for i, pos in enumerate(_bloom_positions("gram", md5_col="_h"))
+        ],
     )
     all_set = None
     for i in range(BLOOM_K):
@@ -1354,11 +1372,11 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bloom_sql() -> str:
     grams = sql_word_shingles("text", NGRAM_CONTAM_N)
 
-    def pos(seed: int) -> str:
-        return (
-            f"(('0x' || substr(md5('{seed}' || '|' || gram), 1, 15))::BIGINT"
-            f" % {BLOOM_M_BITS})"
-        )
+    h1 = "(('0x' || substr(_h, 1, 15))::BIGINT)"
+    h2 = "(('0x' || substr(_h, 16, 15))::BIGINT)"
+
+    def pos(i: int) -> str:
+        return f"(({h1} + {i} * {h2}) % {BLOOM_M_BITS})"
 
     pos_list = ", ".join(pos(i) for i in range(BLOOM_K))
     return f"""
@@ -1369,7 +1387,9 @@ WITH eval_set AS (
   UNION ALL
   SELECT doc_id + 600000 AS doc_id, text FROM documents WHERE doc_id % 27 = 0
 ), ev_grams AS (
-  SELECT DISTINCT unnest({grams}) AS gram FROM eval_set
+  SELECT gram, md5(gram) AS _h FROM (
+    SELECT DISTINCT unnest({grams}) AS gram FROM eval_set
+  )
 ), ev_pos AS (
   SELECT unnest([{pos_list}]) AS pos FROM ev_grams
 ), bitmap AS (
@@ -1379,7 +1399,8 @@ WITH eval_set AS (
 ), tr_g AS (
   SELECT doc_id, unnest({grams}) AS gram FROM train
 ), probes AS (
-  SELECT doc_id, gram, unnest([{pos_list}]) AS pos FROM tr_g
+  SELECT doc_id, gram, unnest([{pos_list}]) AS pos
+  FROM (SELECT doc_id, gram, md5(gram) AS _h FROM tr_g)
 ), hit AS (
   SELECT p.doc_id, p.gram,
          CASE WHEN ((COALESCE(b.word, 0) >> CAST(p.pos % 63 AS INT)) & 1) = 1

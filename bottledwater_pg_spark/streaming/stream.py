@@ -1261,8 +1261,7 @@ class StreamingContaminationScreen:
                  eval_docs: DataFrame | None = None,
                  text_col: str = "text", n: int = 8):
         from bottledwater_pg_spark.operators.llm_queries import (
-            BLOOM_K,
-            _bloom_pos,
+            _bloom_positions,
         )
         from bottledwater_pg_spark.functions.text import word_shingles
 
@@ -1303,7 +1302,7 @@ class StreamingContaminationScreen:
             ).distinct()
             pos = grams.select(
                 F.explode(
-                    F.array(*[_bloom_pos("gram", i) for i in range(BLOOM_K)])
+                    F.array(*_bloom_positions("gram"))
                 ).alias("pos")
             )
             bitmap = pos.groupBy(
@@ -1333,8 +1332,7 @@ class StreamingContaminationScreen:
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         from bottledwater_pg_spark.operators.llm_queries import (
-            BLOOM_K,
-            _bloom_pos,
+            _bloom_positions,
         )
         from bottledwater_pg_spark.functions.text import word_shingles
 
@@ -1346,7 +1344,7 @@ class StreamingContaminationScreen:
             "doc_id",
             "gram",
             F.explode(
-                F.array(*[_bloom_pos("gram", i) for i in range(BLOOM_K)])
+                F.array(*_bloom_positions("gram"))
             ).alias("pos"),
         ).select(
             "doc_id",
