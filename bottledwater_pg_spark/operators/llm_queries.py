@@ -1228,6 +1228,15 @@ NGRAM_CONTAM_N = 8  # word n-gram length (the 13-gram idea, doc-sized)
 
 BLOOM_M_BITS = 1 << 16
 BLOOM_K = 4
+# Versioned name of the (hash family, m, k) triple. Any persisted
+# bitmap records this tag in its meta and MUST be rebuilt when it
+# changes — probing a bitmap built under a different family silently
+# returns false negatives for essentially every contained gram.
+BLOOM_HASH_FAMILY = f"km-md5-60bit/m={BLOOM_M_BITS}/k={BLOOM_K}"
+# h1, h2 are 60-bit; h1 + (k-1)*h2 must stay inside int64 or the
+# K-M position wraps silently in Spark (pmod hides the sign) while
+# DuckDB diverges. k=8 gives max ~2^63-ish; keep a hard bound.
+assert BLOOM_K <= 8, "BLOOM_K > 8 overflows int64 in h1 + i*h2"
 
 
 def _bloom_positions(gram_col: str,
@@ -1242,7 +1251,10 @@ def _bloom_positions(gram_col: str,
     halves are cross-engine-stable (the md5_token_hash trick), so
     DuckDB replays the family exactly. The family is part of the
     Bloom state contract: a PERSISTED bitmap (the streaming screen's
-    on-disk state) must be rebuilt if the family ever changes.
+    on-disk state) must be rebuilt if the family ever changes — the
+    streaming screen enforces this by recording ``BLOOM_HASH_FAMILY``
+    in its meta.json and rebuilding on mismatch. The int64 bound on
+    h1 + i*h2 caps BLOOM_K at 8 (asserted next to the constants).
 
     Pass ``md5_col`` (a projected ``F.md5`` column name) when probing
     many positions per row: referencing the SAME projected column

@@ -1261,6 +1261,7 @@ class StreamingContaminationScreen:
                  eval_docs: DataFrame | None = None,
                  text_col: str = "text", n: int = 8):
         from bottledwater_pg_spark.operators.llm_queries import (
+            BLOOM_HASH_FAMILY,
             _bloom_positions,
         )
         from bottledwater_pg_spark.functions.text import word_shingles
@@ -1284,14 +1285,30 @@ class StreamingContaminationScreen:
             and os.path.exists(meta_path)
         )
         if have:
-            # the standing bitmap fixes the gram size: a restarted
-            # process probing with a different n would silently miss
-            # everything — take n from the recorded build parameters
+            # the standing bitmap fixes the gram size AND the hash
+            # family: a restarted process probing with a different n
+            # or a different (family, m, k) would silently miss
+            # everything — take n from the recorded build parameters,
+            # and treat a family mismatch as "no standing bitmap"
+            # (rebuild when eval_docs is at hand, refuse otherwise:
+            # probing is guaranteed-wrong, so failing loud beats a
+            # screen that passes every contaminated doc).
             with open(meta_path) as f:
                 meta = _json.load(f)
-            self.n = int(meta["n"])
-            self.text_col = meta.get("text_col", text_col)
-        else:
+            recorded_family = meta.get("hash_family")
+            if recorded_family != BLOOM_HASH_FAMILY:
+                if eval_docs is None:
+                    raise LookupError(
+                        f"standing bitmap was built under hash family "
+                        f"{recorded_family!r} but the current family is "
+                        f"{BLOOM_HASH_FAMILY!r}; pass eval_docs to "
+                        f"rebuild it"
+                    )
+                have = False
+            else:
+                self.n = int(meta["n"])
+                self.text_col = meta.get("text_col", text_col)
+        if not have:
             if eval_docs is None:
                 raise LookupError(
                     "no standing bitmap in state_dir and no eval_docs "
@@ -1301,8 +1318,10 @@ class StreamingContaminationScreen:
                 F.explode(word_shingles(text_col, n)).alias("gram")
             ).distinct()
             pos = grams.select(
+                F.md5(F.encode(F.col("gram"), "UTF-8")).alias("_h")
+            ).select(
                 F.explode(
-                    F.array(*_bloom_positions("gram"))
+                    F.array(*_bloom_positions("gram", md5_col="_h"))
                 ).alias("pos")
             )
             bitmap = pos.groupBy(
@@ -1317,7 +1336,14 @@ class StreamingContaminationScreen:
             bitmap.write.mode("overwrite").parquet(bmp_path)
             tmp_meta = meta_path + ".tmp"
             with open(tmp_meta, "w") as f:
-                _json.dump({"n": n, "text_col": text_col}, f)
+                _json.dump(
+                    {
+                        "n": n,
+                        "text_col": text_col,
+                        "hash_family": BLOOM_HASH_FAMILY,
+                    },
+                    f,
+                )
             os.replace(tmp_meta, meta_path)
         self._bitmap = spark.read.parquet(bmp_path)
 
@@ -1340,11 +1366,18 @@ class StreamingContaminationScreen:
             "doc_id",
             F.explode(word_shingles(self.text_col, self.n)).alias("gram"),
         )
+        # project the digest ONCE and share it across the k positions
+        # (same discipline as the batch screen: don't trust codegen
+        # subexpression elimination to merge k md5 subtrees)
         probes = grams.select(
             "doc_id",
             "gram",
+            F.md5(F.encode(F.col("gram"), "UTF-8")).alias("_h"),
+        ).select(
+            "doc_id",
+            "gram",
             F.explode(
-                F.array(*_bloom_positions("gram"))
+                F.array(*_bloom_positions("gram", md5_col="_h"))
             ).alias("pos"),
         ).select(
             "doc_id",

@@ -671,10 +671,32 @@ def test_kmeans_semdedup_prunes_every_injected_copy(spark, sf_dir):
     n_copies = corpus.filter(F.col("vec_id") >= 100000).count()
     assert out.n_members.sum() == n_total
     assert out.n_pruned.sum() >= n_copies
-    # every injected copy is pruned: the pruned-id sum includes the
-    # full copy band, so subtracting it leaves only sub-100000 ids
+    # every injected copy is pruned: check SET INCLUSION directly on
+    # the pruned-id set over the same kmeans assignment (a sum bound
+    # could be satisfied by unrelated sub-100000 prunes compensating
+    # for a surviving copy)
+    from bottledwater_pg_spark.functions.vectors import norm_pre
+    from bottledwater_pg_spark.operators import similarity
+    from bottledwater_pg_spark.operators.llm_queries import (
+        COSINE_THRESHOLD,
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    assign, _ = similarity.kmeans_lloyd(
+        corpus, k=KMEANS_K, iters=KMEANS_ITERS
+    )
+    assigned = assign.select(
+        "sid", F.col("cid").alias("cent_id"), "qvec"
+    ).withColumn("qnorm", norm_pre("qvec"))
+    pruned_ids = {
+        r.pruned_id
+        for r in similarity.semdedup_pairs_pruned(assigned, COSINE_THRESHOLD)
+        .select("pruned_id").collect()
+    }
     copy_ids = {
         r.vec_id for r in corpus.filter(F.col("vec_id") >= 100000)
         .select("vec_id").collect()
     }
-    assert out.pruned_id_sum.sum() >= sum(copy_ids)
+    assert copy_ids <= pruned_ids
+    assert out.pruned_id_sum.sum() == sum(pruned_ids)

@@ -1559,6 +1559,54 @@ def test_streaming_contamination_screen_matches_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_contamination_screen_rebuilds_on_hash_family_change(spark, sf_dir):
+    """A standing bitmap built under a DIFFERENT Bloom hash family is
+    guaranteed-wrong to probe (false negatives for essentially every
+    contaminated doc), so the screen must rebuild it when eval_docs is
+    at hand and refuse loudly when not — never silently load it. The
+    family tag in meta.json is the enforcement point."""
+    import json
+
+    import pytest
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        BLOOM_HASH_FAMILY,
+        NGRAM_CONTAM_N,
+    )
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingContaminationScreen,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 500000).alias("eval_id"), F.col("text")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        state = f"{tmp}/state"
+        StreamingContaminationScreen(
+            spark, state, eval_docs=eval_set, n=NGRAM_CONTAM_N
+        )
+        meta_path = f"{state}/meta.json"
+        with open(meta_path) as f:
+            meta = json.load(f)
+        assert meta["hash_family"] == BLOOM_HASH_FAMILY
+        # simulate a bitmap persisted by a pre-r9 incarnation
+        meta["hash_family"] = "seeded-md5/legacy"
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        # no eval corpus -> probing would be silently wrong: refuse
+        with pytest.raises(LookupError, match="hash family"):
+            StreamingContaminationScreen(spark, state)
+        # eval corpus at hand -> rebuild under the current family
+        StreamingContaminationScreen(
+            spark, state, eval_docs=eval_set, n=NGRAM_CONTAM_N
+        )
+        with open(meta_path) as f:
+            assert json.load(f)["hash_family"] == BLOOM_HASH_FAMILY
+        # and the rebuilt state loads clean without eval_docs
+        StreamingContaminationScreen(spark, state)
+
+
 def test_streaming_error_policy_log_and_exit(spark, sf_dir):
     """The error policy runs against the LIVE stream (the reference's
     crash matrix composes --on-error with evolution,
