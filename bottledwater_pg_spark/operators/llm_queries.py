@@ -1283,18 +1283,21 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream exact verify would discard.
 
     Scale: the bitmap is m/63 words (~8 KB at m=2^16) regardless of
-    corpus size — bounded METADATA, so it collects once and rides
-    into the probe as a single array LITERAL: each training gram
-    tests its k bits with pure per-row expressions (element_at +
-    variable shift), no k-way position explode, no join, and no
-    probe-side shuffle at all; the only aggregations touching the
-    training corpus are the per-doc distinct-flagged count and the
-    exact verify semi-join — the entire point of the screen at
-    100 TB. A much larger m stays executor-metadata-sized (2^30
-    bits = 17M longs ~ 136 MB); past that, swap the literal for the
-    broadcast word_idx join this function used before r9 (the
-    streaming screen still uses it — its bitmap lives on disk
-    between batches)."""
+    corpus size — bounded metadata that BROADCASTS to the probe as a
+    word_idx->word map join; the probe side never shuffles (the k
+    position rows hash-probe the broadcast map in place), and the
+    only aggregations touching the training corpus are the per-doc
+    distinct-flagged count and the exact verify semi-join — the
+    entire point of the screen at 100 TB. Probe-form note (r10):
+    r9 swapped this join for an ~8 KB array LITERAL riding the probe
+    (element_at + variable shift per gram, no join at all) on the
+    theory that skipping the broadcast hash-probe must win at small
+    m; the isolated microbench (scripts/bloom_probe_bench.py, sf0.1,
+    5 alternating passes) measured the literal probe 1.7x SLOWER
+    (3.15 s vs 1.83 s) with identical output, and a larger m only
+    widens the gap, so the broadcast join is used unconditionally —
+    it is also the form the streaming screen keeps (its bitmap lives
+    on disk between batches) and needs no driver collect at all."""
     from bottledwater_pg_spark.session import persist_tracked
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1325,46 +1328,46 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("word")
     )
 
-    # bounded-metadata collect: m/63 longs (~8 KB at m=2^16), the
-    # same budget class as the CMS point-query readback
-    n_words = BLOOM_M_BITS // 63 + 1
-    words = [0] * n_words
-    for r in bitmap.collect():
-        words[r["word_idx"]] = r["word"]
-
     tr_g = persist_tracked(
         train.select(
             "doc_id",
             F.explode(word_shingles("text", NGRAM_CONTAM_N)).alias("gram"),
         )
     )
+    # one md5 per gram (K-M), k position rows, broadcast hash-probe of
+    # the m/63-word bitmap; a gram is flagged iff ALL k bits are set
+    # (min over its position rows), and a gram repeated within a doc
+    # counts once (the groupBy(doc, gram) level)
     probes = tr_g.select(
         "doc_id",
         "gram",
-        F.lit(words).alias("_bm"),
         F.md5(F.encode(F.col("gram"), "UTF-8")).alias("_h"),
     ).select(
         "doc_id",
         "gram",
-        "_bm",
-        *[
-            pos.alias(f"_p{i}")
-            for i, pos in enumerate(_bloom_positions("gram", md5_col="_h"))
-        ],
+        F.explode(
+            F.array(*_bloom_positions("gram", md5_col="_h"))
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "gram",
+        (F.col("pos") / 63).cast("int").alias("word_idx"),
+        (F.col("pos") % 63).alias("bit"),
     )
-    all_set = None
-    for i in range(BLOOM_K):
-        test = F.expr(
-            f"(shiftright(element_at(_bm, CAST(_p{i} DIV 63 AS INT) + 1), "
-            f"CAST(_p{i} % 63 AS INT)) & 1) = 1"
-        )
-        all_set = test if all_set is None else (all_set & test)
-    # a gram repeated within a doc is one flagged gram (the pre-r9
-    # groupBy(doc, gram) + min(bit_set) semantics): distinct count
+    hit = probes.join(F.broadcast(bitmap), "word_idx", "left").select(
+        "doc_id",
+        "gram",
+        F.expr(
+            "CASE WHEN (shiftright(coalesce(word, CAST(0 AS BIGINT)), "
+            "CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE 0 END"
+        ).alias("bit_set"),
+    )
     n_flagged = (
-        probes.filter(all_set)
+        hit.groupBy("doc_id", "gram")
+        .agg(F.min("bit_set").alias("all_set"))
+        .filter(F.col("all_set") == 1)
         .groupBy("doc_id")
-        .agg(F.count_distinct("gram").alias("n_flagged"))
+        .agg(F.count("*").alias("n_flagged"))
     )
     exact = (
         tr_g.join(ev_grams, "gram", "left_semi")

@@ -383,13 +383,14 @@ def test_sketch_certificates_broadcast_no_cartesian(spark, sf_dir):
     assert "HashAggregate" in plan
 
 
-def test_bloom_screen_literal_bitmap_no_probe_join(spark, sf_dir):
-    """The Bloom contamination screen's probe must test bits against
-    the collected bitmap as a pure per-row expression (element_at on
-    an array LITERAL + variable shift) — no join on a word_idx key,
-    no k-way position explode, and never a cartesian; the training
-    corpus is only ever shuffled by the per-doc aggregations and the
-    exact verify semi-join."""
+def test_bloom_screen_broadcast_probe_no_shuffle_join(spark, sf_dir):
+    """The Bloom contamination screen's probe must hash-test the
+    bounded bitmap via a BROADCAST word_idx join (the r10 microbench,
+    scripts/bloom_probe_bench.py, measured this 1.7x faster than the
+    r9 array-literal element_at probe with identical output) — never
+    a shuffle join of the bitmap, never a cartesian; the training
+    corpus is only ever shuffled by the per-(doc,gram)/per-doc
+    aggregations and the exact verify semi-join."""
     from bottledwater_pg_spark.operators.llm_queries import (
         bloom_contamination_screen,
     )
@@ -397,9 +398,12 @@ def test_bloom_screen_literal_bitmap_no_probe_join(spark, sf_dir):
 
     plan = formatted_plan(bloom_contamination_screen(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "word_idx" not in plan          # the pre-r9 probe join key
-    assert "element_at" in plan            # literal-bitmap bit test
-    assert "posexplode" not in plan
+    assert "word_idx" in plan              # the broadcast probe key
+    assert "BroadcastHashJoin" in plan
+    # every join broadcasts (bitmap probe + exact verify semi-join);
+    # an SMJ would mean the probe corpus shuffled on a join key —
+    # the scale-killer shape
+    assert "SortMergeJoin" not in plan
 
 
 def test_exact_substring_spans_one_gram_shuffle_no_cartesian(spark, sf_dir):
