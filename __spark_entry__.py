@@ -46,18 +46,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # has a driver record from some round. scripts/exact_gate.py still
 # re-certifies all 157 locally (EXACTGATE_r5.json).
 _FAMILY_SPREAD = [
-    # ---- ROUND 9 window: the driver hashes the FIRST 50 entries.
-    # Slot 1: the one new r9 query (no prior driver record) — the
-    # hashed-gram production variant of the span audit, fully
-    # hash-oracled (md5-derived 60-bit grams replay in DuckDB).
+    # ---- ROUND 10 window: the driver hashes the FIRST 50 entries.
+    # Slots 1-2: the two new r10 queries (no prior driver record) —
+    # the Lloyd's-TRAINED IVF top-k (kmeans-trained coarse quantizer;
+    # DuckDB replays the training rounds + probe bit-identically) and
+    # its recall certificate (floor 80%, above the untrained 75%).
+    "ivf_trained_topk", "ivf_trained_recall_vs_exact",
+    # Slot 3: the hashed-gram span variant (new in r9, kept warm).
     "exact_substring_spans_hashed",
-    # Slots 2-12: every query whose code path r9 touched, re-certified
-    # in-window: the own-register HLL rewrite (+ its DataSketches
-    # accuracy certificate), the BIGINT winnowing fingerprints (and
-    # the ensemble that contains them), the spans base path (hashed
-    # param threading), the per-table concurrent replicate loop + the
-    # ddl_registry_fold refactor behind the error-policy queries, and
-    # the graph pair (kcore checkpoint cleanup, KCORE_MAX_ROUNDS 16).
+    # Slots 4-14: r10-touched code paths re-certified in-window: the
+    # Bloom probe went back to the broadcast word_idx join (the r9
+    # literal-bitmap probe benched 1.7x slower — SCALE.md r10) and
+    # topk_ivf was refactored around the shared _topk_ivf_probe (the
+    # untrained pair re-certifies the refactor); the rest of the r9
+    # window (HLL, winnowing, replicate, error policy, graph) stays
+    # one more round while its r9 records age in.
+    "bloom_contamination_screen",
     "hll_distinct_users_by_type", "hll_error_bound_by_type",
     "winnow_near_dup_pairs", "doc_fingerprint_winnow",
     "dedup_cluster_ensemble", "exact_substring_spans",
@@ -86,16 +90,22 @@ _FAMILY_SPREAD = [
     "cdc_registry_evolution_decode", "lm_surprise_outliers",
     "bloom_contamination_screen", "cms_heavy_users_certificate",
     "approx_quantile_rank_certificate",
-    # Slots 37-50: rank family + the r8 LLM additions kept warm.
-    "median_order_value_by_segment", "mad_order_value_by_segment",
+    # Slots 37-50: rank family + the r8/r9 LLM additions kept warm
+    # (ivf_ann_topk + its certificate above re-certify the
+    # _topk_ivf_probe refactor; the kmeans pair re-certifies the
+    # primitive the trained IVF now shares).
     "quartiles_order_value_by_segment", "value_percentiles_by_type",
     "bpe_learn_merges", "bpe_encode_stats", "dsir_importance_weights",
     "pq_ann_topk", "ivfpq_ann_topk",
     "lsh_ann_topk",
     "kmeans_topic_clusters", "kmeans_semdedup_stats",
-    "token_pmi_topk", "pg_composite_enum_roundtrip",
     "ivf_ann_topk", "ann_topk_cosine",
-    # ---- rotated out this round (driver records live in
+    # ---- rotated out in r10 (driver records live in
+    # CORRECTNESS_r09): token_pmi_topk, pg_composite_enum_roundtrip,
+    # median/mad_order_value_by_segment.
+    "token_pmi_topk", "pg_composite_enum_roundtrip",
+    "median_order_value_by_segment", "mad_order_value_by_segment",
+    # ---- rotated out in r9 (driver records live in
     # CORRECTNESS_r08): pq_ann_recall_vs_exact,
     # ivfpq_ann_recall_vs_exact, cdc_export_snapshot_counts,
     # cdc_skip_snapshot_customer, cdc_many_table_fanout_state,

@@ -359,6 +359,32 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_ivf(emb, queries, k=5, n_list=32, n_probe=8)
 
 
+IVF_TRAINED_ITERS = 2
+
+
+def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat top-k with a TRAINED coarse quantizer: the 32 cells
+    come from IVF_TRAINED_ITERS exact-integer Lloyd's rounds
+    (similarity.kmeans_lloyd — the r9 clustering primitive) instead
+    of the raw lowest-id sample ``ivf_ann_topk`` uses. On a REAL
+    embedding corpus training tracks cluster density, so the same
+    n_probe budget captures more of each query's true neighborhood —
+    the standard FAISS practice. Fixture honesty note: the synthetic
+    embeddings are uniform unit vectors (measured norm²=1.0, trained
+    vs sampled cell-size stddev 4.1 vs 4.2 — NO cluster structure to
+    learn), so on THIS corpus trained recall (89-96% across SFs)
+    sits beside untrained (94-95%) rather than above it; the
+    certificate floor is still pinned above the untrained floor.
+    Every stage (training rounds, cosine assignment, probe, rank) is
+    exact-int/pinned-ties, so DuckDB replays the WHOLE pipeline —
+    training included — fully hash-oracled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.topk_ivf_trained(
+        emb, queries, k=5, n_list=32, iters=IVF_TRAINED_ITERS, n_probe=8
+    )
+
+
 # DuckDB twins of the quantized-vector primitives (vectors.py
 # quantized_vec / dot_pre / norm_pre) over the embeddings table
 _QN_CTE = """
@@ -475,6 +501,60 @@ cand AS (
 {_SCORE_RANK_TAIL}"""
 
 
+def _ivf_trained_sql(n_list: int = 32, n_probe: int = 8) -> str:
+    """Full replay of the trained-IVF pipeline: the unrolled Lloyd's
+    chain (_kmeans_sql with k=n_list — bit-identical centroids per
+    round), trained-centroid cosine assignment (ties to lowest
+    cent_id), n_probe nearest cells per query, exact cosine rank
+    within probed cells. The kmeans chain defines ``qv``; norms are
+    derived from it so the corpus is quantized once."""
+    iters = IVF_TRAINED_ITERS
+    dot_qc = (
+        "CAST(list_sum(list_transform(list_zip(qn.qvec, cent.cent_q), "
+        "p -> p[1] * p[2])) AS BIGINT)"
+    )
+    nrm = (
+        "sqrt(CAST(CAST(list_sum(list_transform({v}, x -> x * x)) "
+        "AS BIGINT) AS DOUBLE))"
+    )
+    return (
+        _kmeans_sql(k=n_list, iters=iters, src="embeddings")
+        + f""",
+qn AS MATERIALIZED (
+  SELECT sid, qvec, {nrm.format(v="qvec")} AS n FROM qv
+),
+cent AS (
+  SELECT cid AS cent_id, cv AS cent_q, {nrm.format(v="cv")} AS cent_n
+  FROM c{iters}
+),
+ascore AS (
+  SELECT qn.sid, cent.cent_id,
+         CAST({dot_qc} AS DOUBLE) / (qn.n * cent.cent_n) AS cos
+  FROM qn CROSS JOIN cent
+),
+assigned AS (
+  SELECT sid, cent_id FROM (
+    SELECT sid, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, cent_id) AS rn
+    FROM ascore
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT sid AS query_id, cent_id FROM (
+    SELECT sid, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, cent_id) AS rn
+    FROM ascore WHERE sid < 20
+  ) WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, a.sid AS neighbor_id
+  FROM probe p JOIN assigned a USING (cent_id)
+  WHERE a.sid <> p.query_id
+),
+{_SCORE_RANK_TAIL}"""
+    )
+
+
 # ------------- sketch-accuracy certification (driver-hashable)
 #
 # The sketch operators above (xxhash64 SimHash, SRP-LSH ANN, IVF ANN)
@@ -492,6 +572,7 @@ cand AS (
 
 LSH_ANN_RECALL_FLOOR_BP = 5500
 IVF_ANN_RECALL_FLOOR_BP = 7500
+IVF_TRAINED_RECALL_FLOOR_BP = 8000
 SIMHASH_INJECT_FLOOR_BP = 9000
 
 
@@ -541,6 +622,21 @@ def ivf_ann_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_topk_cosine(spark, sf_dir),
         ann_topk_ivf(spark, sf_dir),
         IVF_ANN_RECALL_FLOOR_BP,
+    )
+
+
+def ivf_trained_recall_vs_exact(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Driver-hashable accuracy certificate for ``ivf_trained_topk``:
+    recall vs brute force floored at 80% (measured 89-96% across
+    sf0.001/0.01/0.1) — above the untrained IVF floor (75%). See the
+    topk docstring for the uniform-fixture honesty note: the raised
+    floor certifies the trained pipeline's own recall, not
+    superiority on this structureless corpus."""
+    return _recall_vs_exact(
+        ann_topk_cosine(spark, sf_dir),
+        ivf_trained_topk(spark, sf_dir),
+        IVF_TRAINED_RECALL_FLOOR_BP,
     )
 
 
@@ -4318,3 +4414,12 @@ ORDER BY cid"""
 
 QUERIES["kmeans_semdedup_stats"] = kmeans_semdedup_stats
 ORACLES["kmeans_semdedup_stats"] = _kmeans_semdedup_sql()
+
+# trained-IVF pair registered here (after _kmeans_sql exists — the
+# oracle string is built at import time from the unrolled chain)
+QUERIES["ivf_trained_topk"] = ivf_trained_topk
+ORACLES["ivf_trained_topk"] = _ivf_trained_sql()
+QUERIES["ivf_trained_recall_vs_exact"] = ivf_trained_recall_vs_exact
+ORACLES["ivf_trained_recall_vs_exact"] = _ann_recall_sql(
+    IVF_TRAINED_RECALL_FLOOR_BP
+)

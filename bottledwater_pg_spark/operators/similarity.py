@@ -109,13 +109,56 @@ def topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     its n_probe nearest centroid cells; candidates are ranked by exact
     quantized cosine. Unlike LSH banding, each corpus vector lives in
     exactly ONE cell, so candidates need no distinct()."""
+    cent = ivf_centroids(corpus, n_list, id_col, vec_col)
+    return _topk_ivf_probe(cent, corpus, queries, k, n_probe,
+                           id_col, vec_col)
+
+
+def topk_ivf_trained(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     n_list: int = 32, iters: int = 2, n_probe: int = 8,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat top-k whose coarse quantizer is TRAINED: ``iters``
+    exact-integer Lloyd's rounds (:func:`kmeans_lloyd`) refine the
+    lowest-id seeds before the cell assignment, instead of using the
+    raw sample as cells — the standard FAISS practice: on a clustered
+    corpus trained centroids track density, preventing a mega-cell
+    from swallowing the probe budget and putting more of each query's
+    true neighborhood inside its n_probe nearest cells. (On a corpus
+    with no cluster structure training is recall-neutral — see the
+    llm_queries fixture note.) Everything downstream of training is
+    :func:`topk_ivf` verbatim; determinism and the exact-int
+    discipline come from kmeans_lloyd, so the ENTIRE pipeline —
+    training rounds included — replays bit-identically in the SQL
+    oracle. Empty clusters drop during training (fewer live cells
+    simply means fewer candidate cells, never a correctness change)."""
+    from bottledwater_pg_spark.functions.vectors import norm_pre
+
+    _assign, cents = kmeans_lloyd(corpus, k=n_list, iters=iters,
+                                  id_col=id_col, vec_col=vec_col)
+    cent = cents.select(
+        F.col("cid").alias("cent_id"),
+        F.col("cv").alias("cent_q"),
+        norm_pre("cv").alias("cent_n"),
+    )
+    return _topk_ivf_probe(cent, corpus, queries, k, n_probe,
+                           id_col, vec_col)
+
+
+def _topk_ivf_probe(cent: DataFrame, corpus: DataFrame,
+                    queries: DataFrame, k: int, n_probe: int,
+                    id_col: str, vec_col: str) -> DataFrame:
+    """Shared IVF probe: assign the corpus to the given centroid
+    table, pick each query's n_probe nearest cells, rank candidates
+    by exact quantized cosine. ``cent`` is (cent_id, cent_q, cent_n)
+    from either the lowest-id sample or Lloyd's training."""
     from bottledwater_pg_spark.session import persist_tracked
 
-    # the corpus quantization feeds BOTH the centroid sample and the
-    # assignment scan; the assignment feeds the probe join — persist
-    # them or the corpus is quantized twice per action (the dedup
-    # twin, hyperplane_lsh_near_dup, persists for the same reason)
-    cent = persist_tracked(ivf_centroids(corpus, n_list, id_col, vec_col))
+    # the centroid table feeds BOTH the assignment scan and the query
+    # probe; the assignment feeds the probe join — persist them or
+    # the corpus is quantized twice per action (the dedup twin,
+    # hyperplane_lsh_near_dup, persists for the same reason)
+    cent = persist_tracked(cent)
     assigned = persist_tracked(ivf_assign(corpus, cent, id_col, vec_col))
     qv = quantized_vectors(queries, id_col, vec_col)
     qscored = qv.crossJoin(F.broadcast(cent)).withColumn(

@@ -41,42 +41,40 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert_df_matches_oracle(df, duck, ORACLES[name])
 
 
-def test_round9_window_keeps_the_ledger_closed():
+def test_round10_window_keeps_the_ledger_closed():
     """The driver hashes only the first 50 queries() entries. The
-    round-9 window must contain (a) every query with NO driver record
-    from r1-r8 (the one new r9 query: the hashed-gram span variant),
-    so the every-query-has-a-record invariant survives the rotation,
-    (b) every query whose code path r9 touched (own-register HLL,
-    BIGINT winnowing fingerprints + ensemble, per-table concurrent
-    replicate + ddl_registry_fold, the graph pair), and (c) the
-    deliberate rows-only cells next to their hash-green accuracy
-    certificates. Rows-only entries inside the window stay limited to
-    the ops whose raw outputs are engine-specific by design (the two
-    xxhash64 twins — the HLL cell is hash-oracled since r9)."""
+    round-10 window must contain (a) every query with NO driver
+    record from r1-r9 (the two new r10 queries: the Lloyd's-trained
+    IVF top-k and its recall certificate), so the
+    every-query-has-a-record invariant survives the rotation,
+    (b) every query whose code path r10 touched (the Bloom
+    broadcast-probe restore; the _topk_ivf_probe refactor behind the
+    untrained IVF pair), and (c) the deliberate rows-only cells next
+    to their hash-green accuracy certificates. Rows-only entries
+    inside the window stay limited to the ops whose raw outputs are
+    engine-specific by design (the two xxhash64 twins)."""
     import json
     import os
 
     window = list(QUERIES)[:50]
     must_be_in_window = [
-        # new r9 queries (no prior driver record)
-        "exact_substring_spans_hashed",
+        # new r10 queries (no prior driver record)
+        "ivf_trained_topk", "ivf_trained_recall_vs_exact",
+        # r10-touched code paths re-certified
+        "bloom_contamination_screen",
+        "ivf_ann_topk", "ivf_ann_recall_vs_exact",
+        # the shared-primitive family kept warm across the refactor
         "kmeans_topic_clusters", "kmeans_semdedup_stats",
-        # r9-touched code paths re-certified
-        "hll_distinct_users_by_type", "hll_error_bound_by_type",
-        "winnow_near_dup_pairs", "doc_fingerprint_winnow",
-        "dedup_cluster_ensemble", "exact_substring_spans",
-        "cdc_replicate_all_counts",
-        "cdc_error_policy_ddl", "cdc_error_policy_log",
-        "supplier_kcore", "supplier_triangle_counts",
+        "ann_topk_cosine",
         # rows-only cells + their certificates stay paired in-window
         "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
-        "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",
+        "lsh_ann_recall_vs_exact",
         "simhash_injected_recall",
     ]
     assert not [n for n in must_be_in_window if n not in window]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     recs: dict = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
         p = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(p):
             recs.update(json.load(open(p)))

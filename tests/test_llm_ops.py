@@ -654,6 +654,61 @@ def test_kmeans_lloyd_hand_corpus_converges_and_drops_empty(spark):
     assert {r["cid"] for r in cents3.collect()} == {0}  # empty 1 dropped
 
 
+def test_ivf_trained_separates_clusters_lowest_id_sample_cannot(spark):
+    """The point of training on a CLUSTERED corpus: both lowest-id
+    vectors sit in blob A, so the untrained sample's two cells are
+    both A-directions and nearly the whole corpus lands in one cell —
+    a mega-cell (probes degenerate toward brute force). Lloyd's
+    rounds from those same seeds separate the blobs: each trained
+    cell is one blob, and a blob-B query at n_probe=1 finds only true
+    blob-B neighbors while scanning only its own blob's cell."""
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.functions.vectors import norm_pre
+    from bottledwater_pg_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        kmeans_lloyd,
+        topk_ivf_trained,
+    )
+
+    # blob A along dim0 (ids 0-7), blob B along dim1 (ids 8-15);
+    # the k=2 lowest-id sample takes ids 0 and 1 — both in A
+    rows = [(i, [1.0, 0.01 * i, 0.0]) for i in range(8)] + [
+        (8 + i, [0.01 * i, 1.0, 0.0]) for i in range(8)
+    ]
+    docs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    n = len(rows)
+
+    def cell_sizes(cent):
+        return [
+            r["count"]
+            for r in ivf_assign(docs, cent).groupBy("cent_id")
+            .count().collect()
+        ]
+
+    # untrained: both cells point down blob A -> mega-cell
+    assert max(cell_sizes(ivf_centroids(docs, 2))) >= (3 * n) // 4
+
+    # trained from the SAME seeds: one cell per blob
+    _, cents = kmeans_lloyd(docs, k=2, iters=3)
+    cent_t = cents.select(
+        F.col("cid").alias("cent_id"),
+        F.col("cv").alias("cent_q"),
+        norm_pre("cv").alias("cent_n"),
+    )
+    assert sorted(cell_sizes(cent_t)) == [8, 8]
+
+    # a blob-B query at n_probe=1 finds only true blob-B neighbors
+    queries = docs.filter(F.col("vec_id") == 8)
+    got = topk_ivf_trained(docs, queries, k=3, n_list=2, iters=3,
+                           n_probe=1).collect()
+    assert len(got) == 3
+    assert {r.neighbor_id for r in got} <= set(range(9, 16))
+
+
 def test_kmeans_semdedup_prunes_every_injected_copy(spark, sf_dir):
     """The trained-cluster SemDeDup must prune EVERY injected +100000
     exact copy: an identical vector has identical distances, so the

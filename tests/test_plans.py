@@ -478,6 +478,30 @@ def test_kmeans_broadcasts_centroids_partial_agg(spark, sf_dir):
     assert has_partial_aggregation(df)
 
 
+def test_ivf_trained_broadcast_cell_prune_shape(spark, sf_dir):
+    """Trained IVF keeps the untrained probe's shape exactly: the
+    Lloyd's rounds broadcast the k x dim centroid table (BNLJ against
+    the corpus), the probe joins the corpus index to the tiny probe
+    set by cell id as a BROADCAST (cell-pruned scan, the corpus never
+    shuffles on a model key), and nothing cartesians unbroadcast —
+    training must add zero new shuffle of the vectors."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        ivf_trained_topk,
+    )
+    from bottledwater_pg_spark.plans.inspect import (
+        count_broadcast_joins,
+        formatted_plan,
+        has_partial_aggregation,
+    )
+
+    df = ivf_trained_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # centroids vs corpus
+    assert count_broadcast_joins(df) >= 1     # cell-keyed probe join
+    assert has_partial_aggregation(df)        # argmin + M-step combine
+
+
 def test_dsir_broadcasts_model_no_token_string_shuffle(spark, sf_dir):
     """DSIR: the B-row bucket model must broadcast into the per-doc
     scorer (never shuffle the doc-bucket table by model key), and the
