@@ -54,14 +54,18 @@ _FAMILY_SPREAD = [
     "ivf_trained_topk", "ivf_trained_recall_vs_exact",
     # Slot 3: the hashed-gram span variant (new in r9, kept warm).
     "exact_substring_spans_hashed",
-    # Slots 4-14: r10-touched code paths re-certified in-window: the
+    # Slots 4-16: r10-touched code paths re-certified in-window: the
     # Bloom probe went back to the broadcast word_idx join (the r9
-    # literal-bitmap probe benched 1.7x slower — SCALE.md r10) and
+    # literal-bitmap probe benched 1.7x slower — SCALE.md r10),
     # topk_ivf was refactored around the shared _topk_ivf_probe (the
-    # untrained pair re-certifies the refactor); the rest of the r9
+    # untrained pair re-certifies the refactor), and the two corr
+    # queries' decimal->double casts now route through strings (the
+    # full-ledger sf0.1 gate caught DuckDB landing one ULP off on a
+    # 20-digit decimal sum — SCALE.md r10); the rest of the r9
     # window (HLL, winnowing, replicate, error policy, graph) stays
     # one more round while its r9 records age in.
     "bloom_contamination_screen",
+    "lineitem_corr_matrix", "quantity_price_corr_exact",
     "hll_distinct_users_by_type", "hll_error_bound_by_type",
     "winnow_near_dup_pairs", "doc_fingerprint_winnow",
     "dedup_cluster_ensemble", "exact_substring_spans",
@@ -94,7 +98,6 @@ _FAMILY_SPREAD = [
     # (ivf_ann_topk + its certificate above re-certify the
     # _topk_ivf_probe refactor; the kmeans pair re-certifies the
     # primitive the trained IVF now shares).
-    "quartiles_order_value_by_segment", "value_percentiles_by_type",
     "bpe_learn_merges", "bpe_encode_stats", "dsir_importance_weights",
     "pq_ann_topk", "ivfpq_ann_topk",
     "lsh_ann_topk",
@@ -102,9 +105,11 @@ _FAMILY_SPREAD = [
     "ivf_ann_topk", "ann_topk_cosine",
     # ---- rotated out in r10 (driver records live in
     # CORRECTNESS_r09): token_pmi_topk, pg_composite_enum_roundtrip,
-    # median/mad_order_value_by_segment.
+    # median/mad_order_value_by_segment,
+    # quartiles_order_value_by_segment, value_percentiles_by_type.
     "token_pmi_topk", "pg_composite_enum_roundtrip",
     "median_order_value_by_segment", "mad_order_value_by_segment",
+    "quartiles_order_value_by_segment", "value_percentiles_by_type",
     # ---- rotated out in r9 (driver records live in
     # CORRECTNESS_r08): pq_ann_recall_vs_exact,
     # ivfpq_ann_recall_vs_exact, cdc_export_snapshot_counts,

@@ -42,6 +42,23 @@ def _sql_d(col: str) -> str:
     return f"CAST({col} AS DECIMAL(18,2))"
 
 
+def _dbl(dec_col):
+    """Decimal -> double through a STRING cast: bit-identical in both
+    engines. A wide decimal sum (>= ~17 significant digits — e.g. a
+    600k-row sum of squared prices) is correctly rounded by Spark's
+    direct cast (BigDecimal) but DuckDB converts hugeint * 10^-s in
+    float arithmetic and can land one ULP off (caught by the r10
+    full-ledger sf0.1 gate on lineitem_corr_matrix); string -> double
+    is IEEE correctly-rounded in both, and for Spark the result is
+    identical to the direct cast, so only the oracle side moves."""
+    return dec_col.cast("string").cast("double")
+
+
+def _sql_dbl(expr: str) -> str:
+    """DuckDB twin of :func:`_dbl` (see its rounding note)."""
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -1703,11 +1720,11 @@ def quantity_price_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     x, y = _d("l_quantity"), _d("l_extendedprice")
     agg = li.groupBy("l_returnflag").agg(
         F.count("*").cast("double").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * y).cast("double").alias("sxy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
+        _dbl(F.sum(x)).alias("sx"),
+        _dbl(F.sum(y)).alias("sy"),
+        _dbl(F.sum(x * y)).alias("sxy"),
+        _dbl(F.sum(x * x)).alias("sxx"),
+        _dbl(F.sum(y * y)).alias("syy"),
     )
     corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
@@ -1720,11 +1737,11 @@ CORR_SQL = f"""
 WITH m AS (
   SELECT l_returnflag,
          CAST(COUNT(*) AS DOUBLE) AS n,
-         CAST(SUM({_sql_d("l_quantity")}) AS DOUBLE) AS sx,
-         CAST(SUM({_sql_d("l_extendedprice")}) AS DOUBLE) AS sy,
-         CAST(SUM({_sql_d("l_quantity")} * {_sql_d("l_extendedprice")}) AS DOUBLE) AS sxy,
-         CAST(SUM({_sql_d("l_quantity")} * {_sql_d("l_quantity")}) AS DOUBLE) AS sxx,
-         CAST(SUM({_sql_d("l_extendedprice")} * {_sql_d("l_extendedprice")}) AS DOUBLE) AS syy
+         {_sql_dbl(f'SUM({_sql_d("l_quantity")})')} AS sx,
+         {_sql_dbl(f'SUM({_sql_d("l_extendedprice")})')} AS sy,
+         {_sql_dbl(f'SUM({_sql_d("l_quantity")} * {_sql_d("l_extendedprice")})')} AS sxy,
+         {_sql_dbl(f'SUM({_sql_d("l_quantity")} * {_sql_d("l_quantity")})')} AS sxx,
+         {_sql_dbl(f'SUM({_sql_d("l_extendedprice")} * {_sql_d("l_extendedprice")})')} AS syy
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag,
@@ -3790,15 +3807,15 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = {tag: _d(col) for tag, col in _CORR_VARS}
     aggs = [F.count("*").cast("double").alias("n")]
     for tag, _c in _CORR_VARS:
-        aggs.append(F.sum(cols[tag]).cast("double").alias(f"s_{tag}"))
+        aggs.append(_dbl(F.sum(cols[tag])).alias(f"s_{tag}"))
         aggs.append(
-            F.sum(cols[tag] * cols[tag]).cast("double").alias(f"ss_{tag}")
+            _dbl(F.sum(cols[tag] * cols[tag])).alias(f"ss_{tag}")
         )
     tags = [t for t, _ in _CORR_VARS]
     for i, a in enumerate(tags):
         for b in tags[i + 1:]:
             aggs.append(
-                F.sum(cols[a] * cols[b]).cast("double").alias(f"sp_{a}_{b}")
+                _dbl(F.sum(cols[a] * cols[b])).alias(f"sp_{a}_{b}")
             )
     m = li.agg(*aggs)
     pairs = []
@@ -3829,12 +3846,12 @@ def _corr_matrix_sql() -> str:
     col_of = {t: c for t, c in _CORR_VARS}
     for t in tags:
         d = _sql_d(col_of[t])
-        sums.append(f"CAST(SUM({d}) AS DOUBLE) AS s_{t}")
-        sums.append(f"CAST(SUM({d} * {d}) AS DOUBLE) AS ss_{t}")
+        sums.append(f"{_sql_dbl(f'SUM({d})')} AS s_{t}")
+        sums.append(f"{_sql_dbl(f'SUM({d} * {d})')} AS ss_{t}")
     for i, a in enumerate(tags):
         for b in tags[i + 1:]:
             da, db = _sql_d(col_of[a]), _sql_d(col_of[b])
-            sums.append(f"CAST(SUM({da} * {db}) AS DOUBLE) AS sp_{a}_{b}")
+            sums.append(f"{_sql_dbl(f'SUM({da} * {db})')} AS sp_{a}_{b}")
             pairs.append(
                 f"SELECT '{a}' AS var_x, '{b}' AS var_y, "
                 f"(n * sp_{a}_{b} - s_{a} * s_{b}) / "

@@ -62,6 +62,7 @@ def test_round10_window_keeps_the_ledger_closed():
         "ivf_trained_topk", "ivf_trained_recall_vs_exact",
         # r10-touched code paths re-certified
         "bloom_contamination_screen",
+        "lineitem_corr_matrix", "quantity_price_corr_exact",
         "ivf_ann_topk", "ivf_ann_recall_vs_exact",
         # the shared-primitive family kept warm across the refactor
         "kmeans_topic_clusters", "kmeans_semdedup_stats",
