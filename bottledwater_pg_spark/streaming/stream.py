@@ -1504,3 +1504,166 @@ class StreamingVectorDedupIndex(_SlicedDedupIndexBase):
             banded_srp(batch, self.num_bits, self.bands), "sig", epoch_id
         )
         self._write_slice(quantized_vectors(batch), "qv", epoch_id)
+
+
+class StreamingClusteredSemDeDupIndex(_SlicedDedupIndexBase):
+    """Continuous ingest-time TRAINED SemDeDup: the streaming twin of
+    ``llm_queries.kmeans_semdedup_stats`` (Abbas et al. 2023 run
+    k-means FIRST, then prune within clusters). Centroids are trained
+    ONCE (exact-integer Lloyd's over a training corpus —
+    operators/similarity.kmeans_lloyd) and persisted to the state dir
+    with their build parameters, like the contamination screen's
+    standing bitmap; each micro-batch assigns its vectors to the
+    standing centroids (the same min-d2/lowest-cid E-step rule as
+    training) and rejects every vector with an earlier-seen — or
+    earlier-in-batch, lower-id — same-cluster neighbor at cosine >=
+    threshold.
+
+    Probe cost: the cluster assignment is one broadcast of the k x dim
+    centroid table; the index probe is a cent_id EQUI-join of the
+    batch against the stored per-epoch (sid, cent_id, qvec, qnorm)
+    slices — each batch vector is compared only against its own
+    cluster's stored rows (the SemDeDup point: cluster size, not
+    corpus size, bounds the pair work; at 10^9+ vectors raise k and
+    the per-batch cost shape is unchanged). O(batch x cluster), never
+    O(corpus).
+
+    Parity with the batch rule: for id-ordered ingest over the SAME
+    persisted centroids, the rejected-id set equals
+    ``similarity.semdedup_pairs_pruned`` over the batch kmeans
+    assignment — the whole batch (accepted AND rejected) is indexed,
+    so a pruned vector still witnesses later near-dups exactly as the
+    batch pair rule allows (kept_by may itself be pruned).
+
+    Persisted-state contract: meta.json records (k, iters, family);
+    a standing centroid table built under different parameters or a
+    different quantizer/assignment family is silently wrong to probe
+    — on mismatch this rebuilds when a training corpus is at hand and
+    raises otherwise (the Bloom-screen meta gate, applied here).
+    """
+
+    ID_COL = "vec_id"
+    PAYLOAD_COLS = ("vec_id", "embedding")
+    EXTRA_SLICES = ("cqv",)
+
+    #: bump when the quantizer / distance / tie-break rule changes —
+    #: persisted centroids from another family must not be probed
+    CENTROID_FAMILY = "kmeans-lloyd/int-d2/floor1e6/min-cid-ties"
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 threshold: float = 0.99,
+                 train_corpus: DataFrame | None = None,
+                 k: int = 8, iters: int = 4):
+        import json as _json
+
+        super().__init__(spark, state_dir, threshold)
+        self.k = k
+        self.iters = iters
+        cent_path = os.path.join(state_dir, "centroids")
+        meta_path = os.path.join(state_dir, "centroids_meta.json")
+        have = (
+            os.path.isdir(cent_path)
+            and any(f.endswith(".parquet") for f in os.listdir(cent_path))
+            and os.path.exists(meta_path)
+        )
+        if have:
+            with open(meta_path) as f:
+                meta = _json.load(f)
+            if (
+                meta.get("family") != self.CENTROID_FAMILY
+                or int(meta.get("k", -1)) != k
+                or int(meta.get("iters", -1)) != iters
+            ):
+                if train_corpus is None:
+                    raise LookupError(
+                        f"standing centroids were built as {meta!r} but "
+                        f"this index wants k={k} iters={iters} family="
+                        f"{self.CENTROID_FAMILY!r}; pass train_corpus "
+                        f"to rebuild"
+                    )
+                have = False
+        if not have:
+            if train_corpus is None:
+                raise LookupError(
+                    "no standing centroids in state_dir and no "
+                    "train_corpus given to build them"
+                )
+            from bottledwater_pg_spark.operators.similarity import (
+                kmeans_lloyd,
+            )
+
+            _assign, cents = kmeans_lloyd(train_corpus, k=k, iters=iters)
+            cents.write.mode("overwrite").parquet(cent_path)
+            tmp_meta = meta_path + ".tmp"
+            with open(tmp_meta, "w") as f:
+                _json.dump(
+                    {"k": k, "iters": iters,
+                     "family": self.CENTROID_FAMILY},
+                    f,
+                )
+            os.replace(tmp_meta, meta_path)
+        self._centroids = spark.read.parquet(cent_path)
+
+    def _assign(self, batch: DataFrame) -> DataFrame:
+        """(sid, cent_id, qvec, qnorm): nearest standing centroid by
+        exact int64 squared euclidean distance, ties to the lowest
+        cid — bit-identical to the training E-step, so a vector seen
+        at train time lands in its training cluster."""
+        from bottledwater_pg_spark.operators.dedup import quantized_vectors
+
+        q = quantized_vectors(batch)
+        d2 = F.expr(
+            "aggregate(zip_with(qvec, cv, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS BIGINT), (acc, p) -> acc + p)"
+        )
+        scored = q.crossJoin(F.broadcast(self._centroids)).withColumn(
+            "d2", d2
+        )
+        return (
+            scored.groupBy("sid")
+            .agg(
+                F.min_by(
+                    F.struct("cid", "d2"), F.struct("d2", "cid")
+                ).alias("m"),
+                F.first("qvec").alias("qvec"),
+                F.first("qnorm").alias("qnorm"),
+            )
+            .select(
+                "sid", F.col("m.cid").alias("cent_id"), "qvec", "qnorm"
+            )
+        )
+
+    def _intra_rejects(self, batch: DataFrame) -> DataFrame:
+        from bottledwater_pg_spark.operators import similarity
+
+        return (
+            similarity.semdedup_pairs_pruned(
+                self._assign(batch), self.threshold
+            )
+            .select(F.col("pruned_id").alias("vec_id"))
+            .distinct()
+        )
+
+    def _probe_index(self, batch: DataFrame,
+                     epoch_id: int) -> DataFrame:
+        from bottledwater_pg_spark.functions.vectors import cosine_pre
+
+        prior = self._prior(self._read_slices("cqv"), epoch_id).select(
+            "cent_id",
+            F.col("sid").alias("m_id"),
+            F.col("qvec").alias("m_q"),
+            F.col("qnorm").alias("m_n"),
+        )
+        probe = self._assign(batch)
+        return (
+            probe.join(prior, "cent_id")
+            .filter(F.col("m_id") != F.col("sid"))
+            .withColumn("cos", cosine_pre("qvec", "m_q", "qnorm", "m_n"))
+            .filter(F.col("cos") >= self.threshold)
+            .select(F.col("sid").alias("vec_id"))
+            .distinct()
+        )
+
+    def _write_extra_slices(self, batch: DataFrame,
+                            epoch_id: int) -> None:
+        self._write_slice(self._assign(batch), "cqv", epoch_id)

@@ -39,6 +39,15 @@ def main() -> int:
          ("customer",)),
         ("exact_substring_spans_hashed", L.exact_substring_spans_hashed,
          ("documents",)),
+        # r10: the shuffle-dominated row the narrow-heavy pair lacks —
+        # winnowing's df-capped fingerprint self-join + window count.
+        # Replica texts are token-prefixed, so fingerprint document
+        # frequencies are replica-LOCAL (the xN corpus is N shards):
+        # the df<=WINNOW_DF_CAP join bound holds at x100 by the same
+        # argument as at x1, and the measured pair count must scale
+        # exactly N x — both recorded in SCALE.md.
+        ("winnow_near_dup_pairs", L.winnow_near_dup_pairs,
+         ("documents",)),
     ]
     base = tempfile.mkdtemp(prefix="scale_ladder_")
     out: dict[str, dict] = {}

@@ -2002,3 +2002,127 @@ def test_streaming_vector_dedup_index_runs_as_real_stream(spark, sf_dir):
         r.vec_id for r in corpus.select("vec_id").collect()
     } - set(pairs.b_id)
     assert accepted == expected
+
+
+def test_streaming_clustered_semdedup_equals_batch_rule(
+    spark, sf_dir, tmp_path
+):
+    """StreamingClusteredSemDeDupIndex (trained SemDeDup twin) over
+    the duplicate-injected corpus in 3 id-ordered micro-batches: the
+    rejected set equals the batch rule over the SAME standing
+    centroids (vector pruned iff a lower-id same-cluster neighbor is
+    within threshold — similarity.semdedup_pairs_pruned), every
+    injected +100000 copy is rejected, and replay (same or fresh
+    epoch) plus a restarted instance change nothing."""
+    from bottledwater_pg_spark.operators import similarity
+    from bottledwater_pg_spark.operators.llm_queries import (
+        COSINE_THRESHOLD,
+        KMEANS_ITERS,
+        KMEANS_K,
+        embeddings_with_dups,
+    )
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingClusteredSemDeDupIndex,
+    )
+
+    corpus = embeddings_with_dups(spark, sf_dir)
+    idx = StreamingClusteredSemDeDupIndex(
+        spark, str(tmp_path / "cstate"), threshold=COSINE_THRESHOLD,
+        train_corpus=corpus, k=KMEANS_K, iters=KMEANS_ITERS,
+    )
+    # batch twin: prune over the assignment to the SAME standing
+    # centroids (the operator's contract — new vectors assign to the
+    # persisted table, not to a retrained one)
+    assigned = idx._assign(corpus)
+    expected_rejected = {
+        r.pruned_id
+        for r in similarity.semdedup_pairs_pruned(
+            assigned, COSINE_THRESHOLD
+        ).select("pruned_id").collect()
+    }
+    all_ids = {r.vec_id for r in corpus.select("vec_id").collect()}
+    copy_ids = {v for v in all_ids if v >= 100000}
+    assert copy_ids <= expected_rejected  # identical vector, same cell
+
+    batches = [
+        corpus.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        for lo, hi in [(0, 30), (30, 100), (100, 10**9)]
+    ]
+    for e, b in enumerate(batches):
+        idx.process_batch(b, e)
+    accepted = {r.vec_id for r in idx.accepted_ids().collect()}
+    assert accepted == all_ids - expected_rejected
+
+    # same-epoch replay (crash before checkpoint commit)
+    idx.process_batch(batches[1], 1)
+    assert {r.vec_id for r in idx.accepted_ids().collect()} == accepted
+    # fresh-epoch re-delivery
+    idx.process_batch(batches[1], 99)
+    assert {r.vec_id for r in idx.accepted_ids().collect()} == accepted
+
+    # restart: a NEW instance reloads the persisted centroids WITHOUT
+    # a training corpus and probes the standing index from its first
+    # batch — re-feeding batch 2 under a new run accepts nothing new
+    idx2 = StreamingClusteredSemDeDupIndex(
+        spark, str(tmp_path / "cstate"), threshold=COSINE_THRESHOLD,
+        k=KMEANS_K, iters=KMEANS_ITERS,
+    )
+    idx2._run_key = "otherrun"
+    idx2.process_batch(batches[2], 0)
+    assert {r.vec_id for r in idx2.accepted_ids().collect()} == accepted
+
+
+def test_streaming_clustered_semdedup_centroid_meta_gate(
+    spark, sf_dir, tmp_path
+):
+    """Standing centroids built under different parameters (or a
+    different assignment family) are silently wrong to probe: a
+    restarted index with mismatched (k, iters) must REFUSE without a
+    training corpus and REBUILD with one; a family bump in meta.json
+    trips the same gate."""
+    import json
+
+    import pytest
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        COSINE_THRESHOLD,
+        embeddings_with_dups,
+    )
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingClusteredSemDeDupIndex,
+    )
+
+    corpus = embeddings_with_dups(spark, sf_dir)
+    state = tmp_path / "gstate"
+    StreamingClusteredSemDeDupIndex(
+        spark, str(state), threshold=COSINE_THRESHOLD,
+        train_corpus=corpus, k=4, iters=2,
+    )
+    # parameter mismatch: refuse without train_corpus
+    with pytest.raises(LookupError, match="standing centroids"):
+        StreamingClusteredSemDeDupIndex(
+            spark, str(state), threshold=COSINE_THRESHOLD, k=8, iters=2,
+        )
+    # rebuild with one
+    StreamingClusteredSemDeDupIndex(
+        spark, str(state), threshold=COSINE_THRESHOLD,
+        train_corpus=corpus, k=8, iters=2,
+    )
+    meta = json.load(open(state / "centroids_meta.json"))
+    assert meta["k"] == 8
+    # family drift (a pre-bump incarnation's centroids)
+    meta["family"] = "kmeans-lloyd/legacy"
+    json.dump(meta, open(state / "centroids_meta.json", "w"))
+    with pytest.raises(LookupError, match="standing centroids"):
+        StreamingClusteredSemDeDupIndex(
+            spark, str(state), threshold=COSINE_THRESHOLD, k=8, iters=2,
+        )
+    # matched parameters load clean
+    StreamingClusteredSemDeDupIndex(
+        spark, str(state), threshold=COSINE_THRESHOLD,
+        train_corpus=corpus, k=8, iters=2,
+    )
+    idx = StreamingClusteredSemDeDupIndex(
+        spark, str(state), threshold=COSINE_THRESHOLD, k=8, iters=2,
+    )
+    assert idx._centroids.count() <= 8
