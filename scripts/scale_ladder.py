@@ -41,11 +41,13 @@ def main() -> int:
          ("documents",)),
         # r10: the shuffle-dominated row the narrow-heavy pair lacks —
         # winnowing's df-capped fingerprint self-join + window count.
-        # Replica texts are token-prefixed, so fingerprint document
-        # frequencies are replica-LOCAL (the xN corpus is N shards):
-        # the df<=WINNOW_DF_CAP join bound holds at x100 by the same
-        # argument as at x1, and the measured pair count must scale
-        # exactly N x — both recorded in SCALE.md.
+        # NOTE the replica token-prefixing does NOT shard these
+        # fingerprints: char-8-grams inside long tokens survive the
+        # prefix, so their dfs scale with the factor (measured max df
+        # 3.7k -> 404k at x100) — which makes this the real df-shift
+        # stress the x10 soak can't see; the WINNOW_DF_CAP exclusion
+        # is what keeps the join bounded (SCALE.md r10 has the
+        # capped-vs-uncapped join-work numbers).
         ("winnow_near_dup_pairs", L.winnow_near_dup_pairs,
          ("documents",)),
     ]
