@@ -286,7 +286,7 @@ def many_table_soak(spark, sf_dir: str) -> dict:
     )
     out: dict = {}
     parity_ok = None
-    widths = (10, 50, 200)
+    widths = (10, 50, 200, 500)
     for n_tables in widths:
         stream = base_stream.withColumn(
             "relid",
@@ -338,6 +338,13 @@ def many_table_soak(spark, sf_dir: str) -> dict:
     )
     out["flatness_ratio_200_vs_50"] = round(
         out["per_table_batch_sec_200"] / out["per_table_batch_sec_50"], 3
+    )
+    # r10: the 500-table width — the reference's table_mapper is
+    # explicitly per-relid O(1) (table_mapper.c:58-64); this records
+    # whether ours keeps per-table cost flat past an ordinary
+    # production catalog's size
+    out["flatness_ratio_500_vs_200"] = round(
+        out["per_table_batch_sec_500"] / out["per_table_batch_sec_200"], 3
     )
     out["parity_3_sampled_tables"] = parity_ok
     return out
