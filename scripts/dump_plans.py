@@ -109,6 +109,9 @@ HEADLINE = {
     "exact_substring_spans_hashed": "hashed-gram spans: identical two-shuffle shape, gram attribute is LongType (#nL) so the dominant shuffle moves 8-byte keys",
     "hll_distinct_users_by_type": "own-register HLL: one (type,bucket) partial+final agg (state m rows/key), integer harmonic sum, no data-sized anything",
     "kmeans_topic_clusters": "Lloyd's k-means, 4 integer rounds: centroids broadcast (tiny-side BNLJ), map-side-combining argmin, kxdim M-step agg, per-round checkpoint keeps the plan flat",
+    # round 10
+    "ivf_trained_topk": "trained IVF: Lloyd's rounds (broadcast centroids, map-side argmin, kxdim M-step) feed the SAME cell-keyed broadcast probe as the untrained form — training adds zero vector shuffles",
+    "bloom_contamination_screen": "Bloom screen: bitmap is a bounded word_idx->word BROADCAST join probe (the r9 array-literal probe measured 1.7x slower); every join broadcast, no SMJ, no collect",
 }
 
 ALIAS = {
