@@ -47,11 +47,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-certifies all 157 locally (EXACTGATE_r5.json).
 _FAMILY_SPREAD = [
     # ---- ROUND 10 window: the driver hashes the FIRST 50 entries.
-    # Slots 1-2: the two new r10 queries (no prior driver record) —
-    # the Lloyd's-TRAINED IVF top-k (kmeans-trained coarse quantizer;
-    # DuckDB replays the training rounds + probe bit-identically) and
-    # its recall certificate (floor 80%, above the untrained 75%).
+    # Slots 1-4: the four new r10 queries (no prior driver record) —
+    # the Lloyd's-TRAINED IVF top-k and TRAINED IVF-PQ (kmeans-trained
+    # coarse quantizer; DuckDB replays the training rounds + the
+    # composed index bit-identically) with their recall certificates
+    # (floors 80%/70%, above the untrained 75%/65%).
     "ivf_trained_topk", "ivf_trained_recall_vs_exact",
+    "ivfpq_trained_topk", "ivfpq_trained_recall_vs_exact",
     # Slot 3: the hashed-gram span variant (new in r9, kept warm).
     "exact_substring_spans_hashed",
     # Slots 4-16: r10-touched code paths re-certified in-window: the
@@ -98,7 +100,7 @@ _FAMILY_SPREAD = [
     # (ivf_ann_topk + its certificate above re-certify the
     # _topk_ivf_probe refactor; the kmeans pair re-certifies the
     # primitive the trained IVF now shares).
-    "bpe_learn_merges", "bpe_encode_stats", "dsir_importance_weights",
+    "dsir_importance_weights",
     "pq_ann_topk", "ivfpq_ann_topk",
     "lsh_ann_topk",
     "kmeans_topic_clusters", "kmeans_semdedup_stats",
@@ -106,10 +108,12 @@ _FAMILY_SPREAD = [
     # ---- rotated out in r10 (driver records live in
     # CORRECTNESS_r09): token_pmi_topk, pg_composite_enum_roundtrip,
     # median/mad_order_value_by_segment,
-    # quartiles_order_value_by_segment, value_percentiles_by_type.
+    # quartiles_order_value_by_segment, value_percentiles_by_type,
+    # bpe_learn_merges, bpe_encode_stats.
     "token_pmi_topk", "pg_composite_enum_roundtrip",
     "median_order_value_by_segment", "mad_order_value_by_segment",
     "quartiles_order_value_by_segment", "value_percentiles_by_type",
+    "bpe_learn_merges", "bpe_encode_stats",
     # ---- rotated out in r9 (driver records live in
     # CORRECTNESS_r08): pq_ann_recall_vs_exact,
     # ivfpq_ann_recall_vs_exact, cdc_export_snapshot_counts,

@@ -160,9 +160,11 @@ BENCH_QUERIES = [
     "hll_distinct_users_by_type",
     "kmeans_topic_clusters",
     "kmeans_semdedup_stats",
-    # round 10 addition: Lloyd's-trained IVF (2 training rounds +
-    # probe; the untrained ivf_ann_topk above stays as the baseline)
+    # round 10 additions: Lloyd's-trained IVF and IVF-PQ (2 training
+    # rounds + the shared probe machinery; the untrained forms above
+    # stay benched as the baselines)
     "ivf_trained_topk",
+    "ivfpq_trained_topk",
     # cdc_replicate_all_counts is gate-checked but not benched: it is
     # the sum of the 10 per-table materializations benched above, and
     # re-timing the whole loop adds ~25 s of pure duplication

@@ -473,9 +473,47 @@ def topk_ivfpq(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     Deterministic end to end (lowest-id samples, integer distances,
     pinned ties), so the whole three-stage index replays in SQL."""
+    cent = ivf_centroids(corpus, n_list, id_col, vec_col)
+    return _topk_ivfpq_probe(cent, corpus, queries, k, n_probe,
+                             n_sub, k_sub, refine, id_col, vec_col)
+
+
+def topk_ivfpq_trained(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                       n_list: int = 32, iters: int = 2, n_probe: int = 8,
+                       n_sub: int = 16, k_sub: int = 32, refine: int = 50,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ whose coarse quantizer is TRAINED (``iters`` exact
+    Lloyd's rounds from the lowest-id seeds) — the actual FAISS IVFADC
+    recipe, which trains the coarse quantizer before encoding; the
+    sampled-cell form :func:`topk_ivfpq` is the cheap ablation.
+    Everything after training (PQ codebooks, encode, ADC in probed
+    cells, refine) is shared verbatim, and kmeans_lloyd's exact-int
+    discipline keeps the WHOLE composed index SQL-replayable."""
+    from bottledwater_pg_spark.functions.vectors import norm_pre
+
+    _assign, cents = kmeans_lloyd(corpus, k=n_list, iters=iters,
+                                  id_col=id_col, vec_col=vec_col)
+    cent = cents.select(
+        F.col("cid").alias("cent_id"),
+        F.col("cv").alias("cent_q"),
+        norm_pre("cv").alias("cent_n"),
+    )
+    return _topk_ivfpq_probe(cent, corpus, queries, k, n_probe,
+                             n_sub, k_sub, refine, id_col, vec_col)
+
+
+def _topk_ivfpq_probe(cent: DataFrame, corpus: DataFrame,
+                      queries: DataFrame, k: int, n_probe: int,
+                      n_sub: int, k_sub: int, refine: int,
+                      id_col: str, vec_col: str) -> DataFrame:
+    """Shared IVF-PQ machinery downstream of the coarse quantizer
+    (sampled or trained): cosine cell assignment, PQ codebook/encode,
+    per-query distance tables, ADC within probed cells, shortlist,
+    exact re-rank."""
     from bottledwater_pg_spark.session import persist_tracked
 
-    cent = persist_tracked(ivf_centroids(corpus, n_list, id_col, vec_col))
+    cent = persist_tracked(cent)
     assigned = persist_tracked(ivf_assign(corpus, cent, id_col, vec_col))
     cb = persist_tracked(pq_codebooks(corpus, n_sub, k_sub, id_col, vec_col))
     enc = pq_encode(corpus, cb, n_sub, id_col, vec_col).join(

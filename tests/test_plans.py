@@ -502,6 +502,27 @@ def test_ivf_trained_broadcast_cell_prune_shape(spark, sf_dir):
     assert has_partial_aggregation(df)        # argmin + M-step combine
 
 
+def test_ivfpq_trained_broadcast_shape_matches_untrained(spark, sf_dir):
+    """Trained IVF-PQ keeps the untrained system's shape: Lloyd's
+    rounds broadcast the centroid table (BNLJ), probe set / distance
+    table / codebook all broadcast into the scan side, and nothing
+    cartesians unbroadcast — training adds zero shuffles of the
+    corpus index."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        ivfpq_trained_topk,
+    )
+    from bottledwater_pg_spark.plans.inspect import (
+        count_broadcast_joins,
+        formatted_plan,
+    )
+
+    df = ivfpq_trained_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # centroids vs corpus
+    assert count_broadcast_joins(df) >= 4     # probe, dtab, cb, re-rank
+
+
 def test_dsir_broadcasts_model_no_token_string_shuffle(spark, sf_dir):
     """DSIR: the B-row bucket model must broadcast into the per-doc
     scorer (never shuffle the doc-bucket table by model key), and the
