@@ -47,13 +47,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-certifies all 157 locally (EXACTGATE_r5.json).
 _FAMILY_SPREAD = [
     # ---- ROUND 10 window: the driver hashes the FIRST 50 entries.
-    # Slots 1-4: the four new r10 queries (no prior driver record) —
+    # Slots 1-6: the six new r10 queries (no prior driver record) —
     # the Lloyd's-TRAINED IVF top-k and TRAINED IVF-PQ (kmeans-trained
     # coarse quantizer; DuckDB replays the training rounds + the
     # composed index bit-identically) with their recall certificates
-    # (floors 80%/70%, above the untrained 75%/65%).
+    # (floors 80%/70%, above the untrained 75%/65%), the Gopher
+    # rule-based quality filter (Rae et al. 2021 — integer
+    # cross-multiplied thresholds, no float boundary), and per-source
+    # quota capping (RefinedWeb-style, lowest-fingerprint selection
+    # with a kept_id_sum checksum).
     "ivf_trained_topk", "ivf_trained_recall_vs_exact",
     "ivfpq_trained_topk", "ivfpq_trained_recall_vs_exact",
+    "gopher_quality_flags", "source_quota_sample",
     # Slot 3: the hashed-gram span variant (new in r9, kept warm).
     "exact_substring_spans_hashed",
     # Slots 4-16: r10-touched code paths re-certified in-window: the
@@ -100,8 +105,7 @@ _FAMILY_SPREAD = [
     # (ivf_ann_topk + its certificate above re-certify the
     # _topk_ivf_probe refactor; the kmeans pair re-certifies the
     # primitive the trained IVF now shares).
-    "dsir_importance_weights",
-    "pq_ann_topk", "ivfpq_ann_topk",
+    "ivfpq_ann_topk",
     "lsh_ann_topk",
     "kmeans_topic_clusters", "kmeans_semdedup_stats",
     "ivf_ann_topk", "ann_topk_cosine",
@@ -109,11 +113,13 @@ _FAMILY_SPREAD = [
     # CORRECTNESS_r09): token_pmi_topk, pg_composite_enum_roundtrip,
     # median/mad_order_value_by_segment,
     # quartiles_order_value_by_segment, value_percentiles_by_type,
-    # bpe_learn_merges, bpe_encode_stats.
+    # bpe_learn_merges, bpe_encode_stats, dsir_importance_weights,
+    # pq_ann_topk.
     "token_pmi_topk", "pg_composite_enum_roundtrip",
     "median_order_value_by_segment", "mad_order_value_by_segment",
     "quartiles_order_value_by_segment", "value_percentiles_by_type",
     "bpe_learn_merges", "bpe_encode_stats",
+    "dsir_importance_weights", "pq_ann_topk",
     # ---- rotated out in r9 (driver records live in
     # CORRECTNESS_r08): pq_ann_recall_vs_exact,
     # ivfpq_ann_recall_vs_exact, cdc_export_snapshot_counts,

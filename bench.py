@@ -165,6 +165,9 @@ BENCH_QUERIES = [
     # stay benched as the baselines)
     "ivf_trained_topk",
     "ivfpq_trained_topk",
+    # round 10: Gopher rule filter + per-source quota cap
+    "gopher_quality_flags",
+    "source_quota_sample",
     # cdc_replicate_all_counts is gate-checked but not benched: it is
     # the sum of the 10 per-table materializations benched above, and
     # re-timing the whole loop adds ~25 s of pure duplication

@@ -4533,3 +4533,208 @@ QUERIES["ivfpq_trained_recall_vs_exact"] = ivfpq_trained_recall_vs_exact
 ORACLES["ivfpq_trained_recall_vs_exact"] = _ann_recall_sql(
     IVFPQ_TRAINED_RECALL_FLOOR_BP
 )
+
+
+# ------------------------------------------ Gopher rule filter + quota cap
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3   # mean word length in [3, 10]
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+GOPHER_TTR_NUM = 3             # type-token ratio >= 3/10 required
+GOPHER_TTR_DEN = 10
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str,
+                         corpus: DataFrame | None = None) -> DataFrame:
+    """Gopher rule-based quality filtering (Rae et al. 2021, table A1
+    — the standard pretraining pre-filter) rolled up per source: how
+    many docs fail each rule, and how many pass all of them. Rules
+    re-expressed over the engine's parity-proven token primitives:
+
+    - word count within [50, 100k] (the fixture's word-soup docs are
+      all well under 100k — the max bound is computed, not pruned)
+    - mean word length within [3, 10], tested by integer
+      cross-multiplication (3*n_tok <= total_chars <= 10*n_tok) so no
+      float threshold crosses an engine boundary
+    - at least 2 DISTINCT stopwords from the engine's stoplist (the
+      Gopher "stop word" rule; catches non-language token streams)
+    - type-token ratio >= 0.3 (10*distinct >= 3*tokens) — the
+      word-soup analog of Gopher's duplicate-word-fraction family
+      (doc_repetition_stats covers positional repetition separately)
+
+    Symbol/bullet/ellipsis line rules are omitted: the synthetic
+    corpus has no newlines or symbols, so they would be
+    constant-zero columns — the four live rules are the ones this
+    fixture can falsify. Per-doc work is narrow array expressions
+    (no explode, no shuffle until the per-source rollup — one
+    partial-agg shuffle on source, the scale shape of every
+    per-source stat here)."""
+    from bottledwater_pg_spark.functions.text import STOPWORDS_EN
+
+    docs = (
+        corpus
+        if corpus is not None
+        else load_table(spark, sf_dir, "documents")
+    )
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    toks = "split(trim(text), '\\\\s+')"
+    d = docs.select(
+        "source",
+        F.expr(f"size({toks})").alias("n_tok"),
+        F.expr(
+            f"aggregate(transform({toks}, x -> length(x)), 0, "
+            f"(acc, x) -> acc + x)"
+        ).alias("n_chr"),
+        F.expr(
+            f"size(array_intersect(array_distinct({toks}), "
+            f"array({stoplist})))"
+        ).alias("n_stop"),
+        F.expr(f"size(array_distinct({toks}))").alias("n_types"),
+    )
+    fail_wc = (F.col("n_tok") < GOPHER_MIN_WORDS) | (
+        F.col("n_tok") > GOPHER_MAX_WORDS
+    )
+    fail_wl = (
+        F.col("n_chr") < GOPHER_MIN_MEAN_WORD_LEN * F.col("n_tok")
+    ) | (F.col("n_chr") > GOPHER_MAX_MEAN_WORD_LEN * F.col("n_tok"))
+    fail_sw = F.col("n_stop") < GOPHER_MIN_DISTINCT_STOPWORDS
+    fail_ttr = (
+        F.col("n_types") * GOPHER_TTR_DEN
+        < F.col("n_tok") * GOPHER_TTR_NUM
+    )
+    return (
+        d.select(
+            "source",
+            fail_wc.cast("long").alias("f_wc"),
+            fail_wl.cast("long").alias("f_wl"),
+            fail_sw.cast("long").alias("f_sw"),
+            fail_ttr.cast("long").alias("f_ttr"),
+            (~(fail_wc | fail_wl | fail_sw | fail_ttr))
+            .cast("long")
+            .alias("ok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("f_wc").alias("n_fail_wordcount"),
+            F.sum("f_wl").alias("n_fail_wordlen"),
+            F.sum("f_sw").alias("n_fail_stopwords"),
+            F.sum("f_ttr").alias("n_fail_ttr"),
+            F.sum("ok").alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+def _gopher_sql() -> str:
+    from bottledwater_pg_spark.functions.text import STOPWORDS_EN
+
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return f"""
+WITH d AS (
+  SELECT source,
+         len({toks}) AS n_tok,
+         list_sum(list_transform({toks}, x -> length(x))) AS n_chr,
+         len(list_intersect(list_distinct({toks}), [{stoplist}])) AS n_stop,
+         len(list_distinct({toks})) AS n_types
+  FROM documents
+), f AS (
+  SELECT source,
+         CAST(n_tok < {GOPHER_MIN_WORDS} OR n_tok > {GOPHER_MAX_WORDS}
+              AS BIGINT) AS f_wc,
+         CAST(n_chr < {GOPHER_MIN_MEAN_WORD_LEN} * n_tok
+              OR n_chr > {GOPHER_MAX_MEAN_WORD_LEN} * n_tok
+              AS BIGINT) AS f_wl,
+         CAST(n_stop < {GOPHER_MIN_DISTINCT_STOPWORDS} AS BIGINT) AS f_sw,
+         CAST(n_types * {GOPHER_TTR_DEN} < n_tok * {GOPHER_TTR_NUM}
+              AS BIGINT) AS f_ttr
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f_wc) AS BIGINT) AS n_fail_wordcount,
+       CAST(SUM(f_wl) AS BIGINT) AS n_fail_wordlen,
+       CAST(SUM(f_sw) AS BIGINT) AS n_fail_stopwords,
+       CAST(SUM(f_ttr) AS BIGINT) AS n_fail_ttr,
+       CAST(SUM(CASE WHEN f_wc + f_wl + f_sw + f_ttr = 0 THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_pass
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+SOURCE_QUOTA_CAP = 20  # bites at sf0.01 (25 docs/source) and above
+
+
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (the RefinedWeb/C4 per-domain cap):
+    keep at most SOURCE_QUOTA_CAP docs per source, selected by lowest
+    content fingerprint — a deterministic stand-in for the uniform
+    draw (md5 of normalized text is uniform over content and
+    reproducible in both engines; ties broken by doc_id). Emits per
+    source the kept/dropped counts and the exact integer sum of kept
+    doc_ids — a content-addressed checksum of WHICH docs survived,
+    same discipline as kmeans_semdedup_stats' pruned_id_sum.
+
+    Scale: one rank-filter per source (window over the quota key) —
+    the partition key is the source/domain, which is how per-domain
+    caps shard at warehouse scale; a skewed mega-domain is one
+    window partition, the known cost of exact per-key top-N (salt +
+    re-rank if a single domain outgrows an executor)."""
+    from pyspark.sql import Window
+
+    from bottledwater_pg_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(fingerprint("text"), "doc_id")
+    ranked = docs.select(
+        "source", "doc_id", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("rn") <= SOURCE_QUOTA_CAP).cast("long")
+            ).alias("n_kept"),
+            F.sum(
+                (F.col("rn") > SOURCE_QUOTA_CAP).cast("long")
+            ).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("rn") <= SOURCE_QUOTA_CAP, F.col("doc_id"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("kept_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+def _source_quota_sql() -> str:
+    from bottledwater_pg_spark.functions.text import sql_fingerprint
+
+    return f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {sql_fingerprint('text')}, doc_id)
+           AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rn <= {SOURCE_QUOTA_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > {SOURCE_QUOTA_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN rn <= {SOURCE_QUOTA_CAP} THEN doc_id ELSE 0 END)
+            AS BIGINT) AS kept_id_sum
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["gopher_quality_flags"] = gopher_quality_flags
+ORACLES["gopher_quality_flags"] = _gopher_sql()
+QUERIES["source_quota_sample"] = source_quota_sample
+ORACLES["source_quota_sample"] = _source_quota_sql()

@@ -61,6 +61,7 @@ def test_round10_window_keeps_the_ledger_closed():
         # new r10 queries (no prior driver record)
         "ivf_trained_topk", "ivf_trained_recall_vs_exact",
         "ivfpq_trained_topk", "ivfpq_trained_recall_vs_exact",
+        "gopher_quality_flags", "source_quota_sample",
         # r10-touched code paths re-certified
         "bloom_contamination_screen",
         "lineitem_corr_matrix", "quantity_price_corr_exact",

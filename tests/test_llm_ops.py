@@ -755,3 +755,72 @@ def test_kmeans_semdedup_prunes_every_injected_copy(spark, sf_dir):
     }
     assert copy_ids <= pruned_ids
     assert out.pruned_id_sum.sum() == sum(pruned_ids)
+
+
+def test_gopher_rules_fire_exactly_on_hand_docs(spark):
+    """Each Gopher rule pinned on a constructed doc that fails it and
+    ONLY it (the pass doc clears all four; the TTR doc shows a second
+    co-occurring failure is counted in its own column too)."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        gopher_quality_flags,
+    )
+
+    # doc0 passes: 62 tokens, mean len 6.9, 2 stopwords, all distinct
+    doc_pass = " ".join(["the", "and"] + [f"word{i:03d}" for i in range(60)])
+    # doc1 fails wordcount ONLY: 4 tokens (mean len 5, 2 stopwords,
+    # ttr 1.0)
+    fail_wc = "the and word001 word002"
+    # doc2 fails mean-word-length ONLY: 62 tokens of which 60 are
+    # DISTINCT 2-char words (ttr 1.0; chars 126 < 3*62)
+    two_chars = [chr(97 + i // 26) + chr(97 + i % 26) for i in range(60)]
+    fail_wl = " ".join(["the", "and"] + two_chars)
+    # doc3 fails stopwords ONLY: 60 distinct 7-char words, 0 stopwords
+    fail_sw = " ".join(f"word{i:03d}" for i in range(60))
+    # doc4 fails type-token ratio ONLY: 62 tokens, 3 types
+    # (mean len 8.8, 2 stopwords)
+    fail_ttr = " ".join(["the", "and"] + ["samething"] * 60)
+    docs = spark.createDataFrame(
+        [
+            (0, "s", doc_pass),
+            (1, "s", fail_wc),
+            (2, "s", fail_wl),
+            (3, "s", fail_sw),
+            (4, "s", fail_ttr),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = gopher_quality_flags(spark, "ignored", corpus=docs).collect()[0]
+    assert out.n_docs == 5
+    assert out.n_pass == 1
+    assert out.n_fail_wordcount == 1
+    assert out.n_fail_wordlen == 1
+    assert out.n_fail_stopwords == 1
+    assert out.n_fail_ttr == 1
+
+
+def test_source_quota_keeps_lowest_fingerprint_docs(spark, sf_dir):
+    """The quota cap keeps exactly the SOURCE_QUOTA_CAP docs with the
+    lowest (fingerprint, doc_id) per source — recomputing the
+    selection independently reproduces kept_id_sum."""
+    from bottledwater_pg_spark.functions.text import fingerprint
+    from bottledwater_pg_spark.operators.llm_queries import (
+        SOURCE_QUOTA_CAP,
+        source_quota_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", fingerprint("text").alias("fp")
+    ).toPandas()
+    want = (
+        docs.sort_values(["source", "fp", "doc_id"])
+        .groupby("source")
+        .head(SOURCE_QUOTA_CAP)
+        .groupby("source")
+        .doc_id.sum()
+        .to_dict()
+    )
+    got = {
+        r.source: r.kept_id_sum
+        for r in source_quota_sample(spark, sf_dir).collect()
+    }
+    assert got == want
