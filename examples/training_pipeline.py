@@ -14,7 +14,11 @@ the driver gate):
   2c. SPANS    exact-substring span audit (Lee et al. 2022): drop
                survivors that are mostly verbatim-duplicated tokens
                (the boilerplate whole-doc dedup misses)
-  3. FILTER    language-ID + quality scoring, keep docs passing both
+  3. FILTER    Gopher rule gate (word count / mean word length /
+               stopwords / type-token ratio, Rae et al. 2021), then
+               language-ID + length
+  3b. QUOTA    per-source cap (RefinedWeb-style) — no source may
+               dominate the mix; deterministic lowest-fingerprint draw
   4. PII       redact emails/phones in the surviving text
   4b. DSIR     hashed-ngram importance weights against the English
                target (Xie et al. 2023) — the sampling-weight stage
@@ -102,8 +106,50 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     )
     despanned = canonical.join(heavy_dup, "doc_id", "left_anti")
 
-    # 3. filter: keep docs with enough text and a confident language
-    filtered = despanned.filter(
+    # 3. filter: Gopher rule gate (Rae et al. 2021) first — word-count
+    # / mean-word-length / stopword / type-token bounds computed as
+    # narrow array expressions, thresholds integer-cross-multiplied —
+    # then the basic length + language gate
+    from bottledwater_pg_spark.functions.text import STOPWORDS_EN
+
+    _stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    _toks = "split(trim(text), '\\\\s+')"
+    g = despanned.withColumn("_ntok", F.expr(f"size({_toks})")).withColumn(
+        "_nchr",
+        F.expr(
+            f"aggregate(transform({_toks}, x -> length(x)), 0, "
+            f"(acc, x) -> acc + x)"
+        ),
+    ).withColumn(
+        "_nstop",
+        F.expr(
+            f"size(array_intersect(array_distinct({_toks}), "
+            f"array({_stoplist})))"
+        ),
+    ).withColumn("_ntype", F.expr(f"size(array_distinct({_toks}))"))
+    gophered = g.filter(
+        (F.col("_ntok") >= 30)
+        & (F.col("_nchr") >= 3 * F.col("_ntok"))
+        & (F.col("_nchr") <= 10 * F.col("_ntok"))
+        & (F.col("_nstop") >= 2)
+        & (F.col("_ntype") * 10 >= F.col("_ntok") * 3)
+    ).drop("_ntok", "_nchr", "_nstop", "_ntype")
+
+    # 3b. per-source quota cap (RefinedWeb-style): no source may
+    # dominate the mix — keep the 400 lowest-fingerprint docs per
+    # source (deterministic uniform draw)
+    from pyspark.sql import Window as _W
+
+    from bottledwater_pg_spark.functions.text import fingerprint
+
+    _wq = _W.partitionBy("source").orderBy(fingerprint("text"), "doc_id")
+    capped = (
+        gophered.withColumn("_rn", F.row_number().over(_wq))
+        .filter(F.col("_rn") <= 400)
+        .drop("_rn")
+    )
+
+    filtered = capped.filter(
         (F.col("n_chars") >= 64) & (F.col("lang").isNotNull())
     )
 
@@ -190,6 +236,8 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "eval_sample": eval_sample,
         "canonical": canonical,
         "span_audit": span_audit,
+        "gophered": gophered,
+        "capped": capped,
         "dsir_top": dsir_top,
         "clean": clean,
         "split_docs": split_docs,

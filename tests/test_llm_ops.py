@@ -123,8 +123,17 @@ def test_training_pipeline_example_end_to_end(spark, sf_dir):
     stages = mod.run(spark, sf_dir)
     n_current = stages["current"].count()
     n_canonical = stages["canonical"].count()
+    n_gophered = stages["gophered"].count()
+    n_capped = stages["capped"].count()
     n_clean = stages["clean"].count()
-    assert n_current >= n_canonical >= n_clean > 0
+    assert (
+        n_current >= n_canonical >= n_gophered >= n_capped >= n_clean > 0
+    )
+    # the quota stage caps every source at 400
+    assert (
+        stages["capped"].groupBy("source").count()
+        .agg(F.max("count")).first()[0] <= 400
+    )
     # span audit reports only canonical docs; the DSIR shortlist is
     # bounded and scores only clean (surviving) docs
     canon_ids = {r["doc_id"] for r in stages["canonical"].collect()}
@@ -135,7 +144,6 @@ def test_training_pipeline_example_end_to_end(spark, sf_dir):
     assert 0 < len(dsir_rows) <= 20
     clean_ids = {r["doc_id"] for r in stages["clean"].collect()}
     assert {r["doc_id"] for r in dsir_rows} <= clean_ids
-    from pyspark.sql import functions as F
 
     split_counts = dict(
         stages["split_docs"].groupBy("split").count().collect()
