@@ -657,3 +657,67 @@ def test_own_register_hll_cross_engine_and_error_bound(
     for typ, approx, exact in con.execute(HLL_OWN_SQL).fetchall():
         assert got[typ] == approx, (typ, got[typ], approx)
         assert abs(approx - exact) / exact <= 0.06, (typ, approx, exact)
+
+
+_gopher_word = st.one_of(
+    st.sampled_from(["the", "and", "of", "to"]),          # stopwords
+    st.sampled_from(["ab", "xy"]),                         # short words
+    st.text(alphabet="abcdefgh", min_size=3, max_size=12),  # normal
+    st.sampled_from(["samething", "repeatme"]),            # dup fodder
+)
+_gopher_doc = st.lists(_gopher_word, min_size=1, max_size=120).map(
+    " ".join
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_gopher_doc, min_size=1, max_size=12))
+def test_gopher_flags_match_pure_python_model(spark, texts):
+    """gopher_quality_flags equals a pure-Python re-derivation of the
+    four rules for ANY token stream — the engine's array expressions
+    and the naive model must agree on every rule, per doc, summed."""
+    from bottledwater_pg_spark.functions.text import STOPWORDS_EN
+    from bottledwater_pg_spark.operators.llm_queries import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_DISTINCT_STOPWORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+        GOPHER_TTR_DEN,
+        GOPHER_TTR_NUM,
+        gopher_quality_flags,
+    )
+
+    want = {"wc": 0, "wl": 0, "sw": 0, "ttr": 0, "ok": 0}
+    for t in texts:
+        toks = t.split()
+        n_tok, n_chr = len(toks), sum(len(x) for x in toks)
+        n_stop = len(set(toks) & set(STOPWORDS_EN))
+        n_types = len(set(toks))
+        f_wc = n_tok < GOPHER_MIN_WORDS or n_tok > GOPHER_MAX_WORDS
+        f_wl = (
+            n_chr < GOPHER_MIN_MEAN_WORD_LEN * n_tok
+            or n_chr > GOPHER_MAX_MEAN_WORD_LEN * n_tok
+        )
+        f_sw = n_stop < GOPHER_MIN_DISTINCT_STOPWORDS
+        f_ttr = n_types * GOPHER_TTR_DEN < n_tok * GOPHER_TTR_NUM
+        want["wc"] += f_wc
+        want["wl"] += f_wl
+        want["sw"] += f_sw
+        want["ttr"] += f_ttr
+        want["ok"] += not (f_wc or f_wl or f_sw or f_ttr)
+    docs = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    got = gopher_quality_flags(spark, "ignored", corpus=docs).collect()[0]
+    assert got.n_docs == len(texts)
+    assert got.n_fail_wordcount == want["wc"]
+    assert got.n_fail_wordlen == want["wl"]
+    assert got.n_fail_stopwords == want["sw"]
+    assert got.n_fail_ttr == want["ttr"]
+    assert got.n_pass == want["ok"]
