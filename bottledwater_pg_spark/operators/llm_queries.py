@@ -4579,19 +4579,24 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str,
         else load_table(spark, sf_dir, "documents")
     )
     stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
-    toks = "split(trim(text), '\\\\s+')"
+    # tokenize ONCE in a prior projection — four rule columns each
+    # referencing their own split(...) subtree would re-tokenize the
+    # doc per rule (the word_shingles_from_tokens / projected-md5
+    # lesson: bind the array to an attribute, don't trust CSE)
     d = docs.select(
+        "source", F.expr("split(trim(text), '\\\\s+')").alias("_t")
+    ).select(
         "source",
-        F.expr(f"size({toks})").alias("n_tok"),
+        F.expr("size(_t)").alias("n_tok"),
         F.expr(
-            f"aggregate(transform({toks}, x -> length(x)), 0, "
-            f"(acc, x) -> acc + x)"
+            "aggregate(transform(_t, x -> length(x)), 0, "
+            "(acc, x) -> acc + x)"
         ).alias("n_chr"),
         F.expr(
-            f"size(array_intersect(array_distinct({toks}), "
+            f"size(array_intersect(array_distinct(_t), "
             f"array({stoplist})))"
         ).alias("n_stop"),
-        F.expr(f"size(array_distinct({toks}))").alias("n_types"),
+        F.expr("size(array_distinct(_t))").alias("n_types"),
     )
     fail_wc = (F.col("n_tok") < GOPHER_MIN_WORDS) | (
         F.col("n_tok") > GOPHER_MAX_WORDS

@@ -1608,8 +1608,21 @@ class StreamingClusteredSemDeDupIndex(_SlicedDedupIndexBase):
         """(sid, cent_id, qvec, qnorm): nearest standing centroid by
         exact int64 squared euclidean distance, ties to the lowest
         cid — bit-identical to the training E-step, so a vector seen
-        at train time lands in its training cluster."""
+        at train time lands in its training cluster.
+
+        Memoized per batch OBJECT and persisted: all three hooks the
+        base loop calls (intra rejects, index probe, slice write)
+        need the assignment, and without the cache each would re-run
+        the quantize + broadcast-argmin shuffle — 3x the per-batch
+        work. The base loop's end-of-batch ``release_persisted()``
+        drops the cache entry's storage; the dict entry itself is
+        replaced on the next batch."""
         from bottledwater_pg_spark.operators.dedup import quantized_vectors
+        from bottledwater_pg_spark.session import persist_tracked
+
+        cached = getattr(self, "_assign_cache", None)
+        if cached is not None and cached[0] is batch:
+            return cached[1]
 
         q = quantized_vectors(batch)
         d2 = F.expr(
@@ -1619,7 +1632,7 @@ class StreamingClusteredSemDeDupIndex(_SlicedDedupIndexBase):
         scored = q.crossJoin(F.broadcast(self._centroids)).withColumn(
             "d2", d2
         )
-        return (
+        assigned = persist_tracked(
             scored.groupBy("sid")
             .agg(
                 F.min_by(
@@ -1632,6 +1645,8 @@ class StreamingClusteredSemDeDupIndex(_SlicedDedupIndexBase):
                 "sid", F.col("m.cid").alias("cent_id"), "qvec", "qnorm"
             )
         )
+        self._assign_cache = (batch, assigned)
+        return assigned
 
     def _intra_rejects(self, batch: DataFrame) -> DataFrame:
         from bottledwater_pg_spark.operators import similarity

@@ -113,27 +113,29 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     from bottledwater_pg_spark.functions.text import STOPWORDS_EN
 
     _stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
-    _toks = "split(trim(text), '\\\\s+')"
-    g = despanned.withColumn("_ntok", F.expr(f"size({_toks})")).withColumn(
+    # tokenize once; the four rule columns read the bound array
+    g = despanned.withColumn(
+        "_t", F.expr("split(trim(text), '\\\\s+')")
+    ).withColumn("_ntok", F.expr("size(_t)")).withColumn(
         "_nchr",
         F.expr(
-            f"aggregate(transform({_toks}, x -> length(x)), 0, "
-            f"(acc, x) -> acc + x)"
+            "aggregate(transform(_t, x -> length(x)), 0, "
+            "(acc, x) -> acc + x)"
         ),
     ).withColumn(
         "_nstop",
         F.expr(
-            f"size(array_intersect(array_distinct({_toks}), "
+            f"size(array_intersect(array_distinct(_t), "
             f"array({_stoplist})))"
         ),
-    ).withColumn("_ntype", F.expr(f"size(array_distinct({_toks}))"))
+    ).withColumn("_ntype", F.expr("size(array_distinct(_t))"))
     gophered = g.filter(
         (F.col("_ntok") >= 30)
         & (F.col("_nchr") >= 3 * F.col("_ntok"))
         & (F.col("_nchr") <= 10 * F.col("_ntok"))
         & (F.col("_nstop") >= 2)
         & (F.col("_ntype") * 10 >= F.col("_ntok") * 3)
-    ).drop("_ntok", "_nchr", "_nstop", "_ntype")
+    ).drop("_t", "_ntok", "_nchr", "_nstop", "_ntype")
 
     # 3b. per-source quota cap (RefinedWeb-style): no source may
     # dominate the mix — keep the 400 lowest-fingerprint docs per
