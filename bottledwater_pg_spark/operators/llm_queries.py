@@ -459,22 +459,17 @@ cand AS (
 {_SCORE_RANK_TAIL}"""
 
 
-def _ivf_ann_sql(n_list: int = 32, n_probe: int = 8) -> str:
-    """Full replay of the IVF-flat index: lowest-id centroid sample,
-    nearest-centroid assignment (ties to lowest cent_id — the Spark
-    side's max_by(cent_id, struct(cos, -cent_id))), n_probe nearest
-    cells per query, exact cosine rank within probed cells."""
+def _ivf_probe_ctes(n_probe: int) -> str:
+    """The IVF cell-assignment + query-probe CTE block shared by all
+    four IVF-family oracles (untrained/trained x flat/PQ); expects
+    ``qn`` (sid, qvec, n) and ``cent`` (cent_id, cent_q, cent_n) in
+    scope. Assignment ties to the lowest cent_id — the Spark side's
+    max_by(cent_id, struct(cos, -cent_id))."""
     dot_qc = (
         "CAST(list_sum(list_transform(list_zip(qn.qvec, cent.cent_q), "
         "p -> p[1] * p[2])) AS BIGINT)"
     )
-    return f"""
-WITH {_QN_CTE},
-cent AS (
-  SELECT sid AS cent_id, qvec AS cent_q, n AS cent_n
-  FROM qn ORDER BY sid LIMIT {n_list}
-),
-ascore AS (
+    return f"""ascore AS (
   SELECT qn.sid, cent.cent_id,
          CAST({dot_qc} AS DOUBLE) / (qn.n * cent.cent_n) AS cos
   FROM qn CROSS JOIN cent
@@ -492,7 +487,38 @@ probe AS (
            ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, cent_id) AS rn
     FROM ascore WHERE sid < 20
   ) WHERE rn <= {n_probe}
+)"""
+
+
+# the trained variants' qn/cent head over the unrolled Lloyd's chain
+_TRAINED_NRM = (
+    "sqrt(CAST(CAST(list_sum(list_transform({v}, x -> x * x)) "
+    "AS BIGINT) AS DOUBLE))"
+)
+
+
+def _trained_cent_ctes(iters: int) -> str:
+    return f"""qn AS MATERIALIZED (
+  SELECT sid, qvec, {_TRAINED_NRM.format(v="qvec")} AS n FROM qv
 ),
+cent AS (
+  SELECT cid AS cent_id, cv AS cent_q, {_TRAINED_NRM.format(v="cv")} AS cent_n
+  FROM c{iters}
+)"""
+
+
+def _ivf_ann_sql(n_list: int = 32, n_probe: int = 8) -> str:
+    """Full replay of the IVF-flat index: lowest-id centroid sample,
+    nearest-centroid assignment, n_probe nearest cells per query,
+    exact cosine rank within probed cells (shared probe block:
+    :func:`_ivf_probe_ctes`)."""
+    return f"""
+WITH {_QN_CTE},
+cent AS (
+  SELECT sid AS cent_id, qvec AS cent_q, n AS cent_n
+  FROM qn ORDER BY sid LIMIT {n_list}
+),
+{_ivf_probe_ctes(n_probe)},
 cand AS (
   SELECT p.query_id, a.sid AS neighbor_id
   FROM probe p JOIN assigned a USING (cent_id)
@@ -504,48 +530,15 @@ cand AS (
 def _ivf_trained_sql(n_list: int = 32, n_probe: int = 8) -> str:
     """Full replay of the trained-IVF pipeline: the unrolled Lloyd's
     chain (_kmeans_sql with k=n_list — bit-identical centroids per
-    round), trained-centroid cosine assignment (ties to lowest
-    cent_id), n_probe nearest cells per query, exact cosine rank
-    within probed cells. The kmeans chain defines ``qv``; norms are
-    derived from it so the corpus is quantized once."""
+    round) feeding the shared probe block (:func:`_ivf_probe_ctes`).
+    The kmeans chain defines ``qv``; norms are derived from it so the
+    corpus is quantized once."""
     iters = IVF_TRAINED_ITERS
-    dot_qc = (
-        "CAST(list_sum(list_transform(list_zip(qn.qvec, cent.cent_q), "
-        "p -> p[1] * p[2])) AS BIGINT)"
-    )
-    nrm = (
-        "sqrt(CAST(CAST(list_sum(list_transform({v}, x -> x * x)) "
-        "AS BIGINT) AS DOUBLE))"
-    )
     return (
         _kmeans_sql(k=n_list, iters=iters, src="embeddings")
         + f""",
-qn AS MATERIALIZED (
-  SELECT sid, qvec, {nrm.format(v="qvec")} AS n FROM qv
-),
-cent AS (
-  SELECT cid AS cent_id, cv AS cent_q, {nrm.format(v="cv")} AS cent_n
-  FROM c{iters}
-),
-ascore AS (
-  SELECT qn.sid, cent.cent_id,
-         CAST({dot_qc} AS DOUBLE) / (qn.n * cent.cent_n) AS cos
-  FROM qn CROSS JOIN cent
-),
-assigned AS (
-  SELECT sid, cent_id FROM (
-    SELECT sid, cent_id,
-           ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, cent_id) AS rn
-    FROM ascore
-  ) WHERE rn = 1
-),
-probe AS (
-  SELECT sid AS query_id, cent_id FROM (
-    SELECT sid, cent_id,
-           ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, cent_id) AS rn
-    FROM ascore WHERE sid < 20
-  ) WHERE rn <= {n_probe}
-),
+{_trained_cent_ctes(iters)},
+{_ivf_probe_ctes(n_probe)},
 cand AS (
   SELECT p.query_id, a.sid AS neighbor_id
   FROM probe p JOIN assigned a USING (cent_id)
@@ -4043,39 +4036,18 @@ def ivfpq_ann_recall_vs_exact(spark: SparkSession,
 def _ivfpq_ann_sql(n_list: int = 32, n_probe: int = 8,
                    n_sub: int = 16, k_sub: int = 32, refine: int = 50,
                    dim: int = 64) -> str:
-    """Full replay of the composed IVF-PQ index: the IVF centroid/
-    assignment/probe CTEs, the SHARED PQ codebook/encode/distance-table
-    block (:func:`_pq_cte_block`), ADC restricted to probed cells,
-    shortlist, exact-cosine re-rank."""
-    dot_qc = (
-        "CAST(list_sum(list_transform(list_zip(qn.qvec, cent.cent_q), "
-        "p -> p[1] * p[2])) AS BIGINT)"
-    )
+    """Full replay of the composed IVF-PQ index: the shared IVF
+    probe block (:func:`_ivf_probe_ctes`), the SHARED PQ
+    codebook/encode/distance-table block (:func:`_pq_cte_block`),
+    ADC restricted to probed cells, shortlist, exact-cosine
+    re-rank."""
     return f"""
 WITH {_QN_CTE},
 cent AS (
   SELECT sid AS cent_id, qvec AS cent_q, n AS cent_n
   FROM qn ORDER BY sid LIMIT {n_list}
 ),
-ascore AS (
-  SELECT qn.sid, cent.cent_id,
-         CAST({dot_qc} AS DOUBLE) / (qn.n * cent.cent_n) AS cos
-  FROM qn CROSS JOIN cent
-),
-assigned AS (
-  SELECT sid, cent_id FROM (
-    SELECT sid, cent_id,
-           ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, cent_id) AS rn
-    FROM ascore
-  ) WHERE rn = 1
-),
-probe AS (
-  SELECT sid AS query_id, cent_id FROM (
-    SELECT sid, cent_id,
-           ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, cent_id) AS rn
-    FROM ascore WHERE sid < 20
-  ) WHERE rn <= {n_probe}
-),
+{_ivf_probe_ctes(n_probe)},
 {_pq_cte_block(n_sub, k_sub, dim)},
 adc AS (
   SELECT d.query_id, e.sid AS neighbor_id,
@@ -4144,45 +4116,14 @@ def _ivfpq_trained_sql(n_list: int = 32, n_probe: int = 8,
                        refine: int = 50, dim: int = 64) -> str:
     """_ivfpq_ann_sql with the sampled `cent` CTE replaced by the
     unrolled Lloyd's chain (qn derived from the chain's qv so the
-    corpus quantizes once); everything downstream is shared."""
+    corpus quantizes once); the probe and PQ blocks are the shared
+    :func:`_ivf_probe_ctes` / :func:`_pq_cte_block`."""
     iters = IVF_TRAINED_ITERS
-    dot_qc = (
-        "CAST(list_sum(list_transform(list_zip(qn.qvec, cent.cent_q), "
-        "p -> p[1] * p[2])) AS BIGINT)"
-    )
-    nrm = (
-        "sqrt(CAST(CAST(list_sum(list_transform({v}, x -> x * x)) "
-        "AS BIGINT) AS DOUBLE))"
-    )
     return (
         _kmeans_sql(k=n_list, iters=iters, src="embeddings")
         + f""",
-qn AS MATERIALIZED (
-  SELECT sid, qvec, {nrm.format(v="qvec")} AS n FROM qv
-),
-cent AS (
-  SELECT cid AS cent_id, cv AS cent_q, {nrm.format(v="cv")} AS cent_n
-  FROM c{iters}
-),
-ascore AS (
-  SELECT qn.sid, cent.cent_id,
-         CAST({dot_qc} AS DOUBLE) / (qn.n * cent.cent_n) AS cos
-  FROM qn CROSS JOIN cent
-),
-assigned AS (
-  SELECT sid, cent_id FROM (
-    SELECT sid, cent_id,
-           ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, cent_id) AS rn
-    FROM ascore
-  ) WHERE rn = 1
-),
-probe AS (
-  SELECT sid AS query_id, cent_id FROM (
-    SELECT sid, cent_id,
-           ROW_NUMBER() OVER (PARTITION BY sid ORDER BY cos DESC, cent_id) AS rn
-    FROM ascore WHERE sid < 20
-  ) WHERE rn <= {n_probe}
-),
+{_trained_cent_ctes(iters)},
+{_ivf_probe_ctes(n_probe)},
 {_pq_cte_block(n_sub, k_sub, dim)},
 adc AS (
   SELECT d.query_id, e.sid AS neighbor_id,
