@@ -59,9 +59,9 @@ _FAMILY_SPREAD = [
     "ivf_trained_topk", "ivf_trained_recall_vs_exact",
     "ivfpq_trained_topk", "ivfpq_trained_recall_vs_exact",
     "gopher_quality_flags", "source_quota_sample",
-    # Slot 3: the hashed-gram span variant (new in r9, kept warm).
+    # Slot 7: the hashed-gram span variant (new in r9, kept warm).
     "exact_substring_spans_hashed",
-    # Slots 4-16: r10-touched code paths re-certified in-window: the
+    # Slots 8-21: r10-touched code paths re-certified in-window: the
     # Bloom probe went back to the broadcast word_idx join (the r9
     # literal-bitmap probe benched 1.7x slower — SCALE.md r10),
     # topk_ivf was refactored around the shared _topk_ivf_probe (the
@@ -79,14 +79,14 @@ _FAMILY_SPREAD = [
     "cdc_replicate_all_counts",
     "cdc_error_policy_ddl", "cdc_error_policy_log",
     "supplier_kcore", "supplier_triangle_counts",
-    # Slots 13-18: the deliberate rows-only cells next to their
+    # Next: the deliberate rows-only cells next to their
     # hash-green accuracy certificates (xxhash64 twins — DuckDB cannot
     # recompute those outputs by design; the HLL cell left this group
     # in r9, now hash-oracled above).
     "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
     "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",
     "simhash_injected_recall", "pagerank_copurchase",
-    # Slots 19-27: the dedup family kept warm (dedup.py gained the
+    # Next: the dedup family kept warm (dedup.py gained the
     # incremental-cosine contract validation; the vector path feeds
     # lsh_embedding_near_dup and semdedup).
     "incremental_dedup_matches", "lsh_embedding_near_dup",
@@ -94,14 +94,14 @@ _FAMILY_SPREAD = [
     "dedup_cluster_canonical", "lsh_minhash_near_dup",
     "simhash_md5_near_dup", "dedup_ngram_jaccard",
     "dedup_threshold_sensitivity",
-    # Slots 28-36: flagship + certificates + the two r8 drift-watch
+    # Next: flagship + certificates + the two r8 drift-watch
     # queries re-timed on this window (VERDICT r8 blemish #2).
     "cdc_materialize_customer", "cdc_merge_sink_customer",
     "q1_pricing_summary", "fraud_rolling_anomalies",
     "cdc_registry_evolution_decode", "lm_surprise_outliers",
     "bloom_contamination_screen", "cms_heavy_users_certificate",
     "approx_quantile_rank_certificate",
-    # Slots 37-50: rank family + the r8/r9 LLM additions kept warm
+    # To the 50 boundary: rank family + the r8/r9 LLM additions kept warm
     # (ivf_ann_topk + its certificate above re-certify the
     # _topk_ivf_probe refactor; the kmeans pair re-certifies the
     # primitive the trained IVF now shares).

@@ -1522,11 +1522,15 @@ class StreamingClusteredSemDeDupIndex(_SlicedDedupIndexBase):
     Probe cost: the cluster assignment is one broadcast of the k x dim
     centroid table; the index probe is a cent_id EQUI-join of the
     batch against the stored per-epoch (sid, cent_id, qvec, qnorm)
-    slices — each batch vector is compared only against its own
+    slices — each batch vector is COMPARED only against its own
     cluster's stored rows (the SemDeDup point: cluster size, not
     corpus size, bounds the pair work; at 10^9+ vectors raise k and
-    the per-batch cost shape is unchanged). O(batch x cluster), never
-    O(corpus).
+    the per-batch cost shape is unchanged). Compute is
+    O(batch x cluster); the slice READ as written scans all stored
+    rows per batch (the join prunes comparisons, not I/O) — at
+    warehouse scale write the cqv slices partitioned/bucketed by
+    cent_id so the probe becomes a partition-pruned read, the same
+    note as the batch IVF index.
 
     Parity with the batch rule: for id-ordered ingest over the SAME
     persisted centroids, the rejected-id set equals
