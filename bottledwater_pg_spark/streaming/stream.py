@@ -1686,3 +1686,89 @@ class StreamingClusteredSemDeDupIndex(_SlicedDedupIndexBase):
     def _write_extra_slices(self, batch: DataFrame,
                             epoch_id: int) -> None:
         self._write_slice(self._assign(batch), "cqv", epoch_id)
+
+
+class StreamingSourceQuotaIndex(_SlicedDedupIndexBase):
+    """Continuous ingest-time per-source quota capping: the streaming
+    twin of ``llm_queries.source_quota_sample`` (the RefinedWeb-style
+    per-domain cap applied DURING the crawl instead of after it).
+    Each micro-batch ranks its docs within source by (content
+    fingerprint, doc_id) and accepts a doc iff the source's standing
+    accepted count plus the doc's in-batch rank fits the budget —
+    earlier-seen-wins across batches (an accept is never revoked; the
+    streaming-feasible reading of the batch lowest-fingerprint draw,
+    to which it is EQUAL when the corpus arrives as one batch).
+
+    State is the accepted (source, doc_id) slices the shared base
+    machinery already maintains; the budget probe is one per-source
+    COUNT over prior slices — bytes per source, not rows per doc.
+    Replay idempotence is inherited: a replayed epoch sees the same
+    prior counts (its own slice is excluded by the `_prior` filter)
+    and re-decides identically; a restarted instance resumes the
+    standing budgets from disk.
+    """
+
+    ID_COL = "doc_id"
+    PAYLOAD_COLS = ("doc_id", "source", "text")
+    # the accepted slices hold only doc_id (base contract); budgets
+    # need (source, doc_id) — stored per epoch, joined to accepted
+    EXTRA_SLICES = ("members",)
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 cap: int = 20):
+        # threshold is the dedup bases' knob; unused here
+        super().__init__(spark, state_dir, threshold=0.0)
+        self.cap = cap
+
+    def _batch_ranked(self, batch: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        from bottledwater_pg_spark.functions.text import fingerprint
+
+        w = Window.partitionBy("source").orderBy(
+            fingerprint("text"), "doc_id"
+        )
+        return batch.select(
+            "doc_id", "source", F.row_number().over(w).alias("rn")
+        )
+
+    def _intra_rejects(self, batch: DataFrame) -> DataFrame:
+        # no standing budgets yet (first batch): in-batch rank alone
+        return (
+            self._batch_ranked(batch)
+            .filter(F.col("rn") > self.cap)
+            .select("doc_id")
+        )
+
+    def _probe_index(self, batch: DataFrame,
+                     epoch_id: int) -> DataFrame:
+        if not self._have_accepted:
+            return self._intra_rejects(batch).limit(0)
+        # standing budgets: accepted docs only (the accepted slices
+        # carry just doc_id, so the source comes from the members
+        # slice via a doc_id semi-join — both prior-filtered, and the
+        # result is <= cap rows per source)
+        prior_accepted = self._prior(
+            self._read_slices("accepted"), epoch_id
+        ).select("doc_id")
+        prior_n = (
+            self._prior(self._read_slices("members"), epoch_id)
+            .join(prior_accepted, "doc_id", "left_semi")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_prior"))
+        )
+        return (
+            self._batch_ranked(batch)
+            .join(F.broadcast(prior_n), "source", "left")
+            .filter(
+                F.coalesce(F.col("n_prior"), F.lit(0)) + F.col("rn")
+                > self.cap
+            )
+            .select("doc_id")
+        )
+
+    def _write_extra_slices(self, batch: DataFrame,
+                            epoch_id: int) -> None:
+        self._write_slice(
+            batch.select("source", "doc_id"), "members", epoch_id
+        )

@@ -2126,3 +2126,70 @@ def test_streaming_clustered_semdedup_centroid_meta_gate(
         spark, str(state), threshold=COSINE_THRESHOLD, k=8, iters=2,
     )
     assert idx._centroids.count() <= 8
+
+
+def test_streaming_source_quota_caps_and_replays(spark, sf_dir, tmp_path):
+    """StreamingSourceQuotaIndex: single-batch ingest equals the batch
+    lowest-fingerprint draw; across batches no source ever exceeds the
+    cap and accepts are never revoked (earlier-seen-wins); replay
+    (same and fresh epoch) and a restarted instance change nothing;
+    a full source rejects everything after restart."""
+    from bottledwater_pg_spark.functions.text import fingerprint
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingSourceQuotaIndex,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    cap = 7
+
+    # single batch == the batch rule
+    idx1 = StreamingSourceQuotaIndex(spark, str(tmp_path / "q1"), cap=cap)
+    idx1.process_batch(docs, 0)
+    got1 = {r.doc_id for r in idx1.accepted_ids().collect()}
+    pdf = docs.select(
+        "source", "doc_id", fingerprint("text").alias("fp")
+    ).toPandas()
+    want1 = set(
+        pdf.sort_values(["source", "fp", "doc_id"])
+        .groupby("source").head(cap).doc_id
+    )
+    assert got1 == want1
+
+    # multi-batch by id order: budgets fill first-come; never over cap
+    idx = StreamingSourceQuotaIndex(spark, str(tmp_path / "q2"), cap=cap)
+    batches = [
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        for lo, hi in [(0, 120), (120, 300), (300, 10**9)]
+    ]
+    for e, b in enumerate(batches):
+        idx.process_batch(b, e)
+    acc = idx.accepted_ids()
+    per_source = (
+        docs.join(acc, "doc_id", "left_semi")
+        .groupBy("source").count().collect()
+    )
+    assert all(r["count"] <= cap for r in per_source)
+    accepted = {r.doc_id for r in acc.collect()}
+    # earlier-seen-wins: every batch-0 doc accepted by the batch-0
+    # in-batch rule stays accepted at the end
+    b0 = {r.doc_id for r in batches[0].select("doc_id").collect()}
+    idx_b0 = StreamingSourceQuotaIndex(spark, str(tmp_path / "q3"), cap=cap)
+    idx_b0.process_batch(batches[0], 0)
+    b0_accepted = {r.doc_id for r in idx_b0.accepted_ids().collect()}
+    assert b0_accepted <= accepted
+    assert b0_accepted == accepted & b0
+
+    # replay: same epoch, then fresh epoch
+    idx.process_batch(batches[1], 1)
+    assert {r.doc_id for r in idx.accepted_ids().collect()} == accepted
+    idx.process_batch(batches[1], 99)
+    assert {r.doc_id for r in idx.accepted_ids().collect()} == accepted
+
+    # restart: standing budgets are full -> replaying data of already
+    # full sources accepts nothing new
+    idx2 = StreamingSourceQuotaIndex(spark, str(tmp_path / "q2"), cap=cap)
+    idx2._run_key = "otherrun"
+    idx2.process_batch(batches[2], 0)
+    assert {r.doc_id for r in idx2.accepted_ids().collect()} == accepted
