@@ -99,7 +99,7 @@ _FAMILY_SPREAD = [
     "cdc_materialize_customer", "cdc_merge_sink_customer",
     "q1_pricing_summary", "fraud_rolling_anomalies",
     "cdc_registry_evolution_decode", "lm_surprise_outliers",
-    "bloom_contamination_screen", "cms_heavy_users_certificate",
+    "cms_heavy_users_certificate",
     "approx_quantile_rank_certificate",
     # To the 50 boundary: rank family + the r8/r9 LLM additions kept warm
     # (ivf_ann_topk + its certificate above re-certify the

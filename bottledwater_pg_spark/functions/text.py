@@ -101,6 +101,12 @@ def sql_char_total_of_tokens(col: str = "text") -> str:
     return f"list_sum(list_transform({t}, x -> length(x)))"
 
 
+#: bump when :func:`fingerprint`'s hash or normalization changes —
+#: standing state keyed by fingerprints from another family (e.g. the
+#: streaming quota index's accepted budgets) must not be reinterpreted
+FINGERPRINT_FAMILY = "md5/ws-normalized"
+
+
 def fingerprint(col: str = "text") -> Column:
     """Document fingerprint: md5 of the whitespace-normalized text
     (md5 hex is bit-identical across engines)."""

@@ -1716,9 +1716,57 @@ class StreamingSourceQuotaIndex(_SlicedDedupIndexBase):
 
     def __init__(self, spark: SparkSession, state_dir: str,
                  cap: int = 20):
+        import json as _json
+
+        from bottledwater_pg_spark.functions.text import (
+            FINGERPRINT_FAMILY,
+        )
+
         # threshold is the dedup bases' knob; unused here
         super().__init__(spark, state_dir, threshold=0.0)
         self.cap = cap
+        # Persisted-state contract (the Bloom-screen / clustered-
+        # semdedup meta gate, applied here): standing budgets are only
+        # meaningful under the cap and fingerprint family they were
+        # accepted under — a restarted instance constructed with a
+        # different cap (budgets silently re-scoped) or after a
+        # fingerprint-function change (in-batch ranks reshuffle, so
+        # replay re-decides differently) must refuse, not reinterpret.
+        # Unlike the siblings there is no rebuild path: accepted
+        # budgets are history, not a derivable index, so mismatch is
+        # always a hard error. meta.json lands at construction, BEFORE
+        # any slice write, so any standing state implies a recorded
+        # contract (os.replace is atomic).
+        meta_path = os.path.join(state_dir, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = _json.load(f)
+            if (
+                int(meta.get("cap", -1)) != cap
+                or meta.get("fingerprint_family") != FINGERPRINT_FAMILY
+            ):
+                raise LookupError(
+                    f"standing quota state was accepted under "
+                    f"{meta!r} but this index wants cap={cap} "
+                    f"fingerprint_family={FINGERPRINT_FAMILY!r}; "
+                    f"budgets cannot be reinterpreted — start a fresh "
+                    f"state_dir (or restore the original parameters)"
+                )
+        elif self._have_accepted or self._have_index:
+            raise LookupError(
+                "standing quota state has no meta.json (pre-contract "
+                "incarnation): the cap it was accepted under is "
+                "unknown — start a fresh state_dir"
+            )
+        else:
+            tmp_meta = meta_path + ".tmp"
+            with open(tmp_meta, "w") as f:
+                _json.dump(
+                    {"cap": cap,
+                     "fingerprint_family": FINGERPRINT_FAMILY},
+                    f,
+                )
+            os.replace(tmp_meta, meta_path)
 
     def _batch_ranked(self, batch: DataFrame) -> DataFrame:
         from pyspark.sql import Window
@@ -1751,9 +1799,17 @@ class StreamingSourceQuotaIndex(_SlicedDedupIndexBase):
         prior_accepted = self._prior(
             self._read_slices("accepted"), epoch_id
         ).select("doc_id")
+        # distinct BEFORE counting: a doc re-delivered under a fresh
+        # epoch (or re-fed after a restart under a new run key) has
+        # member rows in several (run, epoch) partitions, and every
+        # duplicate row of an accepted doc passes the semi-join —
+        # counting rows would inflate n_prior and wrongly reject later
+        # docs from a source with remaining budget
         prior_n = (
             self._prior(self._read_slices("members"), epoch_id)
             .join(prior_accepted, "doc_id", "left_semi")
+            .select("source", "doc_id")
+            .distinct()
             .groupBy("source")
             .agg(F.count("*").alias("n_prior"))
         )

@@ -109,8 +109,22 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # 3. filter: Gopher rule gate (Rae et al. 2021) first — word-count
     # / mean-word-length / stopword / type-token bounds computed as
     # narrow array expressions, thresholds integer-cross-multiplied —
-    # then the basic length + language gate
+    # then the basic length + language gate. The fixture's docs are a
+    # few sentences each, so the word-count FLOOR is deliberately
+    # loosened from the operator's GOPHER_MIN_WORDS=50 to 30 (everything
+    # would fail the paper threshold); the other bounds are the
+    # operator's own constants.
     from bottledwater_pg_spark.functions.text import STOPWORDS_EN
+    from bottledwater_pg_spark.operators.llm_queries import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_DISTINCT_STOPWORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_TTR_DEN,
+        GOPHER_TTR_NUM,
+    )
+
+    EXAMPLE_MIN_WORDS = 30  # fixture-loosened floor (see note above)
 
     _stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
     # tokenize once; the four rule columns read the bound array
@@ -130,11 +144,15 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         ),
     ).withColumn("_ntype", F.expr("size(array_distinct(_t))"))
     gophered = g.filter(
-        (F.col("_ntok") >= 30)
-        & (F.col("_nchr") >= 3 * F.col("_ntok"))
-        & (F.col("_nchr") <= 10 * F.col("_ntok"))
-        & (F.col("_nstop") >= 2)
-        & (F.col("_ntype") * 10 >= F.col("_ntok") * 3)
+        (F.col("_ntok") >= EXAMPLE_MIN_WORDS)
+        & (F.col("_ntok") <= GOPHER_MAX_WORDS)
+        & (F.col("_nchr") >= GOPHER_MIN_MEAN_WORD_LEN * F.col("_ntok"))
+        & (F.col("_nchr") <= GOPHER_MAX_MEAN_WORD_LEN * F.col("_ntok"))
+        & (F.col("_nstop") >= GOPHER_MIN_DISTINCT_STOPWORDS)
+        & (
+            F.col("_ntype") * GOPHER_TTR_DEN
+            >= F.col("_ntok") * GOPHER_TTR_NUM
+        )
     ).drop("_t", "_ntok", "_nchr", "_nstop", "_ntype")
 
     # 3b. per-source quota cap (RefinedWeb-style): no source may

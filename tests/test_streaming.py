@@ -2193,3 +2193,78 @@ def test_streaming_source_quota_caps_and_replays(spark, sf_dir, tmp_path):
     idx2._run_key = "otherrun"
     idx2.process_batch(batches[2], 0)
     assert {r.doc_id for r in idx2.accepted_ids().collect()} == accepted
+
+
+def test_streaming_source_quota_redelivery_budget_not_inflated(
+    spark, tmp_path
+):
+    """Regression (r10 advice): a doc re-delivered under a fresh epoch
+    — or re-fed after a restart under a new run key — has member rows
+    in MULTIPLE (run, epoch) slices, and every duplicate row of an
+    accepted doc passes the accepted semi-join. n_prior must count
+    DISTINCT accepted docs, not member rows: later docs from a source
+    with remaining budget must still be accepted."""
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingSourceQuotaIndex,
+    )
+
+    def batch(*rows):
+        return spark.createDataFrame(
+            list(rows), "doc_id bigint, source string, text string"
+        )
+
+    a = (1, "s", "alpha text body")
+    c = (3, "s", "gamma text body")
+
+    idx = StreamingSourceQuotaIndex(spark, str(tmp_path / "q"), cap=2)
+    idx.process_batch(batch(a), 0)          # A accepted (1/2)
+    idx.process_batch(batch(a), 99)         # fresh-epoch re-delivery
+    # restart under a NEW run key, re-fed A again: third member slice
+    idx2 = StreamingSourceQuotaIndex(spark, str(tmp_path / "q"), cap=2)
+    idx2._run_key = "otherrun"
+    idx2.process_batch(batch(a), 0)
+    # the source has ONE distinct accepted doc; C must fit (2/2).
+    # pre-fix, n_prior counted A's three member rows and rejected C.
+    idx2.process_batch(batch(c), 1)
+    accepted = {r.doc_id for r in idx2.accepted_ids().collect()}
+    assert accepted == {1, 3}
+
+
+def test_streaming_source_quota_meta_gate(spark, tmp_path):
+    """Standing quota budgets are only meaningful under the cap and
+    fingerprint family they were accepted under: a restarted instance
+    with a different cap (or after a fingerprint-family bump, or over
+    pre-contract state with no meta.json) must REFUSE — there is no
+    rebuild path for history."""
+    import json
+    import os
+
+    import pytest
+
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingSourceQuotaIndex,
+    )
+
+    state = tmp_path / "qm"
+    docs = spark.createDataFrame(
+        [(1, "s", "alpha"), (2, "s", "beta"), (3, "s", "gamma")],
+        "doc_id bigint, source string, text string",
+    )
+    idx = StreamingSourceQuotaIndex(spark, str(state), cap=2)
+    idx.process_batch(docs, 0)
+    # matched parameters reopen clean and resume the standing budgets
+    idx2 = StreamingSourceQuotaIndex(spark, str(state), cap=2)
+    assert idx2._have_accepted
+    # cap drift: budgets silently re-scoped -> refuse
+    with pytest.raises(LookupError, match="cannot be reinterpreted"):
+        StreamingSourceQuotaIndex(spark, str(state), cap=3)
+    # fingerprint-family drift (a pre-bump incarnation's ranks)
+    meta = json.load(open(state / "meta.json"))
+    meta["fingerprint_family"] = "legacy/xxhash"
+    json.dump(meta, open(state / "meta.json", "w"))
+    with pytest.raises(LookupError, match="cannot be reinterpreted"):
+        StreamingSourceQuotaIndex(spark, str(state), cap=2)
+    # pre-contract state: slices on disk but no meta at all -> refuse
+    os.remove(state / "meta.json")
+    with pytest.raises(LookupError, match="no meta.json"):
+        StreamingSourceQuotaIndex(spark, str(state), cap=2)
