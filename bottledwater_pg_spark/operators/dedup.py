@@ -673,8 +673,20 @@ def incremental_lsh_matches(index_df: DataFrame, new_df: DataFrame,
         .select("new_id", "match_id")
         .distinct()
     )
-    sz_idx = sh_idx.groupBy("sid").agg(F.count("*").alias("sz_m"))
-    sz_new = sh_new.groupBy("sid").agg(F.count("*").alias("sz_n"))
+    # Jaccard is over shingle SETS — count DISTINCT shingles, not rows.
+    # shingle_table is distinct within one input row, but an index
+    # carrying the same (doc_id, text) twice (a streaming index after
+    # fresh-epoch re-delivery, or a base snapshot mid-compaction crash
+    # window) would double sz_m AND inter under count(*), inflating
+    # jaccard past its true value (2I/(N+2M-2I) > I/(N+M-I)) and
+    # flipping boundary non-matches into rejections. count_distinct
+    # equals count(*) for unique inputs and is the set definition.
+    sz_idx = sh_idx.groupBy("sid").agg(
+        F.count_distinct("shingle").alias("sz_m")
+    )
+    sz_new = sh_new.groupBy("sid").agg(
+        F.count_distinct("shingle").alias("sz_n")
+    )
     inter = (
         candidates.join(sh_new.alias("a"), F.col("a.sid") == F.col("new_id"))
         .join(
@@ -683,7 +695,7 @@ def incremental_lsh_matches(index_df: DataFrame, new_df: DataFrame,
             & (F.col("a.shingle") == F.col("b.shingle")),
         )
         .groupBy("new_id", "match_id")
-        .agg(F.count("*").alias("inter"))
+        .agg(F.count_distinct("a.shingle").alias("inter"))
     )
     return (
         inter.join(sz_new.withColumnsRenamed({"sid": "new_id"}), "new_id")

@@ -216,6 +216,7 @@ def pagerank_integer(
     scale: int = 1_000_000_000_000,
     damping_num: int = 85,
     damping_den: int = 100,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Fixed-iteration PageRank with EXACT integer arithmetic — the
     link-analysis quality signal (domain/page authority) web-corpus
@@ -286,12 +287,14 @@ def pagerank_integer(
         )
         # lineage control: ranks is persisted (keeps AQE's runtime
         # shuffle stats visible, so the edge join broadcast-converts
-        # when the node table is small); every 8th round ALSO
-        # checkpoint-truncates — unbounded iteration counts must not
-        # grow the plan without bound, but a checkpoint hides stats,
-        # so it is rationed rather than per-round
+        # when the node table is small); every ``checkpoint_every``-th
+        # round ALSO checkpoint-truncates — unbounded iteration counts
+        # must not grow the plan without bound, but a checkpoint hides
+        # stats, so it is rationed rather than per-round (the ration
+        # is a parameter so the scale ladder can MEASURE the per-round
+        # checkpoint cost against the rationed default)
         ranks = persist_tracked(ranks)
-        if (i + 1) % 8 == 0 and i + 1 < iters:
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
 

@@ -4487,6 +4487,62 @@ GOPHER_TTR_NUM = 3             # type-token ratio >= 3/10 required
 GOPHER_TTR_DEN = 10
 
 
+def with_gopher_flags(df: DataFrame, text_col: str = "text",
+                      min_words: int = GOPHER_MIN_WORDS,
+                      max_words: int = GOPHER_MAX_WORDS) -> DataFrame:
+    """``df`` plus the four Gopher rule fail flags and the combined
+    ``gopher_ok`` boolean — the SHARED rule kernel: the batch rollup
+    (:func:`gopher_quality_flags`) aggregates these, and the streaming
+    ingest gate (streaming/stream.gopher_gate) filters on them, so the
+    two paths can never drift apart rule-by-rule. Stateless narrow
+    expressions only (tokenize once into a bound attribute, then four
+    array reads — no explode, no shuffle, no state), hence legal on a
+    streaming DataFrame unchanged. The word-count bounds are
+    parameters because deployments tune them (Rae et al. 2021 use
+    50/100k for web pages); the other thresholds are the module
+    constants."""
+    from bottledwater_pg_spark.functions.text import STOPWORDS_EN
+
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    # tokenize ONCE in a prior projection; see gopher_quality_flags
+    d = df.withColumn(
+        "_t", F.expr(f"split(trim({text_col}), '\\\\s+')")
+    ).withColumns(
+        {
+            "_n_tok": F.expr("size(_t)"),
+            "_n_chr": F.expr(
+                "aggregate(transform(_t, x -> length(x)), 0, "
+                "(acc, x) -> acc + x)"
+            ),
+            "_n_stop": F.expr(
+                f"size(array_intersect(array_distinct(_t), "
+                f"array({stoplist})))"
+            ),
+            "_n_types": F.expr("size(array_distinct(_t))"),
+        }
+    )
+    fail_wc = (F.col("_n_tok") < min_words) | (
+        F.col("_n_tok") > max_words
+    )
+    fail_wl = (
+        F.col("_n_chr") < GOPHER_MIN_MEAN_WORD_LEN * F.col("_n_tok")
+    ) | (F.col("_n_chr") > GOPHER_MAX_MEAN_WORD_LEN * F.col("_n_tok"))
+    fail_sw = F.col("_n_stop") < GOPHER_MIN_DISTINCT_STOPWORDS
+    fail_ttr = (
+        F.col("_n_types") * GOPHER_TTR_DEN
+        < F.col("_n_tok") * GOPHER_TTR_NUM
+    )
+    return d.withColumns(
+        {
+            "f_wc": fail_wc,
+            "f_wl": fail_wl,
+            "f_sw": fail_sw,
+            "f_ttr": fail_ttr,
+            "gopher_ok": ~(fail_wc | fail_wl | fail_sw | fail_ttr),
+        }
+    ).drop("_t", "_n_tok", "_n_chr", "_n_stop", "_n_types")
+
+
 def gopher_quality_flags(spark: SparkSession, sf_dir: str,
                          corpus: DataFrame | None = None) -> DataFrame:
     """Gopher rule-based quality filtering (Rae et al. 2021, table A1
@@ -4511,55 +4567,24 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str,
     fixture can falsify. Per-doc work is narrow array expressions
     (no explode, no shuffle until the per-source rollup — one
     partial-agg shuffle on source, the scale shape of every
-    per-source stat here)."""
-    from bottledwater_pg_spark.functions.text import STOPWORDS_EN
-
+    per-source stat here). The rule kernel itself lives in
+    :func:`with_gopher_flags`, shared with the streaming ingest gate
+    (streaming/stream.gopher_gate) so batch and streaming apply
+    identical rules by construction."""
     docs = (
         corpus
         if corpus is not None
         else load_table(spark, sf_dir, "documents")
     )
-    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
-    # tokenize ONCE in a prior projection — four rule columns each
-    # referencing their own split(...) subtree would re-tokenize the
-    # doc per rule (the word_shingles_from_tokens / projected-md5
-    # lesson: bind the array to an attribute, don't trust CSE)
-    d = docs.select(
-        "source", F.expr("split(trim(text), '\\\\s+')").alias("_t")
-    ).select(
-        "source",
-        F.expr("size(_t)").alias("n_tok"),
-        F.expr(
-            "aggregate(transform(_t, x -> length(x)), 0, "
-            "(acc, x) -> acc + x)"
-        ).alias("n_chr"),
-        F.expr(
-            f"size(array_intersect(array_distinct(_t), "
-            f"array({stoplist})))"
-        ).alias("n_stop"),
-        F.expr("size(array_distinct(_t))").alias("n_types"),
-    )
-    fail_wc = (F.col("n_tok") < GOPHER_MIN_WORDS) | (
-        F.col("n_tok") > GOPHER_MAX_WORDS
-    )
-    fail_wl = (
-        F.col("n_chr") < GOPHER_MIN_MEAN_WORD_LEN * F.col("n_tok")
-    ) | (F.col("n_chr") > GOPHER_MAX_MEAN_WORD_LEN * F.col("n_tok"))
-    fail_sw = F.col("n_stop") < GOPHER_MIN_DISTINCT_STOPWORDS
-    fail_ttr = (
-        F.col("n_types") * GOPHER_TTR_DEN
-        < F.col("n_tok") * GOPHER_TTR_NUM
-    )
     return (
-        d.select(
+        with_gopher_flags(docs.select("source", "text"))
+        .select(
             "source",
-            fail_wc.cast("long").alias("f_wc"),
-            fail_wl.cast("long").alias("f_wl"),
-            fail_sw.cast("long").alias("f_sw"),
-            fail_ttr.cast("long").alias("f_ttr"),
-            (~(fail_wc | fail_wl | fail_sw | fail_ttr))
-            .cast("long")
-            .alias("ok"),
+            F.col("f_wc").cast("long").alias("f_wc"),
+            F.col("f_wl").cast("long").alias("f_wl"),
+            F.col("f_sw").cast("long").alias("f_sw"),
+            F.col("f_ttr").cast("long").alias("f_ttr"),
+            F.col("gopher_ok").cast("long").alias("ok"),
         )
         .groupBy("source")
         .agg(

@@ -2875,6 +2875,16 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from bottledwater_pg_spark.operators.graph import pagerank_integer
 
+    ranks = pagerank_integer(copurchase_edges(spark, sf_dir), iters=3)
+    return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The customer<->supplier co-purchase edge list (both directions,
+    supplier keys negated — see :func:`pagerank_copurchase`), exposed
+    separately so the scale ladder can drive ``pagerank_integer``
+    with explicit iteration/checkpoint policies over the same graph
+    the benched query uses."""
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = persist_tracked(
@@ -2882,13 +2892,11 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", (-F.col("l_suppkey")).alias("supp"))
         .distinct()
     )
-    edges = pairs.select(
+    return pairs.select(
         F.col("o_custkey").alias("src"), F.col("supp").alias("dst")
     ).unionByName(
         pairs.select(F.col("supp").alias("src"), F.col("o_custkey").alias("dst"))
     )
-    ranks = pagerank_integer(edges, iters=3)
-    return ranks.orderBy(F.desc("rank"), "node").limit(20)
 
 
 def _pagerank_iter_sql(prev: str, cur: str) -> str:

@@ -905,6 +905,13 @@ def stateful_latest_by_key_tws(events_stream: DataFrame):
     )
 
 
+#: reserved run key for compacted base snapshots — can never collide
+#: with a real run key (those are 12-char md5 hex, _run_key_of) and is
+#: always "another run" to the probe filter, i.e. earlier-seen by
+#: construction, exactly what a snapshot of closed epochs is
+BASE_RUN_KEY = "__base__"
+
+
 class _SlicedDedupIndexBase:
     """Shared machinery for the continuous ingest-time dedup indexes
     (text :class:`StreamingDedupIndex`, embedding
@@ -913,6 +920,29 @@ class _SlicedDedupIndexBase:
     probe filter, restart content-checks, and legacy run-key fold-in
     on start(). The replay predicate and the write ordering live HERE,
     once — a correctness fix to either reaches both indexes.
+
+    Slice compaction (:meth:`compact`): a long-running stream at one
+    batch/s accumulates ~600k ``(run, epoch)`` directories a week —
+    the probe's file listing would grow O(#epochs) forever. Closed
+    epochs therefore fold into a BASE SNAPSHOT, written as one more
+    partition under the same root (``run=__base__/epoch=W`` = the
+    distinct union of every slice strictly below W of the own run plus
+    every foreign run), after which the folded source directories are
+    deleted. The probe filter needs no change: the base run key never
+    equals a real run key, so `_prior` always includes it — correct,
+    because everything in it is < W <= any epoch that can still
+    replay. This mirrors the reference's Kafka log compaction of
+    closed segments (README.md:283-297) the same way
+    StatefulMaterializer's write-then-swap mirrors it for CDC state.
+
+    Crash-safety is write-new-base-THEN-delete-sources: a crash
+    between the two leaves duplicate rows visible (old base + new
+    base + folded slices), which every probe tolerates — match
+    probes dedupe ids, Jaccard counts distinct shingles, quota counts
+    distinct accepted docs — and the next compact() call finishes the
+    interrupted cleanup (it is recomputable from the base epoch
+    alone). Monotonicity: a base at epoch W is never rewritten below
+    W.
 
     Idempotence under replay: probes exclude identity matches, so a
     re-delivered batch matches only its previous content under the
@@ -932,12 +962,23 @@ class _SlicedDedupIndexBase:
     ID_COL = "doc_id"
     PAYLOAD_COLS: tuple = ("doc_id", "text")
     EXTRA_SLICES: tuple = ()
+    #: slice name -> data columns to PARTITION each slice write by
+    #: (beyond the run/epoch dirs) — the layout must be uniform across
+    #: live slices and the base snapshot or partition discovery fails,
+    #: so it is declared per class, not decided per write
+    SLICE_PARTITION_COLS: dict = {}
 
     def __init__(self, spark: SparkSession, state_dir: str,
-                 threshold: float):
+                 threshold: float, fold_every: int | None = None):
         self.spark = spark
         self.state_dir = state_dir
         self.threshold = threshold
+        #: every N epochs, fold epochs < current into the base snapshot
+        #: (None = only explicit compact() calls). Safe inside the
+        #: batch loop because foreachBatch starts epoch e only after
+        #: e-1 committed, so e is the only epoch that can still replay
+        #: — and the fold watermark excludes it.
+        self.fold_every = fold_every
         self._run_key = "adhoc"  # start() re-keys from the checkpoint
         os.makedirs(state_dir, exist_ok=True)
         # Restart-safe: a restarted process (checkpointLocation exists,
@@ -1002,15 +1043,120 @@ class _SlicedDedupIndexBase:
         )
 
     def _write_slice(self, df: DataFrame, name: str,
-                     epoch_id: int) -> None:
+                     epoch_id: int, run: str | None = None) -> None:
         # per-epoch OVERWRITE: a replayed batch rewrites its own slice,
         # never appending duplicate rows into the standing state
-        df.write.mode("overwrite").parquet(
+        writer = df.write.mode("overwrite")
+        pcols = self.SLICE_PARTITION_COLS.get(name)
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(
             os.path.join(
                 self._path(name),
-                f"run={self._run_key}", f"epoch={epoch_id}",
+                f"run={run or self._run_key}", f"epoch={epoch_id}",
             )
         )
+
+    # -- compaction -----------------------------------------------------
+    def _base_epoch(self, name: str) -> int | None:
+        d = os.path.join(self._path(name), f"run={BASE_RUN_KEY}")
+        if not os.path.isdir(d):
+            return None
+        eps = [
+            int(c[len("epoch="):])
+            for c in os.listdir(d)
+            if c.startswith("epoch=")
+        ]
+        return max(eps) if eps else None
+
+    def _cleanup_folded(self, name: str, up_to_epoch: int) -> None:
+        """Delete every source directory the base at ``up_to_epoch``
+        subsumes: own-run and older-base epochs strictly below it, and
+        foreign runs wholesale. Recomputable from the base epoch alone,
+        so an interrupted fold's cleanup can simply re-run."""
+        import shutil
+
+        root = self._path(name)
+        for rd in os.listdir(root):
+            if not rd.startswith("run="):
+                continue
+            run = rd[len("run="):]
+            rpath = os.path.join(root, rd)
+            if run in (self._run_key, BASE_RUN_KEY):
+                for ed in os.listdir(rpath):
+                    if (
+                        ed.startswith("epoch=")
+                        and int(ed[len("epoch="):]) < up_to_epoch
+                    ):
+                        shutil.rmtree(os.path.join(rpath, ed))
+                if not os.listdir(rpath):
+                    os.rmdir(rpath)
+            else:
+                shutil.rmtree(rpath)
+
+    def compact(self, up_to_epoch: int) -> None:
+        """Fold every CLOSED slice — own-run epochs strictly below
+        ``up_to_epoch``, all foreign runs, and any older base — into
+        one base snapshot per root, then delete the folded sources.
+        Bounds the directory count (and the probe's file listing) by
+        epochs-since-last-fold instead of stream lifetime.
+
+        Caller contract: no epoch below ``up_to_epoch`` may ever
+        replay (inside the batch loop, the current epoch_id satisfies
+        this — foreachBatch starts e only after e-1 committed), and
+        ONE incarnation writes a state dir at a time (already the
+        per-epoch-overwrite design's assumption). Folding a replayable
+        epoch would let a replay probe its own rows beyond the
+        identity exclusion — the exact hazard `_prior` exists to
+        prevent.
+
+        The fold dedupes: a doc re-delivered under a fresh epoch holds
+        identical rows in several slices; the base keeps one. Probes
+        are insensitive to the duplicates either way, so fold timing
+        never changes an accept/reject decision."""
+        for name in ("accepted", "index") + self.EXTRA_SLICES:
+            if not self._state_exists(name):
+                continue
+            base_e = self._base_epoch(name)
+            if base_e is not None and base_e >= up_to_epoch:
+                # already folded this far; finish any interrupted
+                # cleanup and leave the newer base alone
+                self._cleanup_folded(name, base_e)
+                continue
+            live = (F.col("run") == F.lit(self._run_key)) & (
+                F.col("epoch") >= F.lit(up_to_epoch)
+            )
+            closed = (
+                self._read_slices(name)
+                .filter(~live)
+                .drop("run", "epoch")
+                .distinct()
+            )
+            if closed.isEmpty():
+                continue
+            # write-new-base THEN delete-sources (see class docstring
+            # for the crash window's duplicate-visibility argument)
+            self._write_slice(
+                closed, name, up_to_epoch, run=BASE_RUN_KEY
+            )
+            self._cleanup_folded(name, up_to_epoch)
+
+    def slice_dir_count(self) -> int:
+        """Total (run, epoch) slice directories across all roots —
+        the quantity compaction bounds; exposed for soak evidence."""
+        n = 0
+        for name in ("accepted", "index") + self.EXTRA_SLICES:
+            root = self._path(name)
+            if not os.path.isdir(root):
+                continue
+            for rd in os.listdir(root):
+                rpath = os.path.join(root, rd)
+                if rd.startswith("run=") and os.path.isdir(rpath):
+                    n += sum(
+                        1 for ed in os.listdir(rpath)
+                        if ed.startswith("epoch=")
+                    )
+        return n
 
     def accepted_ids(self) -> DataFrame | None:
         if not self._have_accepted:
@@ -1056,6 +1202,15 @@ class _SlicedDedupIndexBase:
         self._write_slice(batch, "index", epoch_id)
         self._have_index = True
         self._have_accepted = True
+        if (
+            self.fold_every
+            and epoch_id > 0
+            and epoch_id % self.fold_every == 0
+        ):
+            # watermark = CURRENT epoch: its own just-written slices
+            # stay live, so a crash-replay of this epoch re-decides
+            # identically; everything below it is committed and folds
+            self.compact(epoch_id)
         from bottledwater_pg_spark.session import release_persisted
 
         release_persisted()
@@ -1101,8 +1256,9 @@ class StreamingDedupIndex(_SlicedDedupIndexBase):
     PAYLOAD_COLS = ("doc_id", "text")
 
     def __init__(self, spark: SparkSession, state_dir: str,
-                 threshold: float = 0.8):
-        super().__init__(spark, state_dir, threshold)
+                 threshold: float = 0.8,
+                 fold_every: int | None = None):
+        super().__init__(spark, state_dir, threshold, fold_every)
 
     def index_docs(self) -> DataFrame | None:
         full = self._index_slices()
@@ -1239,6 +1395,41 @@ class MultiTableMaterializer:
             .outputMode("update")
             .start()
         )
+
+
+def gopher_gate(df: DataFrame, text_col: str = "text",
+                min_words: int | None = None,
+                max_words: int | None = None) -> DataFrame:
+    """Ingest-time Gopher rule gate (Rae et al. 2021) — the streaming
+    twin of ``llm_queries.gopher_quality_flags``'s pass rule: keep
+    exactly the docs that fail none of the four rules. The rule
+    kernel is the SHARED ``with_gopher_flags`` (word count bounds,
+    integer cross-multiplied mean word length, distinct stopwords,
+    type-token ratio), so the streamed survivor set equals the batch
+    filter on the same corpus by construction — pinned in
+    tests/test_streaming.py.
+
+    Stateless: pure narrow expressions, no watermark, no shuffle, no
+    state store — legal on a batch OR streaming DataFrame unchanged,
+    and the right place in the pipeline is BEFORE the stateful
+    dedup/quota indexes: a rule-failing doc dropped here never costs
+    an index write, a probe, or standing-state bytes. At 100 TB this
+    is the cheapest stage in the curation pipeline (one codegen'd
+    projection per batch)."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+        with_gopher_flags,
+    )
+
+    flagged = with_gopher_flags(
+        df, text_col,
+        min_words=GOPHER_MIN_WORDS if min_words is None else min_words,
+        max_words=GOPHER_MAX_WORDS if max_words is None else max_words,
+    )
+    return flagged.filter(F.col("gopher_ok")).drop(
+        "f_wc", "f_wl", "f_sw", "f_ttr", "gopher_ok"
+    )
 
 
 class StreamingContaminationScreen:
@@ -1451,8 +1642,9 @@ class StreamingVectorDedupIndex(_SlicedDedupIndexBase):
 
     def __init__(self, spark: SparkSession, state_dir: str,
                  threshold: float = 0.99,
-                 num_bits: int = 24, bands: int = 4):
-        super().__init__(spark, state_dir, threshold)
+                 num_bits: int = 24, bands: int = 4,
+                 fold_every: int | None = None):
+        super().__init__(spark, state_dir, threshold, fold_every)
         self.num_bits = num_bits
         self.bands = bands
 
@@ -1526,11 +1718,11 @@ class StreamingClusteredSemDeDupIndex(_SlicedDedupIndexBase):
     cluster's stored rows (the SemDeDup point: cluster size, not
     corpus size, bounds the pair work; at 10^9+ vectors raise k and
     the per-batch cost shape is unchanged). Compute is
-    O(batch x cluster); the slice READ as written scans all stored
-    rows per batch (the join prunes comparisons, not I/O) — at
-    warehouse scale write the cqv slices partitioned/bucketed by
-    cent_id so the probe becomes a partition-pruned read, the same
-    note as the batch IVF index.
+    O(batch x cluster) AND the READ is too: cqv slices are written
+    partitioned by cent_id (SLICE_PARTITION_COLS) and the probe
+    filters on the batch's literal cell list, so file listing prunes
+    to the touched clusters' directories — the same layout as the
+    batch IVF index.
 
     Parity with the batch rule: for id-ordered ingest over the SAME
     persisted centroids, the rejected-id set equals
@@ -1549,6 +1741,11 @@ class StreamingClusteredSemDeDupIndex(_SlicedDedupIndexBase):
     ID_COL = "vec_id"
     PAYLOAD_COLS = ("vec_id", "embedding")
     EXTRA_SLICES = ("cqv",)
+    #: cqv slices are PARTITIONED by cluster id (uniformly — live
+    #: epochs and the base snapshot alike), so the probe's cell filter
+    #: prunes at file-listing time: a batch touching c clusters reads
+    #: c directories, not the whole standing index
+    SLICE_PARTITION_COLS = {"cqv": ("cent_id",)}
 
     #: bump when the quantizer / distance / tie-break rule changes —
     #: persisted centroids from another family must not be probed
@@ -1557,10 +1754,11 @@ class StreamingClusteredSemDeDupIndex(_SlicedDedupIndexBase):
     def __init__(self, spark: SparkSession, state_dir: str,
                  threshold: float = 0.99,
                  train_corpus: DataFrame | None = None,
-                 k: int = 8, iters: int = 4):
+                 k: int = 8, iters: int = 4,
+                 fold_every: int | None = None):
         import json as _json
 
-        super().__init__(spark, state_dir, threshold)
+        super().__init__(spark, state_dir, threshold, fold_every)
         self.k = k
         self.iters = iters
         cent_path = os.path.join(state_dir, "centroids")
@@ -1667,13 +1865,28 @@ class StreamingClusteredSemDeDupIndex(_SlicedDedupIndexBase):
                      epoch_id: int) -> DataFrame:
         from bottledwater_pg_spark.functions.vectors import cosine_pre
 
-        prior = self._prior(self._read_slices("cqv"), epoch_id).select(
-            "cent_id",
-            F.col("sid").alias("m_id"),
-            F.col("qvec").alias("m_q"),
-            F.col("qnorm").alias("m_n"),
-        )
         probe = self._assign(batch)
+        # literal cell list -> STATIC partition pruning on the
+        # cent_id-partitioned cqv slices: the read touches only the
+        # <= min(|batch|, k) clusters this batch lands in, instead of
+        # scanning every stored row and letting the join discard them.
+        # The collect is bounded metadata (at most k ints) off the
+        # already-persisted assignment.
+        cells = [
+            r[0] for r in probe.select("cent_id").distinct().collect()
+        ]
+        if not cells:  # empty batch: nothing to probe
+            return probe.select(F.col("sid").alias("vec_id")).limit(0)
+        prior = (
+            self._prior(self._read_slices("cqv"), epoch_id)
+            .filter(F.col("cent_id").isin(cells))
+            .select(
+                "cent_id",
+                F.col("sid").alias("m_id"),
+                F.col("qvec").alias("m_q"),
+                F.col("qnorm").alias("m_n"),
+            )
+        )
         return (
             probe.join(prior, "cent_id")
             .filter(F.col("m_id") != F.col("sid"))
@@ -1715,7 +1928,7 @@ class StreamingSourceQuotaIndex(_SlicedDedupIndexBase):
     EXTRA_SLICES = ("members",)
 
     def __init__(self, spark: SparkSession, state_dir: str,
-                 cap: int = 20):
+                 cap: int = 20, fold_every: int | None = None):
         import json as _json
 
         from bottledwater_pg_spark.functions.text import (
@@ -1723,7 +1936,8 @@ class StreamingSourceQuotaIndex(_SlicedDedupIndexBase):
         )
 
         # threshold is the dedup bases' knob; unused here
-        super().__init__(spark, state_dir, threshold=0.0)
+        super().__init__(spark, state_dir, threshold=0.0,
+                         fold_every=fold_every)
         self.cap = cap
         # Persisted-state contract (the Bloom-screen / clustered-
         # semdedup meta gate, applied here): standing budgets are only

@@ -106,54 +106,53 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     )
     despanned = canonical.join(heavy_dup, "doc_id", "left_anti")
 
-    # 3. filter: Gopher rule gate (Rae et al. 2021) first — word-count
-    # / mean-word-length / stopword / type-token bounds computed as
-    # narrow array expressions, thresholds integer-cross-multiplied —
-    # then the basic length + language gate. The fixture's docs are a
-    # few sentences each, so the word-count FLOOR is deliberately
-    # loosened from the operator's GOPHER_MIN_WORDS=50 to 30 (everything
-    # would fail the paper threshold); the other bounds are the
-    # operator's own constants.
-    from bottledwater_pg_spark.functions.text import STOPWORDS_EN
-    from bottledwater_pg_spark.operators.llm_queries import (
-        GOPHER_MAX_MEAN_WORD_LEN,
-        GOPHER_MAX_WORDS,
-        GOPHER_MIN_DISTINCT_STOPWORDS,
-        GOPHER_MIN_MEAN_WORD_LEN,
-        GOPHER_TTR_DEN,
-        GOPHER_TTR_NUM,
-    )
+    # 3. filter: Gopher rule gate (Rae et al. 2021) — the engine's
+    # shared rule kernel (word count / mean word length / stopwords /
+    # type-token ratio, thresholds integer-cross-multiplied), then the
+    # basic length + language gate. The fixture's docs are a few
+    # sentences each, so the word-count FLOOR is deliberately loosened
+    # from the operator's GOPHER_MIN_WORDS=50 to 30 (everything would
+    # fail the paper threshold); all other bounds are the operator's
+    # own constants.
+    from bottledwater_pg_spark.streaming.stream import gopher_gate
 
     EXAMPLE_MIN_WORDS = 30  # fixture-loosened floor (see note above)
 
-    _stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
-    # tokenize once; the four rule columns read the bound array
-    g = despanned.withColumn(
-        "_t", F.expr("split(trim(text), '\\\\s+')")
-    ).withColumn("_ntok", F.expr("size(_t)")).withColumn(
-        "_nchr",
-        F.expr(
-            "aggregate(transform(_t, x -> length(x)), 0, "
-            "(acc, x) -> acc + x)"
-        ),
-    ).withColumn(
-        "_nstop",
-        F.expr(
-            f"size(array_intersect(array_distinct(_t), "
-            f"array({_stoplist})))"
-        ),
-    ).withColumn("_ntype", F.expr("size(array_distinct(_t))"))
-    gophered = g.filter(
-        (F.col("_ntok") >= EXAMPLE_MIN_WORDS)
-        & (F.col("_ntok") <= GOPHER_MAX_WORDS)
-        & (F.col("_nchr") >= GOPHER_MIN_MEAN_WORD_LEN * F.col("_ntok"))
-        & (F.col("_nchr") <= GOPHER_MAX_MEAN_WORD_LEN * F.col("_ntok"))
-        & (F.col("_nstop") >= GOPHER_MIN_DISTINCT_STOPWORDS)
-        & (
-            F.col("_ntype") * GOPHER_TTR_DEN
-            >= F.col("_ntok") * GOPHER_TTR_NUM
+    gophered = gopher_gate(despanned, min_words=EXAMPLE_MIN_WORDS)
+
+    # 3a. the STREAMING path of the same gate: at ingest time the gate
+    # runs inside the micro-batch plan, dropping rule-failing docs
+    # BEFORE they cost a state write in the dedup/quota indexes. Same
+    # kernel, same thresholds -> the streamed survivor set must equal
+    # the batch stage above (asserted — this example doubles as the
+    # composition check).
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory(prefix="gopher_stream_") as _tmp:
+        despanned.repartition(4).write.mode("overwrite").parquet(
+            f"{_tmp}/src"
         )
-    ).drop("_t", "_ntok", "_nchr", "_nstop", "_ntype")
+        q = (
+            gopher_gate(
+                spark.readStream.schema(despanned.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{_tmp}/src"),
+                min_words=EXAMPLE_MIN_WORDS,
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{_tmp}/out")
+            .option("checkpointLocation", f"{_tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        streamed = {
+            r.doc_id
+            for r in spark.read.parquet(f"{_tmp}/out")
+            .select("doc_id").collect()
+        }
+    batch_ids = {r.doc_id for r in gophered.select("doc_id").collect()}
+    assert streamed == batch_ids, "streaming gopher gate diverged"
 
     # 3b. per-source quota cap (RefinedWeb-style): no source may
     # dominate the mix — keep the 400 lowest-fingerprint docs per

