@@ -46,31 +46,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # has a driver record from some round. scripts/exact_gate.py still
 # re-certifies all 157 locally (EXACTGATE_r5.json).
 _FAMILY_SPREAD = [
-    # ---- ROUND 10 window: the driver hashes the FIRST 50 entries.
-    # Slots 1-6: the six new r10 queries (no prior driver record) —
-    # the Lloyd's-TRAINED IVF top-k and TRAINED IVF-PQ (kmeans-trained
-    # coarse quantizer; DuckDB replays the training rounds + the
-    # composed index bit-identically) with their recall certificates
-    # (floors 80%/70%, above the untrained 75%/65%), the Gopher
-    # rule-based quality filter (Rae et al. 2021 — integer
-    # cross-multiplied thresholds, no float boundary), and per-source
-    # quota capping (RefinedWeb-style, lowest-fingerprint selection
-    # with a kept_id_sum checksum).
+    # ---- ROUND 11 window: the driver hashes the FIRST 50 entries.
+    # Slots 1-2: the two new r11 queries (no prior driver record) —
+    # Gopher's n-gram repetition gate (Rae et al. 2021 A1 char-mass
+    # bounds; the fixture injects one repetitive twin per source so
+    # BOTH sides of every threshold are certified) and CCNet
+    # head/middle/tail perplexity terciles (Wenzek et al. 2020;
+    # ntile(3) per source over the integer bigram-surprise kernel,
+    # id/score checksums pin the full assignment).
+    "gopher_repetition_ngram_flags", "ccnet_perplexity_buckets",
+    # Slots 3-6: r11-REFACTORED code paths re-certified in-window:
+    # gopher_quality_flags now runs on the shared with_gopher_flags
+    # kernel (the streaming gate's), lm_surprise_outliers on the
+    # shared _lm_surprise_per_doc kernel (ccnet's),
+    # incremental_dedup_matches counts DISTINCT shingles (duplicate
+    # index copies no longer inflate jaccard), pagerank_copurchase's
+    # edge build moved into copurchase_edges.
+    "gopher_quality_flags", "lm_surprise_outliers",
+    "incremental_dedup_matches", "pagerank_copurchase",
+    # Slots 7-11: the r10 additions age one more round in-window
+    # (trained IVF/IVF-PQ + recall certificates, per-source quota).
     "ivf_trained_topk", "ivf_trained_recall_vs_exact",
     "ivfpq_trained_topk", "ivfpq_trained_recall_vs_exact",
-    "gopher_quality_flags", "source_quota_sample",
-    # Slot 7: the hashed-gram span variant (new in r9, kept warm).
+    "source_quota_sample",
+    # Next: the deliberate rows-only cells next to their hash-green
+    # accuracy certificates (xxhash64 twins — DuckDB cannot recompute
+    # those outputs by design), and the hashed-gram span variant.
+    "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
     "exact_substring_spans_hashed",
-    # Slots 8-21: r10-touched code paths re-certified in-window: the
-    # Bloom probe went back to the broadcast word_idx join (the r9
-    # literal-bitmap probe benched 1.7x slower — SCALE.md r10),
-    # topk_ivf was refactored around the shared _topk_ivf_probe (the
-    # untrained pair re-certifies the refactor), and the two corr
-    # queries' decimal->double casts now route through strings (the
-    # full-ledger sf0.1 gate caught DuckDB landing one ULP off on a
-    # 20-digit decimal sum — SCALE.md r10); the rest of the r9
-    # window (HLL, winnowing, replicate, error policy, graph) stays
-    # one more round while its r9 records age in.
+    # Next: the most expensive audited plans kept warm (bloom probe,
+    # corr string-cast ULP fix, HLL, winnowing, replicate, error
+    # policy, graph census) — r10's re-certification block ages in.
     "bloom_contamination_screen",
     "lineitem_corr_matrix", "quantity_price_corr_exact",
     "hll_distinct_users_by_type", "hll_error_bound_by_type",
@@ -79,36 +85,28 @@ _FAMILY_SPREAD = [
     "cdc_replicate_all_counts",
     "cdc_error_policy_ddl", "cdc_error_policy_log",
     "supplier_kcore", "supplier_triangle_counts",
-    # Next: the deliberate rows-only cells next to their
-    # hash-green accuracy certificates (xxhash64 twins — DuckDB cannot
-    # recompute those outputs by design; the HLL cell left this group
-    # in r9, now hash-oracled above).
-    "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
+    # Next: recall certificates + the kmeans pair (the primitive the
+    # trained IVF and the streaming clustered-semdedup index share).
     "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",
-    "simhash_injected_recall", "pagerank_copurchase",
-    # Next: the dedup family kept warm (dedup.py gained the
-    # incremental-cosine contract validation; the vector path feeds
-    # lsh_embedding_near_dup and semdedup).
-    "incremental_dedup_matches", "lsh_embedding_near_dup",
+    "simhash_injected_recall",
+    "kmeans_topic_clusters", "kmeans_semdedup_stats",
+    # Next: the dedup family kept warm (incremental_lsh_matches'
+    # count_distinct fix touches the family's shared verify shape).
+    "lsh_embedding_near_dup",
     "semdedup_prune_stats", "dedup_cluster_canonical_star",
     "dedup_cluster_canonical", "lsh_minhash_near_dup",
     "simhash_md5_near_dup", "dedup_ngram_jaccard",
     "dedup_threshold_sensitivity",
-    # Next: flagship + certificates + the two r8 drift-watch
-    # queries re-timed on this window (VERDICT r8 blemish #2).
+    # To the 50 boundary: flagship + certificates.
     "cdc_materialize_customer", "cdc_merge_sink_customer",
     "q1_pricing_summary", "fraud_rolling_anomalies",
-    "cdc_registry_evolution_decode", "lm_surprise_outliers",
+    "cdc_registry_evolution_decode",
     "cms_heavy_users_certificate",
     "approx_quantile_rank_certificate",
-    # To the 50 boundary: rank family + the r8/r9 LLM additions kept warm
-    # (ivf_ann_topk + its certificate above re-certify the
-    # _topk_ivf_probe refactor; the kmeans pair re-certifies the
-    # primitive the trained IVF now shares).
-    "ivfpq_ann_topk",
-    "lsh_ann_topk",
-    "kmeans_topic_clusters", "kmeans_semdedup_stats",
-    "ivf_ann_topk", "ann_topk_cosine",
+    "ivfpq_ann_topk", "ann_topk_cosine",
+    # ---- rotated out in r11 (driver records live in
+    # CORRECTNESS_r10): lsh_ann_topk, ivf_ann_topk.
+    "lsh_ann_topk", "ivf_ann_topk",
     # ---- rotated out in r10 (driver records live in
     # CORRECTNESS_r09): token_pmi_topk, pg_composite_enum_roundtrip,
     # median/mad_order_value_by_segment,

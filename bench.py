@@ -168,6 +168,10 @@ BENCH_QUERIES = [
     # round 10: Gopher rule filter + per-source quota cap
     "gopher_quality_flags",
     "source_quota_sample",
+    # round 11: Gopher n-gram repetition gate (3 instance-level gram
+    # shuffles) + CCNet perplexity terciles (LM kernel + 1 window)
+    "gopher_repetition_ngram_flags",
+    "ccnet_perplexity_buckets",
     # cdc_replicate_all_counts is gate-checked but not benched: it is
     # the sum of the 10 per-table materializations benched above, and
     # re-timing the whole loop adds ~25 s of pure duplication

@@ -3164,38 +3164,14 @@ ORACLES["ngram_diversity_by_source"] = NGRAM_DIVERSITY_SQL
 # -------------------------------------- LM-based quality filtering
 
 
-def lm_surprise_outliers(spark: SparkSession, sf_dir: str,
-                         docs: DataFrame | None = None) -> DataFrame:
-    """CCNet-style language-model quality filter (Wenzek et al. 2020
-    train a KenLM on clean text and drop high-perplexity documents;
-    the reference delegates all such consumer-side scoring,
-    README.md:30-32): a bigram model with add-one smoothing is
-    trained ON the corpus itself, every document is scored, and the
-    20 most surprising documents (boilerplate, repetition, junk) are
-    returned with their scores.
-
-    Cross-engine determinism: instead of summing float log
-    probabilities (Math.log is not correctly-rounded, so Spark and
-    DuckDB can differ in the last ulp and summation order is
-    non-associative), each token's smoothed INVERSE probability
-    (c1 + V) / (c2 + 1) is quantized to an exact integer
-    ``(c1 + V) * 10000 div (c2 + 1)`` and summed in int64 — the
-    per-doc mean inverse probability (the arithmetic-mean bound on
-    perplexity, which is its geometric mean). Monotone in the same
-    direction as perplexity, bit-identical everywhere. A production
-    pipeline swaps in float logs with one line; the plan is
-    unchanged.
-
-    Scale: the model is the distinct-bigram table (vocabulary-sized,
-    not corpus-sized) built in one partially-aggregated pass; scoring
-    is one shuffle of doc bigrams against it keyed (prev, cur);
-    context counts ride the same table (broadcast when small, AQE
-    otherwise); V is a 1-row scalar broadcast. Top-20 via
-    TakeOrderedAndProject over per-doc aggregates.
-    """
-    if docs is None:
-        docs = load_table(spark, sf_dir, "documents")
-    docs = docs.select("doc_id", "text")
+def _lm_surprise_per_doc(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, surprise_total_q, mean_surprise_q): the
+    add-one-smoothed bigram surprise score of every doc with at least
+    one scored bigram — the shared scoring kernel of
+    :func:`lm_surprise_outliers` (top-20 ranking) and
+    :func:`ccnet_perplexity_buckets` (per-source tercile split).
+    Integer-quantized inverse probabilities; see the outlier query's
+    docstring for the determinism argument."""
     toks = docs.select(
         "doc_id", F.expr("filter(split(trim(lower(text)), '\\\\s+'), "
                          "t -> t rlike '^[a-z]+$')").alias("toks"),
@@ -3228,15 +3204,52 @@ def lm_surprise_outliers(spark: SparkSession, sf_dir: str,
             F.expr("((c1 + v) * 10000) div (c2 + 1)").cast("long"),
         )
     )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.sum("surprise_q").alias("surprise_total_q"),
-    )
     return (
-        per_doc.withColumn(
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("surprise_q").alias("surprise_total_q"),
+        )
+        .withColumn(
             "mean_surprise_q",
             F.expr("surprise_total_q div n_bigrams").cast("long"),
         )
+    )
+
+
+def lm_surprise_outliers(spark: SparkSession, sf_dir: str,
+                         docs: DataFrame | None = None) -> DataFrame:
+    """CCNet-style language-model quality filter (Wenzek et al. 2020
+    train a KenLM on clean text and drop high-perplexity documents;
+    the reference delegates all such consumer-side scoring,
+    README.md:30-32): a bigram model with add-one smoothing is
+    trained ON the corpus itself, every document is scored, and the
+    20 most surprising documents (boilerplate, repetition, junk) are
+    returned with their scores.
+
+    Cross-engine determinism: instead of summing float log
+    probabilities (Math.log is not correctly-rounded, so Spark and
+    DuckDB can differ in the last ulp and summation order is
+    non-associative), each token's smoothed INVERSE probability
+    (c1 + V) / (c2 + 1) is quantized to an exact integer
+    ``(c1 + V) * 10000 div (c2 + 1)`` and summed in int64 — the
+    per-doc mean inverse probability (the arithmetic-mean bound on
+    perplexity, which is its geometric mean). Monotone in the same
+    direction as perplexity, bit-identical everywhere. A production
+    pipeline swaps in float logs with one line; the plan is
+    unchanged.
+
+    Scale: the model is the distinct-bigram table (vocabulary-sized,
+    not corpus-sized) built in one partially-aggregated pass; scoring
+    is one shuffle of doc bigrams against it keyed (prev, cur);
+    context counts ride the same table (broadcast when small, AQE
+    otherwise); V is a 1-row scalar broadcast. Top-20 via
+    TakeOrderedAndProject over per-doc aggregates.
+    """
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    return (
+        _lm_surprise_per_doc(docs.select("doc_id", "text"))
         .orderBy(F.desc("mean_surprise_q"), "doc_id")
         .limit(20)
         .select(
@@ -3297,6 +3310,118 @@ LIMIT 20
 
 QUERIES["lm_surprise_outliers"] = lm_surprise_outliers
 ORACLES["lm_surprise_outliers"] = LM_SURPRISE_SQL
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str,
+                             docs: DataFrame | None = None) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3: score
+    every doc with a clean-text LM, cut each language/source into
+    perplexity terciles, and train preferentially on the head — the
+    standard mixture knob between hard filtering and no filtering).
+    Per (source, bucket): doc count, char mass, and exact integer
+    checksums of the scores and ids, so the oracle pins the ENTIRE
+    assignment, not just the sizes.
+
+    Scoring is the shared :func:`_lm_surprise_per_doc` kernel
+    (integer-quantized bigram surprise — monotone in perplexity,
+    bit-identical cross-engine); the tercile is ntile(3) per source
+    ordered by (mean_surprise_q, doc_id) — a total order, so the
+    split is deterministic and both engines' NTILE (front-loaded
+    remainder) agree row-for-row. Docs with no scored bigram (no two
+    consecutive alphabetic tokens) have no perplexity and are
+    excluded, as in CCNet's LM scoring.
+
+    Scale: scoring is the LM kernel's shape (model table join, no
+    corpus collect); the tercile is ONE window per source — the same
+    partitioned-rank discipline as source_quota_sample, same skew
+    caveat (a mega-source serializes its own rank, salt + re-rank is
+    the escape)."""
+    from pyspark.sql import Window
+
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    scored = _lm_surprise_per_doc(docs.select("doc_id", "text"))
+    w = Window.partitionBy("source").orderBy("mean_surprise_q", "doc_id")
+    b = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(scored, "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w))
+        .withColumn(
+            "bucket_name",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("bucket"),
+            ),
+        )
+    )
+    return (
+        b.groupBy("source", "bucket", "bucket_name")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum("mean_surprise_q").alias("surprise_q_sum"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+CCNET_BUCKETS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     t -> regexp_matches(t, '^[a-z]+$')) AS toks
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, p[1] AS prev, p[2] AS cur
+  FROM (
+    SELECT doc_id,
+           unnest(list_zip(toks[1:-2], toks[2:-1])) AS p
+    FROM toks WHERE len(toks) >= 2
+  )
+),
+model AS (
+  SELECT prev, cur, COUNT(*) AS c2 FROM bi GROUP BY prev, cur
+),
+ctx AS (
+  SELECT prev, SUM(c2) AS c1 FROM model GROUP BY prev
+),
+vocab AS (
+  SELECT COUNT(DISTINCT t) AS v
+  FROM (SELECT unnest(toks) AS t FROM toks)
+),
+scored AS (
+  SELECT bi.doc_id,
+         ((ctx.c1 + vocab.v) * 10000) // (model.c2 + 1) AS surprise_q
+  FROM bi
+  JOIN model USING (prev, cur)
+  JOIN ctx USING (prev)
+  CROSS JOIN vocab
+),
+per_doc AS (
+  SELECT doc_id, SUM(surprise_q) // COUNT(*) AS mean_surprise_q
+  FROM scored GROUP BY doc_id
+),
+bucketed AS (
+  SELECT d.source, d.n_chars, d.doc_id, p.mean_surprise_q,
+         NTILE(3) OVER (PARTITION BY d.source
+                        ORDER BY p.mean_surprise_q, d.doc_id) AS bucket
+  FROM documents d JOIN per_doc p USING (doc_id)
+)
+SELECT source,
+       CAST(bucket AS INT) AS bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket_name,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(mean_surprise_q) AS BIGINT) AS surprise_q_sum,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+FROM bucketed GROUP BY source, bucket ORDER BY source, bucket
+"""
+
+QUERIES["ccnet_perplexity_buckets"] = ccnet_perplexity_buckets
+ORACLES["ccnet_perplexity_buckets"] = CCNET_BUCKETS_SQL
 
 
 # ------------------------------------------- BPE merge learning
@@ -4709,3 +4834,230 @@ QUERIES["gopher_quality_flags"] = gopher_quality_flags
 ORACLES["gopher_quality_flags"] = _gopher_sql()
 QUERIES["source_quota_sample"] = source_quota_sample
 ORACLES["source_quota_sample"] = _source_quota_sql()
+
+
+# ---------------------- Gopher n-gram repetition rules (Rae A1 §2)
+
+#: Rae et al. 2021 table A1 repetition thresholds (basis points of
+#: character mass): a doc FAILS a rule when the fraction exceeds it.
+GOPHER_TOP2_MAX_BP = 2000   # top 2-gram char fraction <= 0.20
+GOPHER_TOP3_MAX_BP = 1800   # top 3-gram char fraction <= 0.18
+GOPHER_DUP5_MAX_BP = 1500   # dup 5-gram char fraction <= 0.15
+
+
+def docs_with_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus one synthetic HIGHLY-REPETITIVE twin per source:
+    for every doc with ``doc_id % 25 == 0`` (one per source at the
+    shipped fixtures) and at least two tokens, a twin at
+    ``doc_id + 300000`` whose text is the doc's first two tokens
+    repeated 30x — char mass concentrated in a single 2-gram, every
+    5-gram duplicated, so the twin fails all three Gopher repetition
+    bounds while the low-repetition originals fail none."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    rep = (
+        docs.select(
+            "doc_id", "source",
+            F.expr("split(trim(text), '\\\\s+')").alias("toks"),
+        )
+        .filter((F.col("doc_id") % 25 == 0) & (F.expr("size(toks) >= 2")))
+        .select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            "source",
+            F.expr(
+                "trim(repeat(concat_ws(' ', slice(toks, 1, 2)) || ' ', 30))"
+            ).alias("text"),
+        )
+    )
+    return docs.unionByName(rep)
+
+
+def gopher_repetition_ngram_flags(spark: SparkSession, sf_dir: str,
+                                  corpus: DataFrame | None = None,
+                                  ) -> DataFrame:
+    """Gopher's N-GRAM repetition rules (Rae et al. 2021 table A1 —
+    the repetition family `gopher_quality_flags` deliberately leaves
+    to this operator; `doc_repetition_stats` covers the TOKEN-level
+    top/dup shares): per source, how many docs exceed each
+    char-mass repetition bound, and how many pass all three —
+
+    - top 2-gram / top 3-gram char fraction: the char mass of the
+      heaviest n-gram (count x gram chars — the paper's
+      most-frequent-n-gram rule with char-mass tie-breaking folded
+      in, which keeps the statistic deterministic without a string
+      tie-break) over the char mass of all n-gram instances,
+      bounded at 20% / 18%;
+    - duplicate 5-gram char fraction: char mass of instances whose
+      gram occurs >= 2 times in the doc, bounded at 15%.
+
+    All comparisons integer cross-multiplied in basis points (no
+    float crosses engines); docs too short to form an n-gram pass
+    that rule vacuously (0-mass numerator). The fixture's word-soup
+    docs are all low-repetition (every rule passes — verified
+    constant-zero at sf0.001/0.01), so the default corpus INJECTS one
+    synthetic highly-repetitive twin per source (first two tokens
+    repeated 30x, doc_id + 300000 — the injected-recall pattern): the
+    twins must fail all three rules, the originals none, so the
+    oracle certifies both sides of every threshold. Scale shape: one
+    instance-level explode + (doc, gram) partial-agg per n — the
+    winnowing/contamination gram-shuffle family — then one per-source
+    rollup; nothing collects."""
+    docs = (
+        corpus
+        if corpus is not None
+        else docs_with_repetition(spark, sf_dir)
+    )
+    toks = docs.select(
+        "doc_id", "source",
+        F.expr("split(trim(text), '\\\\s+')").alias("toks"),
+    )
+
+    def gram_mass(n: int, top: bool) -> DataFrame:
+        """(doc_id, num, tot): char mass of the heaviest gram (top)
+        or of all duplicated grams (not top), over total instance
+        mass, for n-grams of width n. Instance-level grams — NOT the
+        distinct word_shingles — because repetition is the signal."""
+        g = toks.filter(F.expr(f"size(toks) >= {n}")).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {n}), "
+                    f"i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+                )
+            ).alias("gram"),
+        )
+        per_gram = g.groupBy("doc_id", "gram").agg(
+            (F.count("*") * F.length("gram")).alias("mass"),
+            F.count("*").alias("cnt"),
+        )
+        num = (
+            F.max("mass")
+            if top
+            else F.sum(F.when(F.col("cnt") >= 2, F.col("mass")).otherwise(0))
+        )
+        return per_gram.groupBy("doc_id").agg(
+            num.alias("num"), F.sum("mass").alias("tot")
+        )
+
+    t2 = gram_mass(2, top=True)
+    t3 = gram_mass(3, top=True)
+    d5 = gram_mass(5, top=False)
+
+    def fail(numc: str, totc: str, bp: int):
+        return (
+            F.coalesce(F.col(numc), F.lit(0)) * 10000
+            > F.coalesce(F.col(totc), F.lit(0)) * bp
+        )
+
+    flagged = (
+        toks.select("doc_id", "source")
+        .join(t2.withColumnsRenamed({"num": "n2", "tot": "t2"}), "doc_id",
+              "left")
+        .join(t3.withColumnsRenamed({"num": "n3", "tot": "t3"}), "doc_id",
+              "left")
+        .join(d5.withColumnsRenamed({"num": "n5", "tot": "t5"}), "doc_id",
+              "left")
+        .select(
+            "source",
+            fail("n2", "t2", GOPHER_TOP2_MAX_BP).cast("long").alias("f2"),
+            fail("n3", "t3", GOPHER_TOP3_MAX_BP).cast("long").alias("f3"),
+            fail("n5", "t5", GOPHER_DUP5_MAX_BP).cast("long").alias("f5"),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("f2").alias("n_fail_top2gram"),
+            F.sum("f3").alias("n_fail_top3gram"),
+            F.sum("f5").alias("n_fail_dup5gram"),
+            F.sum(
+                (
+                    (F.col("f2") + F.col("f3") + F.col("f5")) == 0
+                ).cast("long")
+            ).alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+def _gopher_rep_gram_cte(n: int, name: str) -> str:
+    return f"""{name}_g AS (
+  SELECT doc_id,
+         array_to_string(toks[i : i + {n - 1}], ' ') AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS r(i)
+), {name}_pg AS (
+  SELECT doc_id, gram, COUNT(*) * length(gram) AS mass,
+         COUNT(*) AS cnt
+  FROM {name}_g GROUP BY doc_id, gram
+)"""
+
+
+def _gopher_rep_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, text FROM documents
+),
+inj AS (
+  SELECT doc_id + 300000 AS doc_id, source,
+         trim(repeat(array_to_string(
+           string_split_regex(trim(text), '\\s+')[1:2], ' ') || ' ',
+           30)) AS text
+  FROM documents
+  WHERE doc_id % 25 = 0
+    AND len(string_split_regex(trim(text), '\\s+')) >= 2
+),
+corpus AS (
+  SELECT * FROM base UNION ALL SELECT * FROM inj
+),
+t AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+  FROM corpus
+),
+{_gopher_rep_gram_cte(2, "g2")},
+g2d AS (
+  SELECT doc_id, MAX(mass) AS num, SUM(mass) AS tot
+  FROM g2_pg GROUP BY doc_id
+),
+{_gopher_rep_gram_cte(3, "g3")},
+g3d AS (
+  SELECT doc_id, MAX(mass) AS num, SUM(mass) AS tot
+  FROM g3_pg GROUP BY doc_id
+),
+{_gopher_rep_gram_cte(5, "g5")},
+g5d AS (
+  SELECT doc_id,
+         SUM(CASE WHEN cnt >= 2 THEN mass ELSE 0 END) AS num,
+         SUM(mass) AS tot
+  FROM g5_pg GROUP BY doc_id
+),
+f AS (
+  SELECT t.source,
+         CAST(COALESCE(g2d.num, 0) * 10000
+              > COALESCE(g2d.tot, 0) * {GOPHER_TOP2_MAX_BP}
+              AS BIGINT) AS f2,
+         CAST(COALESCE(g3d.num, 0) * 10000
+              > COALESCE(g3d.tot, 0) * {GOPHER_TOP3_MAX_BP}
+              AS BIGINT) AS f3,
+         CAST(COALESCE(g5d.num, 0) * 10000
+              > COALESCE(g5d.tot, 0) * {GOPHER_DUP5_MAX_BP}
+              AS BIGINT) AS f5
+  FROM t
+  LEFT JOIN g2d USING (doc_id)
+  LEFT JOIN g3d USING (doc_id)
+  LEFT JOIN g5d USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f2) AS BIGINT) AS n_fail_top2gram,
+       CAST(SUM(f3) AS BIGINT) AS n_fail_top3gram,
+       CAST(SUM(f5) AS BIGINT) AS n_fail_dup5gram,
+       CAST(SUM(CASE WHEN f2 + f3 + f5 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pass
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["gopher_repetition_ngram_flags"] = gopher_repetition_ngram_flags
+ORACLES["gopher_repetition_ngram_flags"] = _gopher_rep_sql()

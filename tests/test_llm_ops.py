@@ -867,3 +867,69 @@ def test_incremental_lsh_matches_duplicate_index_copies(spark):
     assert sorted(map(tuple, m.values.tolist())) == sorted(
         map(tuple, m2.values.tolist())
     )
+
+
+def test_gopher_repetition_flags_injected_twins_fail_all_rules(
+    spark, sf_dir
+):
+    """The injected repetitive twins (first two tokens x30) must fail
+    the top-2-gram, top-3-gram AND dup-5-gram bounds; every original
+    word-soup doc must pass all three — the certificate covers both
+    sides of each threshold."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        docs_with_repetition,
+        gopher_repetition_ngram_flags,
+    )
+
+    out = gopher_repetition_ngram_flags(spark, sf_dir).toPandas()
+    corpus = docs_with_repetition(spark, sf_dir)
+    n_inj_per_source = (
+        corpus.filter(F.col("doc_id") >= 300000)
+        .groupBy("source").count().toPandas()
+        .set_index("source")["count"]
+    )
+    for _, r in out.iterrows():
+        inj = int(n_inj_per_source.get(r.source, 0))
+        assert r.n_fail_top2gram == inj
+        assert r.n_fail_top3gram == inj
+        assert r.n_fail_dup5gram == inj
+        assert r.n_pass == r.n_docs - inj
+    assert out.n_fail_dup5gram.sum() > 0  # the gate actually bit
+
+
+def test_ccnet_buckets_partition_scored_docs_by_surprise(spark, sf_dir):
+    """CCNet terciles: per source the three buckets partition exactly
+    the scored docs with sizes differing by at most one
+    (front-loaded), and the bucket boundaries are ordered — head's
+    docs are never more surprising than tail's."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        _lm_surprise_per_doc,
+        ccnet_perplexity_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ccnet_perplexity_buckets(spark, sf_dir).toPandas()
+    scored = (
+        docs.select("doc_id", "source")
+        .join(_lm_surprise_per_doc(docs.select("doc_id", "text")),
+              "doc_id")
+        .toPandas()
+    )
+    per_source = scored.groupby("source").size()
+    for src, grp in out.groupby("source"):
+        assert sorted(grp.bucket) == [1, 2, 3]
+        assert grp.n_docs.sum() == per_source[src]
+        assert grp.n_docs.max() - grp.n_docs.min() <= 1
+        assert list(grp.sort_values("bucket").bucket_name) == [
+            "head", "middle", "tail"
+        ]
+    # ordered boundaries on one source, checked row-level
+    src = scored.source.iloc[0]
+    sub = scored[scored.source == src].sort_values(
+        ["mean_surprise_q", "doc_id"]
+    )
+    n = len(sub)
+    sizes = [n // 3 + (1 if i < n % 3 else 0) for i in range(3)]
+    head_max = sub.mean_surprise_q.iloc[sizes[0] - 1]
+    tail_min = sub.mean_surprise_q.iloc[sizes[0] + sizes[1]]
+    assert head_max <= tail_min
