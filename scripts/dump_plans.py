@@ -115,6 +115,9 @@ HEADLINE = {
     "bloom_contamination_screen": "Bloom screen: bitmap is a bounded word_idx->word BROADCAST join probe (the r9 array-literal probe measured 1.7x slower); every join broadcast, no SMJ, no collect",
     "gopher_quality_flags": "Gopher rule gate: tokenize once into a bound array attribute, four integer rule columns, one source-keyed partial agg — zero joins, zero explode",
     "source_quota_sample": "per-source quota cap: one window rank per source (the domain is the partition key at scale), integer kept/dropped sums",
+    # round 11
+    "gopher_repetition_ngram_flags": "Gopher n-gram repetition gate: one instance-level gram explode + (doc,gram) partial agg per n (2/3/5), per-doc left joins coalesce vacuous passes, one source rollup — the winnowing gram-shuffle family, zero cartesians",
+    "ccnet_perplexity_buckets": "CCNet terciles: the LM kernel's model-join shape (vocabulary-sized model, 1-row V broadcast), then ONE ntile window per source over integer scores — no corpus collect, no float boundary",
 }
 
 ALIAS = {
