@@ -225,6 +225,36 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 32,
     )
 
 
+def banded_minhash_from_shingles(sh: DataFrame, num_hashes: int = 32,
+                                 bands: int = 16) -> DataFrame:
+    """(sid, band, bsig): the MinHash signature split into LSH bands,
+    from a shingle table — the STORED form of a standing text index.
+    A pure function of the text, so it is computed ONCE at indexing
+    time and persisted (StreamingDedupIndex writes these per epoch,
+    mirroring the vector index's ``sig`` slices); a probe then
+    broadcasts the new batch's bands against the stored table and
+    never re-shingles the corpus."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = _signatures_from_shingles(sh, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"mh{bi * rows + r}") for r in range(rows)]
+                ).alias("bsig"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig.select("sid", F.explode(band_structs).alias("bs")).select(
+        "sid",
+        F.col("bs.band").alias("band"),
+        F.col("bs.bsig").alias("bsig"),
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.6, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
@@ -619,11 +649,14 @@ def hyperplane_lsh_near_dup(df: DataFrame, threshold: float = 0.99,
     )
 
 
-def incremental_lsh_matches(index_df: DataFrame, new_df: DataFrame,
+def incremental_lsh_matches(index_df: DataFrame | None, new_df: DataFrame,
                             num_hashes: int = 32, bands: int = 16,
                             threshold: float = 0.8,
                             id_col: str = "doc_id", text_col: str = "text",
-                            n: int = 3) -> DataFrame:
+                            n: int = 3,
+                            index_banded: DataFrame | None = None,
+                            index_shingles: DataFrame | None = None,
+                            ) -> DataFrame:
     """Incremental (new-batch-vs-index) near-dup matching — the daily
     ingest shape: a SMALL new batch is checked against the STANDING
     corpus index instead of re-running all-pairs dedup over the whole
@@ -635,44 +668,54 @@ def incremental_lsh_matches(index_df: DataFrame, new_df: DataFrame,
     the symmetric join. Candidates verify with exact Jaccard over the
     two shingle tables (candidate pairs only).
 
-    Scale design: at 100 TB the index's banded signatures are a
-    STORED table bucketed by (band, bsig) — built once, appended per
-    batch — so this probe is one broadcast (new side is small by
-    definition) against a bucketed read, touching no index text. The
-    verify join reads only candidate index docs' shingles
-    (semi-join-pruned). Cost scales with the batch, not the corpus —
-    the property that makes continuous dedup feasible.
+    Scale design: at 100 TB the index's banded signatures and shingle
+    table are STORED (built once, appended per batch — what
+    StreamingDedupIndex persists per epoch slice); pass them as
+    ``index_banded`` / ``index_shingles`` and this probe does NO
+    per-call work over the corpus: one broadcast of the new batch's
+    bands (small by definition) against the stored band table,
+    exact-Jaccard verify over candidate docs' stored shingles only
+    (semi-join-pruned). Without them (ad-hoc batch use) both are
+    derived from ``index_df`` on the fly — an O(corpus) recompute per
+    call, fine for one-shot matching, wrong for a standing stream.
+    Cost scales with the batch, not the corpus — the property that
+    makes continuous dedup feasible.
     """
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    sh_idx = persist_tracked(shingle_table(index_df, id_col, text_col, n))
+    if index_df is None and (index_banded is None or index_shingles is None):
+        raise ValueError(
+            "incremental_lsh_matches: index_df is required unless BOTH "
+            "index_banded and index_shingles are provided (got banded=%s, "
+            "shingles=%s) — a lone precomputed side cannot stand in for "
+            "the index" % (index_banded is not None,
+                           index_shingles is not None)
+        )
+    sh_idx = (
+        index_shingles
+        if index_shingles is not None
+        else persist_tracked(shingle_table(index_df, id_col, text_col, n))
+    )
     sh_new = persist_tracked(shingle_table(new_df, id_col, text_col, n))
-
-    def _banded(sh: DataFrame, out_id: str) -> DataFrame:
-        sig = _signatures_from_shingles(sh, num_hashes)
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.concat_ws(
-                        "_", *[F.col(f"mh{bi * rows + r}") for r in range(rows)]
-                    ).alias("bsig"),
-                )
-                for bi in range(bands)
-            ]
-        )
-        return sig.select("sid", F.explode(band_structs).alias("bs")).select(
-            F.col("sid").alias(out_id),
-            F.col("bs.band").alias("band"),
-            F.col("bs.bsig").alias("bsig"),
-        )
-
+    b_idx = (
+        index_banded
+        if index_banded is not None
+        else banded_minhash_from_shingles(sh_idx, num_hashes, bands)
+    )
     candidates = (
-        _banded(sh_idx, "match_id")
-        .join(F.broadcast(_banded(sh_new, "new_id")), ["band", "bsig"])
+        b_idx.select(F.col("sid").alias("match_id"), "band", "bsig")
+        .join(
+            F.broadcast(
+                banded_minhash_from_shingles(sh_new, num_hashes, bands)
+                .select(F.col("sid").alias("new_id"), "band", "bsig")
+            ),
+            ["band", "bsig"],
+        )
         .select("new_id", "match_id")
         .distinct()
     )
+    # candidates feeds BOTH the size prune and the intersection join —
+    # persist the (small) pair set so the band join runs once
+    candidates = persist_tracked(candidates)
     # Jaccard is over shingle SETS — count DISTINCT shingles, not rows.
     # shingle_table is distinct within one input row, but an index
     # carrying the same (doc_id, text) twice (a streaming index after
@@ -681,8 +724,19 @@ def incremental_lsh_matches(index_df: DataFrame, new_df: DataFrame,
     # jaccard past its true value (2I/(N+2M-2I) > I/(N+M-I)) and
     # flipping boundary non-matches into rejections. count_distinct
     # equals count(*) for unique inputs and is the set definition.
-    sz_idx = sh_idx.groupBy("sid").agg(
-        F.count_distinct("shingle").alias("sz_m")
+    # index-side sizes ONLY for candidate docs: every doc that can
+    # reach the result appears in `candidates`, so aggregating the
+    # whole index's shingle sizes (an O(corpus) pass per probe) buys
+    # nothing — the semi-join prunes the size agg to the batch's
+    # collision set. Inner joins below guarantee no candidate is lost.
+    sz_idx = (
+        sh_idx.join(
+            candidates.select(F.col("match_id").alias("sid")).distinct(),
+            "sid",
+            "left_semi",
+        )
+        .groupBy("sid")
+        .agg(F.count_distinct("shingle").alias("sz_m"))
     )
     sz_new = sh_new.groupBy("sid").agg(
         F.count_distinct("shingle").alias("sz_n")

@@ -1244,32 +1244,87 @@ class StreamingDedupIndex(_SlicedDedupIndexBase):
     the survivors to the accepted list. Slice/replay/restart semantics
     are the base class's.
 
-    Scale: stores (doc_id, text) here for test-oracle simplicity; at
-    cluster scale the index stores the banded signatures + shingle
-    table instead (both partitioned by their join keys), so a probe
-    is a broadcast of the batch's bands against a bucketed read and
-    the raw text never re-shuffles. Cost per batch is O(batch), not
-    O(corpus) — the property that makes always-on dedup feasible.
+    Scale: each epoch ALSO writes the batch's banded MinHash
+    signatures (``bands`` slices, the probe's join key) and shingle
+    table (``sh`` slices, the exact-Jaccard verify operands) — both
+    pure functions of the text, computed ONCE at indexing time, the
+    exact layout the vector twin already uses (sig/qv). A probe
+    therefore does no per-call work over the corpus: it broadcasts
+    the batch's bands against the stored band table and reads stored
+    shingles only for candidate docs (semi-join-pruned; size aggs are
+    candidate-pruned too). Cost per batch is O(batch), not O(corpus)
+    — the property that makes always-on dedup feasible. Raw
+    (doc_id, text) still lands in the ``index`` slices (the base
+    contract's restart content-check root + the index_docs() API);
+    at warehouse scale that root is cold storage the probe never
+    reads.
+
+    Persisted-state contract: stored signatures fix the MinHash
+    family (hash fn, num_hashes x bands, shingle n) — meta.json
+    records it and a mismatched restart refuses rather than probing
+    guaranteed-disjoint band keys (the quota/Bloom/semdedup gate; a
+    rebuild would be derivable from the stored index text, so the
+    error says how).
     """
 
     ID_COL = "doc_id"
     PAYLOAD_COLS = ("doc_id", "text")
+    EXTRA_SLICES = ("bands", "sh")
+
+    NUM_HASHES = 32
+    BANDS = 16
+    SHINGLE_N = 3
+    #: bump when the signature recipe changes — standing band/shingle
+    #: slices from another family must not be probed
+    BAND_FAMILY = "minhash/xxhash64-prime/32x16/ngram3"
 
     def __init__(self, spark: SparkSession, state_dir: str,
                  threshold: float = 0.8,
                  fold_every: int | None = None):
+        import json as _json
+
         super().__init__(spark, state_dir, threshold, fold_every)
+        meta_path = os.path.join(state_dir, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = _json.load(f)
+            if meta.get("band_family") != self.BAND_FAMILY:
+                raise LookupError(
+                    f"standing dedup state was indexed under "
+                    f"{meta.get('band_family')!r} but this index "
+                    f"probes {self.BAND_FAMILY!r}; stored signatures "
+                    f"are guaranteed-disjoint — delete the bands/ and "
+                    f"sh/ slice roots (rebuildable from the stored "
+                    f"index text) or restore the original recipe"
+                )
+        elif self._have_index or self._have_accepted:
+            raise LookupError(
+                "standing dedup state has no meta.json (pre-contract "
+                "incarnation): the signature family it was indexed "
+                "under is unknown — start a fresh state_dir"
+            )
+        else:
+            tmp_meta = meta_path + ".tmp"
+            with open(tmp_meta, "w") as f:
+                _json.dump({"band_family": self.BAND_FAMILY}, f)
+            os.replace(tmp_meta, meta_path)
 
     def index_docs(self) -> DataFrame | None:
         full = self._index_slices()
         return None if full is None else full.select("doc_id", "text")
+
+    def _shingles(self, batch: DataFrame) -> DataFrame:
+        from bottledwater_pg_spark.operators.dedup import shingle_table
+
+        return shingle_table(batch, "doc_id", "text", self.SHINGLE_N)
 
     def _intra_rejects(self, batch: DataFrame) -> DataFrame:
         from bottledwater_pg_spark.operators import dedup
 
         return (
             dedup.minhash_lsh_pairs(
-                batch, num_hashes=32, bands=16, threshold=self.threshold
+                batch, num_hashes=self.NUM_HASHES, bands=self.BANDS,
+                threshold=self.threshold,
             )
             .select(F.col("b_id").alias("doc_id"))
             .distinct()
@@ -1279,17 +1334,37 @@ class StreamingDedupIndex(_SlicedDedupIndexBase):
                      epoch_id: int) -> DataFrame:
         from bottledwater_pg_spark.operators import dedup
 
-        prior = self._prior(self._index_slices(), epoch_id).select(
-            "doc_id", "text"
+        prior_bands = self._prior(
+            self._read_slices("bands"), epoch_id
+        ).select("sid", "band", "bsig")
+        prior_sh = self._prior(self._read_slices("sh"), epoch_id).select(
+            "sid", "shingle"
         )
         return (
             dedup.incremental_lsh_matches(
-                prior, batch, threshold=self.threshold
+                None, batch, num_hashes=self.NUM_HASHES,
+                bands=self.BANDS, threshold=self.threshold,
+                n=self.SHINGLE_N,
+                index_banded=prior_bands, index_shingles=prior_sh,
             )
             .filter(F.col("match_id") != F.col("new_id"))
             .select(F.col("new_id").alias("doc_id"))
             .distinct()
         )
+
+    def _write_extra_slices(self, batch: DataFrame,
+                            epoch_id: int) -> None:
+        from bottledwater_pg_spark.operators.dedup import (
+            banded_minhash_from_shingles,
+        )
+        from bottledwater_pg_spark.session import persist_tracked
+
+        sh = persist_tracked(self._shingles(batch))
+        self._write_slice(
+            banded_minhash_from_shingles(sh, self.NUM_HASHES, self.BANDS),
+            "bands", epoch_id,
+        )
+        self._write_slice(sh, "sh", epoch_id)
 
 
 class MultiTableMaterializer:

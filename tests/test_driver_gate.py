@@ -41,34 +41,35 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert_df_matches_oracle(df, duck, ORACLES[name])
 
 
-def test_round10_window_keeps_the_ledger_closed():
+def test_round11_window_keeps_the_ledger_closed():
     """The driver hashes only the first 50 queries() entries. The
-    round-10 window must contain (a) every query with NO driver
-    record from r1-r9 (the two new r10 queries: the Lloyd's-trained
-    IVF top-k and its recall certificate), so the
+    round-11 window must contain (a) every query with NO driver
+    record from r1-r10 (the two new r11 queries: the Gopher n-gram
+    repetition gate and the CCNet perplexity terciles), so the
     every-query-has-a-record invariant survives the rotation,
-    (b) every query whose code path r10 touched (the Bloom
-    broadcast-probe restore; the _topk_ivf_probe refactor behind the
-    untrained IVF pair), and (c) the deliberate rows-only cells next
-    to their hash-green accuracy certificates. Rows-only entries
-    inside the window stay limited to the ops whose raw outputs are
-    engine-specific by design (the two xxhash64 twins)."""
+    (b) every query whose code path r11 touched (the shared
+    with_gopher_flags kernel behind gopher_quality_flags, the shared
+    _lm_surprise_per_doc kernel behind lm_surprise_outliers, the
+    count_distinct Jaccard fix behind incremental_dedup_matches, the
+    copurchase_edges factor-out behind pagerank_copurchase), and
+    (c) the deliberate rows-only cells next to their hash-green
+    accuracy certificates. Rows-only entries inside the window stay
+    limited to the ops whose raw outputs are engine-specific by
+    design (the two xxhash64 twins)."""
     import json
     import os
 
     window = list(QUERIES)[:50]
     must_be_in_window = [
-        # new r10 queries (no prior driver record)
+        # new r11 queries (no prior driver record)
+        "gopher_repetition_ngram_flags", "ccnet_perplexity_buckets",
+        # r11-refactored code paths re-certified
+        "gopher_quality_flags", "lm_surprise_outliers",
+        "incremental_dedup_matches", "pagerank_copurchase",
+        # the r10 additions age one more round in-window
         "ivf_trained_topk", "ivf_trained_recall_vs_exact",
         "ivfpq_trained_topk", "ivfpq_trained_recall_vs_exact",
-        "gopher_quality_flags", "source_quota_sample",
-        # r10-touched code paths re-certified
-        "bloom_contamination_screen",
-        "lineitem_corr_matrix", "quantity_price_corr_exact",
-        "ivf_ann_topk", "ivf_ann_recall_vs_exact",
-        # the shared-primitive family kept warm across the refactor
-        "kmeans_topic_clusters", "kmeans_semdedup_stats",
-        "ann_topk_cosine",
+        "source_quota_sample",
         # rows-only cells + their certificates stay paired in-window
         "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
         "lsh_ann_recall_vs_exact",
@@ -77,8 +78,8 @@ def test_round10_window_keeps_the_ledger_closed():
     assert not [n for n in must_be_in_window if n not in window]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     recs: dict = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9):
-        p = os.path.join(repo, f"CORRECTNESS_r0{r}.json")
+    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
+        p = os.path.join(repo, f"CORRECTNESS_r{r:02d}.json")
         if os.path.exists(p):
             recs.update(json.load(open(p)))
     uncovered = [

@@ -2523,3 +2523,37 @@ def test_streaming_gopher_gate_batch_parity(spark, sf_dir):
     assert got == want
     # schema passes through untouched (flag columns dropped)
     assert gated.columns == ["doc_id", "source", "text"]
+
+
+def test_streaming_dedup_band_family_meta_gate(spark, tmp_path):
+    """Stored band/shingle slices fix the MinHash recipe: a restarted
+    index under a different family must REFUSE (stored signatures are
+    guaranteed-disjoint from recomputed ones), and pre-contract state
+    without meta.json refuses too."""
+    import json
+    import os
+
+    import pytest
+
+    from bottledwater_pg_spark.streaming.stream import StreamingDedupIndex
+
+    state = tmp_path / "bm"
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    idx = StreamingDedupIndex(spark, str(state), threshold=0.8)
+    idx.process_batch(docs, 0)
+    # matched family reopens clean
+    idx2 = StreamingDedupIndex(spark, str(state), threshold=0.8)
+    assert idx2._have_index
+    # family drift -> refuse
+    meta = json.load(open(state / "meta.json"))
+    meta["band_family"] = "minhash/legacy"
+    json.dump(meta, open(state / "meta.json", "w"))
+    with pytest.raises(LookupError, match="guaranteed-disjoint"):
+        StreamingDedupIndex(spark, str(state), threshold=0.8)
+    # pre-contract state (no meta at all) -> refuse
+    os.remove(state / "meta.json")
+    with pytest.raises(LookupError, match="no meta.json"):
+        StreamingDedupIndex(spark, str(state), threshold=0.8)
