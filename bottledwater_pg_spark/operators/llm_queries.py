@@ -3164,6 +3164,31 @@ ORACLES["ngram_diversity_by_source"] = NGRAM_DIVERSITY_SQL
 # -------------------------------------- LM-based quality filtering
 
 
+def _bigram_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks): the LM kernel's tokenizer — lowercase,
+    whitespace split, alphabetic tokens only. Shared by the batch
+    scorers and the streaming LM screen so the token stream can never
+    drift between them."""
+    return docs.select(
+        "doc_id", F.expr("filter(split(trim(lower(text)), '\\\\s+'), "
+                         "t -> t rlike '^[a-z]+$')").alias("toks"),
+    )
+
+
+def _bigram_pairs(toks: DataFrame) -> DataFrame:
+    """(doc_id, prev, cur) adjacent-pair stream from the token table."""
+    return toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> struct(toks[i] AS prev, toks[i + 1] AS cur))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.prev").alias("prev"),
+             F.col("p.cur").alias("cur"))
+
+
 def _lm_surprise_per_doc(docs: DataFrame) -> DataFrame:
     """(doc_id, n_bigrams, surprise_total_q, mean_surprise_q): the
     add-one-smoothed bigram surprise score of every doc with at least
@@ -3172,22 +3197,8 @@ def _lm_surprise_per_doc(docs: DataFrame) -> DataFrame:
     :func:`ccnet_perplexity_buckets` (per-source tercile split).
     Integer-quantized inverse probabilities; see the outlier query's
     docstring for the determinism argument."""
-    toks = docs.select(
-        "doc_id", F.expr("filter(split(trim(lower(text)), '\\\\s+'), "
-                         "t -> t rlike '^[a-z]+$')").alias("toks"),
-    )
-    bi = persist_tracked(
-        toks.filter(F.size("toks") >= 2).select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(toks) - 2), "
-                    "i -> struct(toks[i] AS prev, toks[i + 1] AS cur))"
-                )
-            ).alias("p"),
-        ).select("doc_id", F.col("p.prev").alias("prev"),
-                 F.col("p.cur").alias("cur"))
-    )
+    toks = _bigram_tokens(docs)
+    bi = persist_tracked(_bigram_pairs(toks))
     model = persist_tracked(
         bi.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
     )

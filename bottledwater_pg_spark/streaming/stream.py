@@ -1689,6 +1689,191 @@ class StreamingContaminationScreen:
         )
 
 
+class StreamingLMScreen:
+    """Always-on ingest-time LM quality screen: the streaming twin of
+    the batch LM scorers (``lm_surprise_outliers`` /
+    ``ccnet_perplexity_buckets``). CCNet (Wenzek et al. 2020) trains
+    a KenLM on clean text ONCE and applies it DURING the crawl; here
+    the add-one-smoothed bigram model — the (prev, cur)→count table,
+    the per-prev context counts, and the vocabulary size — is trained
+    once on a clean corpus, persisted to the state dir with its build
+    parameters, and every micro-batch scores its docs against the
+    STANDING model with the batch kernel's exact integer arithmetic
+    (quantized inverse probabilities — bit-identical everywhere).
+
+    Unseen-bigram semantics: the batch scorers inner-join the model
+    because it is trained ON the corpus being scored, so every bigram
+    exists; a standing screen scores NEW text, where unseen bigrams
+    are precisely the signal — they smooth to the add-one ceiling
+    (c2=0, and c1=0 for an unseen prev): ``((c1 + V) * 10000) div
+    (c2 + 1)``. On in-model text the streamed score EQUALS the batch
+    kernel's (pinned in tests). Docs with no scorable bigram pass
+    with ``n_bigrams = 0`` (no perplexity evidence either way — the
+    Gopher gate, not this screen, is the stage that drops
+    non-language docs).
+
+    State/audit: per-epoch OVERWRITE audit slices (doc_id, n_bigrams,
+    mean_surprise_q, pass) — replay-idempotent like the Bloom
+    screen's; ``accepted_ids()`` is the distinct pass set. The
+    threshold is a PROBE knob (state-independent — scores are pure
+    functions of model + text), so restarting with a tighter
+    threshold legitimately re-screens future batches without
+    touching standing audits.
+
+    Scale: the model is vocabulary-sized, not corpus-sized; scoring
+    is two left joins keyed (prev, cur) and (prev) — broadcast while
+    the model is small, bucketed-by-prev at web scale — then one
+    per-doc partial agg. No corpus state, no growth with stream
+    lifetime.
+    """
+
+    #: bump when tokenizer / smoothing / quantization changes —
+    #: a standing model from another family must not score
+    LM_FAMILY = "bigram-addone/x10000-int/lower-alpha"
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 train_corpus: DataFrame | None = None,
+                 threshold_q: int = 10_000_000):
+        import json as _json
+
+        self.spark = spark
+        self.state_dir = state_dir
+        self.threshold_q = threshold_q
+        self._run_key = "adhoc"  # start() re-keys from the checkpoint
+        os.makedirs(state_dir, exist_ok=True)
+        model_path = os.path.join(state_dir, "model")
+        ctx_path = os.path.join(state_dir, "ctx")
+        meta_path = os.path.join(state_dir, "meta.json")
+        have = (
+            all(
+                os.path.isdir(p)
+                and any(f.endswith(".parquet") for f in os.listdir(p))
+                for p in (model_path, ctx_path)
+            )
+            and os.path.exists(meta_path)
+        )
+        if have:
+            with open(meta_path) as f:
+                meta = _json.load(f)
+            if meta.get("family") != self.LM_FAMILY:
+                if train_corpus is None:
+                    raise LookupError(
+                        f"standing LM was trained under "
+                        f"{meta.get('family')!r} but this screen scores "
+                        f"with {self.LM_FAMILY!r}; pass train_corpus to "
+                        f"rebuild"
+                    )
+                have = False
+            else:
+                self._v = int(meta["v"])
+        if not have:
+            if train_corpus is None:
+                raise LookupError(
+                    "no standing LM in state_dir and no train_corpus "
+                    "given to build one"
+                )
+            from bottledwater_pg_spark.operators.llm_queries import (
+                _bigram_pairs,
+                _bigram_tokens,
+            )
+
+            toks = _bigram_tokens(train_corpus.select("doc_id", "text"))
+            bi = _bigram_pairs(toks)
+            model = bi.groupBy("prev", "cur").agg(
+                F.count("*").alias("c2")
+            )
+            model.write.mode("overwrite").parquet(model_path)
+            # ctx from the WRITTEN model so the two tables can never
+            # disagree after a crash between writes
+            self.spark.read.parquet(model_path).groupBy("prev").agg(
+                F.sum("c2").alias("c1")
+            ).write.mode("overwrite").parquet(ctx_path)
+            v = toks.select(F.explode("toks").alias("t")).agg(
+                F.count_distinct("t")
+            ).collect()[0][0]
+            self._v = int(v)
+            tmp_meta = meta_path + ".tmp"
+            with open(tmp_meta, "w") as f:
+                _json.dump({"family": self.LM_FAMILY, "v": self._v}, f)
+            os.replace(tmp_meta, meta_path)
+        self._model = spark.read.parquet(model_path)
+        self._ctx = spark.read.parquet(ctx_path)
+
+    def _audit_path(self) -> str:
+        return os.path.join(self.state_dir, "audit")
+
+    def audit(self) -> DataFrame | None:
+        p = self._audit_path()
+        if not os.path.isdir(p):
+            return None
+        return self.spark.read.option("basePath", p).parquet(p)
+
+    def accepted_ids(self) -> DataFrame | None:
+        a = self.audit()
+        return None if a is None else (
+            a.filter(F.col("pass")).select("doc_id").distinct()
+        )
+
+    def score_batch(self, batch: DataFrame) -> DataFrame:
+        """(doc_id, n_bigrams, mean_surprise_q, pass) against the
+        standing model — exposed separately so a batch caller can
+        reuse the standing screen without the audit write."""
+        from bottledwater_pg_spark.operators.llm_queries import (
+            _bigram_pairs,
+            _bigram_tokens,
+        )
+
+        bi = _bigram_pairs(_bigram_tokens(batch.select("doc_id", "text")))
+        scored = (
+            bi.join(self._model, ["prev", "cur"], "left")
+            .join(self._ctx, "prev", "left")
+            .withColumn(
+                "surprise_q",
+                F.expr(
+                    f"((coalesce(c1, CAST(0 AS BIGINT)) + {self._v}) "
+                    f"* 10000) div (coalesce(c2, CAST(0 AS BIGINT)) + 1)"
+                ).cast("long"),
+            )
+        )
+        per_doc = scored.groupBy("doc_id").agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("surprise_q").alias("s"),
+        ).select(
+            "doc_id", "n_bigrams",
+            F.expr("s div n_bigrams").cast("long").alias(
+                "mean_surprise_q"
+            ),
+        )
+        return batch.select("doc_id").join(per_doc, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            "mean_surprise_q",
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(True))
+            .otherwise(F.col("mean_surprise_q") <= F.lit(self.threshold_q))
+            .alias("pass"),
+        )
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        self.score_batch(batch).write.mode("overwrite").parquet(
+            os.path.join(
+                self._audit_path(),
+                f"run={self._run_key}", f"epoch={epoch_id}",
+            )
+        )
+
+    def start(self, docs_stream: DataFrame, checkpoint_dir: str):
+        _fold_legacy_run_slices((self._audit_path(),), checkpoint_dir)
+        self._run_key = _run_key_of(checkpoint_dir)
+        return (
+            docs_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .start()
+        )
+
+
 class StreamingVectorDedupIndex(_SlicedDedupIndexBase):
     """Continuous ingest-time SEMANTIC near-dup rejection over an
     embedding stream — the vector twin of :class:`StreamingDedupIndex`

@@ -2557,3 +2557,104 @@ def test_streaming_dedup_band_family_meta_gate(spark, tmp_path):
     os.remove(state / "meta.json")
     with pytest.raises(LookupError, match="no meta.json"):
         StreamingDedupIndex(spark, str(state), threshold=0.8)
+
+
+def test_streaming_lm_screen_scores_match_batch_kernel(
+    spark, sf_dir, tmp_path
+):
+    """StreamingLMScreen over the SAME corpus it was trained on: every
+    scored doc's mean_surprise_q equals the batch kernel's
+    (_lm_surprise_per_doc) — the streamed screen is the batch scorer
+    applied continuously, not an approximation. Unscored docs (no two
+    consecutive alphabetic tokens) pass with n_bigrams=0; same-epoch
+    replay rewrites, never duplicates."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        _lm_surprise_per_doc,
+    )
+    from bottledwater_pg_spark.streaming.stream import StreamingLMScreen
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scr = StreamingLMScreen(
+        spark, str(tmp_path / "lm"), train_corpus=docs,
+        threshold_q=10**9,
+    )
+    batches = [
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        for lo, hi in [(0, 200), (200, 10**9)]
+    ]
+    for e, b in enumerate(batches):
+        scr.process_batch(b, e)
+    audit = scr.audit().toPandas().set_index("doc_id")
+    want = _lm_surprise_per_doc(docs).toPandas().set_index("doc_id")
+    assert len(audit) == docs.count()
+    for doc_id, row in want.iterrows():
+        assert audit.loc[doc_id].mean_surprise_q == row.mean_surprise_q
+        assert audit.loc[doc_id].n_bigrams == row.n_bigrams
+    unscored = audit[~audit.index.isin(want.index)]
+    assert (unscored.n_bigrams == 0).all()
+    assert unscored["pass"].all()
+    # generous threshold: everything passes
+    assert audit["pass"].all()
+    # same-epoch replay: audit row count unchanged
+    scr.process_batch(batches[0], 0)
+    assert len(scr.audit().toPandas()) == len(audit)
+
+
+def test_streaming_lm_screen_unseen_bigrams_and_threshold(
+    spark, sf_dir, tmp_path
+):
+    """Novel text (bigrams absent from the standing model) smooths to
+    EXACTLY the add-one value V*10000 (c1=c2=0) — note this is the
+    unseen-PREV score, not a global ceiling: a frequent prev with a
+    rare cur scores (c1+V)/(c2+1) > V, legitimate add-one behavior
+    (and with the fixture's tiny alpha vocabulary, V=31-ish, the
+    in-model doc actually scores HIGHER than the novel one). A
+    threshold between the two scores rejects exactly the
+    higher-surprise doc. A restarted screen reloads the persisted
+    model without a train corpus; a family bump refuses without one
+    and rebuilds with one."""
+    import json
+
+    import pytest
+
+    from bottledwater_pg_spark.streaming.stream import StreamingLMScreen
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = tmp_path / "lm2"
+    scr = StreamingLMScreen(spark, str(state), train_corpus=docs)
+    familiar = docs.limit(1).select(F.lit(900001).alias("doc_id"), "text")
+    novel = spark.createDataFrame(
+        [(900002,
+          "zzqx vvwk jjqz xxvv qqzz wwxx zzvv qqww xxzz vvqq")],
+        "doc_id long, text string",
+    )
+    scores = scr.score_batch(
+        familiar.unionByName(novel)
+    ).toPandas().set_index("doc_id")
+    fam_q = scores.loc[900001].mean_surprise_q
+    nov_q = scores.loc[900002].mean_surprise_q
+    # unseen prev AND unseen pair -> exactly the add-one value V*10000
+    assert nov_q == scr._v * 10000
+    assert fam_q != nov_q
+    lo_id, hi_id = (
+        (900001, 900002) if fam_q < nov_q else (900002, 900001)
+    )
+    # threshold between the two: the higher-surprise doc is rejected
+    scr2 = StreamingLMScreen(
+        spark, str(state), threshold_q=int((fam_q + nov_q) // 2)
+    )
+    scores2 = scr2.score_batch(
+        familiar.unionByName(novel)
+    ).toPandas().set_index("doc_id")
+    assert bool(scores2.loc[lo_id]["pass"])
+    assert not bool(scores2.loc[hi_id]["pass"])
+    # family drift: refuse without a corpus, rebuild with one
+    meta = json.load(open(state / "meta.json"))
+    meta["family"] = "bigram/legacy"
+    json.dump(meta, open(state / "meta.json", "w"))
+    with pytest.raises(LookupError, match="standing LM"):
+        StreamingLMScreen(spark, str(state))
+    StreamingLMScreen(spark, str(state), train_corpus=docs)
+    assert json.load(open(state / "meta.json"))["family"] == (
+        StreamingLMScreen.LM_FAMILY
+    )
