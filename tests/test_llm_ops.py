@@ -933,3 +933,65 @@ def test_ccnet_buckets_partition_scored_docs_by_surprise(spark, sf_dir):
     head_max = sub.mean_surprise_q.iloc[sizes[0] - 1]
     tail_min = sub.mean_surprise_q.iloc[sizes[0] + sizes[1]]
     assert head_max <= tail_min
+
+
+def test_sq_encode_grid_semantics(spark):
+    """SQ8 grid on a hand-computable fixture: per-dim [qmin,qmax]
+    from exact int aggregation; codes floor((x-qmin)*255/span); the
+    255x reconstruction stays on the grid (recon = qmin*255 +
+    code*span); grid ENDPOINTS reconstruct exactly; a constant
+    dimension (span 0) reconstructs to the constant itself."""
+    from bottledwater_pg_spark.operators.similarity import (
+        sq_encode,
+        sq_stats,
+    )
+
+    # dim0 spans [0.0, 1.0] -> q in [0, 1000000]; dim1 constant 0.5
+    docs = spark.createDataFrame(
+        [(0, [0.0, 0.5]), (1, [1.0, 0.5]), (2, [0.4, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    stats = sq_stats(docs)
+    row = stats.collect()[0]
+    assert row["qmin_arr"] == [0, 500000]
+    assert row["qmax_arr"] == [1000000, 500000]
+
+    rec = {r["sid"]: r["recon"] for r in sq_encode(docs, stats).collect()}
+    # endpoints: code 0 and 255 reconstruct the endpoints exactly
+    assert rec[0] == [0, 500000 * 255]
+    assert rec[1] == [1000000 * 255, 500000 * 255]
+    # interior: code = (400000*255) // 1000000 = 102;
+    # recon = 0*255 + 102 * 1000000
+    assert rec[2] == [102 * 1000000, 500000 * 255]
+
+
+def test_sq_topk_exact_duplicate_is_rank_one(spark):
+    """Two identical vectors land in the same grid cell, so SQ-ADC
+    scores the duplicate at cosine ~1 and ranks it first for its
+    twin's query — the compression never splits exact duplicates."""
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.similarity import topk_sq
+
+    rows = [(0, [1.0, 0.0, 0.2]), (1, [1.0, 0.0, 0.2]),
+            (2, [0.0, 1.0, 0.4]), (3, [0.3, 0.7, 0.1]),
+            (4, [0.9, 0.1, 0.3])]
+    docs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = topk_sq(docs, docs.filter(F.col("vec_id") == 0), k=2)
+    top = sorted(got.collect(), key=lambda r: r.rank)
+    assert top[0].neighbor_id == 1
+    assert top[0].cos > 0.9999
+
+
+def test_sq_recall_certificate_clears_floor(spark, sf_dir):
+    """The driver-facing certificate must report recall_ok=1 on the
+    real fixture (measured 97-99% across SFs vs the 85% floor)."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        sq_ann_recall_vs_exact,
+    )
+
+    row = sq_ann_recall_vs_exact(spark, sf_dir).collect()[0]
+    assert row["recall_ok"] == 1
+    assert row["n_queries"] == 20

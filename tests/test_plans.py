@@ -634,3 +634,22 @@ def test_streaming_semdedup_probe_partition_prunes_cqv(
     assert any("cent_id" in f for f in scan_filters), scan_filters
     assert any("run" in f and "epoch" in f for f in scan_filters)
     assert "CartesianProduct" not in plan
+
+
+def test_sq_ann_broadcasts_stats_and_queries_no_cartesian(spark, sf_dir):
+    """SQ8-ADC: the 1-row grid-stats fold and the query side both
+    broadcast into the corpus scan — the corpus never shuffles to
+    meet the model; the per-dim stats agg is map-side partial; no
+    cartesian product anywhere."""
+    from bottledwater_pg_spark.operators.llm_queries import sq_ann_topk
+    from bottledwater_pg_spark.plans.inspect import (
+        count_broadcast_joins,
+        formatted_plan,
+        has_partial_aggregation,
+    )
+
+    df = sq_ann_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert count_broadcast_joins(df) >= 2
+    assert has_partial_aggregation(df)
