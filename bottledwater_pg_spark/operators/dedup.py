@@ -852,3 +852,87 @@ def incremental_cosine_matches(index_df: DataFrame | None,
         .filter(F.col("cos") >= threshold)
         .select("new_id", "match_id", "cos")
     )
+
+
+def containment_prefix_pairs(df: DataFrame, threshold_bp: int = 8000,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             n: int = 3) -> DataFrame:
+    """EXACT shingle-containment pairs: ``C(A,B) = |A ∩ B| / |A|``
+    with A the smaller set — the asymmetric near-dup measure (Broder
+    1997's containment, the quote-expansion case: a short document
+    pasted wholesale into a longer one has high containment but LOW
+    Jaccard, inter/union shrinking with the container's size, so the
+    whole Jaccard family above is structurally blind to it).
+
+    Blocking is the containment adaptation of prefix filtering
+    (Bayardo et al. WWW'07): C(A,B) >= t forces >= ceil(t*|A|) shared
+    shingles, so A's rarest ``|A| - ceil(t*|A|) + 1`` shingles MUST
+    hit B — only the CONTAINED side is prefix-pruned, and it joins
+    the full shingle table (no length filter applies: the container
+    may be arbitrarily larger, which is exactly the case Jaccard's
+    ``t*|x| <= |y|`` filter would discard). Prefix shingles are by
+    construction the globally rarest, so the equi-join's per-key
+    fan-out is bounded by those shingles' document frequency — the
+    frequent keys never enter the join, the same skew-avoidance
+    argument as :func:`prefix_filter_jaccard_pairs`.
+
+    The threshold is integer basis points compared by
+    cross-multiplication (``inter * 10000 >= sz_a * threshold_bp``) —
+    no float threshold crosses the engine boundary. Each unordered
+    pair is emitted once, smaller set as ``a_id`` (ties on size break
+    to the lower id). Exact — no false-negative probability."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    sh = persist_tracked(
+        shingle_table(df, id_col, text_col, n), StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    w = Window.partitionBy("sid").orderBy("dfreq", "shingle")
+    t = threshold_bp
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "sid")
+        .filter(
+            F.col("rn")
+            <= F.expr(f"sz - ceil(sz * {t} / 10000.0) + 1")
+        )
+    )
+    cand = (
+        prefix.select(F.col("sid").alias("a_id"), "shingle")
+        .join(sh.select(F.col("sid").alias("b_id"), "shingle"), "shingle")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    arrays = sh.groupBy("sid").agg(
+        F.collect_set("shingle").alias("shs"), F.count("*").alias("sz")
+    )
+    va = arrays.select(F.col("sid").alias("a_id"),
+                       F.col("shs").alias("sh_a"),
+                       F.col("sz").alias("sz_a"))
+    vb = arrays.select(F.col("sid").alias("b_id"),
+                       F.col("shs").alias("sh_b"),
+                       F.col("sz").alias("sz_b"))
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .filter(
+            (F.col("sz_a") < F.col("sz_b"))
+            | ((F.col("sz_a") == F.col("sz_b"))
+               & (F.col("a_id") < F.col("b_id")))
+        )
+        .withColumn("inter",
+                    F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .filter(F.col("inter") * 10000 >= F.col("sz_a") * t)
+        .select(
+            "a_id", "b_id", "inter",
+            F.col("sz_a").cast("long").alias("sz_a"),
+            F.col("sz_b").cast("long").alias("sz_b"),
+            (F.col("inter").cast("double") / F.col("sz_a"))
+            .alias("containment"),
+        )
+    )

@@ -5170,3 +5170,82 @@ QUERIES["sq_ann_recall_vs_exact"] = sq_ann_recall_vs_exact
 ORACLES["sq_ann_recall_vs_exact"] = _ann_recall_sql(
     SQ_ANN_RECALL_FLOOR_BP
 )
+
+
+# -------------------- containment near-dup (Broder 1997, asymmetric)
+
+CONTAIN_MOD = 20
+CONTAIN_THRESHOLD_BP = 8000
+
+
+def docs_with_contained_dups(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Corpus + one injected QUOTE-EXPANSION per ``doc_id %
+    CONTAIN_MOD == 0``: the injected doc is the original's full text
+    followed by the NEXT doc's full text (doc_ids are contiguous, so
+    the inner join drops only the last doc). Every shingle of the
+    original appears in the injected container (it is a contiguous
+    token prefix), so containment(orig -> injected) = 1.0 while
+    Jaccard ~ |orig| / (|orig| + |next|) — well under the 0.8 family
+    threshold whenever the neighbor is comparably sized: the pair the
+    Jaccard family is structurally blind to."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = docs.select((F.col("doc_id") - 1).alias("doc_id"),
+                      F.col("text").alias("pad"))
+    inj = (
+        docs.filter(F.col("doc_id") % CONTAIN_MOD == 0)
+        .join(nxt, "doc_id")
+        .select(
+            (F.col("doc_id") + 400000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), F.col("pad")).alias("text"),
+        )
+    )
+    return docs.unionByName(inj)
+
+
+DOCS_CONTAIN_CTE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT d.doc_id + 400000 AS doc_id, d.text || ' ' || nx.text AS text
+  FROM documents d
+  JOIN documents nx ON nx.doc_id = d.doc_id + 1
+  WHERE d.doc_id % {CONTAIN_MOD} = 0
+)
+"""
+
+
+def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup by shingle containment >= 0.80
+    (dedup.containment_prefix_pairs): catches short-doc-quoted-in-
+    long-doc duplication that every Jaccard operator above misses by
+    construction. Exact (prefix blocking has no false negatives), so
+    the brute-force SQL twin returns the identical pair set —
+    fully hash-oracled."""
+    return dedup.containment_prefix_pairs(
+        docs_with_contained_dups(spark, sf_dir), CONTAIN_THRESHOLD_BP
+    )
+
+
+CONTAINMENT_SQL = DOCS_CONTAIN_CTE + f"""
+, sh AS (
+  SELECT doc_id AS sid, unnest({_SHINGLES}) AS shingle FROM corpus
+),
+sizes AS (SELECT sid, COUNT(*) AS sz FROM sh GROUP BY sid),
+inter AS (
+  SELECT a.sid AS a_id, b.sid AS b_id, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid <> b.sid
+  GROUP BY a.sid, b.sid
+)
+SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+       CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+       CAST(inter AS DOUBLE) / sa.sz AS containment
+FROM inter
+JOIN sizes sa ON sa.sid = a_id
+JOIN sizes sb ON sb.sid = b_id
+WHERE (sa.sz < sb.sz OR (sa.sz = sb.sz AND a_id < b_id))
+  AND inter * 10000 >= sa.sz * {CONTAIN_THRESHOLD_BP}
+"""
+
+QUERIES["containment_near_dup"] = containment_near_dup
+ORACLES["containment_near_dup"] = CONTAINMENT_SQL

@@ -995,3 +995,59 @@ def test_sq_recall_certificate_clears_floor(spark, sf_dir):
     row = sq_ann_recall_vs_exact(spark, sf_dir).collect()[0]
     assert row["recall_ok"] == 1
     assert row["n_queries"] == 20
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """The asymmetric case: doc 0 pasted wholesale into a 3x-larger
+    doc 1. Containment(0 -> 1) = 1.0 >= 0.8, but Jaccard ~ 1/3, so
+    jaccard_pairs at the family threshold returns NOTHING — the pair
+    only the containment operator can see. Direction is pinned:
+    a_id is the smaller (contained) side."""
+    from bottledwater_pg_spark.operators.dedup import (
+        containment_prefix_pairs,
+        jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    pad = ("k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 "
+           "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10")
+    docs = spark.createDataFrame(
+        [(0, quote), (1, quote + " " + pad), (2, "unrelated words here")],
+        "doc_id long, text string",
+    )
+    got = containment_prefix_pairs(docs, 8000).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.a_id, r.b_id) == (0, 1)
+    assert r.containment == 1.0
+    assert r.sz_a < r.sz_b
+    # the Jaccard family is blind to this pair at its own threshold
+    assert jaccard_pairs(docs, 0.8).count() == 0
+
+
+def test_containment_finds_every_injected_quote_expansion(spark, sf_dir):
+    """Every injected quote-expansion (orig contained in orig+next)
+    must surface at containment 1.0 — the original is a contiguous
+    token prefix of the container, so ALL its shingles re-occur."""
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        CONTAIN_MOD,
+        containment_near_dup,
+        docs_with_contained_dups,
+    )
+    from bottledwater_pg_spark.session import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    expected = {
+        (i, i + 400000)
+        for i in range(0, n_docs - 1, CONTAIN_MOD)
+    }
+    got = containment_near_dup(spark, sf_dir)
+    found = {
+        (r.a_id, r.b_id): r.containment
+        for r in got.filter(F.col("b_id") >= 400000).collect()
+    }
+    for pair in expected:
+        assert pair in found, f"missing injected pair {pair}"
+        assert found[pair] == 1.0

@@ -653,3 +653,22 @@ def test_sq_ann_broadcasts_stats_and_queries_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert count_broadcast_joins(df) >= 2
     assert has_partial_aggregation(df)
+
+
+def test_containment_prefix_join_no_cartesian(spark, sf_dir):
+    """Containment blocking must stay an equi-join on the rare-prefix
+    shingles (never a cartesian), the df-ranking agg partial, and the
+    verify stage joined on candidate ids."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        containment_near_dup,
+    )
+    from bottledwater_pg_spark.plans.inspect import (
+        formatted_plan,
+        has_partial_aggregation,
+    )
+
+    df = containment_near_dup(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert has_partial_aggregation(df)
