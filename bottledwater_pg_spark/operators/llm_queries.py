@@ -5249,3 +5249,64 @@ WHERE (sa.sz < sb.sz OR (sa.sz = sb.sz AND a_id < b_id))
 
 QUERIES["containment_near_dup"] = containment_near_dup
 ORACLES["containment_near_dup"] = CONTAINMENT_SQL
+
+
+# ------------------- UniMax language budgets (Chung et al. 2023)
+
+UNIMAX_EPOCH_CAP = 3
+# budget = 2.5x the corpus's total tokens: small languages hit the
+# 3-epoch cap, the largest can't be filled within its fair share and
+# absorbs the slack — both sides of the waterfill exercised.
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 5, 2
+
+
+def unimax_language_budgets(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """UniMax per-language token allocations
+    (sampling.unimax_allocations) over the documents table: languages
+    are budgeted so none exceeds UNIMAX_EPOCH_CAP epochs and the
+    capped languages' unused share water-fills into the large ones —
+    the multilingual-mixture rule that replaces alpha-temperature
+    sampling (``alpha_mixture_weights`` is the temperature twin).
+    All-integer waterfill — fully hash-oracled. The total-token
+    budget is derived from a 1-row aggregate collect (bounded
+    metadata, same discipline as the BPE step loop)."""
+    from bottledwater_pg_spark.functions.text import token_count
+    from bottledwater_pg_spark.operators.sampling import (
+        unimax_allocations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", token_count("text").alias("ntok")
+    )
+    sizes = docs.groupBy("lang").agg(
+        F.sum("ntok").cast("long").alias("n_tokens")
+    )
+    total = sizes.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = total * UNIMAX_BUDGET_NUM // UNIMAX_BUDGET_DEN
+    return unimax_allocations(
+        sizes, budget, UNIMAX_EPOCH_CAP, "lang", "n_tokens"
+    ).orderBy("lang")
+
+
+def _unimax_sql() -> str:
+    from bottledwater_pg_spark.operators.sampling import (
+        sql_unimax_allocations,
+    )
+
+    budget = (f"(SELECT SUM(n_tokens) FROM sizes) "
+              f"* {UNIMAX_BUDGET_NUM} // {UNIMAX_BUDGET_DEN}")
+    return f"""
+WITH sizes AS (
+  SELECT lang,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+{sql_unimax_allocations(budget, UNIMAX_EPOCH_CAP)}
+ORDER BY lang
+"""
+
+
+QUERIES["unimax_language_budgets"] = unimax_language_budgets
+ORACLES["unimax_language_budgets"] = _unimax_sql()

@@ -441,3 +441,153 @@ WITH ranked AS (
   FROM ranked, tot
   WHERE cum_before // stride < (cum_before + {weight_col}) // stride
 )"""
+
+
+def unimax_allocations(sizes: DataFrame, budget: int, epoch_cap: int,
+                       stratum: str = "lang",
+                       size_col: str = "n_tokens") -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a total token ``budget`` across strata
+    so that no stratum repeats more than ``epoch_cap`` epochs, and the
+    slack the capped (small) strata can't absorb flows to the
+    uncapped (large) ones in equal shares — the water-filling rule
+    that replaces temperature sampling's arbitrary alpha.
+
+    Closed-form instead of the paper's sequential loop: processed
+    ascending by capacity ``c = epoch_cap * size``, the capped set is
+    the longest PREFIX whose every stratum i (of n) satisfies
+    ``c_i * (n - i + 1) <= budget - prefix_{i-1}`` (prefix of
+    capacities). The per-row predicate alone is NOT the capped set —
+    past the first failure a later row can satisfy it spuriously
+    (its prefix no longer reflects what uncapped strata actually
+    consume; a tie fixture with budget == one capacity exposes this)
+    — so the flag is the predicate's CUMULATIVE AND down the sort
+    order. The residual splits among the m uncapped strata as
+    ``R DIV m`` with the remainder going to the first ``R % m`` of
+    them in sort order. Every comparison is integer
+    cross-multiplication — allocations sum exactly to min(budget,
+    total capacity), bit-identical in any engine.
+
+    Scale: the waterfill runs over the PER-STRATUM aggregate (one row
+    per language — bounded metadata), so the single-partition window
+    is O(#strata); the corpus-sized work is only the upstream size
+    aggregation. Returns (stratum, size, capacity, capped,
+    allocation, epochs_bp)."""
+    c = F.col(size_col) * epoch_cap
+    caps = sizes.select(
+        F.col(stratum).alias("stratum"),
+        F.col(size_col).cast("long").alias("size"),
+        c.cast("long").alias("capacity"),
+    )
+    w = Window.orderBy("capacity", "stratum")
+    wall = w.rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)
+    ranked = caps.select(
+        "*",
+        F.row_number().over(w).alias("i"),
+        F.coalesce(
+            F.sum("capacity").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long").alias("prefix"),
+        F.count("*").over(wall).cast("long").alias("n"),
+    ).withColumn(
+        "pred",
+        (F.col("capacity") * (F.col("n") - F.col("i") + 1)
+         <= F.lit(budget) - F.col("prefix")).cast("long"),
+    ).withColumn(
+        # cumulative AND: capped only while every smaller stratum is
+        "capped",
+        F.min("pred").over(
+            Window.orderBy("capacity", "stratum").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).cast("long"),
+    )
+    tot = ranked.agg(
+        F.sum("capped").cast("long").alias("k"),
+        F.sum(F.col("capped") * F.col("capacity"))
+        .cast("long").alias("prefix_k"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("m", F.col("n") - F.col("k"))
+        .withColumn("resid", F.lit(budget) - F.col("prefix_k"))
+        .withColumn(
+            "allocation",
+            F.when(F.col("capped") == 1, F.col("capacity")).otherwise(
+                F.expr("resid div m")
+                + ((F.col("i") - F.col("k"))
+                   <= F.expr("resid % m")).cast("long")
+            ).cast("long"),
+        )
+        .select(
+            F.col("stratum").alias(stratum),
+            F.col("size").alias(size_col),
+            "capacity",
+            "capped",
+            "allocation",
+            F.expr(f"allocation * 10000 div {size_col}")
+            .cast("long").alias("epochs_bp"),
+        )
+    )
+
+
+def sql_unimax_allocations(budget_expr: str, epoch_cap: int,
+                           sizes_cte: str = "sizes",
+                           stratum: str = "lang",
+                           size_col: str = "n_tokens") -> str:
+    """DuckDB twin of :func:`unimax_allocations` — expects a CTE named
+    ``sizes_cte`` with (stratum, size_col) in scope and a scalar SQL
+    expression for the budget."""
+    return f"""
+ranked AS (
+  SELECT {stratum} AS stratum,
+         CAST({size_col} AS BIGINT) AS size,
+         CAST({size_col} * {epoch_cap} AS BIGINT) AS capacity,
+         ROW_NUMBER() OVER (ORDER BY {size_col} * {epoch_cap}, {stratum})
+           AS i,
+         CAST(COALESCE(SUM({size_col} * {epoch_cap}) OVER (
+           ORDER BY {size_col} * {epoch_cap}, {stratum}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS prefix,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM {sizes_cte}
+),
+preds AS (
+  SELECT *,
+         CAST(capacity * (n - i + 1) <= ({budget_expr}) - prefix
+              AS BIGINT) AS pred
+  FROM ranked
+),
+flagged AS (
+  SELECT *,
+         CAST(MIN(pred) OVER (
+           ORDER BY capacity, stratum
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS capped
+  FROM preds
+),
+tot AS (
+  SELECT CAST(SUM(capped) AS BIGINT) AS k,
+         CAST(SUM(capped * capacity) AS BIGINT) AS prefix_k
+  FROM flagged
+),
+alloc AS (
+  SELECT f.*,
+         CASE WHEN f.capped = 1 THEN f.capacity
+              ELSE (({budget_expr}) - t.prefix_k) // (f.n - t.k)
+                   + CASE WHEN f.i - t.k
+                               <= (({budget_expr}) - t.prefix_k)
+                                  % (f.n - t.k)
+                          THEN 1 ELSE 0 END
+         END AS allocation
+  FROM flagged f, tot t
+)
+SELECT stratum AS {stratum}, size AS {size_col}, capacity, capped,
+       CAST(allocation AS BIGINT) AS allocation,
+       CAST(allocation * 10000 // size AS BIGINT) AS epochs_bp
+FROM alloc
+"""

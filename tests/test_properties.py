@@ -721,3 +721,70 @@ def test_gopher_flags_match_pure_python_model(spark, texts):
     assert got.n_fail_stopwords == want["sw"]
     assert got.n_fail_ttr == want["ttr"]
     assert got.n_pass == want["ok"]
+
+
+def _unimax_reference(sizes, budget, cap):
+    """Pure-Python model of the closed-form UniMax spec
+    (sampling.unimax_allocations): ascending by (capacity, stratum);
+    capped prefix via exact cross-multiplication; residual splits
+    R DIV m with the remainder to the first R % m uncapped."""
+    rows = sorted(((s * cap, name, s) for name, s in sizes),
+                  key=lambda t: (t[0], t[1]))
+    n = len(rows)
+    prefix = 0
+    chain = True
+    capped = []
+    for i, (c, name, s) in enumerate(rows, start=1):
+        # capped set is the longest prefix satisfying the predicate —
+        # the chain breaks permanently at the first failure
+        chain = chain and c * (n - i + 1) <= budget - prefix
+        capped.append(chain)
+        if chain:
+            prefix += c
+    k = sum(capped)
+    m = n - k
+    resid = budget - prefix
+    out = {}
+    for i, (c, name, s) in enumerate(rows, start=1):
+        if capped[i - 1]:
+            alloc = c
+        else:
+            alloc = resid // m + (1 if i - k <= resid % m else 0)
+        out[name] = (int(capped[i - 1]), alloc)
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+                  st.integers(1, 10_000)),
+        min_size=1, max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 200_000),
+    st.integers(1, 5),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_unimax_matches_pure_python_model(spark, sizes, budget, cap):
+    """The Spark window/agg waterfill equals an independent pure-
+    Python model on arbitrary inputs, and the paper's invariants hold:
+    allocation never exceeds capacity, capped rows take exactly their
+    capacity, and the total allocated is min(budget, total capacity)
+    whenever anything is uncapped (uncapped absorbs ALL residual)."""
+    from bottledwater_pg_spark.operators.sampling import (
+        unimax_allocations,
+    )
+
+    df = spark.createDataFrame(sizes, "lang string, n_tokens long")
+    got = {r.lang: (r.capped, r.allocation, r.capacity)
+           for r in unimax_allocations(df, budget, cap).collect()}
+    ref = _unimax_reference(sizes, budget, cap)
+    assert {k: v[:2] for k, v in got.items()} == ref
+    total_cap = sum(s * cap for _, s in sizes)
+    total_alloc = sum(v[1] for v in got.values())
+    assert all(v[1] <= v[2] for v in got.values())
+    if any(v[0] == 0 for v in got.values()):
+        assert total_alloc == min(budget, total_cap)
+    else:
+        assert total_alloc == total_cap <= budget

@@ -173,3 +173,43 @@ def test_weighted_systematic_sample_properties(spark, sf_dir):
     # (length-proportional inclusion biases toward long docs)
     corpus_mean = total / docs.count()
     assert s1.n_chars.mean() > corpus_mean
+
+
+def test_unimax_waterfill_hand_fixture(spark):
+    """Hand-checkable UniMax: sizes {a:10, b:10, c:100}, cap 2 epochs,
+    budget 60. Capacities 20/20/200; a and b cap at 2 epochs (20
+    each), c water-fills the residual 20 (0.2 epochs) — far below its
+    own 200 capacity. Allocations sum exactly to the budget."""
+    from bottledwater_pg_spark.operators.sampling import (
+        unimax_allocations,
+    )
+
+    sizes = spark.createDataFrame(
+        [("a", 10), ("b", 10), ("c", 100)], "lang string, n_tokens long"
+    )
+    got = {r.lang: r for r in
+           unimax_allocations(sizes, 60, 2).collect()}
+    assert (got["a"].capped, got["a"].allocation,
+            got["a"].epochs_bp) == (1, 20, 20000)
+    assert (got["b"].capped, got["b"].allocation,
+            got["b"].epochs_bp) == (1, 20, 20000)
+    assert (got["c"].capped, got["c"].allocation,
+            got["c"].epochs_bp) == (0, 20, 2000)
+    assert sum(r.allocation for r in got.values()) == 60
+
+
+def test_unimax_all_capped_when_budget_exceeds_capacity(spark):
+    """budget >= total capacity: every stratum caps at epoch_cap and
+    the leftover budget is deliberately unallocated (the paper's cap
+    is a hard bound, not a target)."""
+    from bottledwater_pg_spark.operators.sampling import (
+        unimax_allocations,
+    )
+
+    sizes = spark.createDataFrame(
+        [("a", 5), ("b", 50)], "lang string, n_tokens long"
+    )
+    got = {r.lang: r for r in
+           unimax_allocations(sizes, 1000, 3).collect()}
+    assert all(r.capped == 1 for r in got.values())
+    assert got["a"].allocation == 15 and got["b"].allocation == 150
