@@ -5310,3 +5310,183 @@ ORDER BY lang
 
 QUERIES["unimax_language_budgets"] = unimax_language_budgets
 ORACLES["unimax_language_budgets"] = _unimax_sql()
+
+
+# ---------------- C4 line-level filters (Raffel et al. 2020 §2.2)
+
+C4_LINE_TOKENS = 8         # fixture: synthetic lines of 8 tokens
+C4_MIN_LINE_WORDS = 5      # C4: keep lines with >= 5 words
+C4_MIN_KEPT_LINES = 3      # C4: drop pages with < 3 kept sentences
+C4_LOREM_MOD = 25          # fixture: inject 'lorem ipsum' per 25 docs
+C4_BRACE_MOD = 30          # fixture: inject '{' per 30 docs
+
+_C4_LINES = (
+    "transform(sequence(0, cast(ceil(size(toks) / {w}.0) as int) - 1), "
+    "i -> array_join(slice(toks, i * {w} + 1, {w}), ' '))"
+).format(w=C4_LINE_TOKENS)
+
+# deterministic ~50/50 terminal punctuation: '.' iff the line's md5
+# leads with hex 0-7 — both engines compute the identical digest
+_C4_PUNCT = (
+    "transform({lines}, l -> CASE WHEN substring(md5(l), 1, 1) < '8' "
+    "THEN concat(l, '.') ELSE l END)"
+)
+
+
+def docs_with_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 fixture: the corpus has no natural line structure (word
+    streams, zero punctuation — probed), so structure is INJECTED
+    deterministically: the two page-level drop markers are appended
+    as real tokens on disjoint doc_id residues ('lorem ipsum' per
+    %25, '{{' per %30 — detected downstream by substring search on
+    the page text, exactly C4's rule, not by trusting the fixture),
+    then tokens are chunked 8 per line and each line terminated with
+    '.' iff its md5 leads 0-7 (~half). Every C4 rule therefore sees
+    both passing and failing inputs, the Gopher-fixture discipline.
+    Returns (doc_id, source, lines array<string>, has_brace,
+    has_lorem)."""
+    from bottledwater_pg_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("tokens_raw")
+    ).select(
+        "doc_id",
+        "source",
+        F.expr(
+            "concat("
+            f"  tokens_raw,"
+            f"  CASE WHEN doc_id % {C4_LOREM_MOD} = 0"
+            "        THEN array('lorem', 'ipsum') ELSE array() END,"
+            f"  CASE WHEN doc_id % {C4_BRACE_MOD} = 0"
+            "        THEN array('{') ELSE array() END)"
+        ).alias("toks"),
+    )
+    lines = _C4_PUNCT.format(lines=_C4_LINES)
+    page = "array_join(toks, ' ')"
+    return docs.select(
+        "doc_id",
+        "source",
+        F.expr(lines).alias("lines"),
+        F.expr(f"contains({page}, '{{')").alias("has_brace"),
+        F.expr(f"contains({page}, 'lorem ipsum')").alias("has_lorem"),
+    )
+
+
+def c4_line_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning stage (Raffel et al. 2020 §2.2) as one
+    aggregation: keep lines ending in terminal punctuation with >=
+    C4_MIN_LINE_WORDS words; drop pages containing '{' or 'lorem
+    ipsum' or with < C4_MIN_KEPT_LINES kept lines; report per source
+    the line- and page-level carnage plus chars surviving. Line
+    verdicts are narrow array expressions (filter/aggregate over the
+    lines array — no explode, no shuffle until the final per-source
+    agg), the Gopher-gate shape. All-integer outputs."""
+    docs = docs_with_c4_lines(spark, sf_dir)
+    kept = (
+        "filter(lines, l -> right(l, 1) IN ('.', '!', '?') "
+        f"AND size(split(l, ' ')) >= {C4_MIN_LINE_WORDS})"
+    )
+    per_doc = docs.select(
+        "source",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.expr(f"size({kept})").cast("long").alias("n_kept_lines"),
+        F.expr(
+            f"aggregate({kept}, CAST(0 AS BIGINT), "
+            "(acc, l) -> acc + length(l))"
+        ).alias("kept_chars"),
+        "has_brace",
+        "has_lorem",
+    ).withColumn(
+        "dropped_marker",
+        (F.col("has_brace") | F.col("has_lorem")).cast("long"),
+    ).withColumn(
+        "dropped_few_lines",
+        ((F.col("dropped_marker") == 0)
+         & (F.col("n_kept_lines") < C4_MIN_KEPT_LINES)).cast("long"),
+    ).withColumn(
+        "kept_doc",
+        ((F.col("dropped_marker") == 0)
+         & (F.col("dropped_few_lines") == 0)).cast("long"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dropped_marker").cast("long")
+            .alias("n_dropped_marker"),
+            F.sum("dropped_few_lines").cast("long")
+            .alias("n_dropped_few_lines"),
+            F.sum("kept_doc").cast("long").alias("n_docs_kept"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum(F.col("n_kept_lines") * F.col("kept_doc"))
+            .cast("long").alias("n_lines_kept"),
+            F.sum(F.col("kept_chars") * F.col("kept_doc"))
+            .cast("long").alias("n_chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _c4_sql() -> str:
+    w = C4_LINE_TOKENS
+    toks = (
+        "list_concat(list_concat(string_split_regex(trim(text), '\\s+'), "
+        f"CASE WHEN doc_id % {C4_LOREM_MOD} = 0 "
+        "THEN ['lorem', 'ipsum'] ELSE [] END), "
+        f"CASE WHEN doc_id % {C4_BRACE_MOD} = 0 "
+        "THEN ['{'] ELSE [] END)"
+    )
+    lines = (
+        f"list_transform(range(0, CAST(ceil(len(toks) / {w}.0) AS BIGINT)), "
+        f"i -> array_to_string((toks)[i * {w} + 1 : i * {w} + {w}], ' '))"
+    )
+    punct = (
+        f"list_transform({lines}, l -> CASE WHEN substring(md5(l), 1, 1) "
+        "< '8' THEN l || '.' ELSE l END)"
+    )
+    kept = (
+        "list_filter(lines, l -> right(l, 1) IN ('.', '!', '?') "
+        f"AND len(string_split(l, ' ')) >= {C4_MIN_LINE_WORDS})"
+    )
+    return f"""
+WITH toked AS (
+  SELECT doc_id, source, {toks} AS toks FROM documents
+),
+paged AS (
+  SELECT doc_id, source, {punct} AS lines,
+         contains(array_to_string(toks, ' '), '{{') AS has_brace,
+         contains(array_to_string(toks, ' '), 'lorem ipsum') AS has_lorem
+  FROM toked
+),
+per_doc AS (
+  SELECT source,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len({kept}) AS BIGINT) AS n_kept_lines,
+         CAST(COALESCE(list_sum(list_transform({kept},
+              l -> length(l))), 0) AS BIGINT) AS kept_chars,
+         CAST(has_brace OR has_lorem AS BIGINT) AS dropped_marker,
+         CAST(NOT (has_brace OR has_lorem)
+              AND len({kept}) < {C4_MIN_KEPT_LINES} AS BIGINT)
+           AS dropped_few_lines
+  FROM paged
+),
+flagged AS (
+  SELECT *,
+         CAST(dropped_marker = 0 AND dropped_few_lines = 0 AS BIGINT)
+           AS kept_doc
+  FROM per_doc
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dropped_marker) AS BIGINT) AS n_dropped_marker,
+       CAST(SUM(dropped_few_lines) AS BIGINT) AS n_dropped_few_lines,
+       CAST(SUM(kept_doc) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(n_kept_lines * kept_doc) AS BIGINT) AS n_lines_kept,
+       CAST(SUM(kept_chars * kept_doc) AS BIGINT) AS n_chars_kept
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["c4_line_filter_stats"] = c4_line_filter_stats
+ORACLES["c4_line_filter_stats"] = _c4_sql()

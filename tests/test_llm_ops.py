@@ -1051,3 +1051,66 @@ def test_containment_finds_every_injected_quote_expansion(spark, sf_dir):
     for pair in expected:
         assert pair in found, f"missing injected pair {pair}"
         assert found[pair] == 1.0
+
+
+def test_c4_line_filter_rules_each_fire(spark, sf_dir):
+    """Every C4 rule must fire somewhere on the fixture AND every
+    rule must also pass somewhere: marker docs dropped (lorem/brace
+    injected as real tokens, detected by substring search), some docs
+    dropped for too few kept lines, most docs kept; kept lines strictly
+    between zero and all lines (the md5 punctuation split is ~50/50);
+    kept chars positive; per-source doc counts reconcile."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        c4_line_filter_stats,
+    )
+
+    rows = c4_line_filter_stats(spark, sf_dir).collect()
+    tot = {c: sum(r[c] for r in rows) for c in
+           ("n_docs", "n_dropped_marker", "n_dropped_few_lines",
+            "n_docs_kept", "n_lines", "n_lines_kept", "n_chars_kept")}
+    assert tot["n_dropped_marker"] > 0
+    assert tot["n_docs_kept"] > 0
+    assert (tot["n_dropped_marker"] + tot["n_dropped_few_lines"]
+            + tot["n_docs_kept"]) == tot["n_docs"]
+    assert 0 < tot["n_lines_kept"] < tot["n_lines"]
+    assert tot["n_chars_kept"] > 0
+
+
+def test_c4_line_filter_hand_semantics(spark, monkeypatch, tmp_path):
+    """Hand fixture through the real query path: a 16-token doc
+    (doc_id=1, no markers) chunks into exactly two 8-word lines;
+    whichever lines draw terminal punctuation (md5-determined) are
+    kept iff they have >= 5 words; a doc on the lorem residue
+    (doc_id=0) is dropped by the marker rule no matter its lines."""
+    import hashlib
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        C4_LINE_TOKENS,
+        c4_line_filter_stats,
+    )
+
+    words = [f"w{i}" for i in range(16)]
+    df = spark.createDataFrame(
+        [(0, "s0", " ".join(words)), (1, "s1", " ".join(words))],
+        "doc_id long, source string, text string",
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    got = {r.source: r for r in
+           c4_line_filter_stats(spark, sf).collect()}
+    # doc 0: lorem-injected -> marker drop (the '{' residue also
+    # matches doc_id 0; either way it is a marker drop)
+    assert got["s0"].n_dropped_marker == 1
+    assert got["s0"].n_docs_kept == 0
+    assert got["s0"].n_lines_kept == 0 and got["s0"].n_chars_kept == 0
+    # doc 1: two exact 8-word lines; replicate the md5 draw
+    lines = [" ".join(words[:C4_LINE_TOKENS]),
+             " ".join(words[C4_LINE_TOKENS:])]
+    kept = [ln + "." for ln in lines
+            if hashlib.md5(ln.encode()).hexdigest()[0] < "8"]
+    assert got["s1"].n_lines == 2
+    expect_kept_doc = 0  # < C4_MIN_KEPT_LINES (3) kept lines always
+    assert got["s1"].n_docs_kept == expect_kept_doc
+    assert got["s1"].n_dropped_few_lines == 1
+    # kept-line accounting zeroes out for dropped docs
+    assert got["s1"].n_lines_kept == 0
