@@ -759,3 +759,65 @@ def topk_sq(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+# ------------------- Matryoshka prefix-dim funnel (Kusupati et al.)
+
+
+def topk_mrl(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             prefix_dim: int = 16, refine: int = 50,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Adaptive retrieval over Matryoshka-style prefix dimensions
+    (Kusupati et al. 2022, "Matryoshka Representation Learning" §4.3):
+    shortlist candidates by cosine over only the FIRST ``prefix_dim``
+    coordinates (a dim/prefix_dim compute-and-bytes reduction on the
+    full scan), then re-rank the ``refine`` survivors per query with
+    full-dimension exact cosine — the funnel MRL embeddings are
+    trained for, and the right first rung at 100 TB: the shortlist
+    scan reads a prefix-slice column an order of magnitude narrower
+    than the vectors, and only refine * |Q| full vectors are ever
+    touched. (On embeddings NOT trained front-loaded — like this
+    uniform fixture — the prefix is an unbiased random projection, so
+    the funnel still works, just with a flatter recall/dim curve;
+    the certificate floor is set for that honest worst case.)
+    Truncation commutes with per-element quantization, so slicing the
+    quantized vectors IS the quantized truncation — deterministic,
+    pinned ties, fully SQL-replayable."""
+    q_all = quantized_vectors(corpus, id_col, vec_col)
+    t = q_all.select(
+        F.col("sid").alias("neighbor_id"),
+        F.slice("qvec", 1, prefix_dim).alias("t_q"),
+    ).withColumn("t_n", norm_pre("t_q"))
+    qt = quantized_vectors(queries, id_col, vec_col).select(
+        F.col("sid").alias("query_id"),
+        F.slice("qvec", 1, prefix_dim).alias("tq_q"),
+    ).withColumn("tq_n", norm_pre("tq_q"))
+    scored = (
+        t.crossJoin(F.broadcast(qt))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("tcos", cosine_pre("tq_q", "t_q", "tq_n", "t_n"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("tcos"), F.col("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    qq = _q(queries, "query", id_col, vec_col)
+    nn = _q(corpus, "n", id_col, vec_col)
+    rescored = (
+        shortlist.join(F.broadcast(qq), "query_id")
+        .join(nn.withColumnRenamed("n_id", "neighbor_id"), "neighbor_id")
+        .withColumn("cos", cosine_pre("query_q", "n_q", "query_n", "n_n"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

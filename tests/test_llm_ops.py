@@ -1114,3 +1114,39 @@ def test_c4_line_filter_hand_semantics(spark, monkeypatch, tmp_path):
     assert got["s1"].n_dropped_few_lines == 1
     # kept-line accounting zeroes out for dropped docs
     assert got["s1"].n_lines_kept == 0
+
+
+def test_mrl_funnel_exact_on_frontloaded_embeddings(spark):
+    """The funnel's design case: embeddings whose information lives in
+    the prefix dims (MRL-trained shape). With all signal in the first
+    2 coordinates, a prefix-2 shortlist already contains the true
+    neighbors and the full-dim re-rank returns exactly brute force."""
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_mrl,
+    )
+
+    # signal in dims 0-1; dims 2-3 constant (zero tail information)
+    rows = [(i, [1.0 - 0.01 * i, 0.01 * i, 0.5, 0.5])
+            for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    qs = docs.filter(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.neighbor_id, r.rank)
+             for r in topk_bruteforce(docs, qs, k=5).collect()}
+    funnel = {(r.query_id, r.neighbor_id, r.rank)
+              for r in topk_mrl(docs, qs, k=5, prefix_dim=2,
+                                refine=10).collect()}
+    assert funnel == exact
+
+
+def test_mrl_recall_certificate_clears_floor(spark, sf_dir):
+    from bottledwater_pg_spark.operators.llm_queries import (
+        mrl_ann_recall_vs_exact,
+    )
+
+    row = mrl_ann_recall_vs_exact(spark, sf_dir).collect()[0]
+    assert row["recall_ok"] == 1
