@@ -47,7 +47,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-certifies all 157 locally (EXACTGATE_r5.json).
 _FAMILY_SPREAD = [
     # ---- ROUND 11 window: the driver hashes the FIRST 50 entries.
-    # Slots 1-2: the two new r11 queries (no prior driver record) —
+    # Slots 1-7: the seven new r11 session-2 queries (no prior driver
+    # record) — the SQ8 scalar-quantization ANN pair (per-dim 8-bit
+    # grids, ADC scan, recall certificate), the Matryoshka prefix-dim
+    # funnel pair (32-dim shortlist, exact full-dim re-rank),
+    # containment near-dup (asymmetric quote-expansion dedup the
+    # Jaccard family is blind to), the C4 line-level cleaning stage,
+    # and the UniMax language-budget waterfill.
+    "sq_ann_topk", "sq_ann_recall_vs_exact",
+    "mrl_ann_topk", "mrl_ann_recall_vs_exact",
+    "containment_near_dup", "c4_line_filter_stats",
+    "unimax_language_budgets",
+    # Slots 8-9: the two queries new in the first r11 session —
     # Gopher's n-gram repetition gate (Rae et al. 2021 A1 char-mass
     # bounds; the fixture injects one repetitive twin per source so
     # BOTH sides of every threshold are certified) and CCNet
@@ -55,7 +66,7 @@ _FAMILY_SPREAD = [
     # ntile(3) per source over the integer bigram-surprise kernel,
     # id/score checksums pin the full assignment).
     "gopher_repetition_ngram_flags", "ccnet_perplexity_buckets",
-    # Slots 3-6: r11-REFACTORED code paths re-certified in-window:
+    # Slots 10-13: r11-REFACTORED code paths re-certified in-window:
     # gopher_quality_flags now runs on the shared with_gopher_flags
     # kernel (the streaming gate's), lm_surprise_outliers on the
     # shared _lm_surprise_per_doc kernel (ccnet's),
@@ -64,7 +75,7 @@ _FAMILY_SPREAD = [
     # edge build moved into copurchase_edges.
     "gopher_quality_flags", "lm_surprise_outliers",
     "incremental_dedup_matches", "pagerank_copurchase",
-    # Slots 7-11: the r10 additions age one more round in-window
+    # Slots 14-18: the r10 additions age one more round in-window
     # (trained IVF/IVF-PQ + recall certificates, per-source quota).
     "ivf_trained_topk", "ivf_trained_recall_vs_exact",
     "ivfpq_trained_topk", "ivfpq_trained_recall_vs_exact",
@@ -99,13 +110,17 @@ _FAMILY_SPREAD = [
     "dedup_threshold_sensitivity",
     # To the 50 boundary: flagship + certificates.
     "cdc_materialize_customer", "cdc_merge_sink_customer",
+    # ---- rotated out in r11 session 2 to make room for the seven
+    # new slots (driver records live in CORRECTNESS_r01-r10):
+    # q1_pricing_summary, fraud_rolling_anomalies,
+    # cdc_registry_evolution_decode, cms_heavy_users_certificate,
+    # approx_quantile_rank_certificate, ivfpq_ann_topk,
+    # ann_topk_cosine; earlier rotations: lsh_ann_topk, ivf_ann_topk.
     "q1_pricing_summary", "fraud_rolling_anomalies",
     "cdc_registry_evolution_decode",
     "cms_heavy_users_certificate",
     "approx_quantile_rank_certificate",
     "ivfpq_ann_topk", "ann_topk_cosine",
-    # ---- rotated out in r11 (driver records live in
-    # CORRECTNESS_r10): lsh_ann_topk, ivf_ann_topk.
     "lsh_ann_topk", "ivf_ann_topk",
     # ---- rotated out in r10 (driver records live in
     # CORRECTNESS_r09): token_pmi_topk, pg_composite_enum_roundtrip,

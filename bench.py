@@ -172,6 +172,17 @@ BENCH_QUERIES = [
     # shuffles) + CCNet perplexity terciles (LM kernel + 1 window)
     "gopher_repetition_ngram_flags",
     "ccnet_perplexity_buckets",
+    # round 11 additions: SQ8 scalar-quantization ANN (full ADC scan
+    # at 1/8 vector bytes) + the Matryoshka prefix-dim funnel (32-dim
+    # shortlist, 150-deep exact re-rank) complete the quantization
+    # ladder; containment near-dup is the asymmetric
+    # (quote-expansion) dedup the Jaccard family can't see; the C4
+    # line gate and UniMax waterfill are the two curation stages.
+    "sq_ann_topk",
+    "mrl_ann_topk",
+    "containment_near_dup",
+    "c4_line_filter_stats",
+    "unimax_language_budgets",
     # cdc_replicate_all_counts is gate-checked but not benched: it is
     # the sum of the 10 per-table materializations benched above, and
     # re-timing the whole loop adds ~25 s of pure duplication
