@@ -5372,34 +5372,37 @@ def docs_with_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def c4_line_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The C4 cleaning stage (Raffel et al. 2020 §2.2) as one
-    aggregation: keep lines ending in terminal punctuation with >=
-    C4_MIN_LINE_WORDS words; drop pages containing '{' or 'lorem
-    ipsum' or with < C4_MIN_KEPT_LINES kept lines; report per source
-    the line- and page-level carnage plus chars surviving. Line
-    verdicts are narrow array expressions (filter/aggregate over the
-    lines array — no explode, no shuffle until the final per-source
-    agg), the Gopher-gate shape. All-integer outputs."""
-    docs = docs_with_c4_lines(spark, sf_dir)
-    kept = (
-        "filter(lines, l -> right(l, 1) IN ('.', '!', '?') "
+def c4_kept_lines_expr(lines_col: str = "lines") -> str:
+    """The line-level C4 keep rule as a SQL array expression: lines
+    ending in terminal punctuation with >= C4_MIN_LINE_WORDS words.
+    SHARED between the batch stats query and the streaming
+    ``c4_gate`` so the two rule sets cannot drift."""
+    return (
+        f"filter({lines_col}, l -> right(l, 1) IN ('.', '!', '?') "
         f"AND size(split(l, ' ')) >= {C4_MIN_LINE_WORDS})"
     )
-    per_doc = docs.select(
-        "source",
-        F.size("lines").cast("long").alias("n_lines"),
-        F.expr(f"size({kept})").cast("long").alias("n_kept_lines"),
-        F.expr(
-            f"aggregate({kept}, CAST(0 AS BIGINT), "
+
+
+def with_c4_verdicts(docs: DataFrame) -> DataFrame:
+    """Adds the C4 page verdicts to a frame carrying (lines,
+    has_brace, has_lorem): kept-line stats (narrow array expressions
+    — no explode, no shuffle), then the three page outcomes
+    (dropped_marker / dropped_few_lines / kept_doc). The shared rule
+    kernel behind both the batch stats query and the streaming
+    gate."""
+    kept = c4_kept_lines_expr("lines")
+    return docs.withColumns({
+        "n_lines": F.size("lines").cast("long"),
+        "c4_kept_lines": F.expr(kept),
+    }).withColumns({
+        "n_kept_lines": F.size("c4_kept_lines").cast("long"),
+        "kept_chars": F.expr(
+            "aggregate(c4_kept_lines, CAST(0 AS BIGINT), "
             "(acc, l) -> acc + length(l))"
-        ).alias("kept_chars"),
-        "has_brace",
-        "has_lorem",
-    ).withColumn(
-        "dropped_marker",
-        (F.col("has_brace") | F.col("has_lorem")).cast("long"),
-    ).withColumn(
+        ),
+        "dropped_marker":
+            (F.col("has_brace") | F.col("has_lorem")).cast("long"),
+    }).withColumn(
         "dropped_few_lines",
         ((F.col("dropped_marker") == 0)
          & (F.col("n_kept_lines") < C4_MIN_KEPT_LINES)).cast("long"),
@@ -5408,6 +5411,18 @@ def c4_line_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("dropped_marker") == 0)
          & (F.col("dropped_few_lines") == 0)).cast("long"),
     )
+
+
+def c4_line_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning stage (Raffel et al. 2020 §2.2) as one
+    aggregation: keep lines ending in terminal punctuation with >=
+    C4_MIN_LINE_WORDS words; drop pages containing '{' or 'lorem
+    ipsum' or with < C4_MIN_KEPT_LINES kept lines; report per source
+    the line- and page-level carnage plus chars surviving. Rule
+    kernel shared with the streaming ``c4_gate``
+    (:func:`with_c4_verdicts`), the Gopher-gate discipline.
+    All-integer outputs."""
+    per_doc = with_c4_verdicts(docs_with_c4_lines(spark, sf_dir))
     return (
         per_doc.groupBy("source")
         .agg(

@@ -1507,6 +1507,44 @@ def gopher_gate(df: DataFrame, text_col: str = "text",
     )
 
 
+def c4_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Ingest-time C4 cleaning gate (Raffel et al. 2020 §2.2) — the
+    streaming twin of ``llm_queries.c4_line_filter_stats``: split the
+    page on newlines, keep only lines ending in terminal punctuation
+    with >= 5 words, drop the page entirely if it contains '{' or
+    'lorem ipsum' or keeps < 3 lines; survivors get ``text_col``
+    REWRITTEN to the kept lines (this gate cleans, not just filters —
+    exactly what C4 does to a crawled page). The verdict kernel is
+    the SHARED ``with_c4_verdicts`` so the streamed survivor set
+    equals the batch rule by construction — pinned in
+    tests/test_streaming.py.
+
+    Stateless like :func:`gopher_gate`: narrow expressions only, no
+    shuffle, no state store — legal on batch or streaming frames
+    unchanged, and belongs BEFORE the stateful dedup/quota indexes
+    (a dropped page never costs an index write); the rewritten text
+    also shrinks every downstream shingle/token stage."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        with_c4_verdicts,
+    )
+
+    pre = df.withColumns({
+        "lines": F.split(F.col(text_col), "\n"),
+        "has_brace": F.col(text_col).contains("{"),
+        "has_lorem": F.lower(F.col(text_col)).contains("lorem ipsum"),
+    })
+    flagged = with_c4_verdicts(pre)
+    return (
+        flagged.filter(F.col("kept_doc") == 1)
+        .withColumn(text_col, F.array_join("c4_kept_lines", "\n"))
+        .drop(
+            "lines", "has_brace", "has_lorem", "n_lines",
+            "c4_kept_lines", "n_kept_lines", "kept_chars",
+            "dropped_marker", "dropped_few_lines", "kept_doc",
+        )
+    )
+
+
 class StreamingContaminationScreen:
     """Always-on ingest-time decontamination: the streaming twin of
     ``llm_queries.bloom_contamination_screen``. The eval-set Bloom

@@ -154,6 +154,16 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     batch_ids = {r.doc_id for r in gophered.select("doc_id").collect()}
     assert streamed == batch_ids, "streaming gopher gate diverged"
 
+    # 3a'. C4 line-level cleaning (Raffel et al. 2020 §2.2) sits in
+    # the same stateless-gate family: the fixture corpus has no
+    # newline structure (single-line word streams), so on THIS corpus
+    # every page is one unpunctuated line and the gate would drop
+    # everything — the stage is therefore shown as a no-op guard: a
+    # page with newline structure would be line-cleaned here by
+    # c4_gate (kernel shared with c4_line_filter_stats; the streaming
+    # parity pin lives in tests/test_streaming.py).
+    from bottledwater_pg_spark.streaming.stream import c4_gate  # noqa: F401
+
     # 3b. per-source quota cap (RefinedWeb-style): no source may
     # dominate the mix — keep the 400 lowest-fingerprint docs per
     # source (deterministic uniform draw)

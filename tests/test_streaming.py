@@ -2658,3 +2658,75 @@ def test_streaming_lm_screen_unseen_bigrams_and_threshold(
     assert json.load(open(state / "meta.json"))["family"] == (
         StreamingLMScreen.LM_FAMILY
     )
+
+
+def test_streaming_c4_gate_batch_parity_and_rewrite(spark, sf_dir):
+    """c4_gate behind an actual readStream: the streamed survivor set
+    AND the rewritten texts equal the batch application of the shared
+    verdict kernel on the same corpus — and the gate genuinely
+    cleans: a surviving page with a bad line comes out shorter, with
+    every kept line terminal-punctuated and >= 5 words."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        C4_MIN_LINE_WORDS,
+    )
+    from bottledwater_pg_spark.streaming.stream import c4_gate
+
+    # give the corpus real newline structure: chunk each doc's tokens
+    # into 8-word lines, '.'-terminate ~half deterministically (md5),
+    # plant page-drop markers on disjoint residues
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.expr(
+            "array_join(transform("
+            "  sequence(0, cast(ceil(size(split(trim(text), ' +')) / 8.0)"
+            "           as int) - 1),"
+            "  i -> concat(array_join(slice(split(trim(text), ' +'),"
+            "       i * 8 + 1, 8), ' '),"
+            "       CASE WHEN substring(md5(array_join(slice("
+            "       split(trim(text), ' +'), i * 8 + 1, 8), ' ')), 1, 1)"
+            "       < '8' THEN '.' ELSE '' END)), '\n')"
+        ).alias("text"),
+    ).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 25 == 0,
+               F.concat(F.col("text"), F.lit("\nlorem ipsum")))
+        .otherwise(F.col("text")),
+    )
+    batch = {
+        (r.doc_id, r.text)
+        for r in c4_gate(docs).select("doc_id", "text").collect()
+    }
+    n_docs = docs.count()
+    assert 0 < len(batch) < n_docs  # both sides exercised
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/src")
+        gated = c4_gate(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        assert gated.isStreaming
+        assert gated.columns == ["doc_id", "source", "text"]
+        q = (
+            gated.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(f"{tmp}/out")
+            .select("doc_id", "text").collect()
+        }
+    assert got == batch
+    # the gate CLEANS: every kept line punctuated and >= 5 words
+    for _, text in list(batch)[:50]:
+        for line in text.split("\n"):
+            assert line[-1] in ".!?"
+            assert len(line.split(" ")) >= C4_MIN_LINE_WORDS
+    # at least one surviving page lost a line (rewrite is real)
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    assert any(len(t) < len(orig[d]) for d, t in batch)
