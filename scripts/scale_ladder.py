@@ -59,6 +59,15 @@ def main() -> int:
         # replicas and alpha measures pure engine scaling.
         ("pagerank_copurchase", R.pagerank_copurchase,
          ("orders", "lineitem")),
+        # r11 session 2: the ANN-SCAN row — sq_ann_topk is a broadcast
+        # full scan whose per-row work is one interpreted zip_with dot
+        # against each of the 20 fixed queries (replica offsets keep
+        # vec_id < 20 in replica 0 only, so the query set does NOT
+        # grow with the corpus). The ladder's other rows are
+        # token/join/iterative shapes; this is the pure-compute
+        # column-scan shape the quantization family's 100 TB story
+        # rests on — alpha ~ 1.0 expected once the 32 cores saturate.
+        ("sq_ann_topk", L.sq_ann_topk, ("embeddings",)),
     ]
     only = set(sys.argv[1:])
     if only:
