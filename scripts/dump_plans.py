@@ -118,6 +118,12 @@ HEADLINE = {
     # round 11
     "gopher_repetition_ngram_flags": "Gopher n-gram repetition gate: one instance-level gram explode + (doc,gram) partial agg per n (2/3/5), per-doc left joins coalesce vacuous passes, one source rollup — the winnowing gram-shuffle family, zero cartesians",
     "ccnet_perplexity_buckets": "CCNet terciles: the LM kernel's model-join shape (vocabulary-sized model, 1-row V broadcast), then ONE ntile window per source over integer scores — no corpus collect, no float boundary",
+    # round 11, session 2
+    "sq_ann_topk": "SQ8-ADC scan: per-dim grid stats fold to ONE broadcast row (map-side partial posexplode agg), encode+reconstruct fused in a narrow indexed transform, full scan with broadcast query side — no shuffle of the corpus, no cartesian",
+    "mrl_ann_topk": "Matryoshka funnel: prefix-32 shortlist scan (sliced quantized vectors — half the bytes), per-query window to 150, exact full-dim re-rank joins ONLY the shortlist; both model sides broadcast",
+    "containment_near_dup": "containment prefix blocking: df-ranked rare-shingle prefix equi-joined to the full shingle table (frequent keys never enter the join), candidates verified once via array_intersect — no cartesian, no BNLJ",
+    "c4_line_filter_stats": "C4 line gate: verdicts are filter/aggregate over the lines array (no explode), marker detection by substring on the page, ONE source-keyed partial agg — the gopher_quality_flags shape",
+    "unimax_language_budgets": "UniMax waterfill: corpus-sized work is one lang-keyed partial agg; the waterfill windows run over #langs rows (bounded metadata) and the 2-scalar fold broadcasts back",
 }
 
 ALIAS = {
