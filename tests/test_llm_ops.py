@@ -1150,3 +1150,46 @@ def test_mrl_recall_certificate_clears_floor(spark, sf_dir):
 
     row = mrl_ann_recall_vs_exact(spark, sf_dir).collect()[0]
     assert row["recall_ok"] == 1
+
+
+def test_perceptron_separates_injected_junk_perfectly(spark, sf_dir):
+    """The balanced batch perceptron must reach PERFECT separation of
+    the injected repetitive twins from the originals (measured 0
+    misclassified at every SF — the converged w is a fixed point),
+    with the weights pointing the interpretable way: type-token ratio
+    votes FOR quality, top-token share votes AGAINST."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        perceptron_quality_weights,
+    )
+
+    rows = perceptron_quality_weights(spark, sf_dir).collect()
+    assert rows[0].accuracy_bp == 10000
+    assert rows[0].n_misclassified == 0
+    w = {r.feature: r.weight for r in rows}
+    assert w[1] > 0   # ttr_bp: diverse vocabulary -> quality
+    assert w[2] < 0   # toptok_bp: one dominant token -> junk
+
+
+def test_perceptron_update_is_class_balanced(spark):
+    """On a 6:1-imbalanced hand corpus the classic sum-update would
+    chase the majority; the balanced update must separate both
+    classes inside the fixed rounds: positives are diverse 6-token
+    docs, the single negative is one token repeated 6x."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        _PDOT,
+        _perceptron_features,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{k}" for k in range(6)))
+         for i in range(6)]
+        + [(300001, "junk junk junk junk junk junk")],
+        "doc_id long, text string",
+    )
+    feats = _perceptron_features(docs)
+    got = {r.doc_id: (r.y, r.x) for r in feats.collect()}
+    assert got[300001][0] == -1 and got[0][0] == 1
+    # distinct=1 of 6 tokens -> ttr 1666bp, toptok 10000bp
+    assert got[300001][1][1] == 1666 and got[300001][1][2] == 10000
+    assert got[0][1][1] == 10000 and got[0][1][2] == 1666
