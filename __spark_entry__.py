@@ -57,8 +57,8 @@ _FAMILY_SPREAD = [
     "sq_ann_topk", "sq_ann_recall_vs_exact",
     "mrl_ann_topk", "mrl_ann_recall_vs_exact",
     "containment_near_dup", "c4_line_filter_stats",
-    "unimax_language_budgets",
-    # Slots 8-9: the two queries new in the first r11 session —
+    "unimax_language_budgets", "perceptron_quality_weights",
+    # Slots 9-10: the two queries new in the first r11 session —
     # Gopher's n-gram repetition gate (Rae et al. 2021 A1 char-mass
     # bounds; the fixture injects one repetitive twin per source so
     # BOTH sides of every threshold are certified) and CCNet
@@ -66,7 +66,7 @@ _FAMILY_SPREAD = [
     # ntile(3) per source over the integer bigram-surprise kernel,
     # id/score checksums pin the full assignment).
     "gopher_repetition_ngram_flags", "ccnet_perplexity_buckets",
-    # Slots 10-13: r11-REFACTORED code paths re-certified in-window:
+    # Slots 11-14: r11-REFACTORED code paths re-certified in-window:
     # gopher_quality_flags now runs on the shared with_gopher_flags
     # kernel (the streaming gate's), lm_surprise_outliers on the
     # shared _lm_surprise_per_doc kernel (ccnet's),
@@ -75,7 +75,7 @@ _FAMILY_SPREAD = [
     # edge build moved into copurchase_edges.
     "gopher_quality_flags", "lm_surprise_outliers",
     "incremental_dedup_matches", "pagerank_copurchase",
-    # Slots 14-18: the r10 additions age one more round in-window
+    # Slots 15-19: the r10 additions age one more round in-window
     # (trained IVF/IVF-PQ + recall certificates, per-source quota).
     "ivf_trained_topk", "ivf_trained_recall_vs_exact",
     "ivfpq_trained_topk", "ivfpq_trained_recall_vs_exact",
@@ -109,13 +109,15 @@ _FAMILY_SPREAD = [
     "simhash_md5_near_dup", "dedup_ngram_jaccard",
     "dedup_threshold_sensitivity",
     # To the 50 boundary: flagship + certificates.
-    "cdc_materialize_customer", "cdc_merge_sink_customer",
-    # ---- rotated out in r11 session 2 to make room for the seven
+    "cdc_materialize_customer",
+    # ---- rotated out in r11 session 2 to make room for the eight
     # new slots (driver records live in CORRECTNESS_r01-r10):
+    # cdc_merge_sink_customer,
     # q1_pricing_summary, fraud_rolling_anomalies,
     # cdc_registry_evolution_decode, cms_heavy_users_certificate,
     # approx_quantile_rank_certificate, ivfpq_ann_topk,
     # ann_topk_cosine; earlier rotations: lsh_ann_topk, ivf_ann_topk.
+    "cdc_merge_sink_customer",
     "q1_pricing_summary", "fraud_rolling_anomalies",
     "cdc_registry_evolution_decode",
     "cms_heavy_users_certificate",

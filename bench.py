@@ -183,6 +183,10 @@ BENCH_QUERIES = [
     "containment_near_dup",
     "c4_line_filter_stats",
     "unimax_language_budgets",
+    # round 11 s2: the trained quality classifier (one (doc,token)
+    # shuffle + 4 balanced-perceptron rounds over a broadcast 5-long
+    # weight row)
+    "perceptron_quality_weights",
     # cdc_replicate_all_counts is gate-checked but not benched: it is
     # the sum of the 10 per-table materializations benched above, and
     # re-timing the whole loop adds ~25 s of pure duplication

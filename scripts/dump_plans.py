@@ -124,6 +124,7 @@ HEADLINE = {
     "containment_near_dup": "containment prefix blocking: df-ranked rare-shingle prefix equi-joined to the full shingle table (frequent keys never enter the join), candidates verified once via array_intersect — no cartesian, no BNLJ",
     "c4_line_filter_stats": "C4 line gate: verdicts are filter/aggregate over the lines array (no explode), marker detection by substring on the page, ONE source-keyed partial agg — the gopher_quality_flags shape",
     "unimax_language_budgets": "UniMax waterfill: corpus-sized work is one lang-keyed partial agg; the waterfill windows run over #langs rows (bounded metadata) and the 2-scalar fold broadcasts back",
+    "perceptron_quality_weights": "balanced batch perceptron: features one (doc,token) partial-agg shuffle persisted once; each round broadcasts the 5-long weight row, filters misclassified (narrow), partial-aggs a 5-row delta; per-round localCheckpoint truncates 1-row lineage — the kmeans E/M shape",
 }
 
 ALIAS = {
