@@ -672,3 +672,22 @@ def test_containment_prefix_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert has_partial_aggregation(df)
+
+
+def test_perceptron_rounds_broadcast_weights_no_cartesian(spark, sf_dir):
+    """Perceptron training: every round broadcasts the 1-row weight
+    table into the feature scan (the corpus never shuffles to meet
+    the model), the feature build is the only (doc,token) exchange,
+    and nothing cartesians; the 5-row delta agg is partial."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        perceptron_quality_weights,
+    )
+    from bottledwater_pg_spark.plans.inspect import (
+        formatted_plan,
+        has_partial_aggregation,
+    )
+
+    df = perceptron_quality_weights(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_partial_aggregation(df)
