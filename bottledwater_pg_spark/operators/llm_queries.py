@@ -5591,19 +5591,10 @@ PERCEPTRON_ROUNDS = 4
 _PERCEPTRON_DIM = 5  # bias, ttr_bp, toptok_bp, meanlen_bp, wc_cap
 
 
-def _perceptron_features(docs: DataFrame) -> DataFrame:
-    """(doc_id, y, x): label +1 for corpus docs, -1 for the injected
-    repetitive twins (doc_id >= 300000 in docs_with_repetition — the
-    weak-label stand-in for the GPT-3/LLaMA practice of labeling a
-    reference corpus positive and raw crawl negative), and an
-    all-integer bounded feature vector: [bias 10000, type-token ratio
-    bp, top-token share bp, word count (capped 10000), top-token raw
-    count (capped 10000)]. Mean token length was measured OUT: it is
-    near-constant across classes here, and a large non-discriminative
-    feature makes the balanced update oscillate (each round flips the
-    full-corpus verdict). Bounds keep every |x_j| <= 10000 so the
-    training dots stay far inside int64.
-    One (doc, token) partial-agg shuffle, then a per-doc fold."""
+def _perceptron_x(docs: DataFrame) -> DataFrame:
+    """(doc_id, x): the classifier's integer feature vector alone —
+    the scoring-side kernel (the streaming screen featurizes unlabeled
+    crawl batches with exactly this)."""
     per_tok = (
         docs.select(
             "doc_id",
@@ -5619,8 +5610,6 @@ def _perceptron_features(docs: DataFrame) -> DataFrame:
     )
     return per_doc.select(
         "doc_id",
-        F.when(F.col("doc_id") >= 300000, F.lit(-1))
-        .otherwise(F.lit(1)).cast("long").alias("y"),
         F.expr(
             "array(CAST(10000 AS BIGINT), "
             "n_distinct * 10000 div n_tok, "
@@ -5631,8 +5620,91 @@ def _perceptron_features(docs: DataFrame) -> DataFrame:
     )
 
 
+def _perceptron_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, y, x): label +1 for corpus docs, -1 for the injected
+    repetitive twins (doc_id >= 300000 in docs_with_repetition — the
+    weak-label stand-in for the GPT-3/LLaMA practice of labeling a
+    reference corpus positive and raw crawl negative), and an
+    all-integer bounded feature vector: [bias 10000, type-token ratio
+    bp, top-token share bp, word count (capped 10000), top-token raw
+    count (capped 10000)]. Mean token length was measured OUT: it is
+    near-constant across classes here, and a large non-discriminative
+    feature makes the balanced update oscillate (each round flips the
+    full-corpus verdict). Bounds keep every |x_j| <= 10000 so the
+    training dots stay far inside int64.
+    One (doc, token) partial-agg shuffle, then a per-doc fold."""
+    return _perceptron_x(docs).select(
+        "doc_id",
+        F.when(F.col("doc_id") >= 300000, F.lit(-1))
+        .otherwise(F.lit(1)).cast("long").alias("y"),
+        "x",
+    )
+
+
 _PDOT = ("aggregate(zip_with(w, x, (a, b) -> a * b), "
          "CAST(0 AS BIGINT), (acc, p) -> acc + p)")
+
+
+def _perceptron_train(spark: SparkSession, feats: DataFrame,
+                      rounds: int = PERCEPTRON_ROUNDS) -> DataFrame:
+    """The class-balanced batch-perceptron training loop over a
+    labeled (doc_id, y, x) frame; returns the 1-row final-weights
+    frame. Shared by the batch query and the streaming screen's
+    train-once step — the kmeans E/M loop shape with a 5-element
+    state (broadcast weight row per round, narrow misclassify
+    filter, 5-row partial-agg delta, per-round localCheckpoint)."""
+    dim = _PERCEPTRON_DIM
+    w = spark.range(1).select(
+        F.expr(
+            f"transform(sequence(1, {dim}), i -> CAST(0 AS BIGINT))"
+        ).alias("w")
+    )
+    tmpl = spark.range(dim).select(F.col("id").cast("long").alias("j"))
+    for _ in range(rounds):
+        mis = (
+            feats.crossJoin(F.broadcast(w))
+            .filter(F.col("y") * F.expr(_PDOT) <= 0)
+        )
+        upd = (
+            mis.select("y", F.posexplode("x").alias("j", "xv"))
+            .groupBy("j")
+            .agg(
+                F.sum(F.when(F.col("y") == 1, F.col("xv"))
+                      .otherwise(F.lit(0))).cast("long").alias("sp"),
+                F.sum(F.when(F.col("y") == 1, 1)
+                      .otherwise(F.lit(0))).cast("long").alias("np"),
+                F.sum(F.when(F.col("y") == -1, F.col("xv"))
+                      .otherwise(F.lit(0))).cast("long").alias("sn"),
+                F.sum(F.when(F.col("y") == -1, 1)
+                      .otherwise(F.lit(0))).cast("long").alias("nn"),
+            )
+            .select(
+                "j",
+                F.expr(
+                    "sp div greatest(np, CAST(1 AS BIGINT)) "
+                    "- sn div greatest(nn, CAST(1 AS BIGINT))"
+                ).cast("long").alias("d"),
+            )
+        )
+        delta = (
+            tmpl.join(upd, "j", "left")
+            .select("j",
+                    F.coalesce("d", F.lit(0)).cast("long").alias("d"))
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(j, d))), "
+                    "s -> s.d)"
+                ).alias("delta")
+            )
+        )
+        w = (
+            w.crossJoin(F.broadcast(delta))
+            .select(
+                F.expr("zip_with(w, delta, (a, b) -> a + b)").alias("w")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w
 
 
 def perceptron_quality_weights(spark: SparkSession,
@@ -5667,56 +5739,7 @@ def perceptron_quality_weights(spark: SparkSession,
     feats = persist_tracked(
         _perceptron_features(docs_with_repetition(spark, sf_dir))
     )
-    dim = _PERCEPTRON_DIM
-    w = spark.range(1).select(
-        F.expr(
-            f"transform(sequence(1, {dim}), i -> CAST(0 AS BIGINT))"
-        ).alias("w")
-    )
-    tmpl = spark.range(dim).select(F.col("id").cast("long").alias("j"))
-    for _ in range(PERCEPTRON_ROUNDS):
-        mis = (
-            feats.crossJoin(F.broadcast(w))
-            .filter(F.col("y") * F.expr(_PDOT) <= 0)
-        )
-        upd = (
-            mis.select("y", F.posexplode("x").alias("j", "xv"))
-            .groupBy("j")
-            .agg(
-                F.sum(F.when(F.col("y") == 1, F.col("xv"))
-                      .otherwise(F.lit(0))).cast("long").alias("sp"),
-                F.sum(F.when(F.col("y") == 1, 1)
-                      .otherwise(F.lit(0))).cast("long").alias("np"),
-                F.sum(F.when(F.col("y") == -1, F.col("xv"))
-                      .otherwise(F.lit(0))).cast("long").alias("sn"),
-                F.sum(F.when(F.col("y") == -1, 1)
-                      .otherwise(F.lit(0))).cast("long").alias("nn"),
-            )
-            .select(
-                "j",
-                F.expr(
-                    "sp div greatest(np, CAST(1 AS BIGINT)) "
-                    "- sn div greatest(nn, CAST(1 AS BIGINT))"
-                ).cast("long").alias("d"),
-            )
-        )
-        delta = (
-            tmpl.join(upd, "j", "left")
-            .select("j", F.coalesce("d", F.lit(0)).cast("long").alias("d"))
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(j, d))), "
-                    "s -> s.d)"
-                ).alias("delta")
-            )
-        )
-        w = (
-            w.crossJoin(F.broadcast(delta))
-            .select(
-                F.expr("zip_with(w, delta, (a, b) -> a + b)").alias("w")
-            )
-            .localCheckpoint(eager=True)
-        )
+    w = _perceptron_train(spark, feats)
     scored = feats.crossJoin(F.broadcast(w)).select(
         "y", (F.col("y") * F.expr(_PDOT) <= 0).cast("long").alias("mis")
     )

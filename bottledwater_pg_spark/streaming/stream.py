@@ -1912,6 +1912,131 @@ class StreamingLMScreen:
         )
 
 
+class StreamingPerceptronScreen:
+    """Always-on ingest-time TRAINED-CLASSIFIER screen: the streaming
+    twin of ``perceptron_quality_weights`` — the fasttext-at-crawl
+    practice (GPT-3/LLaMA quality classifiers run at ingest, trained
+    once offline). The class-balanced batch perceptron is trained
+    ONCE on a labeled corpus (llm_queries._perceptron_train — the
+    shared loop), the 5-long integer weight vector is persisted to
+    the state dir with its family tag, and every micro-batch is
+    featurized with the SHARED ``_perceptron_x`` kernel and scored by
+    one integer dot against the standing weights: pass iff
+    ``w . x > 0``. A standing model from a different feature spec /
+    update rule must not score — the meta gate refuses and demands a
+    rebuild (the LM screen's discipline).
+
+    State/audit: per-epoch OVERWRITE audit slices (doc_id, score,
+    pass) — replay-idempotent; ``accepted_ids()`` is the distinct
+    pass set. The model is 5 integers: broadcast trivially, zero
+    growth with stream lifetime; scoring is one (doc, token)
+    partial agg + a broadcast join — no standing corpus state at
+    all."""
+
+    #: bump when the feature spec, rounds, or update rule changes
+    PERCEPTRON_FAMILY = "perceptron-balanced/r4/bias-ttr-toptok-wc-maxcnt"
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 train_feats: DataFrame | None = None):
+        import json as _json
+
+        self.spark = spark
+        self.state_dir = state_dir
+        self._run_key = "adhoc"  # start() re-keys from the checkpoint
+        os.makedirs(state_dir, exist_ok=True)
+        w_path = os.path.join(state_dir, "weights")
+        meta_path = os.path.join(state_dir, "meta.json")
+        have = (
+            os.path.isdir(w_path)
+            and any(f.endswith(".parquet") for f in os.listdir(w_path))
+            and os.path.exists(meta_path)
+        )
+        if have:
+            with open(meta_path) as f:
+                meta = _json.load(f)
+            if meta.get("family") != self.PERCEPTRON_FAMILY:
+                if train_feats is None:
+                    raise LookupError(
+                        f"standing classifier was trained under "
+                        f"{meta.get('family')!r} but this screen scores "
+                        f"with {self.PERCEPTRON_FAMILY!r}; pass "
+                        f"train_feats to rebuild"
+                    )
+                have = False
+        if not have:
+            if train_feats is None:
+                raise LookupError(
+                    "no standing classifier in state_dir and no "
+                    "train_feats given to build one"
+                )
+            from bottledwater_pg_spark.operators.llm_queries import (
+                _perceptron_train,
+            )
+
+            _perceptron_train(self.spark, train_feats).write.mode(
+                "overwrite"
+            ).parquet(w_path)
+            tmp_meta = meta_path + ".tmp"
+            with open(tmp_meta, "w") as f:
+                _json.dump({"family": self.PERCEPTRON_FAMILY}, f)
+            os.replace(tmp_meta, meta_path)
+        self._w = spark.read.parquet(w_path)
+
+    def _audit_path(self) -> str:
+        return os.path.join(self.state_dir, "audit")
+
+    def audit(self) -> DataFrame | None:
+        p = self._audit_path()
+        if not os.path.isdir(p):
+            return None
+        return self.spark.read.option("basePath", p).parquet(p)
+
+    def accepted_ids(self) -> DataFrame | None:
+        a = self.audit()
+        return None if a is None else (
+            a.filter(F.col("pass")).select("doc_id").distinct()
+        )
+
+    def score_batch(self, batch: DataFrame) -> DataFrame:
+        """(doc_id, score, pass) against the standing weights —
+        exposed separately so a batch caller can reuse the screen
+        without the audit write. Docs that produce no feature row
+        (empty text) fail closed: no evidence of quality."""
+        from bottledwater_pg_spark.operators.llm_queries import (
+            _PDOT,
+            _perceptron_x,
+        )
+
+        scored = (
+            _perceptron_x(batch.select("doc_id", "text"))
+            .crossJoin(F.broadcast(self._w))
+            .select("doc_id", F.expr(_PDOT).cast("long").alias("score"))
+        )
+        return batch.select("doc_id").join(scored, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+            (F.coalesce("score", F.lit(0)) > 0).alias("pass"),
+        )
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        self.score_batch(batch).write.mode("overwrite").parquet(
+            os.path.join(
+                self._audit_path(),
+                f"run={self._run_key}", f"epoch={epoch_id}",
+            )
+        )
+
+    def start(self, docs_stream: DataFrame, checkpoint_dir: str):
+        _fold_legacy_run_slices((self._audit_path(),), checkpoint_dir)
+        self._run_key = _run_key_of(checkpoint_dir)
+        return (
+            docs_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .start()
+        )
+
+
 class StreamingVectorDedupIndex(_SlicedDedupIndexBase):
     """Continuous ingest-time SEMANTIC near-dup rejection over an
     embedding stream — the vector twin of :class:`StreamingDedupIndex`

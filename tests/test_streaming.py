@@ -1799,7 +1799,12 @@ def test_legacy_run_key_slices_fold_into_resolved_key(spark, tmp_path):
     assert legacy != resolved
 
     idx = StreamingDedupIndex(spark, str(tmp_path / "state"))
-    roots = (idx._path("index"), idx._path("accepted"))
+    # every root the index gates _have_index on (since the stored-
+    # signature layout that includes the bands/sh EXTRA_SLICES)
+    roots = tuple(
+        idx._path(n)
+        for n in ("index", "accepted") + StreamingDedupIndex.EXTRA_SLICES
+    )
     df = lambda rows: spark.createDataFrame(  # noqa: E731
         rows, "doc_id long, text string"
     )
@@ -1818,7 +1823,7 @@ def test_legacy_run_key_slices_fold_into_resolved_key(spark, tmp_path):
         )
 
     folded = _fold_legacy_run_slices(roots, spelled)
-    assert folded == 2  # one epoch-0 move per root
+    assert folded == len(roots)  # one epoch-0 move per root
     for root in roots:
         assert not os.path.isdir(os.path.join(root, f"run={legacy}"))
 
@@ -2730,3 +2735,64 @@ def test_streaming_c4_gate_batch_parity_and_rewrite(spark, sf_dir):
     # at least one surviving page lost a line (rewrite is real)
     orig = {r.doc_id: r.text for r in docs.collect()}
     assert any(len(t) < len(orig[d]) for d, t in batch)
+
+
+def test_streaming_perceptron_screen_matches_trained_classifier(
+    spark, sf_dir, tmp_path
+):
+    """StreamingPerceptronScreen trained on the labeled repetition
+    corpus, then fed that corpus as micro-batches: the streamed pass
+    set equals the trained classifier's verdict — every original
+    passes and every injected junk twin fails (the batch query
+    measures perfect separation), because featurization and the dot
+    both use the batch kernels. Same-epoch replay rewrites, never
+    duplicates; a restarted screen reloads the persisted weights; a
+    family bump refuses without train_feats and rebuilds with them."""
+    import json
+
+    import pytest
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        _perceptron_features,
+        docs_with_repetition,
+    )
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingPerceptronScreen,
+    )
+
+    corpus = docs_with_repetition(spark, sf_dir)
+    feats = _perceptron_features(corpus)
+    state = tmp_path / "pcls"
+    scr = StreamingPerceptronScreen(spark, str(state), train_feats=feats)
+    batches = [
+        corpus.filter((F.col("doc_id") % 2 == k)) for k in (0, 1)
+    ]
+    for e, b in enumerate(batches):
+        scr.process_batch(b, e)
+    audit = scr.audit().toPandas().set_index("doc_id")
+    assert len(audit) == corpus.count()
+    originals = audit[audit.index < 300000]
+    twins = audit[audit.index >= 300000]
+    assert len(twins) > 0
+    assert originals["pass"].all()
+    assert not twins["pass"].any()
+    # same-epoch replay: overwrite, not duplicate
+    scr.process_batch(batches[0], 0)
+    assert len(scr.audit().toPandas()) == len(audit)
+    # restart without train_feats: standing weights reload
+    scr2 = StreamingPerceptronScreen(spark, str(state))
+    again = (
+        scr2.score_batch(corpus).toPandas()
+        .set_index("doc_id").sort_index()
+    )
+    assert (again["pass"] == audit.sort_index()["pass"]).all()
+    # family drift: refuse without feats, rebuild with them
+    meta = json.load(open(state / "meta.json"))
+    meta["family"] = "perceptron/legacy"
+    json.dump(meta, open(state / "meta.json", "w"))
+    with pytest.raises(LookupError, match="standing classifier"):
+        StreamingPerceptronScreen(spark, str(state))
+    StreamingPerceptronScreen(spark, str(state), train_feats=feats)
+    assert json.load(open(state / "meta.json"))["family"] == (
+        StreamingPerceptronScreen.PERCEPTRON_FAMILY
+    )
