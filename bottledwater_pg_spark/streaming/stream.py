@@ -46,11 +46,20 @@ def _run_key_of(checkpoint_dir: str) -> str:
     spells the SAME checkpoint differently — relative vs absolute,
     trailing slash, symlink — lands in the same namespace and its
     replayed epochs overwrite their own slices instead of duplicating
-    them under a fresh run key."""
+    them under a fresh run key.
+
+    The key carries a non-numeric ``k`` prefix: a raw md5 prefix can
+    happen to match scientific notation (``899682e19037``), which
+    Spark's partition-column type inference reads back as a DOUBLE
+    (that one is literally infinity) — the probe's run-key string
+    comparison then never matches and replay protection silently
+    dies. Found by the full suite on a 1-in-~400 tmp_path draw; the
+    prefix makes every key unambiguously a string for the inference
+    in both engines forever."""
     import hashlib
 
     resolved = os.path.realpath(checkpoint_dir)
-    return hashlib.md5(resolved.encode("utf-8")).hexdigest()[:12]
+    return "k" + hashlib.md5(resolved.encode("utf-8")).hexdigest()[:12]
 
 
 def _fold_legacy_run_slices(
@@ -65,36 +74,46 @@ def _fold_legacy_run_slices(
     fresh key instead of overwriting, and StreamingDedupIndex's probe
     filter would treat the stale same-checkpoint slice as a prior run.
 
-    On start(), fold the legacy (unresolved-spelling) run dir into the
-    resolved one: move each ``epoch=`` child across, preferring the
-    resolved key's copy when both exist (it was re-written after the
-    upgrade, so it is the authoritative replay). Returns how many
-    epoch slices were folded. Only the spelling handed to THIS start()
-    can be reconstructed — a legacy run written under a third spelling
-    of the same checkpoint stays a foreign run, which is the pre-fix
-    behavior, not a new failure mode."""
+    On start(), fold each legacy run dir into the current one: move
+    each ``epoch=`` child across, preferring the current key's copy
+    when both exist (it was re-written after the upgrade, so it is
+    the authoritative replay). TWO legacy spellings exist: the
+    pre-realpath key md5(path AS SPELLED)[:12] and the pre-``k``-
+    prefix key md5(realpath)[:12] (see _run_key_of on why the prefix
+    exists). Returns how many epoch slices were folded. Only the
+    spelling handed to THIS start() can be reconstructed — a legacy
+    run written under a third spelling of the same checkpoint stays
+    a foreign run, which is the pre-fix behavior, not a new failure
+    mode."""
     import hashlib
     import shutil
 
-    legacy = hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:12]
-    resolved = _run_key_of(checkpoint_dir)
-    if legacy == resolved:
-        return 0
+    current = _run_key_of(checkpoint_dir)
+    legacies = [
+        hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:12],
+        hashlib.md5(
+            os.path.realpath(checkpoint_dir).encode("utf-8")
+        ).hexdigest()[:12],
+    ]
     folded = 0
-    for root in roots:
-        src = os.path.join(root, f"run={legacy}")
-        if not os.path.isdir(src):
+    for legacy in legacies:
+        if legacy == current:
             continue
-        dst = os.path.join(root, f"run={resolved}")
-        os.makedirs(dst, exist_ok=True)
-        for child in os.listdir(src):
-            s, d = os.path.join(src, child), os.path.join(dst, child)
-            if os.path.exists(d):
-                shutil.rmtree(s)  # post-upgrade replay already rewrote it
-            else:
-                os.rename(s, d)
-                folded += 1
-        os.rmdir(src)
+        for root in roots:
+            src = os.path.join(root, f"run={legacy}")
+            if not os.path.isdir(src):
+                continue
+            dst = os.path.join(root, f"run={current}")
+            os.makedirs(dst, exist_ok=True)
+            for child in os.listdir(src):
+                s, d = os.path.join(src, child), os.path.join(dst, child)
+                if os.path.exists(d):
+                    # post-upgrade replay already rewrote it
+                    shutil.rmtree(s)
+                else:
+                    os.rename(s, d)
+                    folded += 1
+            os.rmdir(src)
     return folded
 
 

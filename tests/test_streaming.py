@@ -1795,7 +1795,16 @@ def test_legacy_run_key_slices_fold_into_resolved_key(spark, tmp_path):
 
     spelled = str(tmp_path / "ckpt") + "/"  # trailing-slash spelling
     legacy = hashlib.md5(spelled.encode("utf-8")).hexdigest()[:12]
+    # the second legacy spelling: pre-"k"-prefix resolved key (a raw
+    # md5 prefix can parse as scientific notation — 899682e19037 read
+    # back as DOUBLE infinity by partition inference, the bug the
+    # prefix kills; this test originally failed on exactly such a
+    # 1-in-~400 tmp_path draw)
+    legacy2 = hashlib.md5(
+        os.path.realpath(spelled).encode("utf-8")
+    ).hexdigest()[:12]
     resolved = _run_key_of(spelled)
+    assert resolved.startswith("k") and resolved == "k" + legacy2
     assert legacy != resolved
 
     idx = StreamingDedupIndex(spark, str(tmp_path / "state"))
@@ -1821,11 +1830,18 @@ def test_legacy_run_key_slices_fold_into_resolved_key(spark, tmp_path):
         df([(4, "fresh")]).write.mode("overwrite").parquet(
             os.path.join(root, f"run={resolved}", "epoch=1")
         )
+        # pre-prefix era wrote epoch 2 under the raw resolved key
+        df([(5, "ccc")]).write.mode("overwrite").parquet(
+            os.path.join(root, f"run={legacy2}", "epoch=2")
+        )
 
     folded = _fold_legacy_run_slices(roots, spelled)
-    assert folded == len(roots)  # one epoch-0 move per root
+    # one epoch-0 move (spelled legacy) + one epoch-2 move (raw
+    # resolved legacy) per root
+    assert folded == 2 * len(roots)
     for root in roots:
         assert not os.path.isdir(os.path.join(root, f"run={legacy}"))
+        assert not os.path.isdir(os.path.join(root, f"run={legacy2}"))
 
     idx2 = StreamingDedupIndex(spark, str(tmp_path / "state"))
     idx2._run_key = resolved
@@ -1839,6 +1855,9 @@ def test_legacy_run_key_slices_fold_into_resolved_key(spark, tmp_path):
     assert [
         r["doc_id"] for r in slices.filter("epoch = 1").collect()
     ] == [4]  # resolved copy kept, stale legacy replay dropped
+    assert [
+        r["doc_id"] for r in slices.filter("epoch = 2").collect()
+    ] == [5]  # pre-prefix era slice folded in
 
     # idempotent second call; already-resolved spelling is a no-op
     assert _fold_legacy_run_slices(roots, spelled) == 0
