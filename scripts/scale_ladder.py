@@ -68,6 +68,13 @@ def main() -> int:
         # column-scan shape the quantization family's 100 TB story
         # rests on — alpha ~ 1.0 expected once the 32 cores saturate.
         ("sq_ann_topk", L.sq_ann_topk, ("embeddings",)),
+        # r11 session 2: the TRAINED-MODEL row — perceptron training
+        # is one (doc, token) feature shuffle + 4 broadcast-weight
+        # rounds whose per-round work is a narrow filter + a 5-row
+        # partial agg; the model state is 5 integers regardless of
+        # corpus size, so alpha should track the feature shuffle.
+        ("perceptron_quality_weights", L.perceptron_quality_weights,
+         ("documents",)),
     ]
     only = set(sys.argv[1:])
     if only:
