@@ -389,3 +389,104 @@ def test_streaming_vector_dedup_empty_batch(spark, tmp_path):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     idx.process_batch(empty, 1)
     assert {r.vec_id for r in idx.accepted_ids().collect()} == {1, 2}
+
+
+def test_sq_and_mrl_empty_and_single_vector(spark):
+    """SQ8 and the MRL funnel on empty/one-vector corpora: empty in,
+    empty out (stats fold yields null arrays on zero rows — the
+    encode must not crash); a single vector has no neighbors."""
+    from bottledwater_pg_spark.operators.similarity import (
+        topk_mrl,
+        topk_sq,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    assert topk_sq(empty, empty, k=3).count() == 0
+    assert topk_mrl(empty, empty, k=3, prefix_dim=2, refine=5).count() == 0
+    one = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert topk_sq(one, one, k=3).count() == 0
+    assert topk_mrl(one, one, k=3, prefix_dim=1, refine=5).count() == 0
+
+
+def test_containment_empty_and_identical_docs(spark):
+    """Containment on an empty corpus is empty; two identical docs are
+    mutual containment 1.0 emitted ONCE with the id tie-break."""
+    from bottledwater_pg_spark.operators.dedup import (
+        containment_prefix_pairs,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert containment_prefix_pairs(empty, 8000).count() == 0
+    twins = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    got = containment_prefix_pairs(twins, 8000).collect()
+    assert [(r.a_id, r.b_id, r.containment) for r in got] == [(1, 2, 1.0)]
+
+
+def test_unimax_degenerate_budgets(spark):
+    """Zero budget allocates zero everywhere; a single stratum takes
+    min(budget, capacity); zero-size strata survive (0 tokens, 0
+    allocation, epochs div guarded by the caller's data — here size
+    >= 1 so the div is safe by the operator's contract)."""
+    from bottledwater_pg_spark.operators.sampling import (
+        unimax_allocations,
+    )
+
+    sizes = spark.createDataFrame(
+        [("a", 7), ("b", 3)], "lang string, n_tokens long"
+    )
+    zero = {r.lang: r.allocation
+            for r in unimax_allocations(sizes, 0, 3).collect()}
+    assert zero == {"a": 0, "b": 0}
+    solo = spark.createDataFrame([("x", 10)], "lang string, n_tokens long")
+    got = unimax_allocations(solo, 7, 2).collect()[0]
+    assert (got.capped, got.allocation) == (0, 7)
+    got2 = unimax_allocations(solo, 1000, 2).collect()[0]
+    assert (got2.capped, got2.allocation) == (1, 20)
+
+
+def test_c4_gate_empty_and_unpunctuated(spark):
+    """The streaming C4 gate on an empty frame stays empty; a page of
+    unpunctuated one-line text (this fixture's natural shape) is
+    dropped for too few kept lines — never a crash."""
+    from bottledwater_pg_spark.streaming.stream import c4_gate
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, source string, text string"
+    )
+    assert c4_gate(empty).count() == 0
+    plain = spark.createDataFrame(
+        [(1, "s", "just words with no punctuation at all here")],
+        "doc_id long, source string, text string",
+    )
+    assert c4_gate(plain).count() == 0
+
+
+def test_perceptron_single_class_and_empty(spark):
+    """Training on a single-class corpus must not crash: with only
+    positives every round's negative mean is zero, weights track the
+    positive mean, and everything classifies positive (accuracy
+    10000). An empty feature frame trains to zero weights."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        _perceptron_features,
+        _perceptron_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma d{i} e{i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    feats = _perceptron_features(docs)  # all labels +1
+    w = _perceptron_train(spark, feats).collect()[0][0]
+    assert len(w) == 5 and any(v != 0 for v in w)
+    empty = spark.createDataFrame(
+        [], "doc_id long, y long, x array<bigint>"
+    )
+    w0 = _perceptron_train(spark, empty).collect()[0][0]
+    assert w0 == [0, 0, 0, 0, 0]
