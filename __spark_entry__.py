@@ -47,13 +47,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-certifies all 157 locally (EXACTGATE_r5.json).
 _FAMILY_SPREAD = [
     # ---- ROUND 11 window: the driver hashes the FIRST 50 entries.
-    # Slots 1-7: the seven new r11 session-2 queries (no prior driver
+    # Slots 1-8: the eight new r11 session-2 queries (no prior driver
     # record) — the SQ8 scalar-quantization ANN pair (per-dim 8-bit
     # grids, ADC scan, recall certificate), the Matryoshka prefix-dim
     # funnel pair (32-dim shortlist, exact full-dim re-rank),
     # containment near-dup (asymmetric quote-expansion dedup the
     # Jaccard family is blind to), the C4 line-level cleaning stage,
-    # and the UniMax language-budget waterfill.
+    # the UniMax language-budget waterfill, and the trained
+    # perceptron quality classifier (class-balanced batch training
+    # unrolled into SQL CTEs).
     "sq_ann_topk", "sq_ann_recall_vs_exact",
     "mrl_ann_topk", "mrl_ann_recall_vs_exact",
     "containment_near_dup", "c4_line_filter_stats",

@@ -5362,13 +5362,27 @@ def docs_with_c4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("toks"),
     )
     lines = _C4_PUNCT.format(lines=_C4_LINES)
-    page = "array_join(toks, ' ')"
+    has_brace, has_lorem = c4_marker_exprs("array_join(toks, ' ')")
     return docs.select(
         "doc_id",
         "source",
         F.expr(lines).alias("lines"),
-        F.expr(f"contains({page}, '{{')").alias("has_brace"),
-        F.expr(f"contains({page}, 'lorem ipsum')").alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+    )
+
+
+def c4_marker_exprs(page: str):
+    """``(has_brace, has_lorem)`` page-level drop-marker columns over
+    a page SQL expression — C4's verbatim-substring rule, so the
+    match is case-SENSITIVE ('Lorem Ipsum' does not trip it), exactly
+    like the DuckDB oracle's ``contains``. SHARED by the batch
+    fixture (:func:`docs_with_c4_lines`) and the streaming
+    ``c4_gate`` so the casing rule cannot drift between the twins
+    (a lowercasing gate would drop pages the batch rule keeps)."""
+    return (
+        F.expr(f"contains({page}, '{{')"),
+        F.expr(f"contains({page}, 'lorem ipsum')"),
     )
 
 
@@ -5622,9 +5636,18 @@ def _perceptron_x(docs: DataFrame) -> DataFrame:
 
 def _perceptron_features(docs: DataFrame) -> DataFrame:
     """(doc_id, y, x): label +1 for corpus docs, -1 for the injected
-    repetitive twins (doc_id >= 300000 in docs_with_repetition — the
-    weak-label stand-in for the GPT-3/LLaMA practice of labeling a
-    reference corpus positive and raw crawl negative), and an
+    repetitive twins (doc_id % KEY_OFFSET >= 300000 in
+    docs_with_repetition — the weak-label stand-in for the
+    GPT-3/LLaMA practice of labeling a reference corpus positive and
+    raw crawl negative). The label is taken MODULO the scale-fixture
+    replica offset (scale_fixtures.KEY_OFFSET = 10M) so replicated
+    ladder corpora label each replica's originals +1 and its twins -1
+    — a bare ``doc_id >= 300000`` would mark every replica>=1 doc
+    negative and the misclassified set would never converge (the
+    ladder would time a mislabeled workload, not the classifier).
+    Base ids are well under 10M at any shipped SF and the synthetic
+    offsets top out at 600k (scale_fixtures.py:6-8), so at x1 the
+    modulo is the identity and the DuckDB twin mirrors it. Also an
     all-integer bounded feature vector: [bias 10000, type-token ratio
     bp, top-token share bp, word count (capped 10000), top-token raw
     count (capped 10000)]. Mean token length was measured OUT: it is
@@ -5633,9 +5656,11 @@ def _perceptron_features(docs: DataFrame) -> DataFrame:
     full-corpus verdict). Bounds keep every |x_j| <= 10000 so the
     training dots stay far inside int64.
     One (doc, token) partial-agg shuffle, then a per-doc fold."""
+    from bottledwater_pg_spark.scale_fixtures import KEY_OFFSET
+
     return _perceptron_x(docs).select(
         "doc_id",
-        F.when(F.col("doc_id") >= 300000, F.lit(-1))
+        F.when(F.col("doc_id") % KEY_OFFSET >= 300000, F.lit(-1))
         .otherwise(F.lit(1)).cast("long").alias("y"),
         "x",
     )
@@ -5793,7 +5818,8 @@ pd AS (
 ),
 f AS (
   SELECT doc_id,
-         CAST(CASE WHEN doc_id >= 300000 THEN -1 ELSE 1 END AS BIGINT)
+         CAST(CASE WHEN doc_id % 10000000 >= 300000
+              THEN -1 ELSE 1 END AS BIGINT)
            AS y,
          [CAST(10000 AS BIGINT),
           n_distinct * 10000 // n_tok,

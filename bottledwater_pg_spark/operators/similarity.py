@@ -671,7 +671,14 @@ def sq_stats(corpus: DataFrame, id_col: str = "vec_id",
     Scale: posexplode + (dim)-keyed agg is map-side combining — the
     shuffle carries dims x partitions rows regardless of corpus size,
     and the folded stats row is trivially broadcast."""
-    q = quantized_vectors(corpus, id_col, vec_col)
+    return _sq_stats_q(quantized_vectors(corpus, id_col, vec_col))
+
+
+def _sq_stats_q(q: DataFrame) -> DataFrame:
+    """:func:`sq_stats` over an ALREADY-quantized ``(sid, qvec)``
+    frame — lets :func:`topk_sq` quantize the corpus once and feed
+    both the train and encode steps (the interpreted higher-order
+    ``transform`` is the scan's dominant cost; see module note)."""
     stats = (
         q.select(F.posexplode("qvec").alias("d", "v"))
         .groupBy("d")
@@ -696,6 +703,14 @@ def sq_stats(corpus: DataFrame, id_col: str = "vec_id",
 # span_d) so it STAYS exact int64 — no rational arithmetic crosses an
 # engine boundary. Constant dimensions (span 0) reconstruct to the
 # constant itself.
+#: int64-headroom cap on raw embedding magnitude for the SQ8 family:
+#: sqrt(2^63 / 64) / (255 * QUANT_SCALE) ~= 1.49. Elements beyond this
+#: overflow the 255x-scale recon norm (Spark wraps with ANSI off,
+#: DuckDB promotes — the engines would DIVERGE, not just lose
+#: precision). Documented, not asserted: a data-dependent assert would
+#: cost a full corpus pass on the scan-dominated path.
+SQ_MAX_ABS = 1.49
+
 _SQ_RECON = (
     "transform(qvec, (x, i) -> CASE "
     "WHEN qmax_arr[i] = qmin_arr[i] THEN qmin_arr[i] * 255 "
@@ -713,8 +728,24 @@ def sq_encode(corpus: DataFrame, stats: DataFrame,
     index only the uint8 codes are stored (8x memory reduction vs
     float32 — what lets a 100 TB corpus's vectors live in cluster
     RAM); reconstruction happens on the fly during the scan. Here the
-    two steps are fused into one narrow map — no shuffle, no UDF."""
-    q = quantized_vectors(corpus, id_col, vec_col)
+    two steps are fused into one narrow map — no shuffle, no UDF.
+
+    Headroom bound (int64, ANSI off — Spark would WRAP silently):
+    recon elements sit at 255x the 1e-6 quantization scale, so the
+    squared-sum norm over ``dim`` dims needs
+    ``dim * (255 * QUANT_SCALE * max|x|)^2 < 2^63`` — for the 64-dim
+    embeddings that caps raw elements at ``max|x| <~ 1.49``
+    (:data:`SQ_MAX_ABS`). Fine for unit-ish embeddings (elements
+    <= 1); callers with larger-magnitude inputs must rescale first,
+    mirroring the QUANT_SCALE note in functions/vectors.py:30."""
+    return _sq_encode_q(
+        quantized_vectors(corpus, id_col, vec_col), stats
+    )
+
+
+def _sq_encode_q(q: DataFrame, stats: DataFrame) -> DataFrame:
+    """:func:`sq_encode` over an ALREADY-quantized frame (see
+    :func:`_sq_stats_q`)."""
     return (
         q.crossJoin(F.broadcast(stats))
         .withColumn("recon", F.expr(_SQ_RECON))
@@ -738,9 +769,20 @@ def topk_sq(corpus: DataFrame, queries: DataFrame, k: int = 5,
     at 1/8 the vector bytes; compose with :func:`ivf_assign` when the
     scan itself must shrink. The 255x reconstruction scale cancels in
     the cosine. Deterministic end to end (grid from exact int min/max,
-    floor-div codes, pinned ties) — fully SQL-replayable."""
-    stats = sq_stats(corpus, id_col, vec_col)
-    c = sq_encode(corpus, stats, id_col, vec_col).select(
+    floor-div codes, pinned ties) — fully SQL-replayable. Inputs must
+    satisfy the :data:`SQ_MAX_ABS` magnitude bound (see
+    :func:`sq_encode`). The corpus is quantized ONCE and shared by
+    the train and encode steps — the interpreted ``transform`` pass
+    is the scan's dominant per-row cost, and the persist makes the
+    reuse real at execution time (lazy plans would otherwise re-run
+    the transform in both the stats pass and the ADC scan)."""
+    from bottledwater_pg_spark.session import persist_tracked
+
+    q_corpus = persist_tracked(
+        quantized_vectors(corpus, id_col, vec_col)
+    )
+    stats = _sq_stats_q(q_corpus)
+    c = _sq_encode_q(q_corpus, stats).select(
         F.col("sid").alias("neighbor_id"),
         F.col("recon").alias("n_q"),
         F.col("rnorm").alias("n_n"),

@@ -1534,9 +1534,11 @@ def c4_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
     'lorem ipsum' or keeps < 3 lines; survivors get ``text_col``
     REWRITTEN to the kept lines (this gate cleans, not just filters —
     exactly what C4 does to a crawled page). The verdict kernel is
-    the SHARED ``with_c4_verdicts`` so the streamed survivor set
-    equals the batch rule by construction — pinned in
-    tests/test_streaming.py.
+    the SHARED ``with_c4_verdicts`` and the marker detection the
+    SHARED case-sensitive ``c4_marker_exprs`` so the streamed
+    survivor set equals the batch rule by construction — pinned in
+    tests/test_streaming.py (a lowercased marker match here would
+    drop mixed-case pages the batch rule keeps).
 
     Stateless like :func:`gopher_gate`: narrow expressions only, no
     shuffle, no state store — legal on batch or streaming frames
@@ -1544,13 +1546,15 @@ def c4_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
     (a dropped page never costs an index write); the rewritten text
     also shrinks every downstream shingle/token stage."""
     from bottledwater_pg_spark.operators.llm_queries import (
+        c4_marker_exprs,
         with_c4_verdicts,
     )
 
+    has_brace, has_lorem = c4_marker_exprs(text_col)
     pre = df.withColumns({
         "lines": F.split(F.col(text_col), "\n"),
-        "has_brace": F.col(text_col).contains("{"),
-        "has_lorem": F.lower(F.col(text_col)).contains("lorem ipsum"),
+        "has_brace": has_brace,
+        "has_lorem": has_lorem,
     })
     flagged = with_c4_verdicts(pre)
     return (

@@ -1193,3 +1193,30 @@ def test_perceptron_update_is_class_balanced(spark):
     # distinct=1 of 6 tokens -> ttr 1666bp, toptok 10000bp
     assert got[300001][1][1] == 1666 and got[300001][1][2] == 10000
     assert got[0][1][1] == 10000 and got[0][1][2] == 1666
+
+
+def test_perceptron_labels_are_replica_offset_safe(spark):
+    """ADVICE r11 (medium): under scale-fixture replication (doc_id +
+    k * KEY_OFFSET) the label rule must still mark each replica's
+    originals +1 and its injected twins -1 — the old bare
+    ``doc_id >= 300000`` labeled every replica>=1 doc negative, so
+    the ladder's trained-model row timed a mislabeled workload whose
+    misclassified set never converges."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        _perceptron_features,
+    )
+    from bottledwater_pg_spark.scale_fixtures import KEY_OFFSET
+
+    docs = spark.createDataFrame(
+        [(100, "a b c"), (300100, "x x x"),
+         (KEY_OFFSET + 100, "r1a r1b r1c"),
+         (KEY_OFFSET + 300100, "r1x r1x r1x"),
+         (2 * KEY_OFFSET + 100, "r2a r2b r2c")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.y for r in _perceptron_features(docs).collect()}
+    assert got == {
+        100: 1, 300100: -1,
+        KEY_OFFSET + 100: 1, KEY_OFFSET + 300100: -1,
+        2 * KEY_OFFSET + 100: 1,
+    }

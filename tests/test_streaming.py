@@ -2756,6 +2756,24 @@ def test_streaming_c4_gate_batch_parity_and_rewrite(spark, sf_dir):
     assert any(len(t) < len(orig[d]) for d, t in batch)
 
 
+def test_c4_gate_marker_match_is_case_sensitive_like_batch(spark):
+    """ADVICE r11: the gate's marker detection is the SHARED
+    case-sensitive ``c4_marker_exprs`` kernel — a mixed-case
+    'Lorem Ipsum' page survives (as it does under the batch rule and
+    its DuckDB oracle, both verbatim ``contains``), the lowercase
+    marker kills the page. The old ``F.lower`` gate dropped both,
+    breaking the streamed-equals-batch claim on mixed-case pages."""
+    from bottledwater_pg_spark.streaming.stream import c4_gate
+
+    good = "\n".join(["alpha beta gamma delta epsilon."] * 3)
+    docs = spark.createDataFrame(
+        [(1, good + "\nLorem Ipsum"), (2, good + "\nlorem ipsum")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in c4_gate(docs).collect()}
+    assert kept == {1}
+
+
 def test_streaming_perceptron_screen_matches_trained_classifier(
     spark, sf_dir, tmp_path
 ):
