@@ -883,24 +883,12 @@ def containment_prefix_pairs(df: DataFrame, threshold_bp: int = 8000,
     pair is emitted once, smaller set as ``a_id`` (ties on size break
     to the lower id). Exact — no false-negative probability."""
     from pyspark import StorageLevel
-    from pyspark.sql import Window
 
     sh = persist_tracked(
         shingle_table(df, id_col, text_col, n), StorageLevel.MEMORY_AND_DISK
     )
-    sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
-    w = Window.partitionBy("sid").orderBy("dfreq", "shingle")
     t = threshold_bp
-    prefix = (
-        sh.join(dfreq, "shingle")
-        .withColumn("rn", F.row_number().over(w))
-        .join(sizes, "sid")
-        .filter(
-            F.col("rn")
-            <= F.expr(f"sz - ceil(sz * {t} / 10000.0) + 1")
-        )
-    )
+    prefix = containment_prefix(sh, t)
     cand = (
         prefix.select(F.col("sid").alias("a_id"), "shingle")
         .join(sh.select(F.col("sid").alias("b_id"), "shingle"), "shingle")
@@ -934,5 +922,145 @@ def containment_prefix_pairs(df: DataFrame, threshold_bp: int = 8000,
             F.col("sz_b").cast("long").alias("sz_b"),
             (F.col("inter").cast("double") / F.col("sz_a"))
             .alias("containment"),
+        )
+    )
+
+
+def containment_prefix(sh: DataFrame, threshold_bp: int = 8000) -> DataFrame:
+    """The prefix-blocking rows for containment matching: per doc, its
+    ``sz - ceil(t*sz) + 1`` RAREST shingles (df-ranked within the
+    given shingle table, ties by shingle text). Pigeonhole exactness:
+    any B with C(A,B) >= t misses at most ``sz_a - ceil(t*sz_a)``
+    of A's shingles, so EVERY choice of that-plus-one distinct
+    shingles of A intersects B — rarity ordering is purely a fan-out
+    heuristic (the rarest keys bound the equi-join's per-key fan-out
+    by document frequency), never a correctness input. That is what
+    lets a STORED prefix (df-ranked against the corpus as of indexing
+    time) stay exact as the corpus grows — the property
+    StreamingContainmentIndex's per-epoch ``pfx`` slices rely on."""
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
+    w = Window.partitionBy("sid").orderBy("dfreq", "shingle")
+    return (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "sid")
+        .filter(
+            F.col("rn")
+            <= F.expr(f"sz - ceil(sz * {threshold_bp} / 10000.0) + 1")
+        )
+        .select("sid", "shingle")
+    )
+
+
+def incremental_containment_matches(
+    index_df: DataFrame | None, new_df: DataFrame,
+    threshold_bp: int = 8000,
+    id_col: str = "doc_id", text_col: str = "text", n: int = 3,
+    index_shingles: DataFrame | None = None,
+    index_prefix: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental (new-batch-vs-index) CONTAINMENT matching — the
+    quote-expansion twin of :func:`incremental_lsh_matches`: a small
+    new batch is checked against the standing corpus for pairs whose
+    smaller-side shingle containment ``|A ∩ B| / |A|`` (Broder 1997)
+    meets ``threshold_bp``. Returns ``(new_id, match_id,
+    containment)``. Both directions are probed — the new doc may be
+    the quoted original (contained in a stored container) or the
+    container of a stored original — because ingest order does not
+    fix which side is smaller.
+
+    Blocking is prefix filtering in each direction independently
+    (:func:`containment_prefix`): direction 1 joins the BATCH's
+    prefixes (broadcast — batch-sized by definition) against the
+    stored shingle table; direction 2 joins the STORED prefixes
+    against the broadcast batch shingles. Exactness of a stored,
+    index-time-ranked prefix is the pigeonhole argument in
+    :func:`containment_prefix` — no false negatives either way.
+
+    Scale: pass ``index_shingles`` / ``index_prefix`` (what
+    StreamingContainmentIndex persists per epoch slice) and the probe
+    does no per-call shingling of the corpus; the verify stage prunes
+    the index-side size aggregation to candidate docs (semi-join),
+    and exact intersections run over candidate pairs only — per-batch
+    cost is O(batch + collisions), never O(corpus) compute. Without
+    them (ad-hoc use) both are derived from ``index_df`` on the fly.
+    The integer basis-point threshold is compared by
+    cross-multiplication — no float crosses an engine boundary."""
+    if index_df is None and (index_shingles is None or index_prefix is None):
+        raise ValueError(
+            "incremental_containment_matches: index_df is required "
+            "unless BOTH index_shingles and index_prefix are provided "
+            "(got shingles=%s, prefix=%s) — a lone precomputed side "
+            "cannot stand in for the index"
+            % (index_shingles is not None, index_prefix is not None)
+        )
+    sh_idx = (
+        index_shingles
+        if index_shingles is not None
+        else persist_tracked(shingle_table(index_df, id_col, text_col, n))
+    )
+    sh_new = persist_tracked(shingle_table(new_df, id_col, text_col, n))
+    pfx_new = containment_prefix(sh_new, threshold_bp)
+    pfx_idx = (
+        index_prefix
+        if index_prefix is not None
+        else containment_prefix(sh_idx, threshold_bp)
+    )
+    c1 = sh_idx.select(F.col("sid").alias("match_id"), "shingle").join(
+        F.broadcast(pfx_new.select(F.col("sid").alias("new_id"), "shingle")),
+        "shingle",
+    )
+    c2 = pfx_idx.select(F.col("sid").alias("match_id"), "shingle").join(
+        F.broadcast(sh_new.select(F.col("sid").alias("new_id"), "shingle")),
+        "shingle",
+    )
+    candidates = persist_tracked(
+        c1.select("new_id", "match_id")
+        .unionByName(c2.select("new_id", "match_id"))
+        .filter(F.col("new_id") != F.col("match_id"))
+        .distinct()
+    )
+    # index-side sizes candidate-pruned (the incremental_lsh_matches
+    # discipline); count DISTINCT shingles — a streaming index slice
+    # set can hold duplicate rows across tiers/epochs
+    sz_idx = (
+        sh_idx.join(
+            candidates.select(F.col("match_id").alias("sid")).distinct(),
+            "sid",
+            "left_semi",
+        )
+        .groupBy("sid")
+        .agg(F.count_distinct("shingle").alias("sz_m"))
+    )
+    sz_new = sh_new.groupBy("sid").agg(
+        F.count_distinct("shingle").alias("sz_n")
+    )
+    inter = (
+        candidates.join(sh_new.alias("a"), F.col("a.sid") == F.col("new_id"))
+        .join(
+            sh_idx.alias("b"),
+            (F.col("b.sid") == F.col("match_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("new_id", "match_id")
+        .agg(F.count_distinct("a.shingle").alias("inter"))
+    )
+    return (
+        inter.join(sz_new.withColumnsRenamed({"sid": "new_id"}), "new_id")
+        .join(sz_idx.withColumnsRenamed({"sid": "match_id"}), "match_id")
+        .filter(
+            F.col("inter") * 10000
+            >= F.least("sz_n", "sz_m") * F.lit(threshold_bp)
+        )
+        .select(
+            "new_id",
+            "match_id",
+            (
+                F.col("inter").cast("double")
+                / F.least("sz_n", "sz_m")
+            ).alias("containment"),
         )
     )

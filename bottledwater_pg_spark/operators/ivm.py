@@ -116,14 +116,14 @@ class StreamingAggMaintainer:
 
     def __init__(self, spark, state_dir: str, row_schema: T.StructType,
                  group_col: str, value_col: str):
-        import os
+        from bottledwater_pg_spark.streaming import fsio
 
         self.spark = spark
         self.state_dir = state_dir
         self.row_schema = row_schema
         self.group_col = group_col
         self.value_col = value_col
-        os.makedirs(state_dir, exist_ok=True)
+        fsio.makedirs(state_dir)
         self._have_state = False
 
     def _path(self, name: str) -> str:
@@ -132,21 +132,20 @@ class StreamingAggMaintainer:
         return os.path.join(self.state_dir, name)
 
     def _applied_epochs(self) -> set[int]:
-        import os
+        from bottledwater_pg_spark.streaming import fsio
 
         p = self._path("epochs.txt")
-        if not os.path.exists(p):
+        if not fsio.exists(p):
             return set()
-        with open(p) as fh:
-            return {int(x) for x in fh.read().split() if x}
+        return {int(x) for x in fsio.read_text(p).split() if x}
 
     def _mark_epoch(self, epoch_id: int) -> None:
-        with open(self._path("epochs.txt"), "a") as fh:
-            fh.write(f"{epoch_id}\n")
+        from bottledwater_pg_spark.streaming import fsio
+
+        fsio.append_text(self._path("epochs.txt"), f"{epoch_id}\n")
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        import os
-        import shutil
+        from bottledwater_pg_spark.streaming import fsio
 
         if epoch_id in self._applied_epochs():
             return  # replayed epoch: already folded in
@@ -169,11 +168,13 @@ class StreamingAggMaintainer:
         merged.write.mode("overwrite").parquet(tmp)
         final = self._path("state")
         swap = final + ".old"
-        if os.path.exists(final):
-            os.rename(final, swap)
-        os.rename(tmp, final)
-        if os.path.exists(swap):
-            shutil.rmtree(swap)
+        if fsio.exists(swap):
+            fsio.rmtree(swap)
+        if fsio.exists(final):
+            fsio.rename(final, swap)
+        fsio.rename(tmp, final)
+        if fsio.exists(swap):
+            fsio.rmtree(swap)
         self._mark_epoch(epoch_id)
         self._have_state = True
 

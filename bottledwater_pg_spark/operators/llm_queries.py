@@ -5530,9 +5530,12 @@ MRL_ANN_RECALL_FLOOR_BP = 7000
 
 def mrl_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive retrieval over prefix dimensions (similarity.topk_mrl,
-    the MRL funnel): shortlist by cosine over the first 32 of 64
-    coordinates (2x narrower scan), re-rank the 150 survivors per
-    query at full dimension. Truncation commutes with per-element
+    the MRL funnel): the prefix slices are ENCODED ONCE
+    (similarity.mrl_encode) and persisted as their own parquet table
+    — the deployed index shape — so the shortlist scan physically
+    reads a 32-of-64-dim stored column (2x narrower scan bytes,
+    pinned in tests/test_plans.py), then the 150 survivors per query
+    re-rank at full dimension. Truncation commutes with per-element
     quantization, so DuckDB replays the whole funnel — fully
     hash-oracled (recall certified by ``mrl_ann_recall_vs_exact``).
     Fixture honesty note: these embeddings are not MRL-trained, so
@@ -5540,10 +5543,23 @@ def mrl_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 70% floor certify that worst case (measured 86-98% across
     SFs); front-loaded MRL embeddings only improve it, which is when
     the prefix can shrink to 8-16 dims."""
+    import os
+    import tempfile
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
+    # index build step: store the prefix column, probe the STORED
+    # table (the driver collects lazily, so the dir outlives us —
+    # same discipline as cdc_merge_sink_customer's state dir)
+    pfx_path = os.path.join(
+        tempfile.mkdtemp(prefix="mrl_index_"), "prefix"
+    )
+    similarity.mrl_encode(
+        emb, prefix_dim=MRL_PREFIX_DIM
+    ).write.mode("overwrite").parquet(pfx_path)
     return similarity.topk_mrl(
-        emb, queries, k=5, prefix_dim=MRL_PREFIX_DIM, refine=MRL_REFINE
+        emb, queries, k=5, prefix_dim=MRL_PREFIX_DIM, refine=MRL_REFINE,
+        index_prefix=spark.read.parquet(pfx_path),
     )
 
 

@@ -48,6 +48,7 @@ from bottledwater_pg_spark.operators.materialize import (
     decode_rows,
     drop_tombstones,
 )
+from bottledwater_pg_spark.streaming import fsio
 
 STATE_COLS = ["key", "op", "lsn", "new_row"]
 
@@ -59,7 +60,7 @@ class BucketedMergeSink:
         self.spark = spark
         self.state_dir = state_dir
         self.n_buckets = n_buckets
-        os.makedirs(state_dir, exist_ok=True)
+        fsio.makedirs(state_dir)
 
     # -- state io ---------------------------------------------------
     def _state_path(self) -> str:
@@ -67,8 +68,8 @@ class BucketedMergeSink:
 
     def _has_state(self) -> bool:
         p = self._state_path()
-        return os.path.isdir(p) and any(
-            e.startswith("bucket=") for e in os.listdir(p)
+        return fsio.isdir(p) and any(
+            e.startswith("bucket=") for e in fsio.listdir(p)
         )
 
     def _bucket(self, df: DataFrame) -> DataFrame:

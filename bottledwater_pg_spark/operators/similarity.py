@@ -806,31 +806,52 @@ def topk_sq(corpus: DataFrame, queries: DataFrame, k: int = 5,
 # ------------------- Matryoshka prefix-dim funnel (Kusupati et al.)
 
 
-def topk_mrl(corpus: DataFrame, queries: DataFrame, k: int = 5,
-             prefix_dim: int = 16, refine: int = 50,
-             id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """Adaptive retrieval over Matryoshka-style prefix dimensions
-    (Kusupati et al. 2022, "Matryoshka Representation Learning" §4.3):
-    shortlist candidates by cosine over only the FIRST ``prefix_dim``
-    coordinates (a dim/prefix_dim compute-and-bytes reduction on the
-    full scan), then re-rank the ``refine`` survivors per query with
-    full-dimension exact cosine — the funnel MRL embeddings are
-    trained for, and the right first rung at 100 TB: the shortlist
-    scan reads a prefix-slice column an order of magnitude narrower
-    than the vectors, and only refine * |Q| full vectors are ever
-    touched. (On embeddings NOT trained front-loaded — like this
-    uniform fixture — the prefix is an unbiased random projection, so
-    the funnel still works, just with a flatter recall/dim curve;
-    the certificate floor is set for that honest worst case.)
+def mrl_encode(corpus: DataFrame, prefix_dim: int = 16,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """The MRL index-build step: ``(sid, t_q, t_n)`` — each corpus
+    vector's quantized first-``prefix_dim`` slice and its precomputed
+    norm. Persist THIS frame (its own parquet column, like
+    :func:`sq_encode`'s codes) and hand it to :func:`topk_mrl` as
+    ``index_prefix``: the shortlist scan then reads a stored column
+    ``dim/prefix_dim``x narrower than the vectors — the bytes
+    reduction is in the scan's ReadSchema, not just the compute.
     Truncation commutes with per-element quantization, so slicing the
-    quantized vectors IS the quantized truncation — deterministic,
-    pinned ties, fully SQL-replayable."""
-    q_all = quantized_vectors(corpus, id_col, vec_col)
-    t = q_all.select(
+    quantized vector IS the quantized truncation."""
+    return quantized_vectors(corpus, id_col, vec_col).select(
         F.col("sid").alias("neighbor_id"),
         F.slice("qvec", 1, prefix_dim).alias("t_q"),
     ).withColumn("t_n", norm_pre("t_q"))
+
+
+def topk_mrl(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             prefix_dim: int = 16, refine: int = 50,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding",
+             index_prefix: DataFrame | None = None) -> DataFrame:
+    """Adaptive retrieval over Matryoshka-style prefix dimensions
+    (Kusupati et al. 2022, "Matryoshka Representation Learning" §4.3):
+    shortlist candidates by cosine over only the FIRST ``prefix_dim``
+    coordinates, then re-rank the ``refine`` survivors per query with
+    full-dimension exact cosine — the funnel MRL embeddings are
+    trained for, and the right first rung at 100 TB: with
+    ``index_prefix`` (a stored :func:`mrl_encode` table, the deployed
+    shape) the shortlist scan READS a prefix-slice column an order of
+    magnitude narrower than the vectors — a dim/prefix_dim bytes
+    reduction visible in the scan's ReadSchema (plan-pinned in
+    tests/test_plans.py) — and only refine * |Q| full vectors are
+    ever touched. Without it (ad-hoc use) the prefix is sliced from
+    the full vectors on the fly: same result, compute-only saving.
+    (On embeddings NOT trained front-loaded — like this uniform
+    fixture — the prefix is an unbiased random projection, so the
+    funnel still works, just with a flatter recall/dim curve; the
+    certificate floor is set for that honest worst case.)
+    Deterministic, pinned ties, fully SQL-replayable."""
+    t = (
+        index_prefix
+        if index_prefix is not None
+        else mrl_encode(corpus, prefix_dim, id_col, vec_col)
+    )
     qt = quantized_vectors(queries, id_col, vec_col).select(
         F.col("sid").alias("query_id"),
         F.slice("qvec", 1, prefix_dim).alias("tq_q"),

@@ -1,0 +1,242 @@
+"""Filesystem adapter for the streaming state machinery.
+
+The slice/fold/meta discipline in ``streaming/stream.py`` does its own
+listing, renames, and recursive deletes. On this sandbox that state
+lives on the local filesystem, but a deployed cluster keeps streaming
+state where the data lives — HDFS, S3, GCS — and ``os.listdir`` /
+``shutil.rmtree`` do not exist there. Every state-path operation in
+the streaming plane therefore routes through this module, which
+dispatches per path:
+
+* plain paths -> ``os`` / ``shutil`` (the exact previous behavior —
+  zero overhead, no JVM round-trips on the hot local path);
+* URI paths (anything with a ``scheme://``) -> the Hadoop
+  ``FileSystem`` API via the active ``SparkSession``'s JVM gateway —
+  the same abstraction Spark itself reads and writes state through,
+  so any filesystem Spark can reach (``file://``, ``hdfs://``,
+  ``s3a://``, ...) works with no new dependency.
+
+Semantics preserved from the ``os`` versions (the fold/cleanup crash
+arguments in stream.py depend on them):
+
+* :func:`rename` refuses an existing destination — Hadoop's
+  ``rename`` would otherwise *move src into dst* (POSIX ``mv``
+  semantics) and silently nest a slice directory.
+* :func:`rmdir` only removes an EMPTY directory.
+* :func:`write_json_meta` keeps the write-tmp-then-promote
+  discipline. Local promotion is ``os.replace`` (atomic). Object
+  stores have no atomic overwrite-rename, so the Hadoop branch does
+  delete-then-rename and :func:`read_json_meta` recovers the
+  complete ``.tmp`` if a crash lands in that window; a ``.tmp`` that
+  fails to parse is a crash mid-*write* (the final file was intact
+  then, or never existed) and reads as absent — the pre-write state.
+
+Reference mapping: the reference has no state filesystem at all — its
+durable state is the Kafka log plus the replication slot, and the
+broker owns segment storage (kafka/bottledwater.c:678-715 checkpoints
+into Kafka, README.md:283-297 delegates retention to log compaction).
+The Spark-side analog of "the broker owns storage" is "state lives on
+whatever FileSystem the cluster mounts", which is exactly the seam
+this module abstracts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+
+def is_uri(path: str) -> bool:
+    """True for scheme-qualified paths (``file://``, ``hdfs://``,
+    ``s3a://``...) that must go through the Hadoop FileSystem API."""
+    return "://" in path
+
+
+def _hadoop(path: str):
+    """(FileSystem, Path) for a URI, resolved through the active
+    SparkSession's JVM — the FileSystem instance is cached per
+    (scheme, authority, ugi) by Hadoop itself, so this is cheap to
+    call per operation."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"URI state path {path!r} needs an active SparkSession "
+            "(the Hadoop FileSystem rides the session's JVM); create "
+            "the session before the streaming state object"
+        )
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def normkey(path: str) -> str:
+    """Canonical spelling of a state/checkpoint path for run-key
+    hashing: local paths resolve symlinks/relative segments
+    (``os.path.realpath`` — the r11 run-key discipline), URIs are
+    normalized textually (trailing slashes stripped; there is no
+    realpath on an object store, and two spellings of one URI differ
+    only by such decoration)."""
+    if is_uri(path):
+        scheme, rest = path.split("://", 1)
+        return scheme + "://" + rest.rstrip("/")
+    return os.path.realpath(path)
+
+
+def listdir(path: str) -> list[str]:
+    if not is_uri(path):
+        return os.listdir(path)
+    fs, p = _hadoop(path)
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def isdir(path: str) -> bool:
+    if not is_uri(path):
+        return os.path.isdir(path)
+    fs, p = _hadoop(path)
+    return fs.exists(p) and fs.getFileStatus(p).isDirectory()
+
+
+def exists(path: str) -> bool:
+    if not is_uri(path):
+        return os.path.exists(path)
+    fs, p = _hadoop(path)
+    return fs.exists(p)
+
+
+def makedirs(path: str) -> None:
+    """mkdir -p (exist_ok): every caller in the state machinery wants
+    idempotent creation."""
+    if not is_uri(path):
+        os.makedirs(path, exist_ok=True)
+        return
+    fs, p = _hadoop(path)
+    if not fs.mkdirs(p):
+        raise OSError(f"mkdirs failed for {path!r}")
+
+
+def rmtree(path: str) -> None:
+    if not is_uri(path):
+        shutil.rmtree(path)
+        return
+    fs, p = _hadoop(path)
+    if not fs.delete(p, True):
+        raise OSError(f"recursive delete failed for {path!r}")
+
+
+def rmdir(path: str) -> None:
+    """Remove an EMPTY directory (``os.rmdir`` contract — callers
+    check emptiness first; a non-empty dir must raise, not vanish)."""
+    if not is_uri(path):
+        os.rmdir(path)
+        return
+    fs, p = _hadoop(path)
+    if len(fs.listStatus(p)) > 0:
+        raise OSError(f"directory not empty: {path!r}")
+    if not fs.delete(p, False):
+        raise OSError(f"rmdir failed for {path!r}")
+
+
+def rename(src: str, dst: str) -> None:
+    """Move with ``os.rename``-on-a-directory semantics: the
+    destination must not exist. (Hadoop's ``rename`` onto an existing
+    directory moves src INSIDE dst — the one silent semantic landmine
+    between the two APIs, hence the explicit guard.)"""
+    if not is_uri(src):
+        os.rename(src, dst)
+        return
+    fs, psrc = _hadoop(src)
+    _, pdst = _hadoop(dst)
+    if fs.exists(pdst):
+        raise FileExistsError(f"rename target exists: {dst!r}")
+    if not fs.rename(psrc, pdst):
+        raise OSError(f"rename failed: {src!r} -> {dst!r}")
+
+
+def _read_text(path: str) -> str:
+    if not is_uri(path):
+        with open(path) as f:
+            return f.read()
+    fs, p = _hadoop(path)
+    stream = fs.open(p)
+    try:
+        from pyspark.sql import SparkSession
+
+        jvm = SparkSession.getActiveSession()._jvm
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _write_text(path: str, text: str) -> None:
+    if not is_uri(path):
+        with open(path, "w") as f:
+            f.write(text)
+        return
+    fs, p = _hadoop(path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(path: str) -> str:
+    """Full contents of a small text file (raises if absent)."""
+    return _read_text(path)
+
+
+def append_text(path: str, text: str) -> None:
+    """Append to a small single-writer ledger file (the IVM
+    applied-epochs list). Local: O_APPEND. Hadoop: read-modify-write —
+    object stores don't append, and the caller contract (ONE writer
+    per state dir, the same assumption the slice machinery already
+    makes) makes the rewrite safe."""
+    if not is_uri(path):
+        with open(path, "a") as f:
+            f.write(text)
+        return
+    prior = _read_text(path) if exists(path) else ""
+    _write_text(path, prior + text)
+
+
+def write_json_meta(path: str, obj: dict) -> None:
+    """Durable small-metadata write with the write-tmp-then-promote
+    discipline every meta.json site in stream.py uses. Local: tmp +
+    ``os.replace`` (atomic — unchanged behavior). Hadoop: tmp +
+    delete-final + rename; the non-atomic window is covered by
+    :func:`read_json_meta`'s tmp recovery."""
+    tmp = path + ".tmp"
+    _write_text(tmp, json.dumps(obj))
+    if not is_uri(path):
+        os.replace(tmp, path)
+        return
+    fs, p = _hadoop(path)
+    if fs.exists(p):
+        fs.delete(p, False)
+    rename(tmp, path)
+
+
+def read_json_meta(path: str) -> dict | None:
+    """Read a :func:`write_json_meta` file; ``None`` if absent. If the
+    final file is missing but a complete ``.tmp`` exists (Hadoop
+    crash window between delete and rename), promote and read it; a
+    ``.tmp`` that does not parse is a crash mid-write — the final
+    file was intact then (and was read), or never existed — so it
+    reads as absent rather than as corruption."""
+    if exists(path):
+        return json.loads(_read_text(path))
+    tmp = path + ".tmp"
+    if not exists(tmp):
+        return None
+    try:
+        obj = json.loads(_read_text(tmp))
+    except ValueError:
+        return None
+    rename(tmp, path)
+    return obj

@@ -32,6 +32,7 @@ from pyspark.sql import types as T
 
 from bottledwater_pg_spark.operators.materialize import compact, drop_tombstones
 from bottledwater_pg_spark.plans.envelope import ROW_JSON_OPTIONS, envelope_schema
+from bottledwater_pg_spark.streaming import fsio
 
 
 def _run_key_of(checkpoint_dir: str) -> str:
@@ -55,10 +56,12 @@ def _run_key_of(checkpoint_dir: str) -> str:
     comparison then never matches and replay protection silently
     dies. Found by the full suite on a 1-in-~400 tmp_path draw; the
     prefix makes every key unambiguously a string for the inference
-    in both engines forever."""
+    in both engines forever. (URI checkpoints normalize textually —
+    fsio.normkey — since realpath has no meaning on an object
+    store.)"""
     import hashlib
 
-    resolved = os.path.realpath(checkpoint_dir)
+    resolved = fsio.normkey(checkpoint_dir)
     return "k" + hashlib.md5(resolved.encode("utf-8")).hexdigest()[:12]
 
 
@@ -86,13 +89,12 @@ def _fold_legacy_run_slices(
     a foreign run, which is the pre-fix behavior, not a new failure
     mode."""
     import hashlib
-    import shutil
 
     current = _run_key_of(checkpoint_dir)
     legacies = [
         hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:12],
         hashlib.md5(
-            os.path.realpath(checkpoint_dir).encode("utf-8")
+            fsio.normkey(checkpoint_dir).encode("utf-8")
         ).hexdigest()[:12],
     ]
     folded = 0
@@ -101,19 +103,19 @@ def _fold_legacy_run_slices(
             continue
         for root in roots:
             src = os.path.join(root, f"run={legacy}")
-            if not os.path.isdir(src):
+            if not fsio.isdir(src):
                 continue
             dst = os.path.join(root, f"run={current}")
-            os.makedirs(dst, exist_ok=True)
-            for child in os.listdir(src):
+            fsio.makedirs(dst)
+            for child in fsio.listdir(src):
                 s, d = os.path.join(src, child), os.path.join(dst, child)
-                if os.path.exists(d):
+                if fsio.exists(d):
                     # post-upgrade replay already rewrote it
-                    shutil.rmtree(s)
+                    fsio.rmtree(s)
                 else:
-                    os.rename(s, d)
+                    fsio.rename(s, d)
                     folded += 1
-            os.rmdir(src)
+            fsio.rmdir(src)
     return folded
 
 
@@ -257,7 +259,7 @@ class StreamingMaterializer:
         self.failed_at_lsn: int | None = None
         self.tracker = SchemaTracker() if relid is not None else None
         self._run_key = "adhoc"  # start() re-keys from the checkpoint
-        os.makedirs(state_dir, exist_ok=True)
+        fsio.makedirs(state_dir)
         # Restart-safe: a restarted process (same state_dir, same
         # checkpointLocation — committed batches are NOT replayed) must
         # MERGE into the standing state, not replace it; content-check
@@ -274,8 +276,8 @@ class StreamingMaterializer:
     def _state_on_disk(self) -> bool:
         self._recover_state()
         p = self._state_path()
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
+        return fsio.isdir(p) and any(
+            f.endswith(".parquet") for f in fsio.listdir(p)
         )
 
     def _recover_state(self) -> None:
@@ -284,24 +286,22 @@ class StreamingMaterializer:
         crash-never-corrupts-state invariant covers that window too."""
         final = self._state_path()
         swap = final + ".old"
-        if not os.path.isdir(final) and os.path.isdir(swap):
-            os.rename(swap, final)
+        if not fsio.isdir(final) and fsio.isdir(swap):
+            fsio.rename(swap, final)
 
     def _swap_in(self, tmp: str) -> None:
         """Replace the state dir with ``tmp``: clear any leftover
-        ``.old`` from a previous crash (os.rename onto a non-empty dir
+        ``.old`` from a previous crash (a rename onto an existing dir
         raises), move the current state aside, promote, drop."""
-        import shutil
-
         final = self._state_path()
         swap = final + ".old"
-        if os.path.exists(swap):
-            shutil.rmtree(swap)
-        if os.path.exists(final):
-            os.rename(final, swap)
-        os.rename(tmp, final)
-        if os.path.exists(swap):
-            shutil.rmtree(swap)
+        if fsio.exists(swap):
+            fsio.rmtree(swap)
+        if fsio.exists(final):
+            fsio.rename(final, swap)
+        fsio.rename(tmp, final)
+        if fsio.exists(swap):
+            fsio.rmtree(swap)
 
     # drift-mode durable metadata: the tracker's schema versions and
     # the error-policy cursor persist beside the row state — after a
@@ -312,27 +312,18 @@ class StreamingMaterializer:
         return os.path.join(self.state_dir, "drift_meta.json")
 
     def _save_drift_meta(self) -> None:
-        import json as _json
-
-        tmp = self._drift_meta_path() + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(
-                {
-                    "versions": self.tracker.versions,
-                    "failed_at_lsn": self.failed_at_lsn,
-                },
-                f,
-            )
-        os.replace(tmp, self._drift_meta_path())
+        fsio.write_json_meta(
+            self._drift_meta_path(),
+            {
+                "versions": self.tracker.versions,
+                "failed_at_lsn": self.failed_at_lsn,
+            },
+        )
 
     def _load_drift_meta(self) -> None:
-        import json as _json
-
-        p = self._drift_meta_path()
-        if not os.path.exists(p):
+        meta = fsio.read_json_meta(self._drift_meta_path())
+        if meta is None:
             return
-        with open(p) as f:
-            meta = _json.load(f)
         self.tracker.versions = {
             int(k): v for k, v in meta["versions"].items()
         }
@@ -378,9 +369,9 @@ class StreamingMaterializer:
         """Drift mode only: the append-only retained unkeyed DML rows,
         decoded with the newest schema."""
         path = os.path.join(self.state_dir, "unkeyed")
-        if not os.path.isdir(path) or not any(
+        if not fsio.isdir(path) or not any(
             f.endswith(".parquet") or f.startswith(("epoch=", "run="))
-            for f in os.listdir(path)
+            for f in fsio.listdir(path)
         ):
             return None
         return (
@@ -929,6 +920,10 @@ def stateful_latest_by_key_tws(events_stream: DataFrame):
 #: always "another run" to the probe filter, i.e. earlier-seen by
 #: construction, exactly what a snapshot of closed epochs is
 BASE_RUN_KEY = "__base__"
+#: delta-run namespace for tiered (minor) folds — like the base key,
+#: never a real run key (md5 hex with a ``k`` prefix), so `_prior`
+#: always probes it
+L1_RUN_KEY = "__l1__"
 
 
 class _SlicedDedupIndexBase:
@@ -963,6 +958,31 @@ class _SlicedDedupIndexBase:
     alone). Monotonicity: a base at epoch W is never rewritten below
     W.
 
+    Tiered folds (``l1_max``, LSM / Kafka-segment discipline): the
+    one-tier fold above rewrites the FULL base every ``fold_every``
+    epochs — O(state) per fold, a full-state write per fold once the
+    standing index dwarfs the deltas. With ``l1_max`` set, a fold is
+    instead a MINOR fold: only the closed live epochs since the last
+    fold (never the base, never prior L1 runs) fold into one
+    ``run=__l1__/epoch=W`` delta run — O(delta), independent of
+    standing-state size. When more than ``l1_max`` L1 runs
+    accumulate, ONE major fold merges base + L1 runs into a new base
+    — O(state), but amortized over ``l1_max`` folds, so per-fold
+    write amplification is O(delta + state/l1_max). Probes need no
+    change: ``__l1__`` never equals a real run key, so `_prior`
+    always includes L1 slices, and everything in them is below the
+    fold watermark, hence below any epoch that can still replay.
+    Cross-tier duplicate rows (a doc re-delivered across fold
+    boundaries sits in several tiers until the next major fold) are
+    tolerated by the same probe-side distinct discipline as the
+    crash window above. Crash-safety per tier: write-then-delete
+    with completed-write detection via the parquet ``_SUCCESS``
+    marker — a replayed fold whose L1/base slice already committed
+    only finishes the interrupted cleanup, never rewrites from
+    now-partial sources. The reference analog is exactly Kafka's
+    incremental segment compaction (README.md:283-297): clean
+    segments are not rewritten when a new dirty segment folds.
+
     Idempotence under replay: probes exclude identity matches, so a
     re-delivered batch matches only its previous content under the
     SAME ids and is accepted identically; state writes are per-epoch
@@ -988,7 +1008,8 @@ class _SlicedDedupIndexBase:
     SLICE_PARTITION_COLS: dict = {}
 
     def __init__(self, spark: SparkSession, state_dir: str,
-                 threshold: float, fold_every: int | None = None):
+                 threshold: float, fold_every: int | None = None,
+                 l1_max: int | None = None):
         self.spark = spark
         self.state_dir = state_dir
         self.threshold = threshold
@@ -998,8 +1019,13 @@ class _SlicedDedupIndexBase:
         #: e-1 committed, so e is the only epoch that can still replay
         #: — and the fold watermark excludes it.
         self.fold_every = fold_every
+        #: None = one-tier folds (every fold rewrites the full base);
+        #: an int = tiered folds (minor O(delta) folds into
+        #: ``run=__l1__`` delta runs, one major O(state) fold per
+        #: ``l1_max`` minors) — see the class docstring
+        self.l1_max = l1_max
         self._run_key = "adhoc"  # start() re-keys from the checkpoint
-        os.makedirs(state_dir, exist_ok=True)
+        fsio.makedirs(state_dir)
         # Restart-safe: a restarted process (checkpointLocation exists,
         # state_dir populated by the previous incarnation) must probe
         # the standing index from its FIRST batch, or every previously
@@ -1019,9 +1045,9 @@ class _SlicedDedupIndexBase:
     # -- slice io -----------------------------------------------------
     def _state_exists(self, name: str) -> bool:
         p = self._path(name)
-        return os.path.isdir(p) and any(
+        return fsio.isdir(p) and any(
             f.endswith(".parquet") or f.startswith(("epoch=", "run="))
-            for f in os.listdir(p)
+            for f in fsio.listdir(p)
         )
 
     def _path(self, name: str) -> str:
@@ -1077,48 +1103,89 @@ class _SlicedDedupIndexBase:
         )
 
     # -- compaction -----------------------------------------------------
-    def _base_epoch(self, name: str) -> int | None:
-        d = os.path.join(self._path(name), f"run={BASE_RUN_KEY}")
-        if not os.path.isdir(d):
-            return None
-        eps = [
+    def _complete_epochs(self, name: str, run: str) -> list[int]:
+        """Epoch ids under ``run=<run>`` whose parquet write COMMITTED
+        (the ``_SUCCESS`` job-commit marker is present). Fold-target
+        detection must not count a crashed partial write: skipping a
+        rewrite because a half-written slice 'exists' would lose the
+        rows whose source dirs were already deleted."""
+        d = os.path.join(self._path(name), f"run={run}")
+        if not fsio.isdir(d):
+            return []
+        return [
             int(c[len("epoch="):])
-            for c in os.listdir(d)
+            for c in fsio.listdir(d)
             if c.startswith("epoch=")
+            and fsio.exists(os.path.join(d, c, "_SUCCESS"))
         ]
+
+    def _base_epoch(self, name: str) -> int | None:
+        eps = self._complete_epochs(name, BASE_RUN_KEY)
         return max(eps) if eps else None
 
     def _cleanup_folded(self, name: str, up_to_epoch: int) -> None:
         """Delete every source directory the base at ``up_to_epoch``
-        subsumes: own-run and older-base epochs strictly below it, and
-        foreign runs wholesale. Recomputable from the base epoch alone,
-        so an interrupted fold's cleanup can simply re-run."""
-        import shutil
-
+        subsumes: own-run and older-base epochs strictly below it, L1
+        delta runs at-or-below it (a major fold at W includes the L1
+        slice the same watermark's minor fold just wrote, hence
+        ``<=``), and foreign runs wholesale. Recomputable from the
+        base epoch alone, so an interrupted fold's cleanup can simply
+        re-run."""
         root = self._path(name)
-        for rd in os.listdir(root):
+        for rd in fsio.listdir(root):
             if not rd.startswith("run="):
                 continue
             run = rd[len("run="):]
             rpath = os.path.join(root, rd)
-            if run in (self._run_key, BASE_RUN_KEY):
-                for ed in os.listdir(rpath):
+            if run in (self._run_key, BASE_RUN_KEY, L1_RUN_KEY):
+                for ed in fsio.listdir(rpath):
+                    if not ed.startswith("epoch="):
+                        continue
+                    e = int(ed[len("epoch="):])
+                    if e < up_to_epoch or (
+                        run == L1_RUN_KEY and e <= up_to_epoch
+                    ):
+                        fsio.rmtree(os.path.join(rpath, ed))
+                if not fsio.listdir(rpath):
+                    fsio.rmdir(rpath)
+            else:
+                fsio.rmtree(rpath)
+
+    def _cleanup_minor(self, name: str, up_to_epoch: int) -> None:
+        """Delete only what a MINOR fold at ``up_to_epoch`` subsumes:
+        own-run epochs strictly below it and foreign live runs —
+        never the base, never L1 delta runs (they are this fold's
+        output and its older siblings, not its sources)."""
+        root = self._path(name)
+        for rd in fsio.listdir(root):
+            if not rd.startswith("run="):
+                continue
+            run = rd[len("run="):]
+            rpath = os.path.join(root, rd)
+            if run in (BASE_RUN_KEY, L1_RUN_KEY):
+                continue
+            if run == self._run_key:
+                for ed in fsio.listdir(rpath):
                     if (
                         ed.startswith("epoch=")
                         and int(ed[len("epoch="):]) < up_to_epoch
                     ):
-                        shutil.rmtree(os.path.join(rpath, ed))
-                if not os.listdir(rpath):
-                    os.rmdir(rpath)
+                        fsio.rmtree(os.path.join(rpath, ed))
+                if not fsio.listdir(rpath):
+                    fsio.rmdir(rpath)
             else:
-                shutil.rmtree(rpath)
+                fsio.rmtree(rpath)
 
     def compact(self, up_to_epoch: int) -> None:
         """Fold every CLOSED slice — own-run epochs strictly below
         ``up_to_epoch``, all foreign runs, and any older base — into
-        one base snapshot per root, then delete the folded sources.
+        the standing snapshot(s), then delete the folded sources.
         Bounds the directory count (and the probe's file listing) by
-        epochs-since-last-fold instead of stream lifetime.
+        epochs-since-last-fold instead of stream lifetime. One-tier
+        (``l1_max=None``): everything folds into one base snapshot,
+        O(state) per fold. Tiered: a minor O(delta) fold into
+        ``run=__l1__``, plus one major base merge per ``l1_max``
+        minors (class docstring).
 
         Caller contract: no epoch below ``up_to_epoch`` may ever
         replay (inside the batch loop, the current epoch_id satisfies
@@ -1142,21 +1209,67 @@ class _SlicedDedupIndexBase:
                 # cleanup and leave the newer base alone
                 self._cleanup_folded(name, base_e)
                 continue
+            if self.l1_max is None:
+                self._fold_full(name, up_to_epoch)
+            else:
+                self._fold_tiered(name, up_to_epoch)
+
+    def _fold_full(self, name: str, up_to_epoch: int) -> None:
+        live = (F.col("run") == F.lit(self._run_key)) & (
+            F.col("epoch") >= F.lit(up_to_epoch)
+        )
+        closed = (
+            self._read_slices(name)
+            .filter(~live)
+            .drop("run", "epoch")
+            .distinct()
+        )
+        if closed.isEmpty():
+            return
+        # write-new-base THEN delete-sources (see class docstring
+        # for the crash window's duplicate-visibility argument)
+        self._write_slice(closed, name, up_to_epoch, run=BASE_RUN_KEY)
+        self._cleanup_folded(name, up_to_epoch)
+
+    def _fold_tiered(self, name: str, up_to_epoch: int) -> None:
+        """Minor fold (O(delta)) + occasional major fold (O(state),
+        amortized 1/l1_max). The minor fold's input deliberately
+        EXCLUDES the base and prior L1 runs — that exclusion is what
+        makes the per-fold write independent of standing-state
+        size."""
+        l1_eps = self._complete_epochs(name, L1_RUN_KEY)
+        if up_to_epoch not in l1_eps:
+            is_tier = F.col("run").isin(BASE_RUN_KEY, L1_RUN_KEY)
             live = (F.col("run") == F.lit(self._run_key)) & (
                 F.col("epoch") >= F.lit(up_to_epoch)
             )
-            closed = (
+            delta = (
                 self._read_slices(name)
-                .filter(~live)
+                .filter(~is_tier & ~live)
                 .drop("run", "epoch")
                 .distinct()
             )
-            if closed.isEmpty():
-                continue
-            # write-new-base THEN delete-sources (see class docstring
-            # for the crash window's duplicate-visibility argument)
+            if not delta.isEmpty():
+                self._write_slice(
+                    delta, name, up_to_epoch, run=L1_RUN_KEY
+                )
+                l1_eps.append(up_to_epoch)
+        # a replayed/interrupted fold whose L1 slice already committed
+        # lands here directly: finish the cleanup, never rewrite the
+        # delta from now-deleted sources
+        self._cleanup_minor(name, up_to_epoch)
+        if len(l1_eps) > self.l1_max:
+            merged = (
+                self._read_slices(name)
+                .filter(F.col("run").isin(BASE_RUN_KEY, L1_RUN_KEY))
+                .filter(F.col("epoch") <= F.lit(up_to_epoch))
+                .drop("run", "epoch")
+                .distinct()
+            )
+            if merged.isEmpty():
+                return
             self._write_slice(
-                closed, name, up_to_epoch, run=BASE_RUN_KEY
+                merged, name, up_to_epoch, run=BASE_RUN_KEY
             )
             self._cleanup_folded(name, up_to_epoch)
 
@@ -1166,13 +1279,13 @@ class _SlicedDedupIndexBase:
         n = 0
         for name in ("accepted", "index") + self.EXTRA_SLICES:
             root = self._path(name)
-            if not os.path.isdir(root):
+            if not fsio.isdir(root):
                 continue
-            for rd in os.listdir(root):
+            for rd in fsio.listdir(root):
                 rpath = os.path.join(root, rd)
-                if rd.startswith("run=") and os.path.isdir(rpath):
+                if rd.startswith("run=") and fsio.isdir(rpath):
                     n += sum(
-                        1 for ed in os.listdir(rpath)
+                        1 for ed in fsio.listdir(rpath)
                         if ed.startswith("epoch=")
                     )
         return n
@@ -1299,14 +1412,13 @@ class StreamingDedupIndex(_SlicedDedupIndexBase):
 
     def __init__(self, spark: SparkSession, state_dir: str,
                  threshold: float = 0.8,
-                 fold_every: int | None = None):
-        import json as _json
-
-        super().__init__(spark, state_dir, threshold, fold_every)
+                 fold_every: int | None = None,
+                 l1_max: int | None = None):
+        super().__init__(spark, state_dir, threshold, fold_every,
+                         l1_max=l1_max)
         meta_path = os.path.join(state_dir, "meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = _json.load(f)
+        meta = fsio.read_json_meta(meta_path)
+        if meta is not None:
             if meta.get("band_family") != self.BAND_FAMILY:
                 raise LookupError(
                     f"standing dedup state was indexed under "
@@ -1323,10 +1435,9 @@ class StreamingDedupIndex(_SlicedDedupIndexBase):
                 "under is unknown — start a fresh state_dir"
             )
         else:
-            tmp_meta = meta_path + ".tmp"
-            with open(tmp_meta, "w") as f:
-                _json.dump({"band_family": self.BAND_FAMILY}, f)
-            os.replace(tmp_meta, meta_path)
+            fsio.write_json_meta(
+                meta_path, {"band_family": self.BAND_FAMILY}
+            )
 
     def index_docs(self) -> DataFrame | None:
         full = self._index_slices()
@@ -1384,6 +1495,140 @@ class StreamingDedupIndex(_SlicedDedupIndexBase):
             "bands", epoch_id,
         )
         self._write_slice(sh, "sh", epoch_id)
+
+
+class StreamingContainmentIndex(_SlicedDedupIndexBase):
+    """Continuous ingest-time CONTAINMENT rejection: the streaming
+    twin of ``operators/dedup.containment_prefix_pairs`` (Broder
+    1997's asymmetric measure — the quote-expansion case the whole
+    Jaccard family is structurally blind to). In a real crawl
+    pipeline quote-expansion is an INGEST-TIME decision: the short
+    original is already indexed when its wholesale-quoting container
+    arrives, exactly the per-key-ordered-stream shape the reference's
+    keyed partitioning exists to serve (kafka/bottledwater.c:784-808).
+    Each micro-batch is probed against the standing corpus in BOTH
+    roles (new doc quoted by a stored container, or new container
+    quoting a stored original); a doc with an earlier-seen (or
+    lower-id in-batch) containment partner is rejected; the whole
+    batch still indexes (rejected docs remain witnesses — the
+    min-id-witness discipline shared with StreamingDedupIndex).
+
+    Scale: per epoch the batch's distinct-shingle table (``sh``) and
+    its rarity-ranked blocking prefixes (``pfx``,
+    dedup.containment_prefix — exact by pigeonhole regardless of when
+    the ranking was computed, which is what makes a STORED prefix
+    valid as the corpus grows) are persisted, so a probe re-shingles
+    nothing: direction 1 broadcasts the batch's prefixes against the
+    stored shingles, direction 2 broadcasts the batch's shingles
+    against the stored prefixes, and the exact verify runs over
+    candidate pairs with the index-side size agg semi-join-pruned —
+    O(batch + collisions) per batch. Slice/replay/restart/fold
+    semantics are the base class's (tiered folds included).
+
+    Persisted-state contract: stored prefixes fix the shingle n AND
+    the threshold (the prefix LENGTH is ``sz - ceil(t*sz) + 1`` —
+    restarting with a higher threshold would probe prefixes that are
+    too short to be exact for it); meta.json records both and a
+    mismatched restart refuses (the band-family gate's discipline),
+    with the rebuild path stated in the error."""
+
+    ID_COL = "doc_id"
+    PAYLOAD_COLS = ("doc_id", "text")
+    EXTRA_SLICES = ("sh", "pfx")
+
+    SHINGLE_N = 3
+    #: bump when the shingle recipe / ranking rule changes
+    CONTAIN_FAMILY = "containment/ngram3/df-ranked-prefix"
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 threshold_bp: int = 8000,
+                 fold_every: int | None = None,
+                 l1_max: int | None = None):
+        super().__init__(spark, state_dir, threshold_bp / 10000.0,
+                         fold_every, l1_max=l1_max)
+        self.threshold_bp = threshold_bp
+        meta_path = os.path.join(state_dir, "meta.json")
+        meta = fsio.read_json_meta(meta_path)
+        if meta is not None:
+            if (
+                meta.get("family") != self.CONTAIN_FAMILY
+                or int(meta.get("threshold_bp", -1)) != threshold_bp
+            ):
+                raise LookupError(
+                    f"standing containment state was indexed as "
+                    f"{meta!r} but this index probes family="
+                    f"{self.CONTAIN_FAMILY!r} threshold_bp="
+                    f"{threshold_bp}; stored prefixes are only exact "
+                    f"for the threshold they were cut at — delete the "
+                    f"pfx/ slice root (rebuildable from the stored sh "
+                    f"slices) or restore the original parameters"
+                )
+        elif self._have_index or self._have_accepted:
+            raise LookupError(
+                "standing containment state has no meta.json "
+                "(pre-contract incarnation): the threshold its "
+                "prefixes were cut at is unknown — start a fresh "
+                "state_dir"
+            )
+        else:
+            fsio.write_json_meta(
+                meta_path,
+                {"family": self.CONTAIN_FAMILY,
+                 "threshold_bp": threshold_bp},
+            )
+
+    def index_docs(self) -> DataFrame | None:
+        full = self._index_slices()
+        return None if full is None else full.select("doc_id", "text")
+
+    def _intra_rejects(self, batch: DataFrame) -> DataFrame:
+        from bottledwater_pg_spark.operators import dedup
+
+        # min-id-witness within the batch: each emitted pair rejects
+        # its higher id (the batch op emits every unordered pair once)
+        return (
+            dedup.containment_prefix_pairs(
+                batch, self.threshold_bp, n=self.SHINGLE_N
+            )
+            .select(F.greatest("a_id", "b_id").alias("doc_id"))
+            .distinct()
+        )
+
+    def _probe_index(self, batch: DataFrame,
+                     epoch_id: int) -> DataFrame:
+        from bottledwater_pg_spark.operators import dedup
+
+        prior_sh = self._prior(self._read_slices("sh"), epoch_id).select(
+            "sid", "shingle"
+        )
+        prior_pfx = self._prior(
+            self._read_slices("pfx"), epoch_id
+        ).select("sid", "shingle")
+        return (
+            dedup.incremental_containment_matches(
+                None, batch, threshold_bp=self.threshold_bp,
+                n=self.SHINGLE_N,
+                index_shingles=prior_sh, index_prefix=prior_pfx,
+            )
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+
+    def _write_extra_slices(self, batch: DataFrame,
+                            epoch_id: int) -> None:
+        from bottledwater_pg_spark.operators.dedup import (
+            containment_prefix,
+            shingle_table,
+        )
+        from bottledwater_pg_spark.session import persist_tracked
+
+        sh = persist_tracked(
+            shingle_table(batch, "doc_id", "text", self.SHINGLE_N)
+        )
+        self._write_slice(sh, "sh", epoch_id)
+        self._write_slice(
+            containment_prefix(sh, self.threshold_bp), "pfx", epoch_id
+        )
 
 
 class MultiTableMaterializer:
@@ -1593,23 +1838,22 @@ class StreamingContaminationScreen:
         )
         from bottledwater_pg_spark.functions.text import word_shingles
 
-        import json as _json
-
         self.spark = spark
         self.state_dir = state_dir
         self.n = n
         self.text_col = text_col
         self._run_key = "adhoc"  # start() re-keys from the checkpoint
-        os.makedirs(state_dir, exist_ok=True)
+        fsio.makedirs(state_dir)
         bmp_path = os.path.join(state_dir, "bitmap")
         meta_path = os.path.join(state_dir, "meta.json")
         # a standing bitmap is only real if BOTH the parquet files and
         # the recorded build parameters landed — a crash between the
         # two writes must fall through to a rebuild, not a FileNotFound
+        meta = fsio.read_json_meta(meta_path)
         have = (
-            os.path.isdir(bmp_path)
-            and any(f.endswith(".parquet") for f in os.listdir(bmp_path))
-            and os.path.exists(meta_path)
+            fsio.isdir(bmp_path)
+            and any(f.endswith(".parquet") for f in fsio.listdir(bmp_path))
+            and meta is not None
         )
         if have:
             # the standing bitmap fixes the gram size AND the hash
@@ -1620,8 +1864,6 @@ class StreamingContaminationScreen:
             # (rebuild when eval_docs is at hand, refuse otherwise:
             # probing is guaranteed-wrong, so failing loud beats a
             # screen that passes every contaminated doc).
-            with open(meta_path) as f:
-                meta = _json.load(f)
             recorded_family = meta.get("hash_family")
             if recorded_family != BLOOM_HASH_FAMILY:
                 if eval_docs is None:
@@ -1661,17 +1903,14 @@ class StreamingContaminationScreen:
                 ).alias("word")
             )
             bitmap.write.mode("overwrite").parquet(bmp_path)
-            tmp_meta = meta_path + ".tmp"
-            with open(tmp_meta, "w") as f:
-                _json.dump(
-                    {
-                        "n": n,
-                        "text_col": text_col,
-                        "hash_family": BLOOM_HASH_FAMILY,
-                    },
-                    f,
-                )
-            os.replace(tmp_meta, meta_path)
+            fsio.write_json_meta(
+                meta_path,
+                {
+                    "n": n,
+                    "text_col": text_col,
+                    "hash_family": BLOOM_HASH_FAMILY,
+                },
+            )
         self._bitmap = spark.read.parquet(bmp_path)
 
     def _audit_path(self) -> str:
@@ -1679,7 +1918,7 @@ class StreamingContaminationScreen:
 
     def audit(self) -> DataFrame | None:
         p = self._audit_path()
-        if not os.path.isdir(p):
+        if not fsio.isdir(p):
             return None
         return self.spark.read.option("basePath", p).parquet(p)
 
@@ -1795,27 +2034,24 @@ class StreamingLMScreen:
     def __init__(self, spark: SparkSession, state_dir: str,
                  train_corpus: DataFrame | None = None,
                  threshold_q: int = 10_000_000):
-        import json as _json
-
         self.spark = spark
         self.state_dir = state_dir
         self.threshold_q = threshold_q
         self._run_key = "adhoc"  # start() re-keys from the checkpoint
-        os.makedirs(state_dir, exist_ok=True)
+        fsio.makedirs(state_dir)
         model_path = os.path.join(state_dir, "model")
         ctx_path = os.path.join(state_dir, "ctx")
         meta_path = os.path.join(state_dir, "meta.json")
+        meta = fsio.read_json_meta(meta_path)
         have = (
             all(
-                os.path.isdir(p)
-                and any(f.endswith(".parquet") for f in os.listdir(p))
+                fsio.isdir(p)
+                and any(f.endswith(".parquet") for f in fsio.listdir(p))
                 for p in (model_path, ctx_path)
             )
-            and os.path.exists(meta_path)
+            and meta is not None
         )
         if have:
-            with open(meta_path) as f:
-                meta = _json.load(f)
             if meta.get("family") != self.LM_FAMILY:
                 if train_corpus is None:
                     raise LookupError(
@@ -1853,10 +2089,9 @@ class StreamingLMScreen:
                 F.count_distinct("t")
             ).collect()[0][0]
             self._v = int(v)
-            tmp_meta = meta_path + ".tmp"
-            with open(tmp_meta, "w") as f:
-                _json.dump({"family": self.LM_FAMILY, "v": self._v}, f)
-            os.replace(tmp_meta, meta_path)
+            fsio.write_json_meta(
+                meta_path, {"family": self.LM_FAMILY, "v": self._v}
+            )
         self._model = spark.read.parquet(model_path)
         self._ctx = spark.read.parquet(ctx_path)
 
@@ -1865,7 +2100,7 @@ class StreamingLMScreen:
 
     def audit(self) -> DataFrame | None:
         p = self._audit_path()
-        if not os.path.isdir(p):
+        if not fsio.isdir(p):
             return None
         return self.spark.read.option("basePath", p).parquet(p)
 
@@ -1961,22 +2196,19 @@ class StreamingPerceptronScreen:
 
     def __init__(self, spark: SparkSession, state_dir: str,
                  train_feats: DataFrame | None = None):
-        import json as _json
-
         self.spark = spark
         self.state_dir = state_dir
         self._run_key = "adhoc"  # start() re-keys from the checkpoint
-        os.makedirs(state_dir, exist_ok=True)
+        fsio.makedirs(state_dir)
         w_path = os.path.join(state_dir, "weights")
         meta_path = os.path.join(state_dir, "meta.json")
+        meta = fsio.read_json_meta(meta_path)
         have = (
-            os.path.isdir(w_path)
-            and any(f.endswith(".parquet") for f in os.listdir(w_path))
-            and os.path.exists(meta_path)
+            fsio.isdir(w_path)
+            and any(f.endswith(".parquet") for f in fsio.listdir(w_path))
+            and meta is not None
         )
         if have:
-            with open(meta_path) as f:
-                meta = _json.load(f)
             if meta.get("family") != self.PERCEPTRON_FAMILY:
                 if train_feats is None:
                     raise LookupError(
@@ -1999,10 +2231,9 @@ class StreamingPerceptronScreen:
             _perceptron_train(self.spark, train_feats).write.mode(
                 "overwrite"
             ).parquet(w_path)
-            tmp_meta = meta_path + ".tmp"
-            with open(tmp_meta, "w") as f:
-                _json.dump({"family": self.PERCEPTRON_FAMILY}, f)
-            os.replace(tmp_meta, meta_path)
+            fsio.write_json_meta(
+                meta_path, {"family": self.PERCEPTRON_FAMILY}
+            )
         self._w = spark.read.parquet(w_path)
 
     def _audit_path(self) -> str:
@@ -2010,7 +2241,7 @@ class StreamingPerceptronScreen:
 
     def audit(self) -> DataFrame | None:
         p = self._audit_path()
-        if not os.path.isdir(p):
+        if not fsio.isdir(p):
             return None
         return self.spark.read.option("basePath", p).parquet(p)
 
@@ -2089,8 +2320,10 @@ class StreamingVectorDedupIndex(_SlicedDedupIndexBase):
     def __init__(self, spark: SparkSession, state_dir: str,
                  threshold: float = 0.99,
                  num_bits: int = 24, bands: int = 4,
-                 fold_every: int | None = None):
-        super().__init__(spark, state_dir, threshold, fold_every)
+                 fold_every: int | None = None,
+                 l1_max: int | None = None):
+        super().__init__(spark, state_dir, threshold, fold_every,
+                         l1_max=l1_max)
         self.num_bits = num_bits
         self.bands = bands
 
@@ -2201,22 +2434,21 @@ class StreamingClusteredSemDeDupIndex(_SlicedDedupIndexBase):
                  threshold: float = 0.99,
                  train_corpus: DataFrame | None = None,
                  k: int = 8, iters: int = 4,
-                 fold_every: int | None = None):
-        import json as _json
-
-        super().__init__(spark, state_dir, threshold, fold_every)
+                 fold_every: int | None = None,
+                 l1_max: int | None = None):
+        super().__init__(spark, state_dir, threshold, fold_every,
+                         l1_max=l1_max)
         self.k = k
         self.iters = iters
         cent_path = os.path.join(state_dir, "centroids")
         meta_path = os.path.join(state_dir, "centroids_meta.json")
+        meta = fsio.read_json_meta(meta_path)
         have = (
-            os.path.isdir(cent_path)
-            and any(f.endswith(".parquet") for f in os.listdir(cent_path))
-            and os.path.exists(meta_path)
+            fsio.isdir(cent_path)
+            and any(f.endswith(".parquet") for f in fsio.listdir(cent_path))
+            and meta is not None
         )
         if have:
-            with open(meta_path) as f:
-                meta = _json.load(f)
             if (
                 meta.get("family") != self.CENTROID_FAMILY
                 or int(meta.get("k", -1)) != k
@@ -2242,14 +2474,10 @@ class StreamingClusteredSemDeDupIndex(_SlicedDedupIndexBase):
 
             _assign, cents = kmeans_lloyd(train_corpus, k=k, iters=iters)
             cents.write.mode("overwrite").parquet(cent_path)
-            tmp_meta = meta_path + ".tmp"
-            with open(tmp_meta, "w") as f:
-                _json.dump(
-                    {"k": k, "iters": iters,
-                     "family": self.CENTROID_FAMILY},
-                    f,
-                )
-            os.replace(tmp_meta, meta_path)
+            fsio.write_json_meta(
+                meta_path,
+                {"k": k, "iters": iters, "family": self.CENTROID_FAMILY},
+            )
         self._centroids = spark.read.parquet(cent_path)
 
     def _assign(self, batch: DataFrame) -> DataFrame:
@@ -2374,16 +2602,15 @@ class StreamingSourceQuotaIndex(_SlicedDedupIndexBase):
     EXTRA_SLICES = ("members",)
 
     def __init__(self, spark: SparkSession, state_dir: str,
-                 cap: int = 20, fold_every: int | None = None):
-        import json as _json
-
+                 cap: int = 20, fold_every: int | None = None,
+                 l1_max: int | None = None):
         from bottledwater_pg_spark.functions.text import (
             FINGERPRINT_FAMILY,
         )
 
         # threshold is the dedup bases' knob; unused here
         super().__init__(spark, state_dir, threshold=0.0,
-                         fold_every=fold_every)
+                         fold_every=fold_every, l1_max=l1_max)
         self.cap = cap
         # Persisted-state contract (the Bloom-screen / clustered-
         # semdedup meta gate, applied here): standing budgets are only
@@ -2396,11 +2623,10 @@ class StreamingSourceQuotaIndex(_SlicedDedupIndexBase):
         # budgets are history, not a derivable index, so mismatch is
         # always a hard error. meta.json lands at construction, BEFORE
         # any slice write, so any standing state implies a recorded
-        # contract (os.replace is atomic).
+        # contract (fsio.write_json_meta's promote discipline).
         meta_path = os.path.join(state_dir, "meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = _json.load(f)
+        meta = fsio.read_json_meta(meta_path)
+        if meta is not None:
             if (
                 int(meta.get("cap", -1)) != cap
                 or meta.get("fingerprint_family") != FINGERPRINT_FAMILY
@@ -2419,14 +2645,10 @@ class StreamingSourceQuotaIndex(_SlicedDedupIndexBase):
                 "unknown — start a fresh state_dir"
             )
         else:
-            tmp_meta = meta_path + ".tmp"
-            with open(tmp_meta, "w") as f:
-                _json.dump(
-                    {"cap": cap,
-                     "fingerprint_family": FINGERPRINT_FAMILY},
-                    f,
-                )
-            os.replace(tmp_meta, meta_path)
+            fsio.write_json_meta(
+                meta_path,
+                {"cap": cap, "fingerprint_family": FINGERPRINT_FAMILY},
+            )
 
     def _batch_ranked(self, batch: DataFrame) -> DataFrame:
         from pyspark.sql import Window

@@ -691,3 +691,31 @@ def test_perceptron_rounds_broadcast_weights_no_cartesian(spark, sf_dir):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert has_partial_aggregation(df)
+
+
+def test_mrl_shortlist_scans_stored_prefix_not_vectors(spark, sf_dir):
+    """The MRL funnel's bytes claim, made physical: with the prefix
+    column persisted (mrl_encode -> parquet), the shortlist's scan
+    reads ONLY the stored (neighbor_id, t_q, t_n) columns — a scan
+    2x narrower than the vectors — and the full-width embedding
+    column is read only by the refine/query sides. A regression that
+    silently slices the full vectors at scan time again would put
+    'embedding' back into the shortlist scan's ReadSchema."""
+    from bottledwater_pg_spark.operators.llm_queries import mrl_ann_topk
+    from bottledwater_pg_spark.plans.inspect import (
+        formatted_plan,
+        scan_read_schemas,
+    )
+
+    df = mrl_ann_topk(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    schemas = scan_read_schemas(df)
+    prefix_scans = [
+        s for s in schemas if "t_q" in s and "embedding" not in s
+    ]
+    # the stored-prefix table is scanned (and scanned narrow)
+    assert prefix_scans, f"no prefix-column scan found in {schemas}"
+    # every embedding-reading scan is a full-vector side (refine or
+    # queries), never mixed into the prefix shortlist scan
+    assert all("t_q" not in s for s in schemas if "embedding" in s)
