@@ -46,16 +46,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # has a driver record from some round. scripts/exact_gate.py still
 # re-certifies all 157 locally (EXACTGATE_r5.json).
 _FAMILY_SPREAD = [
-    # ---- ROUND 11 window: the driver hashes the FIRST 50 entries.
-    # Slots 1-8: the eight new r11 session-2 queries (no prior driver
-    # record) — the SQ8 scalar-quantization ANN pair (per-dim 8-bit
-    # grids, ADC scan, recall certificate), the Matryoshka prefix-dim
-    # funnel pair (32-dim shortlist, exact full-dim re-rank),
-    # containment near-dup (asymmetric quote-expansion dedup the
-    # Jaccard family is blind to), the C4 line-level cleaning stage,
-    # the UniMax language-budget waterfill, and the trained
-    # perceptron quality classifier (class-balanced batch training
-    # unrolled into SQL CTEs).
+    # ---- ROUND 12 window: the driver hashes the FIRST 50 entries.
+    # The r11 window is KEPT VERBATIM because it already covers every
+    # code path r12 changed: mrl_ann_topk now probes a STORED prefix
+    # table (slots 3-4), containment_near_dup's blocking prefix moved
+    # into the shared dedup.containment_prefix helper (slot 5), the
+    # sq/perceptron/c4 queries re-certify the post-r11-ADVICE fixes
+    # (single quantization pass, offset-safe labels, shared marker
+    # kernel), and supplier_triangle_counts / supplier_kcore (in the
+    # expensive block below) re-certify the r12 edge-build rewrite
+    # (collect_set + pair explode replacing the distinct + self-join
+    # chain). The fsio adapter and tiered compaction are
+    # streaming/physical surfaces — pytest-pinned, not oracle-able.
+    # Slots 1-8: the eight r11 session-2 queries — the SQ8
+    # scalar-quantization ANN pair (per-dim 8-bit grids, ADC scan,
+    # recall certificate), the Matryoshka prefix-dim funnel pair
+    # (32-dim shortlist, exact full-dim re-rank), containment
+    # near-dup (asymmetric quote-expansion dedup the Jaccard family
+    # is blind to), the C4 line-level cleaning stage, the UniMax
+    # language-budget waterfill, and the trained perceptron quality
+    # classifier (class-balanced batch training unrolled into SQL
+    # CTEs).
     "sq_ann_topk", "sq_ann_recall_vs_exact",
     "mrl_ann_topk", "mrl_ann_recall_vs_exact",
     "containment_near_dup", "c4_line_filter_stats",

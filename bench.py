@@ -443,6 +443,16 @@ CONTROLS_R01 = {
     "pii_redaction_stats": 0.269,
 }
 
+#: declared validity band for the interleaved control samples, as the
+#: max/min ratio across all control ratio samples in ONE run. In-band
+#: sessions have measured ~1.7x (r11: 1.45-2.48); the r11 driver
+#: snapshot that was taken mid-throttle spread 1.91-20.29 (~10.6x) and
+#: its in-mix numbers contradicted every isolated re-measurement. A
+#: run outside the band gets ONE extra reversed timed pass (min-merge
+#: absorbs the throttling window) and is flagged either way — a final
+#: artifact must say on its face whether its own controls trust it.
+CONTROL_SPREAD_BAND = 3.0
+
 
 def run_controls(queries, spark, sf_dir: str) -> dict[str, float]:
     """One timed pass over the three control queries — called at
@@ -488,7 +498,8 @@ def main() -> None:
     # query passes (median-of-9 host calibration, see run_controls).
     timings: dict[str, float] = {}
     control_runs = [run_controls(queries, spark, sf_dir)]
-    for order in (BENCH_QUERIES, list(reversed(BENCH_QUERIES))):
+
+    def timed_pass(order) -> None:
         for name in order:
             fn = queries[name]
             t0 = time.perf_counter()
@@ -497,6 +508,33 @@ def main() -> None:
             elapsed = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, elapsed), elapsed)
         control_runs.append(run_controls(queries, spark, sf_dir))
+
+    for order in (BENCH_QUERIES, list(reversed(BENCH_QUERIES))):
+        timed_pass(order)
+
+    def control_ratios() -> list[float]:
+        return sorted(
+            run[name] / r01
+            for run in control_runs
+            for name, r01 in CONTROLS_R01.items()
+            if name in run
+        )
+
+    # control-spread validity gate: a run whose own interleaved
+    # controls disagree by more than the declared band was throttled
+    # mid-run — its in-mix numbers are weather, not code. One extra
+    # reversed pass lets min() absorb the throttling window; the
+    # in_band flag below records the final verdict either way.
+    ratios = control_ratios()
+    spread_ratio = (
+        round(ratios[-1] / ratios[0], 3) if ratios else None
+    )
+    throttle_retry = False
+    if spread_ratio is not None and spread_ratio > CONTROL_SPREAD_BAND:
+        throttle_retry = True
+        timed_pass(list(reversed(BENCH_QUERIES)))
+        ratios = control_ratios()
+        spread_ratio = round(ratios[-1] / ratios[0], 3)
 
     # CDC throughput: events generated+compacted+decoded per second,
     # from the materialize queries' event volumes and min timings
@@ -528,12 +566,6 @@ def main() -> None:
     # slower, and other timings should be divided by it before
     # comparing to the baseline.
     controls_r01 = CONTROLS_R01
-    ratios = sorted(
-        run[name] / r01
-        for run in control_runs
-        for name, r01 in controls_r01.items()
-        if name in run
-    )
     host_ratio = round(ratios[len(ratios) // 2], 3) if ratios else None
     streaming = streaming_soak(spark, sf_dir)
     many_table = many_table_soak(spark, sf_dir)
@@ -555,6 +587,17 @@ def main() -> None:
             round(ratios[0], 3), round(ratios[-1], 3)
         ] if ratios else None,
         "n_ratio_samples": len(ratios),
+        # the validity gate (r11 verdict ask #3): spread_ratio is
+        # max/min across the interleaved control samples; a run with
+        # in_band=false got the extra pass and STILL disagrees with
+        # itself — read its per-query numbers as throttle weather
+        "spread_band": CONTROL_SPREAD_BAND,
+        "spread_ratio": spread_ratio,
+        "in_band": (
+            spread_ratio is not None
+            and spread_ratio <= CONTROL_SPREAD_BAND
+        ),
+        "throttle_retry_pass": throttle_retry,
     }
     full = {
         "metric": "total_wall_sec",

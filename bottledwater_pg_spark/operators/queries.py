@@ -4239,20 +4239,34 @@ def _strongest_tie_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted — the one edge set the triangle census and the k-core
     decomposition both analyze (and the SQL twins both rebuild).
     orderBy+limit plans as TakeOrderedAndProject — the distributed
-    top-k, never a single-partition global sort of the pair table."""
+    top-k, never a single-partition global sort of the pair table.
+
+    Pair generation folds each order's supplier set ONCE
+    (``collect_set`` dedupes in-agg) and explodes the sorted pairs
+    with an array transform — one (l_orderkey) shuffle feeding one
+    (a, b) shuffle, replacing the old distinct + same-key self-join +
+    agg chain (three data shuffles of the 600k-row lineitem
+    projection). Safe because per-order supplier sets are tiny
+    (<= 7 lineitems per order bounds |set|), so the per-row pair
+    expansion is O(49) worst case — the same bound that kept the old
+    self-join's fan-out in check, now without moving the rows twice."""
     from bottledwater_pg_spark.session import persist_tracked
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    os_ = li.distinct()
-    weighted = (
-        os_.alias("x")
-        .join(os_.alias("y"), "l_orderkey")
-        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
-        .groupBy(
-            F.col("x.l_suppkey").alias("a"),
-            F.col("y.l_suppkey").alias("b"),
-        )
-        .agg(F.count("*").cast("long").alias("cnt"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("sups")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sups, (x, i) -> "
+                "transform(slice(sups, i + 2, size(sups)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    weighted = pairs.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("cnt")
     )
     return persist_tracked(
         weighted.orderBy(F.desc("cnt"), "a", "b")

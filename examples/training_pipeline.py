@@ -14,6 +14,11 @@ the driver gate):
   2c. SPANS    exact-substring span audit (Lee et al. 2022): drop
                survivors that are mostly verbatim-duplicated tokens
                (the boilerplate whole-doc dedup misses)
+  2d. CONTAIN  shingle-containment dedup (Broder 1997): drop the
+               later doc of every quote-expansion pair — high
+               containment, low Jaccard, so stages 2b/2c are blind
+               to it; the streaming twin (StreamingContainmentIndex)
+               re-decides the same set at ingest time
   3. FILTER    Gopher rule gate (word count / mean word length /
                stopwords / type-token ratio, Rae et al. 2021), then
                language-ID + length
@@ -106,6 +111,49 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     )
     despanned = canonical.join(heavy_dup, "doc_id", "left_anti")
 
+    # 2d. containment dedup (Broder 1997, asymmetric): a short doc
+    # pasted wholesale into a longer one has containment ~1 but LOW
+    # Jaccard — stages 2b/2c can't see it. Min-id-witness keeps the
+    # earlier doc of each pair (the engine's shared dedup discipline).
+    from bottledwater_pg_spark.operators.dedup import (
+        containment_prefix_pairs,
+    )
+
+    c_rejected = containment_prefix_pairs(despanned, 8000).select(
+        F.greatest("a_id", "b_id").alias("doc_id")
+    ).distinct()
+    decontained = despanned.join(c_rejected, "doc_id", "left_anti")
+
+    # streaming twin: the same decision made continuously at ingest
+    # time — two id-ordered micro-batches through the standing index
+    # must accept exactly the batch survivor set
+    import tempfile as _tf2
+
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingContainmentIndex,
+    )
+
+    with _tf2.TemporaryDirectory(prefix="contain_stream_") as _tmp2:
+        _cidx = StreamingContainmentIndex(
+            spark, os.path.join(_tmp2, "state"), threshold_bp=8000
+        )
+        _mid = despanned.approxQuantile("doc_id", [0.5], 0.0)[0]
+        _cidx.process_batch(
+            despanned.filter(F.col("doc_id") <= _mid).select(
+                "doc_id", "text"
+            ),
+            0,
+        )
+        _cidx.process_batch(
+            despanned.filter(F.col("doc_id") > _mid).select(
+                "doc_id", "text"
+            ),
+            1,
+        )
+        _streamed = {r.doc_id for r in _cidx.accepted_ids().collect()}
+    _batch_ids = {r.doc_id for r in decontained.select("doc_id").collect()}
+    assert _streamed == _batch_ids, "streaming containment diverged"
+
     # 3. filter: Gopher rule gate (Rae et al. 2021) — the engine's
     # shared rule kernel (word count / mean word length / stopwords /
     # type-token ratio, thresholds integer-cross-multiplied), then the
@@ -118,7 +166,7 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
     EXAMPLE_MIN_WORDS = 30  # fixture-loosened floor (see note above)
 
-    gophered = gopher_gate(despanned, min_words=EXAMPLE_MIN_WORDS)
+    gophered = gopher_gate(decontained, min_words=EXAMPLE_MIN_WORDS)
 
     # 3a. the STREAMING path of the same gate: at ingest time the gate
     # runs inside the micro-batch plan, dropping rule-failing docs
@@ -129,12 +177,12 @@ def run(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     import tempfile as _tf
 
     with _tf.TemporaryDirectory(prefix="gopher_stream_") as _tmp:
-        despanned.repartition(4).write.mode("overwrite").parquet(
+        decontained.repartition(4).write.mode("overwrite").parquet(
             f"{_tmp}/src"
         )
         q = (
             gopher_gate(
-                spark.readStream.schema(despanned.schema)
+                spark.readStream.schema(decontained.schema)
                 .option("maxFilesPerTrigger", 1)
                 .parquet(f"{_tmp}/src"),
                 min_words=EXAMPLE_MIN_WORDS,

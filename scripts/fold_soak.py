@@ -18,6 +18,16 @@ for all four index classes.
     python scripts/fold_soak.py [n_epochs] [fold_every] 2>/dev/null
 
 Results recorded in SCALE.md (r11).
+
+r12 extension: a third run drives the TIERED fold mode (l1_max) with
+per-fold write instrumentation on both folding runs — every tier
+write's on-disk bytes are recorded, so the soak can show the one-tier
+fold's per-fold write growing with standing state (it rewrites the
+full base each fold) while the tiered run's minor folds stay
+delta-sized with only the amortized major merges touching O(state).
+That is the falsifiable form of the r11 verdict's remaining
+compaction cost concern. Accepted sets must stay identical across all
+three runs.
 """
 
 from __future__ import annotations
@@ -33,6 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 240
 FOLD_EVERY = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+L1_MAX = int(sys.argv[3]) if len(sys.argv) > 3 else 6
 BATCH_ROWS = 30
 N_SOURCES = 10
 
@@ -40,6 +51,70 @@ N_SOURCES = 10
 def window_p50(xs: list[float], lo: int, hi: int) -> float | None:
     w = sorted(xs[lo:hi])
     return round(w[len(w) // 2], 3) if w else None
+
+
+def instrument_tier_writes(idx, ledger: list) -> None:
+    """Record the on-disk bytes of every tier write (base or L1) the
+    index performs — the write-amplification the tiered fold exists
+    to bound. Wraps _write_slice; live per-epoch slice writes are not
+    tier writes and are skipped."""
+    from bottledwater_pg_spark.streaming.stream import (
+        BASE_RUN_KEY,
+        L1_RUN_KEY,
+    )
+
+    orig = idx._write_slice
+
+    def wrapped(df, name, epoch_id, run=None):
+        orig(df, name, epoch_id, run=run)
+        if run not in (BASE_RUN_KEY, L1_RUN_KEY):
+            return
+        d = os.path.join(
+            idx._path(name), f"run={run}", f"epoch={epoch_id}"
+        )
+        nbytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+        )
+        ledger.append(
+            {"epoch": epoch_id, "root": name,
+             "tier": "base" if run == BASE_RUN_KEY else "l1",
+             "bytes": nbytes}
+        )
+
+    idx._write_slice = wrapped
+
+
+def fold_write_summary(ledger: list) -> dict:
+    """Per-fold total tier-write bytes (all roots), split by tier."""
+    per_fold: dict[int, dict[str, int]] = {}
+    for w in ledger:
+        slot = per_fold.setdefault(w["epoch"], {"base": 0, "l1": 0})
+        slot[w["tier"]] += w["bytes"]
+    folds = sorted(per_fold)
+    minor = [per_fold[e]["l1"] for e in folds if per_fold[e]["l1"]]
+    base = [per_fold[e]["base"] for e in folds if per_fold[e]["base"]]
+    out = {
+        "fold_epochs": folds,
+        "per_fold_bytes": [
+            per_fold[e]["base"] + per_fold[e]["l1"] for e in folds
+        ],
+        "total_tier_write_bytes": sum(
+            w["bytes"] for w in ledger
+        ),
+        "n_base_writes": len(base),
+        "n_l1_writes": len(minor),
+    }
+    if minor:
+        out["minor_write_bytes_first_vs_last"] = round(
+            minor[-1] / minor[0], 3
+        )
+    if base:
+        out["base_write_bytes_first_vs_last"] = round(
+            base[-1] / base[0], 3
+        )
+    return out
 
 
 def main() -> int:
@@ -57,6 +132,7 @@ def main() -> int:
     out: dict = {
         "n_epochs": N_EPOCHS,
         "fold_every": FOLD_EVERY,
+        "l1_max": L1_MAX,
         "batch_rows": BATCH_ROWS,
     }
     try:
@@ -78,11 +154,18 @@ def main() -> int:
             )
 
         runs = {}
-        for label, fold in (("folded", FOLD_EVERY), ("unfolded", None)):
+        for label, fold, l1 in (
+            ("folded", FOLD_EVERY, None),
+            ("tiered", FOLD_EVERY, L1_MAX),
+            ("unfolded", None, None),
+        ):
             state = os.path.join(base, label)
             idx = StreamingSourceQuotaIndex(
-                spark, state, cap=10**9, fold_every=fold
+                spark, state, cap=10**9, fold_every=fold, l1_max=l1
             )
+            write_ledger: list = []
+            if fold is not None:
+                instrument_tier_writes(idx, write_ledger)
             epoch_sec: list[float] = []
             dir_counts: list[int] = []
             for e in range(N_EPOCHS):
@@ -105,13 +188,32 @@ def main() -> int:
                 "final_slice_dirs": idx.slice_dir_count(),
                 "accepted_rows": idx.accepted_ids().count(),
             }
+            if write_ledger:
+                rec["tier_writes"] = fold_write_summary(write_ledger)
             runs[label] = rec
             print(json.dumps({label: rec}), flush=True)
         # the fold must not change a single decision
         runs["accepted_sets_equal"] = (
             runs["folded"]["accepted_rows"]
+            == runs["tiered"]["accepted_rows"]
             == runs["unfolded"]["accepted_rows"]
             == N_EPOCHS * BATCH_ROWS
+        )
+        # write-amplification verdict: one-tier folds rewrite the
+        # full base, so their per-fold bytes grow with standing state;
+        # tiered MINOR folds must stay delta-sized (ratio ~1)
+        ft = runs["folded"]["tier_writes"]
+        tt = runs["tiered"]["tier_writes"]
+        out["onetier_fold_write_growth"] = ft.get(
+            "base_write_bytes_first_vs_last"
+        )
+        out["tiered_minor_write_growth"] = tt.get(
+            "minor_write_bytes_first_vs_last"
+        )
+        out["tiered_vs_onetier_total_write_bytes"] = round(
+            tt["total_tier_write_bytes"]
+            / ft["total_tier_write_bytes"],
+            3,
         )
         out.update(runs)
         out["probe_flatness_folded_last_vs_first"] = round(

@@ -25,6 +25,34 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 FACTORS = (1, 10, 100)
 
 
+def _containment_candidates(spark, d: str) -> int:
+    """The containment prefix-block's candidate-pair count over the
+    scaled corpus — the quantity the rarest-shingle-df fan-out bound
+    claims to control; measured alongside wall time so the ladder can
+    falsify the bound, not just the end-to-end number. Replica token
+    prefixes keep shingles replica-local, so candidates should grow
+    ~linearly with the factor (each replica contributes its own
+    blocks), never quadratically."""
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators import dedup
+    from bottledwater_pg_spark.operators.llm_queries import (
+        CONTAIN_THRESHOLD_BP,
+        docs_with_contained_dups,
+    )
+
+    sh = dedup.shingle_table(docs_with_contained_dups(spark, d))
+    pfx = dedup.containment_prefix(sh, CONTAIN_THRESHOLD_BP)
+    return (
+        pfx.select(F.col("sid").alias("a_id"), "shingle")
+        .join(sh.select(F.col("sid").alias("b_id"), "shingle"), "shingle")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+        .count()
+    )
+
+
 def main() -> int:
     from bottledwater_pg_spark.operators import cdc_queries as C
     from bottledwater_pg_spark.operators import llm_queries as L
@@ -75,6 +103,22 @@ def main() -> int:
         # corpus size, so alpha should track the feature shuffle.
         ("perceptron_quality_weights", L.perceptron_quality_weights,
          ("documents",)),
+        # r12: the EXACT-JOIN row — containment_near_dup is the
+        # family's expensive-by-design op (exact verify, no sketch);
+        # its scale claim is that prefix blocking bounds the equi-join
+        # fan-out by the rarest shingles' document frequency. The
+        # ladder measures the CANDIDATE-PAIR count alongside wall time
+        # (x{f}_cand) so that claim is falsifiable: replica-local
+        # shingles should keep candidates ~linear in the factor.
+        ("containment_near_dup", L.containment_near_dup,
+         ("documents",)),
+        # r12: the FUNNEL row — mrl_ann_topk with the STORED prefix
+        # column (the r12 layout change: the shortlist scan reads the
+        # persisted 32-dim slices, incl. the encode+write step). Like
+        # sq_ann_topk the query set stays fixed at 20 (replica 0 only)
+        # while the corpus scales, so alpha measures the narrow
+        # shortlist scan + the bounded (refine x |Q|) re-rank.
+        ("mrl_ann_topk", L.mrl_ann_topk, ("embeddings",)),
     ]
     only = set(sys.argv[1:])
     if only:
@@ -102,6 +146,11 @@ def main() -> int:
                 n = fn(spark, dirs[f]).count()
                 rec[f"x{f}_sec"] = round(time.perf_counter() - t0, 2)
                 rec[f"x{f}_rows"] = n
+                if name == "containment_near_dup":
+                    release_persisted()
+                    rec[f"x{f}_cand"] = _containment_candidates(
+                        spark, dirs[f]
+                    )
             rec["alpha_10_100"] = round(
                 math.log(rec["x100_sec"] / rec["x10_sec"]) / math.log(10), 3
             )

@@ -490,3 +490,99 @@ def test_perceptron_single_class_and_empty(spark):
     )
     w0 = _perceptron_train(spark, empty).collect()[0][0]
     assert w0 == [0, 0, 0, 0, 0]
+
+
+def test_incremental_containment_degenerate(spark):
+    """incremental_containment_matches: refuses a lone precomputed
+    side; empty batch or empty index yields no matches; an identical
+    stored doc matches at containment 1.0 in both probe roles."""
+    import pytest
+
+    from bottledwater_pg_spark.operators.dedup import (
+        containment_prefix,
+        incremental_containment_matches,
+        shingle_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string"
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    sh = shingle_table(docs)
+    pfx = containment_prefix(sh, 8000)
+    with pytest.raises(ValueError, match="lone precomputed"):
+        incremental_containment_matches(None, docs, index_shingles=sh)
+    assert incremental_containment_matches(
+        None, empty, index_shingles=sh, index_prefix=pfx
+    ).count() == 0
+    assert incremental_containment_matches(docs, empty).count() == 0
+    twin = spark.createDataFrame(
+        [(2, "a b c d e f")], "doc_id long, text string"
+    )
+    m = incremental_containment_matches(
+        None, twin, index_shingles=sh, index_prefix=pfx
+    ).collect()
+    assert [(r.new_id, r.match_id, r.containment) for r in m] == [
+        (2, 1, 1.0)
+    ]
+
+
+def test_streaming_containment_empty_batch(spark, tmp_path):
+    """An empty micro-batch (markers-only trigger) through the
+    containment index: no crash, no state change."""
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingContainmentIndex,
+    )
+
+    idx = StreamingContainmentIndex(spark, str(tmp_path / "c"))
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "z y x w v")],
+        "doc_id long, text string",
+    )
+    idx.process_batch(docs, 0)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    idx.process_batch(empty, 1)
+    assert {r.doc_id for r in idx.accepted_ids().collect()} == {1, 2}
+
+
+def test_tiered_compact_on_empty_and_fresh_state(spark, tmp_path):
+    """compact() with l1_max on a state dir with no slices at all, and
+    on one live epoch only (nothing closed): both no-ops, no crash."""
+    from bottledwater_pg_spark.streaming.stream import StreamingDedupIndex
+
+    idx = StreamingDedupIndex(
+        spark, str(tmp_path / "t"), threshold=0.8, l1_max=2
+    )
+    idx.compact(5)  # nothing on disk yet
+    docs = spark.createDataFrame(
+        [(1, "some document body here")], "doc_id long, text string"
+    )
+    idx.process_batch(docs, 0)
+    idx.compact(0)  # epoch 0 is live at watermark 0: nothing closed
+    assert {r.doc_id for r in idx.accepted_ids().collect()} == {1}
+
+
+def test_mrl_encode_stored_prefix_equals_inline(spark):
+    """topk_mrl with a stored mrl_encode table returns exactly the
+    on-the-fly result (the r12 layout change is bytes-only)."""
+    from bottledwater_pg_spark.operators.similarity import (
+        mrl_encode,
+        topk_mrl,
+    )
+
+    # +1 offsets keep every prefix slice nonzero-norm (zero-norm
+    # vectors are the cosine family's documented degenerate input)
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3 + 1), float(i % 5 + 1), float(i % 7), 1.0])
+         for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = vecs.filter("vec_id < 3")
+    inline = topk_mrl(vecs, qs, k=3, prefix_dim=2, refine=6)
+    stored = topk_mrl(
+        vecs, qs, k=3, prefix_dim=2, refine=6,
+        index_prefix=mrl_encode(vecs, prefix_dim=2),
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, stored.collect())
+    )

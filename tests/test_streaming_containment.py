@@ -142,7 +142,12 @@ def test_streaming_containment_fold_parity(spark, sf_dir, tmp_path):
     want = _accepted(plain)
     assert _accepted(onetier) == want
     assert _accepted(tiered) == want
-    tiered.process_batch(batches[2], 2)  # replay over the tiers
+    # legal replays over the tiered layout: the LIVE epoch (the only
+    # one foreachBatch can re-deliver after the fold at its watermark)
+    # and a fresh-epoch re-delivery
+    tiered.process_batch(batches[3], 3)
+    assert _accepted(tiered) == want
+    tiered.process_batch(batches[1], 99)
     assert _accepted(tiered) == want
     assert tiered.slice_dir_count() < plain.slice_dir_count()
 
