@@ -177,3 +177,39 @@ def test_streaming_containment_meta_gate(spark, sf_dir, tmp_path):
         StreamingContainmentIndex(
             spark, str(state), threshold_bp=THRESH_BP
         )
+
+
+def test_streaming_containment_runs_as_real_stream(spark, sf_dir):
+    """StreamingContainmentIndex behind an actual readStream (file
+    source, one file per trigger, checkpointed foreachBatch): the
+    accepted set must equal the batch min-id-witness rule — the same
+    end-to-end pin the text dedup index has."""
+    import tempfile
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        docs_with_contained_dups,
+    )
+
+    corpus = docs_with_contained_dups(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/docs"
+        for i, (lo, hi) in enumerate(
+            [(0, 250), (250, 400000), (400000, 10**18)]
+        ):
+            corpus.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+        idx = StreamingContainmentIndex(
+            spark, f"{tmp}/state", threshold_bp=THRESH_BP
+        )
+        for i in range(3):
+            q = idx.start(
+                spark.readStream.schema(corpus.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/b{i}"),
+                f"{tmp}/ckpt{i}",
+            )
+            q.processAllAvailable()
+            q.stop()
+        accepted = _accepted(idx)
+    assert accepted == _expected(spark, corpus)
