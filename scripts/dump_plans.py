@@ -103,7 +103,7 @@ HEADLINE = {
     "bpe_encode_stats": "BPE encode: trained vocab reconstructs its words (space-strip), one equi-join of the word stream against it, per-source integer agg",
     "pq_ann_topk": "PQ-ADC: codebook + per-query distance table broadcast (data-size independent), scan is index join + partial-agg sum, exact re-rank on the bounded shortlist",
     "ivfpq_ann_topk": "IVF-PQ: probe set + codebook + dtab broadcast; in-cell ADC via (cent_id) join — at scale a partition-pruned read; re-rank touches refine*|Q| vectors",
-    "supplier_triangle_counts": "triangle census: TakeOrderedAndProject edge budget (distributed top-k, no global sort), degree-oriented wedge hash joins, partial-agg count",
+    "supplier_triangle_counts": "triangle census: per-order collect_set + sorted-pair explode edge build (one orderkey shuffle, no self-join), TakeOrderedAndProject edge budget (distributed top-k, no global sort), degree-oriented wedge hash joins, partial-agg count",
     "token_pmi_topk": "PMI collocations: one bigram explode + partial agg, unigram model joined back on each side, 1-row N broadcast, TakeOrderedAndProject top-k",
     "supplier_kcore": "k-core peeling: per-round alive-filtered degree agg, eager lineage truncation (plan stays flat across rounds), fixpoint via 1-row counts",
     "exact_substring_spans_hashed": "hashed-gram spans: identical two-shuffle shape, gram attribute is LongType (#nL) so the dominant shuffle moves 8-byte keys",
@@ -120,7 +120,7 @@ HEADLINE = {
     "ccnet_perplexity_buckets": "CCNet terciles: the LM kernel's model-join shape (vocabulary-sized model, 1-row V broadcast), then ONE ntile window per source over integer scores — no corpus collect, no float boundary",
     # round 11, session 2
     "sq_ann_topk": "SQ8-ADC scan: per-dim grid stats fold to ONE broadcast row (map-side partial posexplode agg), encode+reconstruct fused in a narrow indexed transform, full scan with broadcast query side — no shuffle of the corpus, no cartesian",
-    "mrl_ann_topk": "Matryoshka funnel: prefix-32 shortlist scan (sliced quantized vectors — half the bytes), per-query window to 150, exact full-dim re-rank joins ONLY the shortlist; both model sides broadcast",
+    "mrl_ann_topk": "Matryoshka funnel: shortlist scans the STORED prefix table (ReadSchema carries t_q/t_n, never embedding — half the bytes physically), per-query window to 150, exact full-dim re-rank joins ONLY the shortlist; both model sides broadcast",
     "containment_near_dup": "containment prefix blocking: df-ranked rare-shingle prefix equi-joined to the full shingle table (frequent keys never enter the join), candidates verified once via array_intersect — no cartesian, no BNLJ",
     "c4_line_filter_stats": "C4 line gate: verdicts are filter/aggregate over the lines array (no explode), marker detection by substring on the page, ONE source-keyed partial agg — the gopher_quality_flags shape",
     "unimax_language_budgets": "UniMax waterfill: corpus-sized work is one lang-keyed partial agg; the waterfill windows run over #langs rows (bounded metadata) and the 2-scalar fold broadcasts back",
