@@ -881,7 +881,22 @@ def containment_prefix_pairs(df: DataFrame, threshold_bp: int = 8000,
     cross-multiplication (``inter * 10000 >= sz_a * threshold_bp``) —
     no float threshold crosses the engine boundary. Each unordered
     pair is emitted once, smaller set as ``a_id`` (ties on size break
-    to the lower id). Exact — no false-negative probability."""
+    to the lower id). Exact — no false-negative probability.
+
+    Verify shape (r12): candidates are orientation-filtered FIRST
+    (join the |docs|-row size table, keep only the smaller-as-a_id
+    version — the blocking theorem guarantees that version exists for
+    every true pair, so the drop loses nothing and halves the verify
+    input), then intersections count via a (sid, shingle) equi-join —
+    the :func:`incremental_lsh_matches` verify shape. The previous
+    form collected every doc's shingle SET into an array column and
+    ran per-pair ``array_intersect``: O(sz_a + sz_b) interpreted work
+    per candidate and whole-document arrays through the join shuffle.
+    Single-session A/B at sf0.1: join-verify min 2.588 s vs array
+    form 2.85 s (~9% on min, ~15% on median) — and the structural
+    win is that no document-sized array ever crosses a shuffle, the
+    term that grows with document size at warehouse scale (SCALE.md
+    r12)."""
     from pyspark import StorageLevel
 
     sh = persist_tracked(
@@ -896,30 +911,34 @@ def containment_prefix_pairs(df: DataFrame, threshold_bp: int = 8000,
         .select("a_id", "b_id")
         .distinct()
     )
-    arrays = sh.groupBy("sid").agg(
-        F.collect_set("shingle").alias("shs"), F.count("*").alias("sz")
-    )
-    va = arrays.select(F.col("sid").alias("a_id"),
-                       F.col("shs").alias("sh_a"),
-                       F.col("sz").alias("sz_a"))
-    vb = arrays.select(F.col("sid").alias("b_id"),
-                       F.col("shs").alias("sh_b"),
-                       F.col("sz").alias("sz_b"))
-    return (
-        cand.join(va, "a_id")
-        .join(vb, "b_id")
+    szs = sh.groupBy("sid").agg(F.count("*").cast("long").alias("sz"))
+    oriented = (
+        cand.join(
+            szs.select(F.col("sid").alias("a_id"), F.col("sz").alias("sz_a")),
+            "a_id",
+        )
+        .join(
+            szs.select(F.col("sid").alias("b_id"), F.col("sz").alias("sz_b")),
+            "b_id",
+        )
         .filter(
             (F.col("sz_a") < F.col("sz_b"))
             | ((F.col("sz_a") == F.col("sz_b"))
                & (F.col("a_id") < F.col("b_id")))
         )
-        .withColumn("inter",
-                    F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+    )
+    return (
+        oriented.join(sh.alias("sa"), F.col("sa.sid") == F.col("a_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.sid") == F.col("b_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("a_id", "b_id", "sz_a", "sz_b")
+        .agg(F.count_distinct("sa.shingle").alias("inter"))
         .filter(F.col("inter") * 10000 >= F.col("sz_a") * t)
         .select(
-            "a_id", "b_id", "inter",
-            F.col("sz_a").cast("long").alias("sz_a"),
-            F.col("sz_b").cast("long").alias("sz_b"),
+            "a_id", "b_id", "inter", "sz_a", "sz_b",
             (F.col("inter").cast("double") / F.col("sz_a"))
             .alias("containment"),
         )
