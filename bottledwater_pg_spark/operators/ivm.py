@@ -107,7 +107,17 @@ class StreamingAggMaintainer:
     double-add), so applied epoch ids are recorded with the state and
     a replayed epoch is skipped — the standard transactional
     foreachBatch pattern, giving exactly-once effective aggregates on
-    top of Structured Streaming's at-least-once replay.
+    top of Structured Streaming's at-least-once replay. The applied-
+    epoch ledger lives INSIDE the swapped state directory
+    (``state/_epochs.txt`` — underscore-prefixed, so parquet readers
+    ignore it like ``_SUCCESS``): the directory swap commits the new
+    aggregates AND their epoch mark in one rename, closing the
+    crash window a beside-the-state ledger had (crash after swap,
+    before mark -> the replayed epoch re-folded an already-folded
+    delta and double-added; crash in the other order would have
+    under-counted). A restarted instance content-checks the standing
+    state (and promotes a ``state.old`` left by a crash between the
+    two swap renames) instead of silently starting over.
 
     Scale: the persisted state is |groups| rows — for dashboard-style
     views that is kilobytes regardless of stream volume; each batch
@@ -124,30 +134,53 @@ class StreamingAggMaintainer:
         self.group_col = group_col
         self.value_col = value_col
         fsio.makedirs(state_dir)
-        self._have_state = False
+        self._recover_state()
+        self._have_state = self._state_on_disk()
 
     def _path(self, name: str) -> str:
         import os
 
         return os.path.join(self.state_dir, name)
 
+    def _state_on_disk(self) -> bool:
+        from bottledwater_pg_spark.streaming import fsio
+
+        p = self._path("state")
+        return fsio.isdir(p) and any(
+            f.endswith(".parquet") for f in fsio.listdir(p)
+        )
+
+    def _recover_state(self) -> None:
+        """A crash between the two swap renames leaves no 'state' but
+        a complete 'state.old' — promote it back (the materializer's
+        discipline)."""
+        from bottledwater_pg_spark.streaming import fsio
+
+        final = self._path("state")
+        swap = final + ".old"
+        if not fsio.isdir(final) and fsio.isdir(swap):
+            fsio.rename(swap, final)
+
     def _applied_epochs(self) -> set[int]:
         from bottledwater_pg_spark.streaming import fsio
 
-        p = self._path("epochs.txt")
-        if not fsio.exists(p):
-            return set()
-        return {int(x) for x in fsio.read_text(p).split() if x}
-
-    def _mark_epoch(self, epoch_id: int) -> None:
-        from bottledwater_pg_spark.streaming import fsio
-
-        fsio.append_text(self._path("epochs.txt"), f"{epoch_id}\n")
+        eps: set[int] = set()
+        # in-state ledger (authoritative) + the legacy beside-state
+        # file from pre-r12 incarnations (unioned until the first
+        # post-upgrade swap folds and deletes it)
+        for p in (self._path("state/_epochs.txt"),
+                  self._path("epochs.txt")):
+            if fsio.exists(p):
+                eps |= {int(x) for x in fsio.read_text(p).split() if x}
+        return eps
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        import os
+
         from bottledwater_pg_spark.streaming import fsio
 
-        if epoch_id in self._applied_epochs():
+        applied = self._applied_epochs()
+        if epoch_id in applied:
             return  # replayed epoch: already folded in
         delta = delta_group_agg(
             batch, self.row_schema, self.group_col, self.value_col
@@ -166,6 +199,13 @@ class StreamingAggMaintainer:
             merged = delta
         tmp = self._path(f"state.epoch{epoch_id}")
         merged.write.mode("overwrite").parquet(tmp)
+        # ledger INSIDE the about-to-be-swapped dir: the swap commits
+        # aggregates + epoch mark atomically
+        fsio.write_text(
+            os.path.join(tmp, "_epochs.txt"),
+            "\n".join(str(e) for e in sorted(applied | {epoch_id}))
+            + "\n",
+        )
         final = self._path("state")
         swap = final + ".old"
         if fsio.exists(swap):
@@ -175,7 +215,10 @@ class StreamingAggMaintainer:
         fsio.rename(tmp, final)
         if fsio.exists(swap):
             fsio.rmtree(swap)
-        self._mark_epoch(epoch_id)
+        legacy = self._path("epochs.txt")
+        if fsio.exists(legacy):
+            # the in-state ledger now supersets it
+            fsio.remove(legacy)
         self._have_state = True
 
     def current(self) -> DataFrame | None:

@@ -191,6 +191,21 @@ def read_text(path: str) -> str:
     return _read_text(path)
 
 
+def write_text(path: str, text: str) -> None:
+    """Write (create/overwrite) a small text file."""
+    _write_text(path, text)
+
+
+def remove(path: str) -> None:
+    """Delete a single file."""
+    if not is_uri(path):
+        os.remove(path)
+        return
+    fs, p = _hadoop(path)
+    if not fs.delete(p, False):
+        raise OSError(f"remove failed for {path!r}")
+
+
 def append_text(path: str, text: str) -> None:
     """Append to a small single-writer ledger file (the IVM
     applied-epochs list). Local: O_APPEND. Hadoop: read-modify-write —

@@ -110,3 +110,124 @@ def test_streaming_ivm_matches_batch_and_skips_replayed_epoch(spark, tmp_path):
         for r in maint.current().collect()
     }
     assert got2 == got
+
+
+def test_streaming_ivm_restart_resumes_and_crash_windows(spark, tmp_path):
+    """The r12 transactional hardening: (1) a RESTARTED maintainer
+    must resume the standing aggregates (not silently start over);
+    (2) a replayed epoch is a no-op even for a fresh instance — the
+    applied-epoch ledger rides INSIDE the swapped state dir, so the
+    swap commits aggregates + mark atomically (the old beside-state
+    ledger left a crash window where a replay double-added);
+    (3) a crash between the two swap renames (state gone, state.old
+    complete) recovers on construction."""
+    import os
+
+    from bottledwater_pg_spark.operators.ivm import StreamingAggMaintainer
+    from bottledwater_pg_spark.streaming import fsio
+
+    cust = load_table(spark, SF_DIR, "customer")
+    events = customer_cdc(spark, SF_DIR).cache()
+    try:
+        lo, hi = events.agg(F.min("lsn"), F.max("lsn")).first()
+        mid = (lo + hi) // 2
+        b0 = events.filter(F.col("lsn") <= mid)
+        b1 = events.filter(F.col("lsn") > mid)
+        st = str(tmp_path / "st")
+        m1 = StreamingAggMaintainer(
+            spark, st, cust.schema, "c_mktsegment", "c_acctbal"
+        )
+        m1.process_batch(b0, 0)
+        snap = {
+            r["c_mktsegment"]: (r["n_rows"], r["total"])
+            for r in m1.current().collect()
+        }
+
+        # (2) fresh instance, same state dir: replay of epoch 0 is a
+        # no-op purely from the durable ledger
+        m2 = StreamingAggMaintainer(
+            spark, st, cust.schema, "c_mktsegment", "c_acctbal"
+        )
+        assert m2._have_state  # (1) standing state seen
+        m2.process_batch(b0, 0)
+        got = {
+            r["c_mktsegment"]: (r["n_rows"], r["total"])
+            for r in m2.current().collect()
+        }
+        assert got == snap
+
+        # (1) and the restarted instance MERGES new epochs into the
+        # standing state (the pre-r12 instance overwrote it)
+        m2.process_batch(b1, 1)
+        want = {
+            r["c_mktsegment"]: (r["n_rows"], r["total"])
+            for r in incremental_group_agg(
+                events, cust.schema, "c_mktsegment", "c_acctbal"
+            ).collect()
+        }
+        got = {
+            r["c_mktsegment"]: (r["n_rows"], r["total"])
+            for r in m2.current().collect()
+        }
+        assert got == want
+
+        # (3) crash between the swap renames: final moved aside, tmp
+        # never promoted -> a new instance promotes state.old and the
+        # interrupted epoch replays cleanly
+        os.rename(os.path.join(st, "state"), os.path.join(st, "state.old"))
+        m3 = StreamingAggMaintainer(
+            spark, st, cust.schema, "c_mktsegment", "c_acctbal"
+        )
+        assert m3._have_state
+        got = {
+            r["c_mktsegment"]: (r["n_rows"], r["total"])
+            for r in m3.current().collect()
+        }
+        assert got == want
+
+        # the ledger file is invisible to the parquet reader
+        assert fsio.exists(os.path.join(st, "state", "_epochs.txt"))
+    finally:
+        events.unpersist()
+
+
+def test_streaming_ivm_legacy_ledger_migration(spark, tmp_path):
+    """A pre-r12 state dir (ledger beside the state) keeps its replay
+    protection: the legacy epochs.txt is honored, and the first
+    post-upgrade swap folds it into the in-state ledger and removes
+    the file."""
+    import os
+
+    from bottledwater_pg_spark.operators.ivm import StreamingAggMaintainer
+
+    cust = load_table(spark, SF_DIR, "customer")
+    events = customer_cdc(spark, SF_DIR).cache()
+    try:
+        st = str(tmp_path / "st")
+        m1 = StreamingAggMaintainer(
+            spark, st, cust.schema, "c_mktsegment", "c_acctbal"
+        )
+        m1.process_batch(events, 0)
+        snap = {
+            r["c_mktsegment"]: (r["n_rows"], r["total"])
+            for r in m1.current().collect()
+        }
+        # forge the legacy layout: ledger beside the state only
+        os.remove(os.path.join(st, "state", "_epochs.txt"))
+        with open(os.path.join(st, "epochs.txt"), "w") as f:
+            f.write("0\n")
+        m2 = StreamingAggMaintainer(
+            spark, st, cust.schema, "c_mktsegment", "c_acctbal"
+        )
+        m2.process_batch(events, 0)  # replay honored via legacy file
+        got = {
+            r["c_mktsegment"]: (r["n_rows"], r["total"])
+            for r in m2.current().collect()
+        }
+        assert got == snap
+        # a new epoch folds the legacy ledger in and removes the file
+        m2.process_batch(events.limit(0), 1)
+        assert not os.path.exists(os.path.join(st, "epochs.txt"))
+        assert m2._applied_epochs() == {0, 1}
+    finally:
+        events.unpersist()
