@@ -241,3 +241,58 @@ def test_tiered_quota_index_budgets_survive_folds(spark, sf_dir, tmp_path):
     # replay after the folds
     tiered.process_batch(batches[1], 99)
     assert _accepted(tiered) == _accepted(plain)
+
+
+def test_tiered_semdedup_cqv_partition_layout_uniform(
+    spark, sf_dir, tmp_path
+):
+    """Tiered folds on the clustered SemDeDup index: the cqv slices
+    carry an EXTRA data partition column (cent_id) that must stay
+    uniform across live epochs, L1 delta runs, and the base — mixed
+    layouts break partition discovery. Accepted set must equal the
+    untied twin's, and both the L1 and base cqv slices must nest
+    cent_id directories."""
+    import os
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        COSINE_THRESHOLD,
+        KMEANS_ITERS,
+        KMEANS_K,
+        embeddings_with_dups,
+    )
+    from bottledwater_pg_spark.streaming.stream import (
+        StreamingClusteredSemDeDupIndex,
+    )
+
+    corpus = embeddings_with_dups(spark, sf_dir)
+    batches = [
+        corpus.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        for lo, hi in [(0, 30), (30, 100), (100, 200), (200, 10**9)]
+    ]
+    tiered = StreamingClusteredSemDeDupIndex(
+        spark, str(tmp_path / "ct"), threshold=COSINE_THRESHOLD,
+        train_corpus=corpus, k=KMEANS_K, iters=KMEANS_ITERS,
+        fold_every=1, l1_max=2,
+    )
+    plain = StreamingClusteredSemDeDupIndex(
+        spark, str(tmp_path / "cp"), threshold=COSINE_THRESHOLD,
+        train_corpus=corpus, k=KMEANS_K, iters=KMEANS_ITERS,
+    )
+    for e, b in enumerate(batches):
+        tiered.process_batch(b, e)
+        plain.process_batch(b, e)
+    want = {r.vec_id for r in plain.accepted_ids().collect()}
+    assert {r.vec_id for r in tiered.accepted_ids().collect()} == want
+
+    # layout: major fold at epoch 3 -> base holds cent_id partitions;
+    # the live L1-free window plus the live epoch remain readable
+    cqv = tmp_path / "ct" / "cqv"
+    base = cqv / f"run={BASE_RUN_KEY}" / "epoch=3"
+    assert base.is_dir()
+    assert any(d.startswith("cent_id=") for d in os.listdir(base))
+
+    # replay (live + fresh epoch) over the tiered cqv layout
+    tiered.process_batch(batches[3], 3)
+    assert {r.vec_id for r in tiered.accepted_ids().collect()} == want
+    tiered.process_batch(batches[1], 99)
+    assert {r.vec_id for r in tiered.accepted_ids().collect()} == want
