@@ -141,11 +141,15 @@ def rmdir(path: str) -> None:
 
 
 def rename(src: str, dst: str) -> None:
-    """Move with ``os.rename``-on-a-directory semantics: the
-    destination must not exist. (Hadoop's ``rename`` onto an existing
-    directory moves src INSIDE dst — the one silent semantic landmine
-    between the two APIs, hence the explicit guard.)"""
+    """Move with one contract on BOTH branches: the destination must
+    not exist. (Hadoop's ``rename`` onto an existing directory moves
+    src INSIDE dst; Linux ``os.rename`` silently REPLACES an existing
+    file or empty dir — two different silent landmines, so the guard
+    is explicit on both sides rather than trusting callers to
+    pre-check.)"""
     if not is_uri(src):
+        if os.path.exists(dst):
+            raise FileExistsError(f"rename target exists: {dst!r}")
         os.rename(src, dst)
         return
     fs, psrc = _hadoop(src)

@@ -1123,6 +1123,27 @@ class _SlicedDedupIndexBase:
         eps = self._complete_epochs(name, BASE_RUN_KEY)
         return max(eps) if eps else None
 
+    def _drop_partial_tiers(self, name: str) -> None:
+        """Delete tier epoch dirs whose write never COMMITTED (no
+        ``_SUCCESS``). A fold crashed mid-write can leave a partial
+        ``run=__base__/epoch=W`` (or ``__l1__``) dir at the very
+        watermark the replayed fold is about to overwrite; reading the
+        slice root would enumerate that dir's part files, and the
+        overwrite deletes them mid-job — FileNotFoundException on the
+        first replay attempt. Partial tiers are never counted by
+        `_complete_epochs` and carry no rows any probe needs (their
+        sources are still on disk — cleanup runs only after commit),
+        so dropping them before the fold's read is pure."""
+        for run in (BASE_RUN_KEY, L1_RUN_KEY):
+            d = os.path.join(self._path(name), f"run={run}")
+            if not fsio.isdir(d):
+                continue
+            for c in fsio.listdir(d):
+                if c.startswith("epoch=") and not fsio.exists(
+                    os.path.join(d, c, "_SUCCESS")
+                ):
+                    fsio.rmtree(os.path.join(d, c))
+
     def _cleanup_folded(self, name: str, up_to_epoch: int) -> None:
         """Delete every source directory the base at ``up_to_epoch``
         subsumes: own-run and older-base epochs strictly below it, L1
@@ -1215,6 +1236,7 @@ class _SlicedDedupIndexBase:
                 self._fold_tiered(name, up_to_epoch)
 
     def _fold_full(self, name: str, up_to_epoch: int) -> None:
+        self._drop_partial_tiers(name)
         live = (F.col("run") == F.lit(self._run_key)) & (
             F.col("epoch") >= F.lit(up_to_epoch)
         )
@@ -1237,6 +1259,7 @@ class _SlicedDedupIndexBase:
         EXCLUDES the base and prior L1 runs — that exclusion is what
         makes the per-fold write independent of standing-state
         size."""
+        self._drop_partial_tiers(name)
         l1_eps = self._complete_epochs(name, L1_RUN_KEY)
         if up_to_epoch not in l1_eps:
             is_tier = F.col("run").isin(BASE_RUN_KEY, L1_RUN_KEY)

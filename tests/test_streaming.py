@@ -305,7 +305,21 @@ def test_tombstone_ttl_expires_deleted_keys(spark, sf_dir):
                     break
                 time.sleep(1.0)
         finally:
-            q.stop()
+            # stop() races the in-flight processing-time timer batch:
+            # the batch's state-store abort (HDFSBackedStateStore.abort
+            # -> createAtomic) can surface an OSError through stop()'s
+            # awaitTermination on a loaded host. All assertions below
+            # run on data ALREADY collected, so tolerate only this
+            # teardown race — then await full thread exit so the
+            # TemporaryDirectory teardown can't outrace the abort path.
+            try:
+                q.stop()
+            except Exception:
+                pass
+            try:
+                q.awaitTermination(30)
+            except Exception:
+                pass
 
         live = out[out.op != "expired"]
         final = live.sort_values("lsn").groupby("key").last()
