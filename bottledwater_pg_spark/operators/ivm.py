@@ -104,20 +104,29 @@ class StreamingAggMaintainer:
     of :func:`incremental_group_agg`, with per-epoch dedup.
 
     Delta folding is NOT naturally idempotent (replaying a batch would
-    double-add), so applied epoch ids are recorded with the state and
-    a replayed epoch is skipped — the standard transactional
-    foreachBatch pattern, giving exactly-once effective aggregates on
-    top of Structured Streaming's at-least-once replay. The applied-
-    epoch ledger lives INSIDE the swapped state directory
-    (``state/_epochs.txt`` — underscore-prefixed, so parquet readers
-    ignore it like ``_SUCCESS``): the directory swap commits the new
-    aggregates AND their epoch mark in one rename, closing the
-    crash window a beside-the-state ledger had (crash after swap,
-    before mark -> the replayed epoch re-folded an already-folded
-    delta and double-added; crash in the other order would have
-    under-counted). A restarted instance content-checks the standing
-    state (and promotes a ``state.old`` left by a crash between the
-    two swap renames) instead of silently starting over.
+    double-add), so an applied-epoch HIGH-WATERMARK is recorded with
+    the state and a replayed epoch is skipped — the standard
+    transactional foreachBatch pattern, giving exactly-once effective
+    aggregates on top of Structured Streaming's at-least-once replay.
+    A high-watermark suffices because foreachBatch epoch ids are
+    monotone and only the LAST uncommitted epoch can ever replay, so
+    "applied" is exactly ``epoch_id <= hwm`` — and unlike the full
+    applied-set ledger it once was, the mark is O(1) forever instead
+    of growing one entry per epoch for the stream's lifetime.
+
+    The mark lives INSIDE the state generation directory
+    (``_epochs.txt`` — underscore-prefixed, so parquet readers ignore
+    it like ``_SUCCESS``), and the generation is committed by manifest
+    pointer flip (streaming/statecommit.py): one small-file commit
+    publishes the new aggregates AND their epoch mark together, with
+    no directory rename — correct on object stores, where the old
+    swap's rename was a non-atomic per-file copy (a crash mid-swap
+    could leave a partially populated dir that passed the bare
+    content check, re-opening the double-add window the in-state
+    ledger claims to close). A restarted instance resolves the
+    standing state through the manifest (pre-r13 swap layouts,
+    including an orphaned ``state.old``, are adopted) instead of
+    silently starting over.
 
     Scale: the persisted state is |groups| rows — for dashboard-style
     views that is kilobytes regardless of stream volume; each batch
@@ -127,6 +136,9 @@ class StreamingAggMaintainer:
     def __init__(self, spark, state_dir: str, row_schema: T.StructType,
                  group_col: str, value_col: str):
         from bottledwater_pg_spark.streaming import fsio
+        from bottledwater_pg_spark.streaming.statecommit import (
+            GenerationalState,
+        )
 
         self.spark = spark
         self.state_dir = state_dir
@@ -134,59 +146,51 @@ class StreamingAggMaintainer:
         self.group_col = group_col
         self.value_col = value_col
         fsio.makedirs(state_dir)
-        self._recover_state()
-        self._have_state = self._state_on_disk()
+        self._state = GenerationalState(state_dir, "state")
+        self._have_state = self._state.current_path() is not None
 
     def _path(self, name: str) -> str:
         import os
 
         return os.path.join(self.state_dir, name)
 
-    def _state_on_disk(self) -> bool:
+    def _applied_hwm(self) -> int | None:
+        """Highest applied epoch id, or None before the first commit.
+        Reads the in-state mark (current generation) plus legacy
+        formats: the pre-r13 full applied-set ``_epochs.txt`` (max of
+        the set == hwm, since epochs apply in monotone order) and the
+        pre-r12 beside-state ``epochs.txt``."""
+        import os
+
         from bottledwater_pg_spark.streaming import fsio
 
-        p = self._path("state")
-        return fsio.isdir(p) and any(
-            f.endswith(".parquet") for f in fsio.listdir(p)
-        )
-
-    def _recover_state(self) -> None:
-        """A crash between the two swap renames leaves no 'state' but
-        a complete 'state.old' — promote it back (the materializer's
-        discipline)."""
-        from bottledwater_pg_spark.streaming import fsio
-
-        final = self._path("state")
-        swap = final + ".old"
-        if not fsio.isdir(final) and fsio.isdir(swap):
-            fsio.rename(swap, final)
-
-    def _applied_epochs(self) -> set[int]:
-        from bottledwater_pg_spark.streaming import fsio
-
-        eps: set[int] = set()
-        # in-state ledger (authoritative) + the legacy beside-state
-        # file from pre-r12 incarnations (unioned until the first
-        # post-upgrade swap folds and deletes it)
-        for p in (self._path("state/_epochs.txt"),
-                  self._path("epochs.txt")):
-            if fsio.exists(p):
-                eps |= {int(x) for x in fsio.read_text(p).split() if x}
-        return eps
+        hwm: int | None = None
+        cur = self._state.current_path()
+        paths = [self._path("epochs.txt")]
+        if cur is not None:
+            paths.append(os.path.join(cur, "_epochs.txt"))
+        for p in paths:
+            if not fsio.exists(p):
+                continue
+            for tok in fsio.read_text(p).split():
+                v = int(tok[4:]) if tok.startswith("hwm=") else int(tok)
+                hwm = v if hwm is None else max(hwm, v)
+        return hwm
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         import os
 
         from bottledwater_pg_spark.streaming import fsio
 
-        applied = self._applied_epochs()
-        if epoch_id in applied:
+        hwm = self._applied_hwm()
+        if hwm is not None and epoch_id <= hwm:
             return  # replayed epoch: already folded in
         delta = delta_group_agg(
             batch, self.row_schema, self.group_col, self.value_col
         )
-        if self._have_state:
-            prev = self.spark.read.parquet(self._path("state"))
+        cur = self._state.current_path()
+        if cur is not None:
+            prev = self.spark.read.parquet(cur)
             merged = (
                 prev.unionByName(delta)
                 .groupBy(self.group_col)
@@ -197,36 +201,28 @@ class StreamingAggMaintainer:
             )
         else:
             merged = delta
-        tmp = self._path(f"state.epoch{epoch_id}")
-        merged.write.mode("overwrite").parquet(tmp)
-        # ledger INSIDE the about-to-be-swapped dir: the swap commits
-        # aggregates + epoch mark atomically
+        staged = self._state.staging_path()
+        merged.write.mode("overwrite").parquet(staged)
+        # epoch mark INSIDE the staged generation: the pointer flip
+        # commits aggregates + mark in one small-file write
         fsio.write_text(
-            os.path.join(tmp, "_epochs.txt"),
-            "\n".join(str(e) for e in sorted(applied | {epoch_id}))
-            + "\n",
+            os.path.join(staged, "_epochs.txt"),
+            f"hwm={max(epoch_id, hwm if hwm is not None else epoch_id)}\n",
         )
-        final = self._path("state")
-        swap = final + ".old"
-        if fsio.exists(swap):
-            fsio.rmtree(swap)
-        if fsio.exists(final):
-            fsio.rename(final, swap)
-        fsio.rename(tmp, final)
-        if fsio.exists(swap):
-            fsio.rmtree(swap)
+        self._state.promote(staged)
         legacy = self._path("epochs.txt")
         if fsio.exists(legacy):
-            # the in-state ledger now supersets it
+            # the in-state mark now supersets it
             fsio.remove(legacy)
         self._have_state = True
 
     def current(self) -> DataFrame | None:
         """The maintained view: groups with surviving rows."""
-        if not self._have_state:
+        cur = self._state.current_path()
+        if cur is None:
             return None
         return (
-            self.spark.read.parquet(self._path("state"))
+            self.spark.read.parquet(cur)
             .filter(F.col("n_rows") > 0)
             .select(
                 self.group_col,

@@ -260,6 +260,11 @@ class StreamingMaterializer:
         self.tracker = SchemaTracker() if relid is not None else None
         self._run_key = "adhoc"  # start() re-keys from the checkpoint
         fsio.makedirs(state_dir)
+        from bottledwater_pg_spark.streaming.statecommit import (
+            GenerationalState,
+        )
+
+        self._state = GenerationalState(state_dir, "state")
         # Restart-safe: a restarted process (same state_dir, same
         # checkpointLocation — committed batches are NOT replayed) must
         # MERGE into the standing state, not replace it; content-check
@@ -270,38 +275,27 @@ class StreamingMaterializer:
             self._load_drift_meta()
 
     # -- state io ---------------------------------------------------
-    def _state_path(self) -> str:
-        return os.path.join(self.state_dir, "state")
+    # Commits go through the manifest/pointer discipline
+    # (streaming/statecommit.py): write a NEW generation dir, flip the
+    # small JSON pointer. No directory rename anywhere in the commit —
+    # correct and O(pointer) on object stores, where the old
+    # write-then-swap's rename was a non-atomic O(data) copy+delete
+    # that re-opened the crash window it existed to close.
+    def _state_path(self) -> str | None:
+        """The COMMITTED current state dir (resolved through the
+        manifest; pre-r13 legacy layouts adopted), or None."""
+        return self._state.current_path()
 
     def _state_on_disk(self) -> bool:
-        self._recover_state()
-        p = self._state_path()
-        return fsio.isdir(p) and any(
-            f.endswith(".parquet") for f in fsio.listdir(p)
-        )
+        return self._state_path() is not None
 
-    def _recover_state(self) -> None:
-        """A crash between the two renames of a swap leaves no 'state'
-        path but a complete 'state.old' — promote it back so the
-        crash-never-corrupts-state invariant covers that window too."""
-        final = self._state_path()
-        swap = final + ".old"
-        if not fsio.isdir(final) and fsio.isdir(swap):
-            fsio.rename(swap, final)
-
-    def _swap_in(self, tmp: str) -> None:
-        """Replace the state dir with ``tmp``: clear any leftover
-        ``.old`` from a previous crash (a rename onto an existing dir
-        raises), move the current state aside, promote, drop."""
-        final = self._state_path()
-        swap = final + ".old"
-        if fsio.exists(swap):
-            fsio.rmtree(swap)
-        if fsio.exists(final):
-            fsio.rename(final, swap)
-        fsio.rename(tmp, final)
-        if fsio.exists(swap):
-            fsio.rmtree(swap)
+    def _commit_state(self, df: DataFrame) -> None:
+        """Write ``df`` as the next state generation and commit it by
+        pointer flip."""
+        staged = self._state.staging_path()
+        df.write.mode("overwrite").parquet(staged)
+        self._state.promote(staged)
+        self._have_state = True
 
     # drift-mode durable metadata: the tracker's schema versions and
     # the error-policy cursor persist beside the row state — after a
@@ -465,14 +459,11 @@ class StreamingMaterializer:
             if prev is None
             else prev.unionByName(compacted_batch)
         )
-        # write-then-swap so a crash mid-write never corrupts state;
-        # the merged rows are themselves a valid envelope slice (DML
-        # ops, non-null keys), so the re-merge is the same compact()
-        new_state = compact(merged, extra_cols=("topic",))
-        tmp = self._state_path() + f".epoch{epoch_id}"
-        new_state.write.mode("overwrite").parquet(tmp)
-        self._swap_in(tmp)
-        self._have_state = True
+        # write-new-generation-then-flip-pointer so a crash mid-write
+        # never corrupts state (statecommit.py's window argument); the
+        # merged rows are themselves a valid envelope slice (DML ops,
+        # non-null keys), so the re-merge is the same compact()
+        self._commit_state(compact(merged, extra_cols=("topic",)))
 
     def expire_tombstones(self, up_to_lsn: int | str) -> int:
         """Kafka ``delete.retention.ms`` applied to the parquet state
@@ -523,10 +514,7 @@ class StreamingMaterializer:
         if up_to_lsn != "all":
             doomed = doomed & (F.col("lsn") <= F.lit(up_to_lsn))
         n_before = state.count()
-        kept = state.filter(~doomed)
-        tmp = self._state_path() + ".expire"
-        kept.write.mode("overwrite").parquet(tmp)
-        self._swap_in(tmp)
+        self._commit_state(state.filter(~doomed))
         return n_before - self.read_state().count()
 
     def start(self, events_stream: DataFrame, checkpoint_dir: str):

@@ -171,10 +171,15 @@ def test_streaming_ivm_restart_resumes_and_crash_windows(spark, tmp_path):
         }
         assert got == want
 
-        # (3) crash between the swap renames: final moved aside, tmp
-        # never promoted -> a new instance promotes state.old and the
-        # interrupted epoch replays cleanly
-        os.rename(os.path.join(st, "state"), os.path.join(st, "state.old"))
+        # (3) pre-r13 crash layout (the old swap's between-renames
+        # window: committed state only under 'state.old', no manifest)
+        # -> a new instance adopts it and the standing aggregates
+        # survive
+        import shutil
+
+        cur = m2._state.current_path()
+        shutil.move(cur, os.path.join(st, "state.old"))
+        os.remove(os.path.join(st, "state_manifest.json"))
         m3 = StreamingAggMaintainer(
             spark, st, cust.schema, "c_mktsegment", "c_acctbal"
         )
@@ -185,8 +190,11 @@ def test_streaming_ivm_restart_resumes_and_crash_windows(spark, tmp_path):
         }
         assert got == want
 
-        # the ledger file is invisible to the parquet reader
-        assert fsio.exists(os.path.join(st, "state", "_epochs.txt"))
+        # the epoch mark is invisible to the parquet reader and rides
+        # inside the committed generation
+        assert fsio.exists(
+            os.path.join(m3._state.current_path(), "_epochs.txt")
+        )
     finally:
         events.unpersist()
 
@@ -213,7 +221,7 @@ def test_streaming_ivm_legacy_ledger_migration(spark, tmp_path):
             for r in m1.current().collect()
         }
         # forge the legacy layout: ledger beside the state only
-        os.remove(os.path.join(st, "state", "_epochs.txt"))
+        os.remove(os.path.join(m1._state.current_path(), "_epochs.txt"))
         with open(os.path.join(st, "epochs.txt"), "w") as f:
             f.write("0\n")
         m2 = StreamingAggMaintainer(
@@ -228,6 +236,6 @@ def test_streaming_ivm_legacy_ledger_migration(spark, tmp_path):
         # a new epoch folds the legacy ledger in and removes the file
         m2.process_batch(events.limit(0), 1)
         assert not os.path.exists(os.path.join(st, "epochs.txt"))
-        assert m2._applied_epochs() == {0, 1}
+        assert m2._applied_hwm() == 1
     finally:
         events.unpersist()

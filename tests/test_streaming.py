@@ -1380,20 +1380,23 @@ def test_crash_between_schema_re_resolution_and_swap_converges(spark, sf_dir):
                 spark, f"{tmp}/state", v1_base.schema, relid=relid,
                 on_error=policy,
             )
-            orig_swap = mat._swap_in
+            orig_commit = mat._commit_state
             crashed = {"n": 0}
+            ncalls = {"n": 0}
 
-            def faulty_swap(tmp_state, _orig=orig_swap, _c=crashed):
-                # the v2 batch (epoch 1): die after re-resolution,
-                # before its state promotion
-                if tmp_state.endswith(".epoch1") and not _c["n"]:
+            def faulty_commit(df, _orig=orig_commit, _c=crashed,
+                              _k=ncalls):
+                # the v2 batch (epoch 1, second commit): die after
+                # re-resolution, before its state promotion
+                _k["n"] += 1
+                if _k["n"] == 2 and not _c["n"]:
                     _c["n"] = 1
                     raise RuntimeError(
-                        "injected crash between re-resolution and swap"
+                        "injected crash between re-resolution and commit"
                     )
-                _orig(tmp_state)
+                _orig(df)
 
-            mat._swap_in = faulty_swap
+            mat._commit_state = faulty_commit
             q = mat.start(read_envelope_stream(spark, src, 1), f"{tmp}/ckpt")
             try:
                 q.processAllAvailable()
@@ -1480,16 +1483,18 @@ def test_crash_after_poison_lsn_recorded_before_swap(spark, sf_dir):
         mat = StreamingMaterializer(
             spark, f"{tmp}/state", base.schema, relid=relid, on_error="log",
         )
-        orig_swap = mat._swap_in
+        orig_commit = mat._commit_state
         crashed = {"n": 0}
+        ncalls = {"n": 0}
 
-        def faulty_swap(tmp_state, _orig=orig_swap, _c=crashed):
-            if tmp_state.endswith(".epoch1") and not _c["n"]:
+        def faulty_commit(df, _orig=orig_commit, _c=crashed, _k=ncalls):
+            _k["n"] += 1
+            if _k["n"] == 2 and not _c["n"]:
                 _c["n"] = 1
                 raise RuntimeError("injected crash after poison cursor")
-            _orig(tmp_state)
+            _orig(df)
 
-        mat._swap_in = faulty_swap
+        mat._commit_state = faulty_commit
         q = mat.start(read_envelope_stream(spark, src, 1), f"{tmp}/ckpt")
         try:
             q.processAllAvailable()
@@ -1751,12 +1756,12 @@ def test_materializer_process_restart_merges_into_standing_state(
                                   check_dtype=False)
 
 
-def test_materializer_recovers_from_crash_between_swap_renames(
-    spark, sf_dir, tmp_path
-):
-    """Simulated crash between the swap's two renames (state moved to
-    .old, replacement not yet promoted): a fresh instance must recover
-    the .old state instead of reporting no state."""
+def test_materializer_adopts_legacy_swap_layouts(spark, sf_dir, tmp_path):
+    """Pre-r13 state layouts (the rename-swap machinery's 'state' dir,
+    including a crash between its two renames: state moved to .old,
+    replacement never promoted) must be adopted by the manifest-commit
+    discipline: recovered on construction, served as current state,
+    and garbage-collected by the first new commit."""
     import os as _os
     import shutil as _shutil
 
@@ -1772,14 +1777,15 @@ def test_materializer_recovers_from_crash_between_swap_renames(
         0,
     )
     n = mat.current_rows().count()
-    # crash window: state renamed aside, promotion never happened
-    _os.rename(mat._state_path(), mat._state_path() + ".old")
+    # forge the pre-r13 crash layout: no manifest, committed state only
+    # under 'state.old' (the old swap's between-renames window)
+    _shutil.move(mat._state_path(), _os.path.join(state_dir, "state.old"))
+    _os.remove(_os.path.join(state_dir, "state_manifest.json"))
     mat2 = StreamingMaterializer(spark, state_dir, base.schema)
     assert mat2.current_rows() is not None
     assert mat2.current_rows().count() == n
-    # and a leftover .old next to a live state is cleared by the next
-    # swap rather than crashing os.rename
-    _shutil.copytree(mat2._state_path(), mat2._state_path() + ".old")
+    assert _os.path.basename(mat2._state_path()) == "state"  # adopted
+    # the first new commit supersedes and GCs every legacy dir
     mat2.process_batch(
         snapshot_events(base.limit(5), ["c_custkey"], F.col("c_custkey"),
                         1, "customer").withColumn(
@@ -1788,6 +1794,9 @@ def test_materializer_recovers_from_crash_between_swap_renames(
         1,
     )
     assert mat2.current_rows().count() == n
+    assert _os.path.basename(mat2._state_path()).startswith("state-g")
+    assert not _os.path.exists(_os.path.join(state_dir, "state"))
+    assert not _os.path.exists(_os.path.join(state_dir, "state.old"))
 
 
 def test_legacy_run_key_slices_fold_into_resolved_key(spark, tmp_path):
