@@ -409,6 +409,35 @@ GROUP BY c_mktsegment
 """
 
 
+def cdc_incremental_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM for the NON-INVERTIBLE aggregates: per-segment COUNT + SUM
+    + exact MIN/MAX(acctbal) folded from signed CDC deltas via
+    per-(group, value) support counts (operators/ivm.py
+    delta_value_support). SUM/COUNT telescope from deltas directly,
+    but a deleted maximum cannot be subtracted — the support state
+    knows the runner-up, so MIN/MAX stay exact under the fixture's
+    deletes/updates (which move and remove segment extrema). Must
+    equal MIN/MAX over the materialized final state."""
+    from bottledwater_pg_spark.operators.ivm import incremental_group_agg
+
+    cust = load_table(spark, sf_dir, "customer")
+    return incremental_group_agg(
+        customer_cdc(spark, sf_dir), cust.schema, "c_mktsegment",
+        "c_acctbal", minmax=True,
+    )
+
+
+CDC_IVM_MINMAX_SQL = f"""
+WITH final AS ({CDC_CUSTOMER_SQL})
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_val,
+       CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_val
+FROM final
+GROUP BY c_mktsegment
+"""
+
+
 def cdc_stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-table join after routing — THE consumer scenario the
     reference's key-hash partitioning exists to serve (README.md:384-398
@@ -869,6 +898,7 @@ QUERIES = {
     "cdc_materialize_customer": cdc_materialize_customer,
     "cdc_merge_sink_customer": cdc_merge_sink_customer,
     "cdc_incremental_agg_customer": cdc_incremental_agg_customer,
+    "cdc_incremental_agg_minmax": cdc_incremental_agg_minmax,
     "cdc_scd2_as_of": cdc_scd2_as_of,
     "cdc_snapshot_diff_customer": cdc_snapshot_diff_customer,
     "cdc_history_scd2": cdc_history_scd2,
@@ -891,6 +921,7 @@ ORACLES = {
     "cdc_materialize_customer": CDC_CUSTOMER_SQL,
     "cdc_merge_sink_customer": CDC_CUSTOMER_SQL,
     "cdc_incremental_agg_customer": CDC_IVM_SQL,
+    "cdc_incremental_agg_minmax": CDC_IVM_MINMAX_SQL,
     "cdc_scd2_as_of": CDC_SCD2_ASOF_SQL,
     "cdc_snapshot_diff_customer": CDC_DIFF_SQL,
     "cdc_history_scd2": CDC_SCD2_SQL,

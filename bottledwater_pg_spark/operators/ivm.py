@@ -77,18 +77,95 @@ def delta_group_agg(
     )
 
 
-def incremental_group_agg(
+def delta_value_support(
     events: DataFrame,
     row_schema: T.StructType,
     group_col: str,
     value_col: str,
 ) -> DataFrame:
-    """COUNT(*) + SUM(value) per group, folded from signed CDC deltas.
+    """Signed per-(group, value) SUPPORT COUNTS of one event set:
+    ``(group_col, val_dec, cnt)`` where ``cnt`` is the net number of
+    surviving rows holding that exact value (may be negative within a
+    deletion-heavy delta; deltas from different batches add).
 
-    Returns ``(group_col, n_rows, total)`` for groups with surviving
-    rows — identical to aggregating the materialized final state, but
-    computed without maintaining it.
+    This is the classic fix for the non-invertible aggregates: SUM and
+    COUNT telescope from signed deltas directly, but a deleted MAX
+    cannot be "subtracted" — the maintainer must know what the
+    runner-up was. Per-(group, value) support counts ARE that
+    knowledge: MIN/MAX over values with ``cnt > 0`` is exact under any
+    insert/update/delete history. State is O(distinct values per
+    group) — for categorical/priced domains that is small; for
+    unbounded continuous domains, quantize the value (a histogram) or
+    cap per-group cardinality upstream, the standard trade."""
+    plus = F.when(
+        F.col("op").isin(OP_INSERT, OP_UPDATE) & F.col("new_row").isNotNull(),
+        F.struct(F.lit(1).alias("sign"), F.col("new_row").alias("payload")),
+    )
+    minus = F.when(
+        F.col("op").isin(OP_UPDATE, OP_DELETE) & F.col("old_row").isNotNull(),
+        F.struct(F.lit(-1).alias("sign"), F.col("old_row").alias("payload")),
+    )
+    contribs = (
+        events.select(F.explode(F.array(plus, minus)).alias("c"))
+        .filter(F.col("c").isNotNull())
+        .select(
+            F.col("c.sign").alias("sign"),
+            F.from_json(F.col("c.payload"), row_schema, ROW_JSON_OPTIONS).alias("r"),
+        )
+    )
+    return contribs.groupBy(
+        F.col("r").getField(group_col).alias(group_col),
+        F.col("r").getField(value_col).cast(DEC).alias("val_dec"),
+    ).agg(F.sum("sign").cast("long").alias("cnt"))
+
+
+def support_to_group_agg(support: DataFrame, group_col: str) -> DataFrame:
+    """Fold a (group, val_dec, cnt) support table to the full aggregate
+    row ``(group_col, n_rows, total, min_val, max_val)`` over surviving
+    rows. NULL values count toward n_rows but are skipped by
+    SUM/MIN/MAX — ANSI aggregate semantics, so the result equals
+    aggregating the materialized final state."""
+    live = support.filter(F.col("cnt") > 0)
+    return (
+        live.groupBy(group_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum(F.col("val_dec") * F.col("cnt")).alias("total_dec"),
+            F.min("val_dec").alias("min_dec"),
+            F.max("val_dec").alias("max_dec"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .select(
+            group_col,
+            "n_rows",
+            F.col("total_dec").cast("double").alias("total"),
+            F.col("min_dec").cast("double").alias("min_val"),
+            F.col("max_dec").cast("double").alias("max_val"),
+        )
+    )
+
+
+def incremental_group_agg(
+    events: DataFrame,
+    row_schema: T.StructType,
+    group_col: str,
+    value_col: str,
+    minmax: bool = False,
+) -> DataFrame:
+    """COUNT(*) + SUM(value) per group, folded from signed CDC deltas
+    — with ``minmax=True``, also exact MIN(value) / MAX(value), via
+    per-(group, value) support counts (see :func:`delta_value_support`
+    for why min/max need them: they are not invertible under deletes).
+
+    Returns ``(group_col, n_rows, total[, min_val, max_val])`` for
+    groups with surviving rows — identical to aggregating the
+    materialized final state, but computed without maintaining it.
     """
+    if minmax:
+        return support_to_group_agg(
+            delta_value_support(events, row_schema, group_col, value_col),
+            group_col,
+        )
     return (
         delta_group_agg(events, row_schema, group_col, value_col)
         .filter(F.col("n_rows") > 0)
@@ -134,7 +211,17 @@ class StreamingAggMaintainer:
     """
 
     def __init__(self, spark, state_dir: str, row_schema: T.StructType,
-                 group_col: str, value_col: str):
+                 group_col: str, value_col: str, minmax: bool = False):
+        """``minmax=True`` switches the persisted state from the
+        per-group (n_rows, total_dec) sums to the per-(group, value)
+        SUPPORT table that exact MIN/MAX under deletes requires
+        (:func:`delta_value_support`); :meth:`current` then also
+        reports ``min_val`` / ``max_val``. The two layouts are not
+        interchangeable, so a standing state built under the other
+        mode is refused with the rebuild path in the error (the same
+        meta-gate discipline as the streaming containment index)."""
+        import os
+
         from bottledwater_pg_spark.streaming import fsio
         from bottledwater_pg_spark.streaming.statecommit import (
             GenerationalState,
@@ -145,8 +232,26 @@ class StreamingAggMaintainer:
         self.row_schema = row_schema
         self.group_col = group_col
         self.value_col = value_col
+        self.minmax = minmax
         fsio.makedirs(state_dir)
         self._state = GenerationalState(state_dir, "state")
+        layout_p = os.path.join(state_dir, "state_layout.json")
+        want_layout = "support" if minmax else "sums"
+        meta = fsio.read_json_meta(layout_p)
+        if self._state.current_path() is not None:
+            # legacy pre-minmax states carry no layout file: they are
+            # the sums layout by construction
+            have_layout = meta["layout"] if meta is not None else "sums"
+            if have_layout != want_layout:
+                raise ValueError(
+                    f"state at {state_dir!r} was built with "
+                    f"layout={have_layout!r} but this maintainer needs "
+                    f"{want_layout!r} (minmax={minmax}); point it at a "
+                    "fresh state_dir (and replay the stream) or delete "
+                    "the standing state to rebuild"
+                )
+        if meta is None or meta["layout"] != want_layout:
+            fsio.write_json_meta(layout_p, {"layout": want_layout})
         self._have_state = self._state.current_path() is not None
 
     def _path(self, name: str) -> str:
@@ -185,11 +290,28 @@ class StreamingAggMaintainer:
         hwm = self._applied_hwm()
         if hwm is not None and epoch_id <= hwm:
             return  # replayed epoch: already folded in
-        delta = delta_group_agg(
-            batch, self.row_schema, self.group_col, self.value_col
-        )
+        if self.minmax:
+            delta = delta_value_support(
+                batch, self.row_schema, self.group_col, self.value_col
+            )
+        else:
+            delta = delta_group_agg(
+                batch, self.row_schema, self.group_col, self.value_col
+            )
         cur = self._state.current_path()
-        if cur is not None:
+        if cur is None:
+            merged = delta
+        elif self.minmax:
+            prev = self.spark.read.parquet(cur)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy(self.group_col, "val_dec")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+                # zero-support values are dead weight — drop them so
+                # state tracks LIVE distinct values, not ever-seen ones
+                .filter(F.col("cnt") != 0)
+            )
+        else:
             prev = self.spark.read.parquet(cur)
             merged = (
                 prev.unionByName(delta)
@@ -199,8 +321,6 @@ class StreamingAggMaintainer:
                     F.sum("total_dec").alias("total_dec"),
                 )
             )
-        else:
-            merged = delta
         staged = self._state.staging_path()
         merged.write.mode("overwrite").parquet(staged)
         # epoch mark INSIDE the staged generation: the pointer flip
@@ -217,13 +337,18 @@ class StreamingAggMaintainer:
         self._have_state = True
 
     def current(self) -> DataFrame | None:
-        """The maintained view: groups with surviving rows."""
+        """The maintained view: groups with surviving rows. With
+        ``minmax=True`` the row also carries exact ``min_val`` /
+        ``max_val`` (a deleted extremum falls back to the runner-up,
+        because the support state knows it)."""
         cur = self._state.current_path()
         if cur is None:
             return None
+        state = self.spark.read.parquet(cur)
+        if self.minmax:
+            return support_to_group_agg(state, self.group_col)
         return (
-            self.spark.read.parquet(cur)
-            .filter(F.col("n_rows") > 0)
+            state.filter(F.col("n_rows") > 0)
             .select(
                 self.group_col,
                 "n_rows",

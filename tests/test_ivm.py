@@ -239,3 +239,150 @@ def test_streaming_ivm_legacy_ledger_migration(spark, tmp_path):
         assert m2._applied_hwm() == 1
     finally:
         events.unpersist()
+
+def test_minmax_deleted_extremum_falls_back(spark):
+    """The canonical non-invertible case: the group's MAX is deleted,
+    then the new MAX is updated away — min/max must fall back to the
+    surviving runner-up each time (support counts, not subtraction)."""
+    from pyspark.sql import types as T
+
+    schema = "grp string, v double"
+    rows = [
+        _ev("insert", "k1", None, '{"grp":"A","v":10.0}', 1),
+        _ev("insert", "k2", None, '{"grp":"A","v":7.0}', 2),
+        _ev("insert", "k3", None, '{"grp":"A","v":3.0}', 3),
+        _ev("insert", "k4", None, '{"grp":"A","v":3.0}', 4),
+        # delete the max -> max falls back to 7
+        _ev("delete", "k1", '{"grp":"A","v":10.0}', None, 5),
+        # update the new max down -> max falls back to 3 (twice-held)
+        _ev("update", "k2", '{"grp":"A","v":7.0}', '{"grp":"A","v":1.0}', 6),
+        # delete ONE of the duplicate 3s -> the other still holds max
+        _ev("delete", "k3", '{"grp":"A","v":3.0}', None, 7),
+    ]
+    events = spark.createDataFrame(
+        rows, "op string, key string, old_row string, new_row string, lsn long"
+    )
+    got = {
+        r["grp"]: (r["n_rows"], r["total"], r["min_val"], r["max_val"])
+        for r in incremental_group_agg(
+            events, T.StructType.fromDDL(schema), "grp", "v", minmax=True
+        ).collect()
+    }
+    assert got == {"A": (2, 4.0, 1.0, 3.0)}
+
+
+def test_minmax_equals_materialize_then_aggregate(spark):
+    cust = load_table(spark, SF_DIR, "customer")
+    events = customer_cdc(spark, SF_DIR).cache()
+    try:
+        ivm = {
+            r["c_mktsegment"]: (
+                r["n_rows"], r["total"], r["min_val"], r["max_val"]
+            )
+            for r in incremental_group_agg(
+                events, cust.schema, "c_mktsegment", "c_acctbal",
+                minmax=True,
+            ).collect()
+        }
+        dec = F.col("c_acctbal").cast("decimal(18,2)")
+        mat = {
+            r["c_mktsegment"]: (
+                r["n_rows"], r["total"], r["min_val"], r["max_val"]
+            )
+            for r in materialize(events, cust.schema)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(dec).cast("double").alias("total"),
+                F.min(dec).cast("double").alias("min_val"),
+                F.max(dec).cast("double").alias("max_val"),
+            )
+            .collect()
+        }
+        assert ivm == mat
+        # sanity: the fixture's deletes actually move some extremum,
+        # or this test proves nothing about fallback
+        from bottledwater_pg_spark.operators.ivm import delta_value_support
+
+        support = delta_value_support(
+            events, cust.schema, "c_mktsegment", "c_acctbal"
+        )
+        assert support.filter(F.col("cnt") <= 0).count() > 0
+    finally:
+        events.unpersist()
+
+
+def test_streaming_minmax_replay_restart_and_layout_gate(spark, tmp_path):
+    """StreamingAggMaintainer(minmax=True): two epochs converge to the
+    one-shot fold (min/max included), a replayed epoch is a no-op for
+    a fresh instance, and a maintainer opened in the WRONG mode over a
+    standing state is refused with the rebuild path in the error."""
+    import os
+
+    import pytest
+
+    from bottledwater_pg_spark.operators.ivm import StreamingAggMaintainer
+
+    cust = load_table(spark, SF_DIR, "customer")
+    events = customer_cdc(spark, SF_DIR).cache()
+    try:
+        lo, hi = events.agg(F.min("lsn"), F.max("lsn")).first()
+        mid = (lo + hi) // 2
+        b0 = events.filter(F.col("lsn") <= mid)
+        b1 = events.filter(F.col("lsn") > mid)
+        st = str(tmp_path / "st")
+        m1 = StreamingAggMaintainer(
+            spark, st, cust.schema, "c_mktsegment", "c_acctbal",
+            minmax=True,
+        )
+        m1.process_batch(b0, 0)
+        m1.process_batch(b1, 1)
+        # fresh instance, replayed epoch: no-op
+        m2 = StreamingAggMaintainer(
+            spark, st, cust.schema, "c_mktsegment", "c_acctbal",
+            minmax=True,
+        )
+        m2.process_batch(b1, 1)
+        want = {
+            r["c_mktsegment"]: (
+                r["n_rows"], round(r["total"], 2),
+                r["min_val"], r["max_val"],
+            )
+            for r in incremental_group_agg(
+                events, cust.schema, "c_mktsegment", "c_acctbal",
+                minmax=True,
+            ).collect()
+        }
+        got = {
+            r["c_mktsegment"]: (
+                r["n_rows"], round(r["total"], 2),
+                r["min_val"], r["max_val"],
+            )
+            for r in m2.current().collect()
+        }
+        assert got == want
+        # the support state tracks LIVE values only (zero-support rows
+        # are pruned at merge time)
+        state = spark.read.parquet(m2._state.current_path())
+        assert state.filter(F.col("cnt") <= 0).count() == 0
+        # mode gate: a sums-mode maintainer over this state must refuse
+        with pytest.raises(ValueError, match="layout"):
+            StreamingAggMaintainer(
+                spark, st, cust.schema, "c_mktsegment", "c_acctbal",
+                minmax=False,
+            )
+        # and a legacy pre-minmax state (no layout file) is sums-mode:
+        # a minmax maintainer over it must refuse too
+        st2 = str(tmp_path / "st2")
+        m3 = StreamingAggMaintainer(
+            spark, st2, cust.schema, "c_mktsegment", "c_acctbal"
+        )
+        m3.process_batch(b0, 0)
+        os.remove(os.path.join(st2, "state_layout.json"))
+        with pytest.raises(ValueError, match="layout"):
+            StreamingAggMaintainer(
+                spark, st2, cust.schema, "c_mktsegment", "c_acctbal",
+                minmax=True,
+            )
+    finally:
+        events.unpersist()
