@@ -857,7 +857,8 @@ def incremental_cosine_matches(index_df: DataFrame | None,
 def containment_prefix_pairs(df: DataFrame, threshold_bp: int = 8000,
                              id_col: str = "doc_id",
                              text_col: str = "text",
-                             n: int = 3) -> DataFrame:
+                             n: int = 3,
+                             df_cap: int | None = None) -> DataFrame:
     """EXACT shingle-containment pairs: ``C(A,B) = |A ∩ B| / |A|``
     with A the smaller set — the asymmetric near-dup measure (Broder
     1997's containment, the quote-expansion case: a short document
@@ -899,11 +900,40 @@ def containment_prefix_pairs(df: DataFrame, threshold_bp: int = 8000,
     r12)."""
     from pyspark import StorageLevel
 
+    # df_cap (r13, the hot-shingle escape hatch): the fan-out bound
+    # above has an adversarial hole — a BOILERPLATE shingle (license
+    # footer, site header) present in p% of the corpus never enters a
+    # normal doc's rarest-k prefix, but a doc consisting MOSTLY of
+    # boilerplate (empty license pages — every crawl has them) has no
+    # rare shingles to prefer, so its prefix IS hot and it candidates
+    # against every footer-carrying doc: O(hot_docs x p x N) pairs.
+    # Worse, those pairs are TRUE output (a pure-footer page really is
+    # contained in every doc carrying the footer), so no blocking fix
+    # can help — the SEMANTIC is wrong at scale. df_cap applies the
+    # standard stopwording remedy (the CCNet/C4 practice of stripping
+    # boilerplate before dedup, Wenzek 2020 / Raffel 2020): shingles
+    # with document frequency > df_cap are removed from the shingle
+    # UNIVERSE — prefix, join, sizes, and intersections all see the
+    # filtered universe, so the result is EXACTLY containment over
+    # df<=cap shingles (parity-tested against brute force on that
+    # universe; docs left with zero shingles drop out). Declared
+    # semantics, not an approximation knob. SCALE.md r13 has the
+    # candidate/wall-vs-p ladder with and without the cap.
     sh = persist_tracked(
         shingle_table(df, id_col, text_col, n), StorageLevel.MEMORY_AND_DISK
     )
+    dfreq = None
+    if df_cap is not None:
+        dfreq = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("dfreq"))
+            .filter(F.col("dfreq") <= df_cap)
+        )
+        sh = sh.join(dfreq.select("shingle"), "shingle").select(
+            "sid", "shingle"
+        )
     t = threshold_bp
-    prefix = containment_prefix(sh, t)
+    prefix = containment_prefix(sh, t, dfreq=dfreq)
     cand = (
         prefix.select(F.col("sid").alias("a_id"), "shingle")
         .join(sh.select(F.col("sid").alias("b_id"), "shingle"), "shingle")
@@ -945,7 +975,8 @@ def containment_prefix_pairs(df: DataFrame, threshold_bp: int = 8000,
     )
 
 
-def containment_prefix(sh: DataFrame, threshold_bp: int = 8000) -> DataFrame:
+def containment_prefix(sh: DataFrame, threshold_bp: int = 8000,
+                       dfreq: DataFrame | None = None) -> DataFrame:
     """The prefix-blocking rows for containment matching: per doc, its
     ``sz - ceil(t*sz) + 1`` RAREST shingles (df-ranked within the
     given shingle table, ties by shingle text). Pigeonhole exactness:
@@ -956,10 +987,15 @@ def containment_prefix(sh: DataFrame, threshold_bp: int = 8000) -> DataFrame:
     by document frequency), never a correctness input. That is what
     lets a STORED prefix (df-ranked against the corpus as of indexing
     time) stay exact as the corpus grows — the property
-    StreamingContainmentIndex's per-epoch ``pfx`` slices rely on."""
+    StreamingContainmentIndex's per-epoch ``pfx`` slices rely on.
+
+    ``dfreq`` lets a caller that already computed the document
+    frequencies (the df_cap path) pass them in instead of paying the
+    aggregation twice."""
     from pyspark.sql import Window
 
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
+    if dfreq is None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
     sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
     w = Window.partitionBy("sid").orderBy("dfreq", "shingle")
     return (

@@ -5251,6 +5251,93 @@ QUERIES["containment_near_dup"] = containment_near_dup
 ORACLES["containment_near_dup"] = CONTAINMENT_SQL
 
 
+# Boilerplate skew cell (r13): a license footer in 20% of docs plus a
+# cohort of near-empty pure-footer pages — the adversarial shape where
+# uncapped containment output legitimately explodes as
+# O(pages x footer-carriers) (every pure-footer page IS contained in
+# every carrier; SCALE.md r13 skew ladder measures the m*p*N law).
+CONTAIN_FOOTER = (
+    "this page is licensed under the apache license version two "
+    "point zero see the license file for details"
+)
+CONTAIN_FOOTER_MOD = 5  # footer on doc_id % 5 == 0 (p = 20%)
+CONTAIN_BOILER_PAGES = 10  # near-empty pure-footer pages
+CONTAIN_DF_CAP = 40  # organic shingle dfs stay far below this
+
+
+def docs_with_boilerplate_skew(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """documents + the footer appended to every doc_id % 5 == 0 doc +
+    CONTAIN_BOILER_PAGES identical pure-footer pages (ids 500000+)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    skewed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % CONTAIN_FOOTER_MOD == 0,
+            F.concat(F.col("text"), F.lit(" " + CONTAIN_FOOTER)),
+        ).otherwise(F.col("text")),
+    )
+    boiler = spark.range(CONTAIN_BOILER_PAGES).select(
+        (F.col("id") + 500000).alias("doc_id"),
+        F.lit(CONTAIN_FOOTER).alias("text"),
+    )
+    return skewed.unionByName(boiler)
+
+
+def containment_near_dup_capped(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Containment near-dup under hot-shingle skew with the df_cap
+    stopwording escape hatch: footer shingles (df ~ 0.2N + pages)
+    exceed the cap and leave the shingle universe, so the pure-footer
+    pages drop out and the output is exactly the organic containment
+    pairs — EXACT over the df<=cap universe, hence fully hash-oracled
+    (the twin applies the same df filter in SQL). Uncapped, the same
+    corpus emits O(pages x 0.2N) true-but-useless boilerplate pairs —
+    the semantic blow-up the SCALE.md r13 skew ladder measures."""
+    return dedup.containment_prefix_pairs(
+        docs_with_boilerplate_skew(spark, sf_dir), CONTAIN_THRESHOLD_BP,
+        df_cap=CONTAIN_DF_CAP,
+    )
+
+
+CONTAINMENT_CAPPED_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {CONTAIN_FOOTER_MOD} = 0
+              THEN text || ' {CONTAIN_FOOTER}' ELSE text END AS text
+  FROM documents
+  UNION ALL
+  SELECT 500000 + i AS doc_id, '{CONTAIN_FOOTER}' AS text
+  FROM range({CONTAIN_BOILER_PAGES}) AS t(i)
+),
+sh0 AS (
+  SELECT doc_id AS sid, unnest({_SHINGLES}) AS shingle FROM corpus
+),
+keep AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING COUNT(*) <= {CONTAIN_DF_CAP}
+),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+sizes AS (SELECT sid, COUNT(*) AS sz FROM sh GROUP BY sid),
+inter AS (
+  SELECT a.sid AS a_id, b.sid AS b_id, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid <> b.sid
+  GROUP BY a.sid, b.sid
+)
+SELECT a_id, b_id, CAST(inter AS BIGINT) AS inter,
+       CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+       CAST(inter AS DOUBLE) / sa.sz AS containment
+FROM inter
+JOIN sizes sa ON sa.sid = a_id
+JOIN sizes sb ON sb.sid = b_id
+WHERE (sa.sz < sb.sz OR (sa.sz = sb.sz AND a_id < b_id))
+  AND inter * 10000 >= sa.sz * {CONTAIN_THRESHOLD_BP}
+"""
+
+QUERIES["containment_near_dup_capped"] = containment_near_dup_capped
+ORACLES["containment_near_dup_capped"] = CONTAINMENT_CAPPED_SQL
+
+
 # ------------------- UniMax language budgets (Chung et al. 2023)
 
 UNIMAX_EPOCH_CAP = 3

@@ -1220,3 +1220,98 @@ def test_perceptron_labels_are_replica_offset_safe(spark):
         KEY_OFFSET + 100: 1, KEY_OFFSET + 300100: -1,
         2 * KEY_OFFSET + 100: 1,
     }
+
+
+def test_containment_df_cap_parity_with_filtered_universe(spark):
+    """df_cap parity: containment_prefix_pairs(df_cap=K) must equal
+    BRUTE-FORCE containment computed over the shingle universe with
+    df>K shingles removed (the declared stopwording semantics) — and
+    on a boilerplate-skewed corpus the cap must (a) drop the
+    pure-footer pages entirely and (b) leave organic pairs exactly
+    intact."""
+    import duckdb
+
+    from bottledwater_pg_spark.functions.text import sql_word_shingles
+
+    footer = (
+        "this page is licensed under the apache license version two "
+        "point zero see the license file for details"
+    )
+    words = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "lambda mu nu xi omicron pi rho sigma tau upsilon",
+        "one two three four five six seven eight nine ten",
+    ]
+    rows = []
+    for i in range(30):
+        base = words[i % 3]
+        text = f"{base} doc{i} marker{i} tail{i} end{i}"
+        if i % 3 == 0:  # a third of organic docs carry the footer
+            text += " " + footer
+        rows.append((i, text))
+    # one organic containment pair: doc 100 quoted inside doc 101
+    rows.append((100, "unique quoted passage with rare tokens here"))
+    rows.append((
+        101,
+        "unique quoted passage with rare tokens here plus a much "
+        "longer continuation that keeps jaccard low while containment "
+        "stays one",
+    ))
+    for j in range(5):  # pure-boilerplate pages
+        rows.append((200 + j, footer))
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.a_id, r.b_id, r.inter, r.sz_a, r.sz_b)
+        for r in dedup.containment_prefix_pairs(
+            sdf, 8000, df_cap=10
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "corpus",
+        spark.createDataFrame(rows, "doc_id long, text string").toPandas(),
+    )
+    sh_expr = sql_word_shingles("text", 3)
+    want = {
+        (r[0], r[1], r[2], r[3], r[4])
+        for r in con.execute(f"""
+            WITH sh0 AS (
+              SELECT doc_id AS sid, unnest({sh_expr}) AS shingle
+              FROM corpus
+            ),
+            keep AS (
+              SELECT shingle FROM sh0 GROUP BY shingle
+              HAVING COUNT(*) <= 10
+            ),
+            sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
+            sizes AS (SELECT sid, COUNT(*) AS sz FROM sh GROUP BY sid),
+            inter AS (
+              SELECT a.sid AS a_id, b.sid AS b_id, COUNT(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.sid <> b.sid
+              GROUP BY a.sid, b.sid
+            )
+            SELECT a_id, b_id, CAST(inter AS BIGINT),
+                   CAST(sa.sz AS BIGINT), CAST(sb.sz AS BIGINT)
+            FROM inter
+            JOIN sizes sa ON sa.sid = a_id
+            JOIN sizes sb ON sb.sid = b_id
+            WHERE (sa.sz < sb.sz OR (sa.sz = sb.sz AND a_id < b_id))
+              AND inter * 10000 >= sa.sz * 8000
+        """).fetchall()
+    }
+    assert got == want
+    # the footer's shingles are hot (df = 10 carriers + 5 pure > 10):
+    # pure-footer pages have no surviving shingles -> absent from any
+    # pair; the organic quoted pair survives exactly
+    ids_in_pairs = {i for p in got for i in (p[0], p[1])}
+    assert not ids_in_pairs & {200, 201, 202, 203, 204}
+    assert (100, 101) in {(p[0], p[1]) for p in got}
+    # and UNCAPPED, the pure-footer pages explode into m x (p*N + m)
+    # true pairs — the semantic blow-up the cap exists to stop
+    uncapped = dedup.containment_prefix_pairs(sdf, 8000).toPandas()
+    boiler_pairs = uncapped[
+        uncapped.a_id.isin(range(200, 205))
+    ]
+    assert len(boiler_pairs) >= 5 * 4 / 2 + 5 * 10 - 5  # >= C(5,2)+5x10-overlap
