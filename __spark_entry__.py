@@ -46,19 +46,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # has a driver record from some round. scripts/exact_gate.py still
 # re-certifies all 157 locally (EXACTGATE_r5.json).
 _FAMILY_SPREAD = [
-    # ---- ROUND 12 window: the driver hashes the FIRST 50 entries.
-    # The r11 window is KEPT VERBATIM because it already covers every
-    # code path r12 changed: mrl_ann_topk now probes a STORED prefix
-    # table (slots 3-4), containment_near_dup's blocking prefix moved
-    # into the shared dedup.containment_prefix helper (slot 5), the
-    # sq/perceptron/c4 queries re-certify the post-r11-ADVICE fixes
-    # (single quantization pass, offset-safe labels, shared marker
-    # kernel), and supplier_triangle_counts / supplier_kcore (in the
-    # expensive block below) re-certify the r12 edge-build rewrite
-    # (collect_set + pair explode replacing the distinct + self-join
-    # chain). The fsio adapter and tiered compaction are
-    # streaming/physical surfaces — pytest-pinned, not oracle-able.
-    # Slots 1-8: the eight r11 session-2 queries — the SQ8
+    # ---- ROUND 13 window: the driver hashes the FIRST 50 entries.
+    # Slots 1-3 are what r13 changed: containment_near_dup_capped
+    # (NEW — the hot-shingle df_cap escape hatch, oracle applies the
+    # same df filter), cdc_incremental_agg_minmax (NEW — exact
+    # MIN/MAX under deletes via per-(group,value) support counts),
+    # and cdc_incremental_agg_customer (the IVM sums path now
+    # commits state by manifest pointer flip + hwm ledger). The
+    # manifest state commit also re-certifies through
+    # cdc_materialize_customer (slot 50). The bucketed base rotation
+    # is a streaming/physical surface — pytest-pinned
+    # (test_bucketed_rotation.py), not oracle-able. Rotated out to
+    # make room (records live in CORRECTNESS_r10-r12):
+    # lsh_ann_recall_vs_exact, ivf_ann_recall_vs_exact,
+    # simhash_injected_recall.
+    "containment_near_dup_capped", "cdc_incremental_agg_minmax",
+    "cdc_incremental_agg_customer",
+    # ---- r12 window below (kept: it still covers the r12 paths).
+    # Slots 4-11: the eight r11 session-2 queries — the SQ8
     # scalar-quantization ANN pair (per-dim 8-bit grids, ADC scan,
     # recall certificate), the Matryoshka prefix-dim funnel pair
     # (32-dim shortlist, exact full-dim re-rank), containment
@@ -109,10 +114,9 @@ _FAMILY_SPREAD = [
     "cdc_replicate_all_counts",
     "cdc_error_policy_ddl", "cdc_error_policy_log",
     "supplier_kcore", "supplier_triangle_counts",
-    # Next: recall certificates + the kmeans pair (the primitive the
-    # trained IVF and the streaming clustered-semdedup index share).
-    "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",
-    "simhash_injected_recall",
+    # Next: the kmeans pair (the primitive the trained IVF and the
+    # streaming clustered-semdedup index share). The recall
+    # certificates rotated out in r13 sit right below the boundary.
     "kmeans_topic_clusters", "kmeans_semdedup_stats",
     # Next: the dedup family kept warm (incremental_lsh_matches'
     # count_distinct fix touches the family's shared verify shape).
@@ -123,6 +127,9 @@ _FAMILY_SPREAD = [
     "dedup_threshold_sensitivity",
     # To the 50 boundary: flagship + certificates.
     "cdc_materialize_customer",
+    # ---- rotated out in r13 (driver records in CORRECTNESS_r10-r12):
+    "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",
+    "simhash_injected_recall",
     # ---- rotated out in r11 session 2 to make room for the eight
     # new slots (driver records live in CORRECTNESS_r01-r10):
     # cdc_merge_sink_customer,

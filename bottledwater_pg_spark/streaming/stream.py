@@ -914,6 +914,23 @@ BASE_RUN_KEY = "__base__"
 L1_RUN_KEY = "__l1__"
 
 
+def _bucket_run_key(b: int) -> str:
+    """Run key of base BUCKET ``b`` (bucketed rotation mode): like
+    ``__base__``/``__l1__``, never a real run key, so `_prior` always
+    probes every bucket."""
+    return f"__base{b}__"
+
+
+def _is_tier_run(run: str) -> bool:
+    """True for any fold-output namespace: the one-tier base, L1 delta
+    runs, and base buckets — the runs cleanups must treat as tiers
+    (delete by epoch watermark), never as foreign live runs (delete
+    wholesale)."""
+    return run == L1_RUN_KEY or (
+        run.startswith("__base") and run.endswith("__")
+    )
+
+
 class _SlicedDedupIndexBase:
     """Shared machinery for the continuous ingest-time dedup indexes
     (text :class:`StreamingDedupIndex`, embedding
@@ -971,6 +988,17 @@ class _SlicedDedupIndexBase:
     incremental segment compaction (README.md:283-297): clean
     segments are not rewritten when a new dirty segment folds.
 
+    Bucketed rotation (``base_buckets=P``, r13): the tiered major is
+    still a monolithic O(state) rewrite — a declared pause that grows
+    with the standing index forever. With ``base_buckets`` the base
+    splits into P hash buckets (``run=__base<b>__``, hashed on the
+    slice's doc-identity column) and the major becomes a ROTATION of
+    ONE bucket per fold: max single-fold write is O(state/P + L1),
+    bounded regardless of total index size (see
+    :meth:`_rotate_bucket` for the L1-retention and replay
+    arguments). Probes need no change — bucket runs are never real
+    run keys, so `_prior` includes them all.
+
     Idempotence under replay: probes exclude identity matches, so a
     re-delivered batch matches only its previous content under the
     SAME ids and is accepted identically; state writes are per-epoch
@@ -997,10 +1025,24 @@ class _SlicedDedupIndexBase:
 
     def __init__(self, spark: SparkSession, state_dir: str,
                  threshold: float, fold_every: int | None = None,
-                 l1_max: int | None = None):
+                 l1_max: int | None = None,
+                 base_buckets: int | None = None):
+        if base_buckets is not None and l1_max is None:
+            raise ValueError(
+                "base_buckets requires tiered folds (set l1_max)"
+            )
         self.spark = spark
         self.state_dir = state_dir
         self.threshold = threshold
+        #: None = monolithic base (majors rewrite the WHOLE base, an
+        #: O(state) pause once per l1_max minors); an int P = the base
+        #: is split into P hash buckets (``run=__base<b>__``) and a
+        #: "major" ROTATES one bucket per fold — max single-fold write
+        #: drops to O(state/P + L1) no matter how large the standing
+        #: index grows (the Kafka incremental-segment-compaction
+        #: shape). Choose l1_max >= P for periodic rotation bursts or
+        #: < P for continuous background rotation.
+        self.base_buckets = base_buckets
         #: every N epochs, fold epochs < current into the base snapshot
         #: (None = only explicit compact() calls). Safe inside the
         #: batch loop because foreachBatch starts epoch e only after
@@ -1122,10 +1164,13 @@ class _SlicedDedupIndexBase:
         `_complete_epochs` and carry no rows any probe needs (their
         sources are still on disk — cleanup runs only after commit),
         so dropping them before the fold's read is pure."""
-        for run in (BASE_RUN_KEY, L1_RUN_KEY):
-            d = os.path.join(self._path(name), f"run={run}")
-            if not fsio.isdir(d):
+        root = self._path(name)
+        for rd in fsio.listdir(root):
+            if not rd.startswith("run=") or not _is_tier_run(
+                rd[len("run="):]
+            ):
                 continue
+            d = os.path.join(root, rd)
             for c in fsio.listdir(d):
                 if c.startswith("epoch=") and not fsio.exists(
                     os.path.join(d, c, "_SUCCESS")
@@ -1146,7 +1191,7 @@ class _SlicedDedupIndexBase:
                 continue
             run = rd[len("run="):]
             rpath = os.path.join(root, rd)
-            if run in (self._run_key, BASE_RUN_KEY, L1_RUN_KEY):
+            if run == self._run_key or _is_tier_run(run):
                 for ed in fsio.listdir(rpath):
                     if not ed.startswith("epoch="):
                         continue
@@ -1171,7 +1216,7 @@ class _SlicedDedupIndexBase:
                 continue
             run = rd[len("run="):]
             rpath = os.path.join(root, rd)
-            if run in (BASE_RUN_KEY, L1_RUN_KEY):
+            if _is_tier_run(run):
                 continue
             if run == self._run_key:
                 for ed in fsio.listdir(rpath):
@@ -1248,9 +1293,12 @@ class _SlicedDedupIndexBase:
         makes the per-fold write independent of standing-state
         size."""
         self._drop_partial_tiers(name)
+        is_tier = (F.col("run") == L1_RUN_KEY) | (
+            F.col("run").startswith("__base")
+            & F.col("run").endswith("__")
+        )
         l1_eps = self._complete_epochs(name, L1_RUN_KEY)
         if up_to_epoch not in l1_eps:
-            is_tier = F.col("run").isin(BASE_RUN_KEY, L1_RUN_KEY)
             live = (F.col("run") == F.lit(self._run_key)) & (
                 F.col("epoch") >= F.lit(up_to_epoch)
             )
@@ -1269,20 +1317,107 @@ class _SlicedDedupIndexBase:
         # lands here directly: finish the cleanup, never rewrite the
         # delta from now-deleted sources
         self._cleanup_minor(name, up_to_epoch)
-        if len(l1_eps) > self.l1_max:
+        if len(l1_eps) <= self.l1_max:
+            return
+        if self.base_buckets is not None:
+            self._rotate_bucket(name, up_to_epoch)
+            return
+        merged = (
+            self._read_slices(name)
+            .filter(is_tier)
+            .filter(F.col("epoch") <= F.lit(up_to_epoch))
+            .drop("run", "epoch")
+            .distinct()
+        )
+        if merged.isEmpty():
+            return
+        self._write_slice(
+            merged, name, up_to_epoch, run=BASE_RUN_KEY
+        )
+        self._cleanup_folded(name, up_to_epoch)
+
+    def _bucket_epochs(self, name: str) -> dict[int, int]:
+        """Per base bucket, the newest COMMITTED epoch (-1 = never
+        rotated)."""
+        out = {}
+        for b in range(self.base_buckets):
+            eps = self._complete_epochs(name, _bucket_run_key(b))
+            out[b] = max(eps) if eps else -1
+        return out
+
+    def _rotate_bucket(self, name: str, up_to_epoch: int) -> None:
+        """The bounded-pause "major": rotate ONE base bucket — merge
+        that bucket's standing rows with the L1 rows that hash into it
+        (epoch <= watermark) into a fresh ``run=__base<b>__/epoch=W``
+        snapshot. Single-fold write is O(state/P + L1), independent of
+        TOTAL standing-state size — the property the monolithic major
+        lacks (its pause grows with the index forever; Kafka's segment
+        compaction never rewrites the whole log either,
+        README.md:283-297).
+
+        Bucket choice is the oldest base epoch (ties to the lowest
+        id): deterministic under replay, and over P rotations every
+        bucket passes any given L1 epoch. An L1 run is deleted only
+        once EVERY bucket's base epoch has reached it — until then its
+        rows coexist with folded bucket copies, the same probe-side
+        duplicate tolerance as every other fold crash window. Stale
+        older epochs of ANY bucket (an interrupted rotation's cleanup)
+        are re-swept here, recomputable from the committed epochs
+        alone."""
+        beps = self._bucket_epochs(name)
+        b = min(beps, key=lambda k: (beps[k], k))
+        bkey = _bucket_run_key(b)
+        if beps[b] < up_to_epoch:
+            sliced = self._read_slices(name)
+            # the slice's doc-identity column (extra slices carry the
+            # probe-side alias ``sid``); any consistent per-row key
+            # works — hashing must only be stable across tiers
+            bucket_col = (
+                self.ID_COL if self.ID_COL in sliced.columns else "sid"
+            )
+            in_bucket = (
+                F.pmod(F.xxhash64(F.col(bucket_col)),
+                       F.lit(self.base_buckets)) == F.lit(b)
+            )
             merged = (
-                self._read_slices(name)
-                .filter(F.col("run").isin(BASE_RUN_KEY, L1_RUN_KEY))
-                .filter(F.col("epoch") <= F.lit(up_to_epoch))
+                sliced.filter(
+                    (F.col("run") == bkey)
+                    | (
+                        (F.col("run") == L1_RUN_KEY)
+                        & (F.col("epoch") <= F.lit(up_to_epoch))
+                        & in_bucket
+                    )
+                )
                 .drop("run", "epoch")
                 .distinct()
             )
-            if merged.isEmpty():
-                return
-            self._write_slice(
-                merged, name, up_to_epoch, run=BASE_RUN_KEY
-            )
-            self._cleanup_folded(name, up_to_epoch)
+            # ALWAYS write (even an empty bucket): the L1 cleanup
+            # floor is min over bucket epochs, so a skipped empty
+            # bucket would pin every L1 run forever
+            self._write_slice(merged, name, up_to_epoch, run=bkey)
+            beps[b] = up_to_epoch
+        # cleanup, all recomputable: superseded epochs of every bucket,
+        # then L1 runs every bucket has passed
+        root = self._path(name)
+        for bb, top in beps.items():
+            d = os.path.join(root, f"run={_bucket_run_key(bb)}")
+            if top < 0 or not fsio.isdir(d):
+                continue
+            for ed in fsio.listdir(d):
+                if ed.startswith("epoch=") and int(ed[len("epoch="):]) < top:
+                    fsio.rmtree(os.path.join(d, ed))
+        l1_floor = min(beps.values())
+        if l1_floor >= 0:
+            d = os.path.join(root, f"run={L1_RUN_KEY}")
+            if fsio.isdir(d):
+                for ed in fsio.listdir(d):
+                    if (
+                        ed.startswith("epoch=")
+                        and int(ed[len("epoch="):]) <= l1_floor
+                    ):
+                        fsio.rmtree(os.path.join(d, ed))
+                if not fsio.listdir(d):
+                    fsio.rmdir(d)
 
     def slice_dir_count(self) -> int:
         """Total (run, epoch) slice directories across all roots —
@@ -1424,9 +1559,10 @@ class StreamingDedupIndex(_SlicedDedupIndexBase):
     def __init__(self, spark: SparkSession, state_dir: str,
                  threshold: float = 0.8,
                  fold_every: int | None = None,
-                 l1_max: int | None = None):
+                 l1_max: int | None = None,
+                 base_buckets: int | None = None):
         super().__init__(spark, state_dir, threshold, fold_every,
-                         l1_max=l1_max)
+                         l1_max=l1_max, base_buckets=base_buckets)
         meta_path = os.path.join(state_dir, "meta.json")
         meta = fsio.read_json_meta(meta_path)
         if meta is not None:
@@ -1554,9 +1690,11 @@ class StreamingContainmentIndex(_SlicedDedupIndexBase):
     def __init__(self, spark: SparkSession, state_dir: str,
                  threshold_bp: int = 8000,
                  fold_every: int | None = None,
-                 l1_max: int | None = None):
+                 l1_max: int | None = None,
+                 base_buckets: int | None = None):
         super().__init__(spark, state_dir, threshold_bp / 10000.0,
-                         fold_every, l1_max=l1_max)
+                         fold_every, l1_max=l1_max,
+                         base_buckets=base_buckets)
         self.threshold_bp = threshold_bp
         meta_path = os.path.join(state_dir, "meta.json")
         meta = fsio.read_json_meta(meta_path)
@@ -2332,9 +2470,10 @@ class StreamingVectorDedupIndex(_SlicedDedupIndexBase):
                  threshold: float = 0.99,
                  num_bits: int = 24, bands: int = 4,
                  fold_every: int | None = None,
-                 l1_max: int | None = None):
+                 l1_max: int | None = None,
+                 base_buckets: int | None = None):
         super().__init__(spark, state_dir, threshold, fold_every,
-                         l1_max=l1_max)
+                         l1_max=l1_max, base_buckets=base_buckets)
         self.num_bits = num_bits
         self.bands = bands
 
@@ -2446,9 +2585,10 @@ class StreamingClusteredSemDeDupIndex(_SlicedDedupIndexBase):
                  train_corpus: DataFrame | None = None,
                  k: int = 8, iters: int = 4,
                  fold_every: int | None = None,
-                 l1_max: int | None = None):
+                 l1_max: int | None = None,
+                 base_buckets: int | None = None):
         super().__init__(spark, state_dir, threshold, fold_every,
-                         l1_max=l1_max)
+                         l1_max=l1_max, base_buckets=base_buckets)
         self.k = k
         self.iters = iters
         cent_path = os.path.join(state_dir, "centroids")
@@ -2614,14 +2754,16 @@ class StreamingSourceQuotaIndex(_SlicedDedupIndexBase):
 
     def __init__(self, spark: SparkSession, state_dir: str,
                  cap: int = 20, fold_every: int | None = None,
-                 l1_max: int | None = None):
+                 l1_max: int | None = None,
+                 base_buckets: int | None = None):
         from bottledwater_pg_spark.functions.text import (
             FINGERPRINT_FAMILY,
         )
 
         # threshold is the dedup bases' knob; unused here
         super().__init__(spark, state_dir, threshold=0.0,
-                         fold_every=fold_every, l1_max=l1_max)
+                         fold_every=fold_every, l1_max=l1_max,
+                         base_buckets=base_buckets)
         self.cap = cap
         # Persisted-state contract (the Bloom-screen / clustered-
         # semdedup meta gate, applied here): standing budgets are only

@@ -44,7 +44,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 240
 FOLD_EVERY = int(sys.argv[2]) if len(sys.argv) > 2 else 40
 L1_MAX = int(sys.argv[3]) if len(sys.argv) > 3 else 6
-BATCH_ROWS = 30
+BATCH_ROWS = int(os.environ.get("FOLD_SOAK_BATCH_ROWS", "30"))
+BASE_BUCKETS = int(os.environ.get("FOLD_SOAK_BUCKETS", "8"))
 N_SOURCES = 10
 
 
@@ -61,13 +62,14 @@ def instrument_tier_writes(idx, ledger: list) -> None:
     from bottledwater_pg_spark.streaming.stream import (
         BASE_RUN_KEY,
         L1_RUN_KEY,
+        _is_tier_run,
     )
 
     orig = idx._write_slice
 
     def wrapped(df, name, epoch_id, run=None):
         orig(df, name, epoch_id, run=run)
-        if run not in (BASE_RUN_KEY, L1_RUN_KEY):
+        if run is None or not _is_tier_run(run):
             return
         d = os.path.join(
             idx._path(name), f"run={run}", f"epoch={epoch_id}"
@@ -77,9 +79,13 @@ def instrument_tier_writes(idx, ledger: list) -> None:
             for r, _, fs in os.walk(d)
             for f in fs
         )
+        tier = (
+            "base" if run == BASE_RUN_KEY
+            else "l1" if run == L1_RUN_KEY
+            else "bucket"
+        )
         ledger.append(
-            {"epoch": epoch_id, "root": name,
-             "tier": "base" if run == BASE_RUN_KEY else "l1",
+            {"epoch": epoch_id, "root": name, "tier": tier,
              "bytes": nbytes}
         )
 
@@ -90,22 +96,33 @@ def fold_write_summary(ledger: list) -> dict:
     """Per-fold total tier-write bytes (all roots), split by tier."""
     per_fold: dict[int, dict[str, int]] = {}
     for w in ledger:
-        slot = per_fold.setdefault(w["epoch"], {"base": 0, "l1": 0})
+        slot = per_fold.setdefault(
+            w["epoch"], {"base": 0, "l1": 0, "bucket": 0}
+        )
         slot[w["tier"]] += w["bytes"]
     folds = sorted(per_fold)
     minor = [per_fold[e]["l1"] for e in folds if per_fold[e]["l1"]]
     base = [per_fold[e]["base"] for e in folds if per_fold[e]["base"]]
+    buck = [
+        per_fold[e]["bucket"] for e in folds if per_fold[e]["bucket"]
+    ]
+    per_fold_bytes = [
+        per_fold[e]["base"] + per_fold[e]["l1"] + per_fold[e]["bucket"]
+        for e in folds
+    ]
     out = {
         "fold_epochs": folds,
-        "per_fold_bytes": [
-            per_fold[e]["base"] + per_fold[e]["l1"] for e in folds
-        ],
+        "per_fold_bytes": per_fold_bytes,
+        "max_single_fold_bytes": max(per_fold_bytes) if folds else 0,
         "total_tier_write_bytes": sum(
             w["bytes"] for w in ledger
         ),
         "n_base_writes": len(base),
         "n_l1_writes": len(minor),
+        "n_bucket_writes": len(buck),
     }
+    if buck:
+        out["max_bucket_write_bytes"] = max(buck)
     if minor:
         out["minor_write_bytes_first_vs_last"] = round(
             minor[-1] / minor[0], 3
@@ -154,14 +171,16 @@ def main() -> int:
             )
 
         runs = {}
-        for label, fold, l1 in (
-            ("folded", FOLD_EVERY, None),
-            ("tiered", FOLD_EVERY, L1_MAX),
-            ("unfolded", None, None),
+        for label, fold, l1, buckets in (
+            ("folded", FOLD_EVERY, None, None),
+            ("tiered", FOLD_EVERY, L1_MAX, None),
+            ("bucketed", FOLD_EVERY, L1_MAX, BASE_BUCKETS),
+            ("unfolded", None, None, None),
         ):
             state = os.path.join(base, label)
             idx = StreamingSourceQuotaIndex(
-                spark, state, cap=10**9, fold_every=fold, l1_max=l1
+                spark, state, cap=10**9, fold_every=fold, l1_max=l1,
+                base_buckets=buckets,
             )
             write_ledger: list = []
             if fold is not None:
@@ -196,6 +215,7 @@ def main() -> int:
         runs["accepted_sets_equal"] = (
             runs["folded"]["accepted_rows"]
             == runs["tiered"]["accepted_rows"]
+            == runs["bucketed"]["accepted_rows"]
             == runs["unfolded"]["accepted_rows"]
             == N_EPOCHS * BATCH_ROWS
         )
@@ -204,6 +224,7 @@ def main() -> int:
         # tiered MINOR folds must stay delta-sized (ratio ~1)
         ft = runs["folded"]["tier_writes"]
         tt = runs["tiered"]["tier_writes"]
+        bt = runs["bucketed"]["tier_writes"]
         out["onetier_fold_write_growth"] = ft.get(
             "base_write_bytes_first_vs_last"
         )
@@ -212,6 +233,18 @@ def main() -> int:
         )
         out["tiered_vs_onetier_total_write_bytes"] = round(
             tt["total_tier_write_bytes"]
+            / ft["total_tier_write_bytes"],
+            3,
+        )
+        # the bounded-pause verdict: the bucketed run's single biggest
+        # fold write vs the monolithic major's (should be ~1/P + L1),
+        # and its total amplification vs one-tier
+        out["bucketed_vs_tiered_max_single_fold"] = round(
+            bt["max_single_fold_bytes"] / tt["max_single_fold_bytes"],
+            3,
+        )
+        out["bucketed_vs_onetier_total_write_bytes"] = round(
+            bt["total_tier_write_bytes"]
             / ft["total_tier_write_bytes"],
             3,
         )
