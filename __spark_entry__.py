@@ -57,9 +57,10 @@ _FAMILY_SPREAD = [
     # cdc_materialize_customer (slot 50). The bucketed base rotation
     # is a streaming/physical surface — pytest-pinned
     # (test_bucketed_rotation.py), not oracle-able. Rotated out to
-    # make room (records live in CORRECTNESS_r10-r12):
-    # lsh_ann_recall_vs_exact, ivf_ann_recall_vs_exact,
-    # simhash_injected_recall.
+    # make room (records live in CORRECTNESS_r09-r12):
+    # ivf_ann_recall_vs_exact, kmeans_topic_clusters,
+    # kmeans_semdedup_stats. The xxhash rows-only cells keep their
+    # hash-green accuracy certificates paired in-window.
     "containment_near_dup_capped", "cdc_incremental_agg_minmax",
     "cdc_incremental_agg_customer",
     # ---- r12 window below (kept: it still covers the r12 paths).
@@ -114,10 +115,9 @@ _FAMILY_SPREAD = [
     "cdc_replicate_all_counts",
     "cdc_error_policy_ddl", "cdc_error_policy_log",
     "supplier_kcore", "supplier_triangle_counts",
-    # Next: the kmeans pair (the primitive the trained IVF and the
-    # streaming clustered-semdedup index share). The recall
-    # certificates rotated out in r13 sit right below the boundary.
-    "kmeans_topic_clusters", "kmeans_semdedup_stats",
+    # Next: the lsh/simhash accuracy certificates stay paired with
+    # their rows-only xxhash twins above.
+    "lsh_ann_recall_vs_exact", "simhash_injected_recall",
     # Next: the dedup family kept warm (incremental_lsh_matches'
     # count_distinct fix touches the family's shared verify shape).
     "lsh_embedding_near_dup",
@@ -127,9 +127,9 @@ _FAMILY_SPREAD = [
     "dedup_threshold_sensitivity",
     # To the 50 boundary: flagship + certificates.
     "cdc_materialize_customer",
-    # ---- rotated out in r13 (driver records in CORRECTNESS_r10-r12):
-    "lsh_ann_recall_vs_exact", "ivf_ann_recall_vs_exact",
-    "simhash_injected_recall",
+    # ---- rotated out in r13 (driver records in CORRECTNESS_r09-r12):
+    "ivf_ann_recall_vs_exact",
+    "kmeans_topic_clusters", "kmeans_semdedup_stats",
     # ---- rotated out in r11 session 2 to make room for the eight
     # new slots (driver records live in CORRECTNESS_r01-r10):
     # cdc_merge_sink_customer,

@@ -41,26 +41,27 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert_df_matches_oracle(df, duck, ORACLES[name])
 
 
-def test_round11_window_keeps_the_ledger_closed():
+def test_driver_window_keeps_the_ledger_closed():
     """The driver hashes only the first 50 queries() entries. The
-    round-11 window must contain (a) every query with NO driver
-    record from r1-r10 (the two new r11 queries: the Gopher n-gram
-    repetition gate and the CCNet perplexity terciles), so the
+    current (round-13) window must contain (a) every query with NO
+    driver record from r1-r10 (the r11-r13 additions), so the
     every-query-has-a-record invariant survives the rotation,
-    (b) every query whose code path r11 touched (the shared
-    with_gopher_flags kernel behind gopher_quality_flags, the shared
-    _lm_surprise_per_doc kernel behind lm_surprise_outliers, the
-    count_distinct Jaccard fix behind incremental_dedup_matches, the
-    copurchase_edges factor-out behind pagerank_copurchase), and
-    (c) the deliberate rows-only cells next to their hash-green
-    accuracy certificates. Rows-only entries inside the window stay
-    limited to the ops whose raw outputs are engine-specific by
-    design (the two xxhash64 twins)."""
+    (b) every query whose code path the current round touched (the
+    df_cap containment hatch, the IVM min/max support fold, and the
+    manifest-commit state path behind the cdc IVM/materialize
+    queries), and (c) the deliberate rows-only cells next to their
+    hash-green accuracy certificates. Rows-only entries inside the
+    window stay limited to the ops whose raw outputs are
+    engine-specific by design (the two xxhash64 twins)."""
     import json
     import os
 
     window = list(QUERIES)[:50]
     must_be_in_window = [
+        # new r13 queries (no prior driver record) + r13-touched paths
+        "containment_near_dup_capped", "cdc_incremental_agg_minmax",
+        "cdc_incremental_agg_customer", "cdc_materialize_customer",
+        "containment_near_dup",
         # new r11 queries (no prior driver record)
         "gopher_repetition_ngram_flags", "ccnet_perplexity_buckets",
         # r11-refactored code paths re-certified

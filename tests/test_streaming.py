@@ -294,7 +294,10 @@ def test_tombstone_ttl_expires_deleted_keys(spark, sf_dir):
         # (timer batches keep the query busy), so poll the sink with a
         # deadline instead; timer batches fire expiries on their own.
         try:
-            deadline = time.time() + 120
+            # generous deadline: under heavy host load (parallel soak
+            # runs) the processing-time timer batches that fire the
+            # expiries can lag far behind the 500 ms TTL
+            deadline = time.time() + 240
             expired: set = set()
             while time.time() < deadline:
                 out = spark.sql(
