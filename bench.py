@@ -597,7 +597,10 @@ def main() -> None:
             spread_ratio is not None
             and spread_ratio <= CONTROL_SPREAD_BAND
         ),
-        "throttle_retry_pass": throttle_retry,
+        # True iff an extra reversed pass RAN because the first
+        # control spread exceeded the band (r12 verdict nit: the old
+        # name "throttle_retry_pass" read as pass/fail)
+        "throttle_retry_ran": throttle_retry,
     }
     full = {
         "metric": "total_wall_sec",
