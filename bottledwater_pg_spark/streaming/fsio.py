@@ -60,7 +60,13 @@ def _hadoop(path: str):
     call per operation."""
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.getActiveSession()
+    # getActiveSession is THREAD-LOCAL: a state op running on a driver
+    # worker thread (MultiTableMaterializer fans per-table work out to
+    # a pool) sees None there even while the session is alive — fall
+    # back to the process-wide instantiated session.
+    spark = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
     if spark is None:
         raise RuntimeError(
             f"URI state path {path!r} needs an active SparkSession "
@@ -169,8 +175,10 @@ def _read_text(path: str) -> str:
     try:
         from pyspark.sql import SparkSession
 
-        jvm = SparkSession.getActiveSession()._jvm
-        return jvm.org.apache.commons.io.IOUtils.toString(
+        spark = SparkSession.getActiveSession() or getattr(
+            SparkSession, "_instantiatedSession", None
+        )
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
             stream, "UTF-8"
         )
     finally:

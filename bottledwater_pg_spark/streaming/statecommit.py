@@ -86,6 +86,15 @@ class GenerationalState:
     def __init__(self, state_dir: str, name: str = "state"):
         self.state_dir = state_dir
         self.name = name
+        # Single-writer manifest cache: after this instance has read
+        # the manifest once (validating the generation it names) or
+        # has flipped it itself, the in-memory copy is authoritative —
+        # no other writer exists by contract. On URI state paths this
+        # removes the several-JVM-round-trips-per-access manifest
+        # re-read that dominated the 1000-table soak's per-table cost
+        # (SCALE.md r13). A fresh instance (process restart) always
+        # re-reads disk.
+        self._cached: dict | None = None
 
     # -- layout -------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -110,14 +119,17 @@ class GenerationalState:
         return fsio.read_json_meta(self._manifest_path())
 
     def current_gen(self) -> int:
-        m = self._manifest()
+        m = self._cached if self._cached is not None else self._manifest()
         return int(m["gen"]) if m is not None else 0
 
     def current_path(self) -> str | None:
         """The committed current state directory, or ``None`` if no
         state was ever committed. Validates the marker before trusting
         (a manifest naming an uncommitted dir is corruption, not
-        absence)."""
+        absence); a generation this instance already validated or
+        wrote itself is served from the cache."""
+        if self._cached is not None:
+            return os.path.join(self.state_dir, self._cached["dir"])
         m = self._manifest()
         if m is not None:
             p = os.path.join(self.state_dir, m["dir"])
@@ -129,6 +141,7 @@ class GenerationalState:
                     "restore the directory or remove the manifest to "
                     "re-bootstrap"
                 )
+            self._cached = m
             return p
         # pre-r13 layout: finish an interrupted legacy swap first
         self._recover_legacy()
@@ -172,6 +185,7 @@ class GenerationalState:
         fsio.write_json_meta(
             self._manifest_path(), {"gen": gen, "dir": base}
         )
+        self._cached = {"gen": gen, "dir": base}
         self._gc(keep=base)
 
     def _gc(self, keep: str) -> None:

@@ -174,3 +174,30 @@ def test_merge_sink_on_file_uri_state(spark, sf_dir, tmp_path):
         assert (tmp_path / "sink_state" / "state").is_dir()
     finally:
         events.unpersist()
+
+
+def test_fsio_uri_ops_work_from_worker_threads(spark, tmp_path):
+    """getActiveSession is THREAD-LOCAL: a state op running on a
+    driver worker thread (the multi-table materializer fans per-table
+    work out to a pool) sees None there even while the session is
+    alive. fsio must fall back to the process-wide session — without
+    it, every URI-state multi-table deployment crashes on its first
+    batch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bottledwater_pg_spark.streaming import fsio
+
+    uri = "file://" + str(tmp_path / "probe")
+    fsio.makedirs(uri)
+    fsio.write_json_meta(uri + "/m.json", {"ok": 1})
+
+    def probe():
+        # would raise RuntimeError before the fallback
+        return (
+            fsio.exists(uri),
+            fsio.read_json_meta(uri + "/m.json")["ok"],
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        results = list(pool.map(lambda _: probe(), range(4)))
+    assert all(r == (True, 1) for r in results)
