@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "cdc_history_scd2",
     "cdc_merge_sink_customer",
     "cdc_incremental_agg_customer",
+    "cdc_incremental_agg_minmax",
     "cdc_stream_table_join",
     "cdc_schema_evolution_customer",
     "cdc_schema_evolution_drop",
@@ -181,6 +182,7 @@ BENCH_QUERIES = [
     "sq_ann_topk",
     "mrl_ann_topk",
     "containment_near_dup",
+    "containment_near_dup_capped",
     "c4_line_filter_stats",
     "unimax_language_budgets",
     # round 11 s2: the trained quality classifier (one (doc,token)
