@@ -300,7 +300,12 @@ class StreamingAggMaintainer:
             )
         cur = self._state.current_path()
         if cur is None:
-            merged = delta
+            # first commit still needs the zero-support prune: an
+            # intra-batch insert+delete (or same-value update) nets to
+            # cnt=0 and must not be persisted — state tracks LIVE
+            # distinct values from generation 1, not just from the
+            # second commit on
+            merged = delta.filter(F.col("cnt") != 0) if self.minmax else delta
         elif self.minmax:
             prev = self.spark.read.parquet(cur)
             merged = (

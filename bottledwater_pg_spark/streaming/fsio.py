@@ -53,17 +53,20 @@ def is_uri(path: str) -> bool:
     return "://" in path
 
 
-def _hadoop(path: str):
-    """(FileSystem, Path) for a URI, resolved through the active
-    SparkSession's JVM — the FileSystem instance is cached per
-    (scheme, authority, ugi) by Hadoop itself, so this is cheap to
-    call per operation."""
+def _jvm_session(path: str):
+    """The SparkSession whose JVM gateway URI ops ride, or a clear
+    error. ``getActiveSession`` is THREAD-LOCAL: a state op running on
+    a driver worker thread (MultiTableMaterializer fans per-table work
+    out to a pool) sees None there even while the session is alive —
+    fall back to the process-wide classic session
+    (``_instantiatedSession``, the Python mirror of the JVM's
+    process-wide default session; undocumented, hence the ``getattr``
+    guard). Under Spark Connect neither a JVM gateway nor that
+    attribute exists, so the failure is a named RuntimeError — URI
+    state paths need a classic JVM-backed session — not an
+    AttributeError three frames deeper."""
     from pyspark.sql import SparkSession
 
-    # getActiveSession is THREAD-LOCAL: a state op running on a driver
-    # worker thread (MultiTableMaterializer fans per-table work out to
-    # a pool) sees None there even while the session is alive — fall
-    # back to the process-wide instantiated session.
     spark = SparkSession.getActiveSession() or getattr(
         SparkSession, "_instantiatedSession", None
     )
@@ -73,6 +76,22 @@ def _hadoop(path: str):
             "(the Hadoop FileSystem rides the session's JVM); create "
             "the session before the streaming state object"
         )
+    if getattr(spark, "_jvm", None) is None:
+        raise RuntimeError(
+            f"URI state path {path!r} needs a classic JVM-backed "
+            "SparkSession; this runtime (Spark Connect?) exposes no "
+            "JVM gateway — run the state machinery on the cluster "
+            "driver, or use plain local paths"
+        )
+    return spark
+
+
+def _hadoop(path: str):
+    """(FileSystem, Path) for a URI, resolved through the active
+    SparkSession's JVM — the FileSystem instance is cached per
+    (scheme, authority, ugi) by Hadoop itself, so this is cheap to
+    call per operation."""
+    spark = _jvm_session(path)
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -173,11 +192,7 @@ def _read_text(path: str) -> str:
     fs, p = _hadoop(path)
     stream = fs.open(p)
     try:
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.getActiveSession() or getattr(
-            SparkSession, "_instantiatedSession", None
-        )
+        spark = _jvm_session(path)
         return spark._jvm.org.apache.commons.io.IOUtils.toString(
             stream, "UTF-8"
         )

@@ -21,8 +21,9 @@ single-writer table):
   tmp-recovery discipline is already crash-correct on stores without
   atomic overwrite-rename;
 * a generation directory is trusted only if its parquet job COMMITTED
-  (``_SUCCESS`` marker, or committed part files) — the manifest is
-  only ever flipped to a validated directory, and readers re-validate;
+  (the ``_SUCCESS`` marker — part files alone never count, a crashed
+  write leaves those) — the manifest is only ever flipped to a
+  validated directory, and readers validate on first resolve;
 * superseded generations (and pre-r13 legacy ``<name>`` /
   ``<name>.old`` / ``<name>.epochN`` dirs) are garbage-collected AFTER
   the flip; a crash between flip and GC leaves orphan directories the
@@ -108,10 +109,24 @@ class GenerationalState:
 
     @staticmethod
     def _committed(path: str) -> bool:
-        """A parquet dir is trusted only if its write job committed."""
+        """A parquet dir is trusted only if its write job COMMITTED —
+        the ``_SUCCESS`` marker specifically. Part files alone must
+        NOT count: a crashed write can leave complete-looking task
+        files with no job commit, and the legacy-adoption path would
+        otherwise trust that partial output as the current state.
+        (Requires the default
+        ``mapreduce.fileoutputcommitter.marksuccessfuljobs=true``;
+        every writer in this engine is a plain Spark parquet job, so
+        the marker is always produced on success.)"""
+        return fsio.isdir(path) and "_SUCCESS" in fsio.listdir(path)
+
+    @staticmethod
+    def _has_parts(path: str) -> bool:
+        """Any task output at all — used to tell 'never written'
+        (absence, fine) apart from 'written but never job-committed'
+        (corruption, must surface)."""
         return fsio.isdir(path) and any(
-            f == "_SUCCESS" or f.endswith(".parquet")
-            for f in fsio.listdir(path)
+            f.endswith(".parquet") for f in fsio.listdir(path)
         )
 
     # -- read side ----------------------------------------------------
@@ -124,10 +139,16 @@ class GenerationalState:
 
     def current_path(self) -> str | None:
         """The committed current state directory, or ``None`` if no
-        state was ever committed. Validates the marker before trusting
-        (a manifest naming an uncommitted dir is corruption, not
-        absence); a generation this instance already validated or
-        wrote itself is served from the cache."""
+        state was ever committed. The commit marker is validated ONCE
+        per instance — on the first disk read, or implicitly when this
+        instance flipped the pointer itself; after that the cached
+        pointer is served without re-validation (single-writer
+        contract: nothing may touch the live generation out-of-band,
+        and an out-of-band deletion after the first read surfaces as
+        the parquet read failing, not as
+        :class:`StateCorruptionError`). A manifest naming an
+        uncommitted dir on that first read IS corruption, not
+        absence."""
         if self._cached is not None:
             return os.path.join(self.state_dir, self._cached["dir"])
         m = self._manifest()
@@ -146,7 +167,17 @@ class GenerationalState:
         # pre-r13 layout: finish an interrupted legacy swap first
         self._recover_legacy()
         legacy = self._legacy_path()
-        return legacy if self._committed(legacy) else None
+        if self._committed(legacy):
+            return legacy
+        if self._has_parts(legacy):
+            raise StateCorruptionError(
+                f"legacy state dir {legacy!r} holds parquet part "
+                "files but no _SUCCESS marker — a crashed write's "
+                "partial output, not a committed state; delete the "
+                "directory to re-bootstrap (and replay the stream), "
+                "or restore a committed copy"
+            )
+        return None
 
     def _recover_legacy(self) -> None:
         """Pre-r13 swap crash window: no ``<name>`` dir but a complete
@@ -174,8 +205,8 @@ class GenerationalState:
         generations and any legacy dirs. The flip IS the commit."""
         if not self._committed(staged):
             raise ValueError(
-                f"refusing to promote {staged!r}: no committed parquet "
-                "content (_SUCCESS / part files)"
+                f"refusing to promote {staged!r}: the parquet job did "
+                "not commit (no _SUCCESS marker)"
             )
         base = os.path.basename(staged.rstrip("/"))
         prefix = f"{self.name}-g"
@@ -193,7 +224,10 @@ class GenerationalState:
         superseded generations, the legacy ``<name>`` dir and its
         ``.old`` / ``.epochN`` / ``.expire`` satellites. Failure-safe:
         everything here is unreferenced (the pointer already moved),
-        so a crash mid-GC just leaves orphans for the next call."""
+        so a partial delete or a raising ``rmtree`` (object stores can
+        fail mid-recursive-delete) just leaves orphans for the next
+        call — GC must never fail a commit the pointer flip already
+        made durable, hence the per-entry swallow."""
         prefix = f"{self.name}-g"
         for d in fsio.listdir(self.state_dir):
             if d == keep:
@@ -202,5 +236,8 @@ class GenerationalState:
                 if d.endswith((".json", ".json.tmp", ".txt")):
                     continue  # manifest / meta files live beside
                 p = os.path.join(self.state_dir, d)
-                if fsio.isdir(p):
-                    fsio.rmtree(p)
+                try:
+                    if fsio.isdir(p):
+                        fsio.rmtree(p)
+                except OSError:
+                    pass  # orphan stays; next commit's GC retries

@@ -1071,6 +1071,64 @@ class _SlicedDedupIndexBase:
             self._state_exists(n) for n in ("index",) + self.EXTRA_SLICES
         )
         self._have_accepted = self._state_exists("accepted")
+        self._bucket_meta_gate()
+
+    def _bucket_meta_gate(self) -> None:
+        """Persist ``base_buckets`` with the state and refuse to open
+        standing bucketed state under a different P — the same
+        discipline as the band-family/threshold gates. The hazard is
+        concrete: bucket runs are partitioned by ``pmod(xxhash64, P)``
+        at WRITE time, and the L1-cleanup floor is the min over the
+        CURRENT P's bucket epochs — opening old-P state under a new P
+        would let the floor pass (and delete) an L1 epoch whose rows
+        were only ever folded into old-P buckets the new floor never
+        consults: durable row loss from the index.
+
+        Legacy standing state with no record (pre-r14) is adopted only
+        if NO bucket run directory exists — then no rotation ever ran,
+        every bucket epoch is -1 under any P, and the floor stays
+        disabled until rotations under the declared P begin; if bucket
+        runs DO exist their P is unrecorded and unknowable from
+        layout, so the open is refused with the rebuild path."""
+        meta_path = os.path.join(self.state_dir, "bucket_meta.json")
+        meta = fsio.read_json_meta(meta_path)
+        if meta is not None:
+            stored = meta.get("base_buckets")
+            if stored != self.base_buckets:
+                raise ValueError(
+                    f"standing state at {self.state_dir!r} was built "
+                    f"with base_buckets={stored!r} but this index "
+                    f"declares base_buckets={self.base_buckets!r}; "
+                    "bucket runs are hash-partitioned at write time, "
+                    "so a different P silently mis-scopes the L1 "
+                    "cleanup floor — reopen with the stored P, or "
+                    "point at a fresh state_dir and replay the stream"
+                )
+            return
+        if (self._have_index or self._have_accepted) and \
+                self._existing_bucket_runs():
+            raise ValueError(
+                f"standing state at {self.state_dir!r} has rotated "
+                "base-bucket runs but no bucket_meta.json (pre-gate "
+                "layout) — the P they were hashed under is not "
+                "recoverable from the layout; rebuild from a fresh "
+                "state_dir (and replay the stream)"
+            )
+        fsio.write_json_meta(meta_path, {"base_buckets": self.base_buckets})
+
+    def _existing_bucket_runs(self) -> bool:
+        """Any ``run=__base<b>__`` directory across the slice roots —
+        evidence a bucketed rotation has run over this state."""
+        import re
+
+        pat = re.compile(r"^run=__base\d+__$")
+        for name in ("accepted", "index") + self.EXTRA_SLICES:
+            root = self._path(name)
+            if not fsio.isdir(root):
+                continue
+            if any(pat.match(d) for d in fsio.listdir(root)):
+                return True
+        return False
 
     # -- slice io -----------------------------------------------------
     def _state_exists(self, name: str) -> bool:

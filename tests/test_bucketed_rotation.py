@@ -126,9 +126,14 @@ def test_rotation_write_is_bucket_sized_not_state_sized(
         "O(state) leaked back into the fold"
     )
     # and the buckets partition the corpus: the union of final bucket
-    # snapshots + L1 + live equals the indexed corpus
+    # snapshots + L1 + live equals the indexed corpus. The reopen
+    # declares the SAME P — the r14 bucket_meta gate refuses any other
+    # (pinned in test_bucket_meta_gate_refuses_changed_p).
     assert _accepted(idx) == _accepted(
-        StreamingDedupIndex(spark, str(tmp_path / "s"), threshold=0.8)
+        StreamingDedupIndex(
+            spark, str(tmp_path / "s"), threshold=0.8,
+            l1_max=0, base_buckets=P,
+        )
     )
 
 
@@ -198,3 +203,72 @@ def test_rotation_crash_and_replay_windows(spark, sf_dir, tmp_path):
         plain.process_batch(b, e)
     idx.process_batch(batches[2], 2)
     assert _accepted(idx) == _accepted(plain)
+
+
+def test_bucket_meta_gate_refuses_changed_p(spark, sf_dir, tmp_path):
+    """base_buckets is persisted with the state (bucket_meta.json) and
+    a reopen under a different P is refused — bucket runs are
+    hash-partitioned at write time, so a changed P would mis-scope the
+    L1 cleanup floor (an L1 epoch could be deleted before any
+    current-P bucket folded its rows: durable index loss)."""
+    import pytest
+
+    corpus = _corpus(spark, sf_dir)
+    batches = _batches(corpus, [(0, 150), (150, 10**9)])
+    idx = StreamingDedupIndex(
+        spark, str(tmp_path / "g"), threshold=0.8,
+        fold_every=1, l1_max=0, base_buckets=3,
+    )
+    for e, b in enumerate(batches):
+        idx.process_batch(b, e)
+    for wrong in (4, None):
+        with pytest.raises(ValueError, match="base_buckets"):
+            StreamingDedupIndex(
+                spark, str(tmp_path / "g"), threshold=0.8,
+                fold_every=1, l1_max=0, base_buckets=wrong,
+            )
+    # the declared P reopens fine and reads the same accepted set
+    again = StreamingDedupIndex(
+        spark, str(tmp_path / "g"), threshold=0.8,
+        fold_every=1, l1_max=0, base_buckets=3,
+    )
+    assert _accepted(again) == _accepted(idx)
+
+
+def test_bucket_meta_gate_legacy_adoption(spark, sf_dir, tmp_path):
+    """Standing state with NO bucket_meta.json (pre-r14): adopted only
+    if no bucket run exists (then no rotation ever ran and any P is
+    safe — all bucket epochs start at -1); refused if bucket runs DO
+    exist, because the P they were hashed under is unrecoverable."""
+    import pytest
+
+    corpus = _corpus(spark, sf_dir)
+    batches = _batches(corpus, [(0, 150), (150, 10**9)])
+
+    # un-bucketed standing state, meta removed -> adoptable under any P
+    idx = StreamingDedupIndex(
+        spark, str(tmp_path / "a"), threshold=0.8, fold_every=1, l1_max=1,
+    )
+    idx.process_batch(batches[0], 0)
+    os.remove(tmp_path / "a" / "bucket_meta.json")
+    adopted = StreamingDedupIndex(
+        spark, str(tmp_path / "a"), threshold=0.8,
+        fold_every=1, l1_max=1, base_buckets=2,
+    )
+    adopted.process_batch(batches[1], 1)
+    assert os.path.exists(tmp_path / "a" / "bucket_meta.json")
+
+    # bucketed standing state, meta removed -> refused (P unknowable)
+    idx2 = StreamingDedupIndex(
+        spark, str(tmp_path / "b"), threshold=0.8,
+        fold_every=1, l1_max=0, base_buckets=2,
+    )
+    for e, b in enumerate(batches):
+        idx2.process_batch(b, e)
+    assert _bucket_dirs(str(tmp_path / "b" / "index"))
+    os.remove(tmp_path / "b" / "bucket_meta.json")
+    with pytest.raises(ValueError, match="bucket_meta"):
+        StreamingDedupIndex(
+            spark, str(tmp_path / "b"), threshold=0.8,
+            fold_every=1, l1_max=0, base_buckets=2,
+        )
