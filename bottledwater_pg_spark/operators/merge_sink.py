@@ -18,8 +18,16 @@ would be a one-function change):
   consistent key hashing.
 * Per batch: compact the batch, find its touched buckets (at most N
   small integers — driver-safe), read ONLY those buckets back
-  (partition pruning), merge latest-by-lsn, and dynamically overwrite
-  ONLY those partitions. Untouched buckets are never read or written.
+  (partition pruning), merge latest-by-lsn, and commit ONLY those
+  buckets. Untouched buckets are never read or written.
+* The commit is the manifest/pointer discipline
+  (:class:`~bottledwater_pg_spark.streaming.statecommit.BucketManifestState`):
+  the merged touched buckets land in a fresh generation directory and
+  ONE small JSON pointer flip maps them there — not Spark's dynamic
+  partition overwrite, whose rename-based committer is non-atomic on
+  object stores (a crash mid-rewrite corrupts the very ``prev`` state
+  a replayed ``merge_batch`` reads; the exact window statecommit.py
+  closed for the materializer and IVM in r13).
 * Cost per batch is O(|batch| + |touched buckets|), independent of
   total state size. With N sized so a bucket fits in executor memory
   (e.g. 100 TB / 64k buckets ~ 1.6 GB), every step stays bounded.
@@ -49,28 +57,27 @@ from bottledwater_pg_spark.operators.materialize import (
     drop_tombstones,
 )
 from bottledwater_pg_spark.streaming import fsio
+from bottledwater_pg_spark.streaming.statecommit import BucketManifestState
 
 STATE_COLS = ["key", "op", "lsn", "new_row"]
 
 
 class BucketedMergeSink:
-    """MERGE-style upsert sink over bucket-partitioned parquet state."""
+    """MERGE-style upsert sink over bucket-partitioned parquet state,
+    committed per bucket by manifest pointer flip."""
 
     def __init__(self, spark: SparkSession, state_dir: str, n_buckets: int = 64):
         self.spark = spark
         self.state_dir = state_dir
         self.n_buckets = n_buckets
         fsio.makedirs(state_dir)
+        # pre-r14 dynamic-overwrite layouts ("state/bucket=N") are
+        # adopted as generation 0 on first manifest load
+        self._mstate = BucketManifestState(state_dir, n_buckets, "state")
 
     # -- state io ---------------------------------------------------
-    def _state_path(self) -> str:
-        return os.path.join(self.state_dir, "state")
-
     def _has_state(self) -> bool:
-        p = self._state_path()
-        return fsio.isdir(p) and any(
-            e.startswith("bucket=") for e in fsio.listdir(p)
-        )
+        return bool(self._mstate.bucket_map())
 
     def _bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -78,11 +85,35 @@ class BucketedMergeSink:
             F.pmod(F.xxhash64("key"), F.lit(self.n_buckets)).cast("int"),
         )
 
+    def _read_buckets(self, buckets: list[int] | None) -> DataFrame | None:
+        """The state of the given buckets (None = every live bucket):
+        a union of at most min(n_buckets, #generations) pruned
+        directory reads. Each read is filtered to the buckets the
+        manifest maps to that directory, so a crash between pointer
+        flip and GC (superseded partitions still on disk) can never
+        leak stale rows into the merge."""
+        want = None if buckets is None else {int(b) for b in buckets}
+        parts = []
+        for d, bs in sorted(self._mstate.dir_buckets().items()):
+            keep = bs if want is None else sorted(want & set(bs))
+            if not keep:
+                continue
+            full = os.path.join(self.state_dir, d)
+            parts.append(
+                self.spark.read.option("basePath", full)
+                .parquet(full)
+                .filter(F.col("bucket").isin(keep))
+            )
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def state(self) -> DataFrame | None:
         """Full compacted state (tombstones included)."""
-        if not self._has_state():
-            return None
-        return self.spark.read.parquet(self._state_path())
+        return self._read_buckets(None)
 
     def current_rows(self, row_schema: T.StructType) -> DataFrame | None:
         """Typed live rows: tombstones filtered, payloads decoded."""
@@ -92,29 +123,44 @@ class BucketedMergeSink:
         return decode_rows(drop_tombstones(state), row_schema)
 
     # -- the merge --------------------------------------------------
+    def _commit_buckets(self, rows: DataFrame, touched: list[int]) -> None:
+        """Write ``rows`` (the new full content of exactly the
+        ``touched`` buckets) as the next generation and flip the
+        manifest. A touched bucket with no surviving rows produces no
+        ``bucket=`` partition and leaves the mapping — which is how
+        :meth:`expire_tombstones` physically empties a bucket (dynamic
+        partition overwrite silently could not: a partition with no
+        new rows was left untouched)."""
+        staged = self._mstate.staging_path()
+        (
+            rows.repartition(self.n_buckets, "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(staged)
+        )
+        self._mstate.promote(staged, touched)
+
     def merge_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
         """Upsert one micro-batch of envelope events into the state.
 
         Reads and rewrites only the buckets the batch's keys hash to;
-        safe to re-run on the same batch (foreachBatch replay).
+        safe to re-run on the same batch (foreachBatch replay): the
+        merge is latest-by-lsn, and a replay after a crash BEFORE the
+        pointer flip overwrites its own orphaned staging dir.
         """
         compacted = self._bucket(compact(batch))
-        if not self._has_state():
-            (
-                compacted.select(*STATE_COLS, "bucket")
-                .repartition(self.n_buckets, "bucket")
-                .write.partitionBy("bucket")
-                .mode("overwrite")
-                .parquet(self._state_path())
-            )
-            return
         # at most n_buckets small ints — driver-safe at any data scale
         touched = [
             r["bucket"] for r in compacted.select("bucket").distinct().collect()
         ]
-        prev = self.spark.read.parquet(self._state_path()).filter(
-            F.col("bucket").isin(touched)
-        )
+        if not touched:
+            return  # empty batch: no commit at all
+        prev = self._read_buckets(touched)
+        if prev is None:
+            self._commit_buckets(
+                compacted.select(*STATE_COLS, "bucket"), touched
+            )
+            return
         merged = (
             prev.select(*STATE_COLS, "bucket")
             .unionByName(compacted.select(*STATE_COLS, "bucket"))
@@ -132,13 +178,7 @@ class BucketedMergeSink:
                 F.col("last.bucket").alias("bucket"),
             )
         )
-        (
-            merged.repartition(self.n_buckets, "bucket")
-            .write.partitionBy("bucket")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(self._state_path())
-        )
+        self._commit_buckets(merged, touched)
 
     # -- maintenance ------------------------------------------------
     def expire_tombstones(self, min_live_lsn: int) -> int:
@@ -161,16 +201,27 @@ class BucketedMergeSink:
         ]
         if not affected:
             return 0
-        (
-            state.filter(F.col("bucket").isin(affected))
+        survivors = (
+            self._read_buckets(affected)
             .filter(~expired)
-            .repartition(self.n_buckets, "bucket")
-            .write.partitionBy("bucket")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(self._state_path())
+            .select(*STATE_COLS, "bucket")
         )
+        self._commit_buckets(survivors, affected)
         return len(affected)
+
+    def compact_state(self) -> int:
+        """Squash every live bucket into ONE generation directory —
+        bounds the read-side union width (the number of distinct
+        generation dirs the manifest references, which otherwise grows
+        toward min(n_buckets, commit count)). O(state) by design; run
+        it as a periodic maintenance job, like a full topic
+        compaction. Returns the number of buckets rewritten."""
+        state = self.state()
+        if state is None:
+            return 0
+        live = sorted(self._mstate.bucket_map())
+        self._commit_buckets(state.select(*STATE_COLS, "bucket"), live)
+        return len(live)
 
     # -- streaming entry -------------------------------------------
     def start(self, events_stream: DataFrame, checkpoint_dir: str):

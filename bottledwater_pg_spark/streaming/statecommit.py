@@ -241,3 +241,224 @@ class GenerationalState:
                         fsio.rmtree(p)
                 except OSError:
                     pass  # orphan stays; next commit's GC retries
+
+
+class BucketManifestState:
+    """Pointer-committed parquet state PARTITIONED into hash buckets:
+    one small JSON manifest maps every bucket to the generation
+    directory holding its current rows, so a commit that touches k
+    buckets writes ONE k-bucket generation dir and flips the pointer —
+    O(touched buckets) data written per commit, never O(state), and no
+    directory rename anywhere (the :class:`GenerationalState`
+    discipline, applied per bucket; the same shape Iceberg/Delta use
+    for partition-granular MERGE commits).
+
+    Layout under ``state_dir``::
+
+        <name>_manifest.json      {"gen": N, "n_buckets": B,
+                                   "buckets": {"<b>": "<name>-g<k>"}}
+        <name>-g<k>/              one committed parquet job
+            _SUCCESS              (required — parts alone never count)
+            bucket=<b>/part-*.parquet
+
+    Commit protocol (single writer):
+
+    * stage: write the merged rows of the touched buckets, partitioned
+      by ``bucket``, into the unique next generation dir;
+    * flip: rewrite the manifest with the touched buckets remapped to
+      the new dir (a touched bucket whose ``bucket=<b>`` partition is
+      ABSENT from the staged dir produced no rows — it leaves the
+      mapping: an empty bucket has no state);
+    * GC: in every generation dir, ``bucket=`` partitions the manifest
+      no longer references are removed; a generation dir left with no
+      referenced bucket is removed whole. All GC'd paths are
+      unreferenced (the pointer already moved), so GC is per-entry
+      failure-safe, like :meth:`GenerationalState._gc`.
+
+    Crash windows are exactly :mod:`~.statecommit`'s: mid-stage and
+    stage-without-flip leave an unreferenced orphan the replayed
+    commit overwrites (generation numbers are unique per attempt only
+    across COMMITTED generations — a replay reuses the same number and
+    ``mode=overwrite`` clobbers the orphan); mid-flip is covered by
+    ``write_json_meta``'s tmp discipline; flip-without-GC leaves
+    superseded partitions the next GC sweeps.
+
+    Read side: the live state is the union of at most
+    ``min(n_buckets, #generations)`` directory reads (each filtered to
+    the buckets the manifest maps there — partition pruning makes that
+    free). Long-running writers bound the union width with a periodic
+    whole-state compaction commit (see
+    ``BucketedMergeSink.compact_state``).
+
+    ``n_buckets`` is persisted in the manifest and a mismatched reopen
+    is refused: bucket assignment is ``pmod(xxhash64(key), N)`` at
+    write time, so a different N would misroute every future merge.
+
+    Legacy adoption: a pre-r14 ``<name>`` directory (Spark dynamic
+    partition overwrite layout: ``bucket=`` children plus a root
+    ``_SUCCESS``) is adopted as generation 0 — every observed bucket
+    maps to it — then superseded partition-by-partition by new
+    commits and GC'd away. Parts without the root ``_SUCCESS`` raise
+    :class:`StateCorruptionError` (a crashed write, not a state).
+
+    Reference analog: the compacted-topic state the reference keeps in
+    Kafka is committed by the broker per PARTITION segment, never by
+    whole-log rewrite (kafka/bottledwater.c:784-808 hash-partitions by
+    key; README.md:283-297 delegates retention/compaction) — this is
+    that per-partition commit ownership on a plain FileSystem."""
+
+    def __init__(self, state_dir: str, n_buckets: int,
+                 name: str = "state"):
+        self.state_dir = state_dir
+        self.name = name
+        self.n_buckets = int(n_buckets)
+        # single-writer manifest cache (see GenerationalState._cached)
+        self._cached: dict | None = None
+
+    # -- layout -------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.state_dir, f"{self.name}_manifest.json")
+
+    def _gen_dir_name(self, gen: int) -> str:
+        return f"{self.name}-g{gen}"
+
+    def _legacy_path(self) -> str:
+        return os.path.join(self.state_dir, self.name)
+
+    # -- read side ----------------------------------------------------
+    def _load(self) -> dict:
+        """The manifest (cached after first read): ``{"gen": N,
+        "n_buckets": B, "buckets": {str(b): dirname}}``. First read
+        gates n_buckets and adopts a legacy layout."""
+        if self._cached is not None:
+            return self._cached
+        m = fsio.read_json_meta(self._manifest_path())
+        if m is not None:
+            if int(m["n_buckets"]) != self.n_buckets:
+                raise ValueError(
+                    f"state at {self.state_dir!r} was committed with "
+                    f"n_buckets={m['n_buckets']} but this writer "
+                    f"declares n_buckets={self.n_buckets}; bucket "
+                    "assignment is hashed at write time, so a changed "
+                    "N misroutes every merge — reopen with the stored "
+                    "N, or rebuild from a fresh state_dir"
+                )
+            self._cached = m
+            return m
+        legacy = self._legacy_path()
+        if fsio.isdir(legacy):
+            entries = fsio.listdir(legacy)
+            buckets = sorted(
+                int(e[len("bucket="):])
+                for e in entries
+                if e.startswith("bucket=")
+            )
+            if buckets and "_SUCCESS" not in entries:
+                raise StateCorruptionError(
+                    f"legacy bucketed state {legacy!r} has bucket "
+                    "partitions but no _SUCCESS marker — a crashed "
+                    "write's partial output; delete the directory to "
+                    "re-bootstrap (and replay the stream), or restore "
+                    "a committed copy"
+                )
+            if buckets:
+                if buckets[-1] >= self.n_buckets:
+                    raise ValueError(
+                        f"legacy state {legacy!r} holds bucket="
+                        f"{buckets[-1]} but this writer declares "
+                        f"n_buckets={self.n_buckets}; reopen with the "
+                        "N it was built with"
+                    )
+                m = {
+                    "gen": 0,
+                    "n_buckets": self.n_buckets,
+                    "buckets": {str(b): self.name for b in buckets},
+                }
+                # durable adoption (idempotent): future opens resolve
+                # through the manifest even before the first new commit
+                fsio.write_json_meta(self._manifest_path(), m)
+                self._cached = m
+                return m
+        m = {"gen": 0, "n_buckets": self.n_buckets, "buckets": {}}
+        self._cached = m
+        return m
+
+    def bucket_map(self) -> dict[int, str]:
+        """bucket -> generation dir NAME for every bucket with state."""
+        return {int(b): d for b, d in self._load()["buckets"].items()}
+
+    def dir_buckets(self) -> dict[str, list[int]]:
+        """generation dir name -> the buckets it currently serves."""
+        out: dict[str, list[int]] = {}
+        for b, d in self.bucket_map().items():
+            out.setdefault(d, []).append(b)
+        return {d: sorted(bs) for d, bs in out.items()}
+
+    # -- write side ---------------------------------------------------
+    def staging_path(self) -> str:
+        """Where the next commit's touched-bucket rows must be written
+        (``partitionBy("bucket")``, mode=overwrite), then
+        :meth:`promote`-d."""
+        return os.path.join(
+            self.state_dir, self._gen_dir_name(self._load()["gen"] + 1)
+        )
+
+    def promote(self, staged: str, touched: list[int]) -> None:
+        """Flip the manifest: every bucket in ``touched`` now maps to
+        ``staged`` (or, if the staged job produced no rows for it,
+        drops out of the mapping — the bucket is empty). Then GC
+        superseded partitions. The manifest write IS the commit."""
+        base = os.path.basename(staged.rstrip("/"))
+        prefix = f"{self.name}-g"
+        if not base.startswith(prefix):
+            raise ValueError(f"not a staged generation dir: {staged!r}")
+        gen = int(base[len(prefix):])
+        if not (fsio.isdir(staged) and "_SUCCESS" in fsio.listdir(staged)):
+            raise ValueError(
+                f"refusing to promote {staged!r}: the parquet job did "
+                "not commit (no _SUCCESS marker)"
+            )
+        present = {
+            int(e[len("bucket="):])
+            for e in fsio.listdir(staged)
+            if e.startswith("bucket=")
+        }
+        m = self._load()
+        buckets = dict(m["buckets"])
+        for b in touched:
+            if int(b) in present:
+                buckets[str(int(b))] = base
+            else:
+                buckets.pop(str(int(b)), None)
+        m = {"gen": gen, "n_buckets": self.n_buckets, "buckets": buckets}
+        fsio.write_json_meta(self._manifest_path(), m)
+        self._cached = m
+        self._gc()
+
+    def _gc(self) -> None:
+        """Remove everything the manifest no longer references:
+        un-referenced ``bucket=`` partitions inside generation dirs,
+        generation dirs with no referenced bucket left, and the legacy
+        dir once fully superseded. Per-entry failure-safe — all GC'd
+        paths are unreferenced, a partial sweep just leaves orphans
+        for the next commit."""
+        live = self.dir_buckets()
+        prefix = f"{self.name}-g"
+        for d in fsio.listdir(self.state_dir):
+            if not (d.startswith(prefix) or d == self.name):
+                continue
+            p = os.path.join(self.state_dir, d)
+            try:
+                if not fsio.isdir(p):
+                    continue
+                keep = set(live.get(d, ()))
+                if not keep:
+                    fsio.rmtree(p)
+                    continue
+                for e in fsio.listdir(p):
+                    if not e.startswith("bucket="):
+                        continue
+                    if int(e[len("bucket="):]) not in keep:
+                        fsio.rmtree(os.path.join(p, e))
+            except OSError:
+                pass  # orphan stays; next commit's GC retries

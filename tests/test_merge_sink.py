@@ -27,13 +27,16 @@ def _lsn_batches(events, n=3):
     ]
 
 
-def _bucket_listing(state_path):
+def _bucket_listing(sink):
+    """bucket -> (generation dir, parquet files) from the live
+    manifest — the physical identity of each bucket's current state."""
     out = {}
-    for d in os.listdir(state_path):
-        if d.startswith("bucket="):
-            out[d] = sorted(
-                f for f in os.listdir(os.path.join(state_path, d))
-                if f.endswith(".parquet")
+    for d, bs in sink._mstate.dir_buckets().items():
+        for b in bs:
+            p = os.path.join(sink.state_dir, d, f"bucket={b}")
+            out[b] = (
+                d,
+                sorted(f for f in os.listdir(p) if f.endswith(".parquet")),
             )
     return out
 
@@ -76,8 +79,7 @@ def test_untouched_buckets_not_rewritten(spark, tmp_path):
     events = customer_cdc(spark, SF_DIR).cache()
     sink = BucketedMergeSink(spark, str(tmp_path / "st"), n_buckets=16)
     sink.merge_batch(events)  # full load
-    state_path = sink._state_path()
-    before = _bucket_listing(state_path)
+    before = _bucket_listing(sink)
 
     # a second batch touching exactly one key
     one = events.filter(F.col("key").isNotNull()).orderBy("lsn").limit(1)
@@ -87,9 +89,9 @@ def test_untouched_buckets_not_rewritten(spark, tmp_path):
     )
     sink.merge_batch(bumped)
 
-    after = _bucket_listing(state_path)
-    changed = {d for d in before if before[d] != after.get(d)}
-    assert changed <= {f"bucket={touched_bucket}"}
+    after = _bucket_listing(sink)
+    changed = {b for b in before if before[b] != after.get(b)}
+    assert changed <= {touched_bucket}
     # and the touched bucket actually took the new event
     winner = sink.state().filter(
         F.col("key") == one.first()["key"]
@@ -131,9 +133,7 @@ def test_state_read_partition_prunes_on_bucket(spark, tmp_path):
     events = customer_cdc(spark, SF_DIR)
     sink = BucketedMergeSink(spark, str(tmp_path / "st"), n_buckets=16)
     sink.merge_batch(events)
-    pruned = spark.read.parquet(sink._state_path()).filter(
-        F.col("bucket").isin([3, 7])
-    )
+    pruned = sink.state().filter(F.col("bucket").isin([3, 7]))
     plan = formatted_plan(pruned)
     assert "PartitionFilters" in plan and "bucket" in plan.split(
         "PartitionFilters"
@@ -160,3 +160,121 @@ def test_expire_tombstones_drops_only_expired(spark, tmp_path):
     assert after.filter(F.col("op") != "delete").count() == n_live
     # a second expiry pass is a no-op
     assert sink.expire_tombstones(cutoff) == 0
+
+
+def _legacy_write(spark, sink_cls, events, path, n_buckets):
+    """Forge a pre-r14 layout: dynamic-partition-overwrite state dir
+    (bucket= children + root _SUCCESS), no manifest."""
+    from bottledwater_pg_spark.operators.materialize import compact
+
+    tmp_sink = sink_cls(spark, str(path) + ".scratch", n_buckets=n_buckets)
+    bucketed = tmp_sink._bucket(compact(events)).select(
+        "key", "op", "lsn", "new_row", "bucket"
+    )
+    (
+        bucketed.repartition(n_buckets, "bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(os.path.join(str(path), "state"))
+    )
+
+
+def test_legacy_layout_adopted_then_superseded(spark, tmp_path):
+    """A pre-r14 dynamic-overwrite state dir is adopted as generation
+    0 through the manifest, reads identically, and is superseded
+    partition-by-partition (GC'd once no bucket references it)."""
+    events = customer_cdc(spark, SF_DIR).cache()
+    st = tmp_path / "st"
+    os.makedirs(st)
+    _legacy_write(spark, BucketedMergeSink, events, st, 8)
+    from bottledwater_pg_spark.operators.materialize import compact
+
+    sink = BucketedMergeSink(spark, str(st), n_buckets=8)
+    assert _rows(sink.state().select("key", "lsn")) == _rows(
+        compact(events).select("key", "lsn")
+    )
+    assert os.path.exists(st / "state_manifest.json")
+    # merging every bucket again supersedes the whole legacy dir
+    bumped = events.withColumn("lsn", F.col("lsn") + F.lit(10_000_000))
+    sink.merge_batch(bumped)
+    assert not os.path.isdir(st / "state")  # GC'd away
+    assert sink.state().agg(F.min("lsn")).first()[0] > 10_000_000
+    events.unpersist()
+
+
+def test_legacy_parts_without_success_refused(spark, tmp_path):
+    """A legacy dir holding bucket partitions but no root _SUCCESS is
+    a crashed write's partial output — adoption must refuse loudly,
+    not trust it as the current state."""
+    import pytest
+
+    from bottledwater_pg_spark.streaming.statecommit import (
+        StateCorruptionError,
+    )
+
+    events = customer_cdc(spark, SF_DIR)
+    st = tmp_path / "st"
+    os.makedirs(st)
+    _legacy_write(spark, BucketedMergeSink, events, st, 8)
+    os.remove(st / "state" / "_SUCCESS")
+    sink = BucketedMergeSink(spark, str(st), n_buckets=8)
+    with pytest.raises(StateCorruptionError, match="_SUCCESS"):
+        sink.state()
+
+
+def test_n_buckets_gate_refuses_mismatch(spark, tmp_path):
+    """n_buckets is persisted in the manifest; a reopen under a
+    different N is refused (bucket assignment is hashed at write time,
+    so a changed N would misroute every merge)."""
+    import pytest
+
+    events = customer_cdc(spark, SF_DIR)
+    sink = BucketedMergeSink(spark, str(tmp_path / "st"), n_buckets=16)
+    sink.merge_batch(events)
+    other = BucketedMergeSink(spark, str(tmp_path / "st"), n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        other.state()
+
+
+def test_expiry_can_empty_a_bucket(spark, tmp_path):
+    """A bucket whose every row is an expired tombstone disappears
+    from the manifest entirely — the dynamic-overwrite sink could not
+    physically empty a partition (a write with no rows for it left the
+    old files in place)."""
+    from pyspark.sql import Row
+
+    sink = BucketedMergeSink(spark, str(tmp_path / "st"), n_buckets=4)
+    # craft one bucket that holds ONLY tombstones
+    rows = [
+        Row(key=f'{{"k":{i}}}', op="delete", lsn=i + 1, new_row=None)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "key string, op string, lsn long, new_row string")
+    sink.merge_batch(df)
+    assert len(sink._mstate.bucket_map()) > 0
+    n = sink.expire_tombstones(10_000)
+    assert n > 0
+    assert sink.state() is None  # every bucket emptied and unmapped
+    assert sink._mstate.bucket_map() == {}
+
+
+def test_compact_state_bounds_generation_count(spark, tmp_path):
+    """Many partial-touch merges accumulate generation dirs; the
+    maintenance compaction squashes every live bucket into ONE
+    generation without changing the state."""
+    events = customer_cdc(spark, SF_DIR).cache()
+    sink = BucketedMergeSink(spark, str(tmp_path / "st"), n_buckets=16)
+    batches = _lsn_batches(events, n=5)
+    for b in batches:
+        sink.merge_batch(b)
+    before = _rows(sink.state())
+    assert len(sink._mstate.dir_buckets()) > 1
+    assert sink.compact_state() == len(sink._mstate.bucket_map())
+    assert len(sink._mstate.dir_buckets()) == 1
+    assert _rows(sink.state()) == before
+    # on-disk: exactly one generation dir remains
+    gens = [
+        d for d in os.listdir(tmp_path / "st") if d.startswith("state-g")
+    ]
+    assert len(gens) == 1
+    events.unpersist()

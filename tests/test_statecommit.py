@@ -291,3 +291,126 @@ def test_materializer_commit_on_file_uri_state(spark, sf_dir, tmp_path):
     dirs = [d for d in os.listdir(local) if os.path.isdir(
         os.path.join(local, d))]
     assert dirs == ["state-g2"]
+
+
+def test_merge_sink_lifecycle_without_rename(spark, tmp_path, no_rename):
+    """Full BucketedMergeSink flow — sequenced merges, process
+    restart, replayed batch, tombstone expiry — with ``fsio.rename``
+    stubbed to RAISE: the per-bucket manifest commit must never need a
+    directory rename (the pre-r14 sink committed via dynamic partition
+    overwrite — Spark's rename-based committer — the last component
+    with the object-store rename seam)."""
+    from bottledwater_pg_spark.operators.cdc_queries import customer_cdc
+    from bottledwater_pg_spark.operators.materialize import (
+        compact,
+        latest_by_key,
+    )
+    from bottledwater_pg_spark.operators.merge_sink import BucketedMergeSink
+
+    events = customer_cdc(spark, SF_DIR).cache()
+    try:
+        lo, hi = events.agg(F.min("lsn"), F.max("lsn")).first()
+        mid = (lo + hi) // 2
+        b1 = events.filter(F.col("lsn") <= mid)
+        b2 = events.filter(F.col("lsn") > mid)
+        st = str(tmp_path / "st")
+        sink = BucketedMergeSink(spark, st, n_buckets=8)
+        sink.merge_batch(b1, 0)
+        sink.merge_batch(b2, 1)
+        # process restart resolves the standing state via the manifest
+        sink2 = BucketedMergeSink(spark, st, n_buckets=8)
+        before = sorted(map(tuple, sink2.state().collect()))
+        sink2.merge_batch(b2, 1)  # foreachBatch replay: idempotent
+        assert sorted(map(tuple, sink2.state().collect())) == before
+        want = sorted(
+            map(
+                tuple,
+                compact(events)
+                .select("key", "op", "lsn", "new_row")
+                .collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                sink2.state().select("key", "op", "lsn", "new_row").collect(),
+            )
+        )
+        assert got == want
+        # expiry commits through the same pointer discipline
+        cutoff = events.agg(F.max("lsn")).first()[0] + 1
+        assert sink2.expire_tombstones(cutoff) > 0
+        live = sorted(
+            map(
+                tuple,
+                latest_by_key(events).select("key", "lsn").collect(),
+            )
+        )
+        assert (
+            sorted(map(tuple, sink2.state().select("key", "lsn").collect()))
+            == live
+        )
+        assert no_rename == []  # never even attempted
+    finally:
+        events.unpersist()
+
+
+def test_merge_sink_crash_before_flip_replays_clean(spark, tmp_path):
+    """Crash AFTER the staged generation write but BEFORE the pointer
+    flip: the manifest still maps every bucket to the old generation,
+    the orphan is invisible, and the replayed batch overwrites it and
+    commits — no duplicate or stale row."""
+    from bottledwater_pg_spark.operators.cdc_queries import customer_cdc
+    from bottledwater_pg_spark.operators.materialize import compact
+    from bottledwater_pg_spark.operators.merge_sink import BucketedMergeSink
+
+    events = customer_cdc(spark, SF_DIR).cache()
+    try:
+        lo, hi = events.agg(F.min("lsn"), F.max("lsn")).first()
+        mid = (lo + hi) // 2
+        b1 = events.filter(F.col("lsn") <= mid)
+        b2 = events.filter(F.col("lsn") > mid)
+        st = str(tmp_path / "st")
+        sink = BucketedMergeSink(spark, st, n_buckets=8)
+        sink.merge_batch(b1, 0)
+        snap = sorted(map(tuple, sink.state().collect()))
+
+        # stage batch 2's generation fully, "crash" before promote
+        real_promote = sink._mstate.promote
+        sink._mstate.promote = lambda staged, touched: None
+        sink.merge_batch(b2, 1)
+        sink._mstate.promote = real_promote
+        orphan = [
+            d for d in os.listdir(st) if d.startswith("state-g")
+        ]
+        # a fresh instance sees only the committed generation
+        sink2 = BucketedMergeSink(spark, st, n_buckets=8)
+        assert sorted(map(tuple, sink2.state().collect())) == snap
+        sink2.merge_batch(b2, 1)  # the replay
+        want = sorted(
+            map(
+                tuple,
+                compact(events)
+                .select("key", "op", "lsn", "new_row")
+                .collect(),
+            )
+        )
+        assert (
+            sorted(
+                map(
+                    tuple,
+                    sink2.state()
+                    .select("key", "op", "lsn", "new_row")
+                    .collect(),
+                )
+            )
+            == want
+        )
+        # the orphan generation was overwritten or GC'd, not leaked
+        live_dirs = set(sink2._mstate.dir_buckets())
+        for d in os.listdir(st):
+            if d.startswith("state-g"):
+                assert d in live_dirs
+        assert orphan  # the crash really staged something
+    finally:
+        events.unpersist()
