@@ -90,6 +90,16 @@ def _fold_legacy_run_slices(
     mode."""
     import hashlib
 
+    # URI state/checkpoint paths cannot hold legacy-keyed runs: the
+    # pre-normalization machinery was os.path-only (URI support
+    # arrived WITH fsio, after the run-key fix), so a legacy layout is
+    # only ever a local-filesystem artifact. Encoding that here keeps
+    # the shim's per-epoch directory renames — fine on the atomic-
+    # rename filesystems that could have produced the layout — off
+    # object stores entirely, where a crash mid-move would strand an
+    # epoch slice between two run dirs.
+    if fsio.is_uri(checkpoint_dir) or any(fsio.is_uri(r) for r in roots):
+        return 0
     current = _run_key_of(checkpoint_dir)
     legacies = [
         hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:12],

@@ -171,7 +171,13 @@ def test_merge_sink_on_file_uri_state(spark, sf_dir, tmp_path):
         # replay is idempotent through the URI branch too
         sink.merge_batch(events, 0)
         assert drop_tombstones(sink.state()).count() == n
-        assert (tmp_path / "sink_state" / "state").is_dir()
+        # r14 layout: manifest + generation dirs, committed through
+        # the Hadoop branch
+        assert (tmp_path / "sink_state" / "state_manifest.json").is_file()
+        assert any(
+            d.startswith("state-g")
+            for d in os.listdir(tmp_path / "sink_state")
+        )
     finally:
         events.unpersist()
 
@@ -201,3 +207,41 @@ def test_fsio_uri_ops_work_from_worker_threads(spark, tmp_path):
     with ThreadPoolExecutor(max_workers=2) as pool:
         results = list(pool.map(lambda _: probe(), range(4)))
     assert all(r == (True, 1) for r in results)
+
+
+def test_fold_legacy_run_slices_is_noop_on_uri_paths(spark, tmp_path):
+    """The legacy run-key fold moves epoch dirs by RENAME — fine on
+    the atomic-rename local filesystems that could have produced a
+    legacy layout, hostile on object stores. URI checkpoints/roots
+    cannot hold legacy-keyed runs (the pre-normalization machinery was
+    os.path-only, predating URI support), so the shim must skip them
+    entirely — even if a same-shaped directory exists."""
+    import hashlib
+
+    from bottledwater_pg_spark.streaming.stream import (
+        _fold_legacy_run_slices,
+        _run_key_of,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    root = tmp_path / "root"
+    # forge a dir named like a legacy-keyed run
+    legacy_key = hashlib.md5(ckpt.encode("utf-8")).hexdigest()[:12]
+    legacy_dir = root / f"run={legacy_key}" / "epoch=0"
+    os.makedirs(legacy_dir)
+    (legacy_dir / "marker.txt").write_text("x")
+
+    # URI root: no-op, nothing moved, nothing raised
+    assert _fold_legacy_run_slices((_uri(root),), ckpt) == 0
+    assert legacy_dir.is_dir()
+    # URI checkpoint: same
+    assert _fold_legacy_run_slices((str(root),), "file://" + ckpt) == 0
+    assert legacy_dir.is_dir()
+
+    # plain local paths still fold (the pre-r14 behavior)
+    folded = _fold_legacy_run_slices((str(root),), ckpt)
+    assert folded == 1
+    assert not (root / f"run={legacy_key}").exists()
+    assert (
+        root / f"run={_run_key_of(ckpt)}" / "epoch=0" / "marker.txt"
+    ).is_file()
