@@ -258,7 +258,8 @@ def banded_minhash_from_shingles(sh: DataFrame, num_hashes: int = 32,
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.6, id_col: str = "doc_id",
                       text_col: str = "text", n: int = 3,
-                      shingles: DataFrame | None = None) -> DataFrame:
+                      shingles: DataFrame | None = None,
+                      max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs via banded MinHash LSH + exact Jaccard verify.
 
     rows-per-band = num_hashes/bands; candidate pairs are an equi-join
@@ -270,6 +271,23 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
     instead of deriving one from ``df`` — ensemble callers that feed
     several modalities from one tokenization pass share it (the
     identical expression, so results are unchanged).
+
+    ``max_bucket``: hot-bucket escape hatch for boilerplate cohorts.
+    A band bucket shared by m docs yields C(m,2) candidate pairs, and
+    when the cohort is mutually near-identical (the input family that
+    MAKES buckets hot — license pages, captchas, templated stubs)
+    those pairs are TRUE output: the blow-up is semantic, exactly the
+    containment df_cap situation (scripts/lsh_skew.py measures it).
+    With ``max_bucket=c``, buckets with more than c members emit only
+    the SPANNING STAR (min-sid representative x each other member):
+    m-1 candidates instead of C(m,2). Every candidate is still
+    exact-Jaccard verified, so precision is unchanged; within-bucket
+    pair recall drops from all-pairs to a spanning set — which
+    preserves the CONNECTED COMPONENTS of the pair graph whenever the
+    hot bucket is a mutual-similarity cohort (the downstream
+    dedup-clustering contract; hash-certified on the boilerplate
+    fixture by the ``lsh_hot_bucket_capped_clusters`` oracle). Normal
+    buckets are untouched.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
@@ -302,13 +320,41 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
             "sid", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
         )
     )
-    candidates = (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bsig"])
-        .filter(F.col("a.sid") < F.col("b.sid"))
-        .select(F.col("a.sid").alias("a_id"), F.col("b.sid").alias("b_id"))
-        .distinct()
-    )
+    if max_bucket is None:
+        candidates = (
+            banded.alias("a")
+            .join(banded.alias("b"), ["band", "bsig"])
+            .filter(F.col("a.sid") < F.col("b.sid"))
+            .select(F.col("a.sid").alias("a_id"), F.col("b.sid").alias("b_id"))
+            .distinct()
+        )
+    else:
+        from pyspark.sql import Window
+
+        # one shuffle on (band, bsig) serves both window functions
+        w = Window.partitionBy("band", "bsig")
+        counted = banded.withColumn("_n", F.count("*").over(w)).withColumn(
+            "_rep", F.min("sid").over(w)
+        )
+        normal = counted.filter(F.col("_n") <= max_bucket).select(
+            "band", "bsig", "sid"
+        )
+        cand_normal = (
+            normal.alias("a")
+            .join(normal.alias("b"), ["band", "bsig"])
+            .filter(F.col("a.sid") < F.col("b.sid"))
+            .select(
+                F.col("a.sid").alias("a_id"), F.col("b.sid").alias("b_id")
+            )
+        )
+        # hot buckets: spanning star, m-1 candidates instead of C(m,2)
+        cand_hot = (
+            counted.filter(
+                (F.col("_n") > max_bucket) & (F.col("sid") != F.col("_rep"))
+            )
+            .select(F.col("_rep").alias("a_id"), F.col("sid").alias("b_id"))
+        )
+        candidates = cand_normal.unionByName(cand_hot).distinct()
     # exact verify on candidates only, reusing the cached shingles
     sh = sh_cached
     sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))

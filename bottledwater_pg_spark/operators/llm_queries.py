@@ -1115,10 +1115,118 @@ SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id
 """
 
 
+# ----------------------------------------------- hot-bucket capped LSH
+
+#: identical "license footer" page text — the input family that makes
+#: LSH band buckets hot at crawl scale (one bucket per band holds the
+#: whole cohort, so uncapped candidates grow C(m,2) — semantic, not a
+#: blocking bug; measured in scripts/lsh_skew.py / SCALE.md r14)
+BOILER_FOOTER = (
+    "this page is licensed under the apache license version two "
+    "point zero see the license file for details"
+)
+BOILER_M = 60
+BOILER_BASE = 900000
+LSH_MAX_BUCKET = 16
+
+
+def docs_with_boiler_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup corpus plus ``BOILER_M`` IDENTICAL pure-footer
+    pages — a deterministic adversarial cohort whose every band bucket
+    exceeds ``LSH_MAX_BUCKET``."""
+    boiler = spark.range(BOILER_M).select(
+        (F.col("id") + BOILER_BASE).alias("doc_id"),
+        F.lit(BOILER_FOOTER).alias("text"),
+    )
+    return docs_with_near_dups(spark, sf_dir).unionByName(boiler)
+
+
+def lsh_hot_bucket_capped_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup clusters from HOT-BUCKET-CAPPED MinHash-LSH pairs on the
+    boilerplate-cohort fixture: buckets over ``LSH_MAX_BUCKET`` emit
+    only the spanning star (see ``dedup.minhash_lsh_pairs``
+    ``max_bucket``), so the cohort contributes O(m) candidates instead
+    of C(m,2) — yet the CONNECTED COMPONENTS equal the brute-force
+    all-pairs clustering, because a mutually-near-identical cohort is
+    a clique and a verified star spans it. That component equality is
+    exactly what this oracle certifies (DuckDB: exact-Jaccard pairs +
+    WITH RECURSIVE closure over the same fixture).
+    """
+    from pyspark import StorageLevel
+
+    from bottledwater_pg_spark.operators.graph import connected_components
+
+    corpus = persist_tracked(
+        docs_with_boiler_cohort(spark, sf_dir), StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = persist_tracked(
+        dedup.minhash_lsh_pairs(
+            corpus,
+            num_hashes=32,
+            bands=16,
+            threshold=JACCARD_THRESHOLD,
+            max_bucket=LSH_MAX_BUCKET,
+        ).select("a_id", "b_id"),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    comp = connected_components(pairs, "a_id", "b_id")
+    return (
+        corpus.select("doc_id")
+        .join(comp, corpus.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+
+
+BOILER_CLUSTER_SQL = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || '{NEAR_SUFFIX}' AS text
+  FROM documents WHERE doc_id % {NEAR_COPY_MOD} = 0
+  UNION ALL
+  SELECT {BOILER_BASE} + i AS doc_id, '{BOILER_FOOTER}' AS text
+  FROM range({BOILER_M}) t(i)
+),
+sh AS (
+  SELECT doc_id AS sid, unnest({_SHINGLES}) AS shingle FROM corpus
+),
+sizes AS (SELECT sid, COUNT(*) AS sz FROM sh GROUP BY sid),
+inter AS (
+  SELECT a.sid AS a_id, b.sid AS b_id, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+  GROUP BY a.sid, b.sid
+),
+pairs AS (
+  SELECT a_id, b_id FROM inter
+  JOIN sizes sa ON sa.sid = a_id
+  JOIN sizes sb ON sb.sid = b_id
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+        >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT a_id AS a, b_id AS b FROM pairs
+  UNION
+  SELECT b_id AS a, a_id AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM corpus
+  UNION
+  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+)
+SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_cluster_canonical": dedup_cluster_canonical,
     "dedup_cluster_canonical_star": dedup_cluster_canonical_star,
+    "lsh_hot_bucket_capped_clusters": lsh_hot_bucket_capped_clusters,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "lsh_minhash_near_dup": lsh_minhash_near_dup,
     "prefix_jaccard_near_dup": prefix_jaccard_near_dup,
@@ -1149,6 +1257,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_cluster_canonical": CLUSTER_SQL,
     "dedup_cluster_canonical_star": CLUSTER_SQL,
+    "lsh_hot_bucket_capped_clusters": BOILER_CLUSTER_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "lsh_minhash_near_dup": DEDUP_JACCARD_SQL,
     "prefix_jaccard_near_dup": DEDUP_JACCARD_SQL,

@@ -941,6 +941,35 @@ def _is_tier_run(run: str) -> bool:
     )
 
 
+def _sweep_rmtree(path: str) -> None:
+    """Best-effort delete for CLEANUP sweeps only — paths whose
+    content the just-committed fold/rotation/state already subsumes,
+    re-swept by the next fold. Two object-store behaviors make a
+    strict delete wrong here: a listing taken shortly after a delete
+    can still show the entry (eventual listing consistency — the
+    sweep would then crash-loop on a ghost), and a recursive delete
+    can fail partway (one DeleteObjects page at a time). Neither may
+    fail a batch whose commit is already durable; both are pinned by
+    tests/test_objectstore_shim.py. NOT for deletes correctness
+    depends on (e.g. dropping a torn tier before a fold reads the
+    root) — those must surface and retry with the batch."""
+    try:
+        fsio.rmtree(path)
+    except FileNotFoundError:
+        pass  # ghost listing entry: already deleted — goal achieved
+    except OSError:
+        pass  # partial delete: superseded orphan; next sweep retries
+
+
+def _sweep_rmdir(path: str) -> None:
+    """Best-effort empty-dir removal for cleanup sweeps (ghost
+    entries can make an emptiness check lie either way)."""
+    try:
+        fsio.rmdir(path)
+    except OSError:
+        pass
+
+
 class _SlicedDedupIndexBase:
     """Shared machinery for the continuous ingest-time dedup indexes
     (text :class:`StreamingDedupIndex`, embedding
@@ -1243,7 +1272,15 @@ class _SlicedDedupIndexBase:
                 if c.startswith("epoch=") and not fsio.exists(
                     os.path.join(d, c, "_SUCCESS")
                 ):
-                    fsio.rmtree(os.path.join(d, c))
+                    # correctness-relevant delete (the fold reads the
+                    # root next): a ghost listing entry is fine — the
+                    # dir is already gone — but a REAL failed delete
+                    # must surface and retry with the batch, or the
+                    # fold would read torn files
+                    try:
+                        fsio.rmtree(os.path.join(d, c))
+                    except FileNotFoundError:
+                        pass
 
     def _cleanup_folded(self, name: str, up_to_epoch: int) -> None:
         """Delete every source directory the base at ``up_to_epoch``
@@ -1267,11 +1304,11 @@ class _SlicedDedupIndexBase:
                     if e < up_to_epoch or (
                         run == L1_RUN_KEY and e <= up_to_epoch
                     ):
-                        fsio.rmtree(os.path.join(rpath, ed))
+                        _sweep_rmtree(os.path.join(rpath, ed))
                 if not fsio.listdir(rpath):
-                    fsio.rmdir(rpath)
+                    _sweep_rmdir(rpath)
             else:
-                fsio.rmtree(rpath)
+                _sweep_rmtree(rpath)
 
     def _cleanup_minor(self, name: str, up_to_epoch: int) -> None:
         """Delete only what a MINOR fold at ``up_to_epoch`` subsumes:
@@ -1292,11 +1329,11 @@ class _SlicedDedupIndexBase:
                         ed.startswith("epoch=")
                         and int(ed[len("epoch="):]) < up_to_epoch
                     ):
-                        fsio.rmtree(os.path.join(rpath, ed))
+                        _sweep_rmtree(os.path.join(rpath, ed))
                 if not fsio.listdir(rpath):
-                    fsio.rmdir(rpath)
+                    _sweep_rmdir(rpath)
             else:
-                fsio.rmtree(rpath)
+                _sweep_rmtree(rpath)
 
     def compact(self, up_to_epoch: int) -> None:
         """Fold every CLOSED slice — own-run epochs strictly below
@@ -1473,7 +1510,7 @@ class _SlicedDedupIndexBase:
                 continue
             for ed in fsio.listdir(d):
                 if ed.startswith("epoch=") and int(ed[len("epoch="):]) < top:
-                    fsio.rmtree(os.path.join(d, ed))
+                    _sweep_rmtree(os.path.join(d, ed))
         l1_floor = min(beps.values())
         if l1_floor >= 0:
             d = os.path.join(root, f"run={L1_RUN_KEY}")
@@ -1483,9 +1520,9 @@ class _SlicedDedupIndexBase:
                         ed.startswith("epoch=")
                         and int(ed[len("epoch="):]) <= l1_floor
                     ):
-                        fsio.rmtree(os.path.join(d, ed))
+                        _sweep_rmtree(os.path.join(d, ed))
                 if not fsio.listdir(d):
-                    fsio.rmdir(d)
+                    _sweep_rmdir(d)
 
     def slice_dir_count(self) -> int:
         """Total (run, epoch) slice directories across all roots —

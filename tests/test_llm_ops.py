@@ -1315,3 +1315,64 @@ def test_containment_df_cap_parity_with_filtered_universe(spark):
         uncapped.a_id.isin(range(200, 205))
     ]
     assert len(boiler_pairs) >= 5 * 4 / 2 + 5 * 10 - 5  # >= C(5,2)+5x10-overlap
+
+
+def test_minhash_max_bucket_star_cap(spark, sf_dir):
+    """Hot-bucket escape hatch (``max_bucket``): an identical
+    boilerplate cohort makes every band bucket hot; the capped run
+    emits the verified spanning star (m-1 pairs) instead of the
+    C(m,2) clique, is a SUBSET of the uncapped pairs, leaves normal
+    buckets untouched, and preserves the pair graph's connected
+    components. A cap no bucket reaches must be a no-op."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        BOILER_BASE,
+        docs_with_boiler_cohort,
+    )
+
+    corpus = docs_with_boiler_cohort(spark, sf_dir).cache()
+    try:
+        kw = dict(num_hashes=32, bands=16, threshold=0.8)
+        unc = dedup.minhash_lsh_pairs(corpus, **kw).toPandas()
+        cap = dedup.minhash_lsh_pairs(corpus, max_bucket=16, **kw).toPandas()
+        uset = {(a, b) for a, b in zip(unc.a_id, unc.b_id)}
+        cset = {(a, b) for a, b in zip(cap.a_id, cap.b_id)}
+        assert cset <= uset
+        in_cohort = lambda i: i >= BOILER_BASE  # noqa: E731
+        u_cohort = {p for p in uset if in_cohort(p[0]) and in_cohort(p[1])}
+        c_cohort = {p for p in cset if in_cohort(p[0]) and in_cohort(p[1])}
+        m = 60
+        assert len(u_cohort) == m * (m - 1) // 2  # the clique
+        assert c_cohort == {
+            (BOILER_BASE, BOILER_BASE + i) for i in range(1, m)
+        }  # the spanning star
+        # normal buckets untouched: pairs outside the cohort identical
+        assert {p for p in uset if p not in u_cohort} == {
+            p for p in cset if p not in c_cohort
+        }
+
+        # connected components unchanged (the dedup contract)
+        def comps(pairs):
+            parent = {}
+
+            def find(x):
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in pairs:
+                parent[find(a)] = find(b)
+            out = {}
+            for x in list(parent):
+                out.setdefault(find(x), set()).add(x)
+            return {frozenset(v) for v in out.values()}
+
+        assert comps(uset) == comps(cset)
+
+        # a cap nothing reaches is a no-op
+        huge = dedup.minhash_lsh_pairs(
+            corpus, max_bucket=10**6, **kw
+        ).toPandas()
+        assert {(a, b) for a, b in zip(huge.a_id, huge.b_id)} == uset
+    finally:
+        corpus.unpersist()
