@@ -438,6 +438,52 @@ GROUP BY c_mktsegment
 """
 
 
+#: bucket width of the histogram IVM query — acctbal spans ~[-1000,
+#: 10000], so ~22 occupied buckets per segment stand in for what
+#: would be thousands of distinct values
+IVM_HIST_WIDTH = 500
+
+
+def cdc_incremental_agg_minmax_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVM for non-invertible aggregates over a CONTINUOUS value
+    domain: the per-(group, value) support table of
+    ``cdc_incremental_agg_minmax`` is O(distinct values per group) —
+    unbounded for continuous domains — so this query maintains the
+    QUANTIZED histogram instead (operators/ivm.py
+    ``delta_value_support(quantize=w)``): per-(group, bucket) signed
+    live-row counts plus signed value sums, O(occupied buckets).
+    COUNT and SUM remain exact (bucket sums telescope under any
+    insert/update/delete history); MIN/MAX come back as bucket-edge
+    BOUNDS exact to the declared width — ``min_bound =
+    floor(true_min/w)*w`` and ``max_bound = (floor(true_max/w)+1)*w``
+    — a deterministic function of the materialized final state, which
+    is exactly what the oracle computes."""
+    from bottledwater_pg_spark.operators.ivm import incremental_group_agg
+
+    cust = load_table(spark, sf_dir, "customer")
+    return incremental_group_agg(
+        customer_cdc(spark, sf_dir), cust.schema, "c_mktsegment",
+        "c_acctbal", minmax=True, quantize=IVM_HIST_WIDTH,
+    )
+
+
+CDC_IVM_MINMAX_HIST_SQL = f"""
+WITH final AS ({CDC_CUSTOMER_SQL})
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(FLOOR(CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  / {IVM_HIST_WIDTH}) * {IVM_HIST_WIDTH} AS DOUBLE)
+         AS min_bound,
+       CAST((FLOOR(CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / {IVM_HIST_WIDTH}) + 1) * {IVM_HIST_WIDTH} AS DOUBLE)
+         AS max_bound
+FROM final
+GROUP BY c_mktsegment
+"""
+
+
 def cdc_stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-table join after routing — THE consumer scenario the
     reference's key-hash partitioning exists to serve (README.md:384-398
@@ -899,6 +945,7 @@ QUERIES = {
     "cdc_merge_sink_customer": cdc_merge_sink_customer,
     "cdc_incremental_agg_customer": cdc_incremental_agg_customer,
     "cdc_incremental_agg_minmax": cdc_incremental_agg_minmax,
+    "cdc_incremental_agg_minmax_hist": cdc_incremental_agg_minmax_hist,
     "cdc_scd2_as_of": cdc_scd2_as_of,
     "cdc_snapshot_diff_customer": cdc_snapshot_diff_customer,
     "cdc_history_scd2": cdc_history_scd2,
@@ -922,6 +969,7 @@ ORACLES = {
     "cdc_merge_sink_customer": CDC_CUSTOMER_SQL,
     "cdc_incremental_agg_customer": CDC_IVM_SQL,
     "cdc_incremental_agg_minmax": CDC_IVM_MINMAX_SQL,
+    "cdc_incremental_agg_minmax_hist": CDC_IVM_MINMAX_HIST_SQL,
     "cdc_scd2_as_of": CDC_SCD2_ASOF_SQL,
     "cdc_snapshot_diff_customer": CDC_DIFF_SQL,
     "cdc_history_scd2": CDC_SCD2_SQL,

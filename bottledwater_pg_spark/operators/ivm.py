@@ -82,6 +82,7 @@ def delta_value_support(
     row_schema: T.StructType,
     group_col: str,
     value_col: str,
+    quantize: float | None = None,
 ) -> DataFrame:
     """Signed per-(group, value) SUPPORT COUNTS of one event set:
     ``(group_col, val_dec, cnt)`` where ``cnt`` is the net number of
@@ -95,8 +96,43 @@ def delta_value_support(
     knowledge: MIN/MAX over values with ``cnt > 0`` is exact under any
     insert/update/delete history. State is O(distinct values per
     group) — for categorical/priced domains that is small; for
-    unbounded continuous domains, quantize the value (a histogram) or
-    cap per-group cardinality upstream, the standard trade."""
+    unbounded continuous domains, pass ``quantize``.
+
+    ``quantize=w`` switches to the HISTOGRAM support table — the
+    standard continuous-domain trade, now implemented: rows are
+    ``(group, qb, cnt, sum_dec)`` where ``qb = floor(value / w)`` is
+    the bucket index, ``cnt`` the signed live-row count and
+    ``sum_dec`` the signed sum of ACTUAL values in the bucket. State
+    is O(occupied buckets per group) regardless of distinct-value
+    cardinality. COUNT and SUM stay EXACT (each row's lifetime
+    contributions ``+v1 -v1 +v2 ... ±vk`` telescope per bucket: a
+    bucket's ``sum_dec`` is exactly the sum of its live rows' current
+    values, and ``cnt == 0`` implies ``sum_dec == 0``); MIN/MAX come
+    back as BOUNDS exact to the declared width: the min live bucket's
+    lower edge and the max live bucket's upper edge, i.e.
+    ``min_bound = floor(true_min/w)*w <= true_min < min_bound + w``
+    (and symmetrically for max) — a deterministic function of the
+    final state, which is what the DuckDB oracle certifies."""
+    if quantize is not None:
+        contribs = _signed_contribs(events, row_schema)
+        val = F.col("r").getField(value_col).cast(DEC)
+        return contribs.groupBy(
+            F.col("r").getField(group_col).alias(group_col),
+            F.floor(val / F.lit(quantize)).cast("long").alias("qb"),
+        ).agg(
+            F.sum("sign").cast("long").alias("cnt"),
+            F.sum(F.col("sign") * val).alias("sum_dec"),
+        )
+    contribs = _signed_contribs(events, row_schema)
+    return contribs.groupBy(
+        F.col("r").getField(group_col).alias(group_col),
+        F.col("r").getField(value_col).cast(DEC).alias("val_dec"),
+    ).agg(F.sum("sign").cast("long").alias("cnt"))
+
+
+def _signed_contribs(events: DataFrame, row_schema: T.StructType) -> DataFrame:
+    """One narrow explode: ``(sign, r)`` rows — +1 with the new image
+    for insert/update, -1 with the old image for update/delete."""
     plus = F.when(
         F.col("op").isin(OP_INSERT, OP_UPDATE) & F.col("new_row").isNotNull(),
         F.struct(F.lit(1).alias("sign"), F.col("new_row").alias("payload")),
@@ -105,7 +141,7 @@ def delta_value_support(
         F.col("op").isin(OP_UPDATE, OP_DELETE) & F.col("old_row").isNotNull(),
         F.struct(F.lit(-1).alias("sign"), F.col("old_row").alias("payload")),
     )
-    contribs = (
+    return (
         events.select(F.explode(F.array(plus, minus)).alias("c"))
         .filter(F.col("c").isNotNull())
         .select(
@@ -113,10 +149,6 @@ def delta_value_support(
             F.from_json(F.col("c.payload"), row_schema, ROW_JSON_OPTIONS).alias("r"),
         )
     )
-    return contribs.groupBy(
-        F.col("r").getField(group_col).alias(group_col),
-        F.col("r").getField(value_col).cast(DEC).alias("val_dec"),
-    ).agg(F.sum("sign").cast("long").alias("cnt"))
 
 
 def support_to_group_agg(support: DataFrame, group_col: str) -> DataFrame:
@@ -145,12 +177,46 @@ def support_to_group_agg(support: DataFrame, group_col: str) -> DataFrame:
     )
 
 
+def support_hist_to_group_agg(
+    support: DataFrame, group_col: str, width: float
+) -> DataFrame:
+    """Fold a quantized ``(group, qb, cnt, sum_dec)`` histogram
+    support table to ``(group_col, n_rows, total, min_bound,
+    max_bound)``: COUNT/SUM exact (bucket sums telescope), MIN/MAX as
+    bucket-edge bounds exact to ``width`` — ``min_bound`` is the min
+    live bucket's lower edge, ``max_bound`` the max live bucket's
+    UPPER edge, so ``min_bound <= true_min <= true_max < max_bound``
+    always."""
+    live = support.filter(F.col("cnt") > 0)
+    w = F.lit(width).cast(DEC)
+    return (
+        live.groupBy(group_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum("sum_dec").alias("total_dec"),
+            F.min("qb").alias("min_qb"),
+            F.max("qb").alias("max_qb"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .select(
+            group_col,
+            "n_rows",
+            F.col("total_dec").cast("double").alias("total"),
+            (F.col("min_qb").cast(DEC) * w).cast("double").alias("min_bound"),
+            ((F.col("max_qb") + 1).cast(DEC) * w)
+            .cast("double")
+            .alias("max_bound"),
+        )
+    )
+
+
 def incremental_group_agg(
     events: DataFrame,
     row_schema: T.StructType,
     group_col: str,
     value_col: str,
     minmax: bool = False,
+    quantize: float | None = None,
 ) -> DataFrame:
     """COUNT(*) + SUM(value) per group, folded from signed CDC deltas
     — with ``minmax=True``, also exact MIN(value) / MAX(value), via
@@ -160,7 +226,19 @@ def incremental_group_agg(
     Returns ``(group_col, n_rows, total[, min_val, max_val])`` for
     groups with surviving rows — identical to aggregating the
     materialized final state, but computed without maintaining it.
+    With ``minmax=True, quantize=w`` the state is the bucketed
+    histogram (O(occupied buckets), the continuous-domain shape) and
+    the extrema come back as width-exact bounds ``min_bound`` /
+    ``max_bound`` instead of ``min_val`` / ``max_val``.
     """
+    if minmax and quantize is not None:
+        return support_hist_to_group_agg(
+            delta_value_support(
+                events, row_schema, group_col, value_col, quantize=quantize
+            ),
+            group_col,
+            quantize,
+        )
     if minmax:
         return support_to_group_agg(
             delta_value_support(events, row_schema, group_col, value_col),
@@ -211,15 +289,21 @@ class StreamingAggMaintainer:
     """
 
     def __init__(self, spark, state_dir: str, row_schema: T.StructType,
-                 group_col: str, value_col: str, minmax: bool = False):
+                 group_col: str, value_col: str, minmax: bool = False,
+                 quantize: float | None = None):
         """``minmax=True`` switches the persisted state from the
         per-group (n_rows, total_dec) sums to the per-(group, value)
         SUPPORT table that exact MIN/MAX under deletes requires
         (:func:`delta_value_support`); :meth:`current` then also
-        reports ``min_val`` / ``max_val``. The two layouts are not
-        interchangeable, so a standing state built under the other
-        mode is refused with the rebuild path in the error (the same
-        meta-gate discipline as the streaming containment index)."""
+        reports ``min_val`` / ``max_val``. Adding ``quantize=w``
+        switches that to the bucketed HISTOGRAM support table —
+        O(occupied buckets per group) state for continuous value
+        domains, COUNT/SUM exact, extrema as width-``w`` bucket-edge
+        bounds. The layouts are not interchangeable (and a histogram
+        is only exact for ITS declared width), so a standing state
+        built under another mode or width is refused with the rebuild
+        path in the error (the same meta-gate discipline as the
+        streaming containment index)."""
         import os
 
         from bottledwater_pg_spark.streaming import fsio
@@ -230,13 +314,21 @@ class StreamingAggMaintainer:
         self.spark = spark
         self.state_dir = state_dir
         self.row_schema = row_schema
+        if quantize is not None and not minmax:
+            raise ValueError("quantize requires minmax=True")
         self.group_col = group_col
         self.value_col = value_col
         self.minmax = minmax
+        self.quantize = quantize
         fsio.makedirs(state_dir)
         self._state = GenerationalState(state_dir, "state")
         layout_p = os.path.join(state_dir, "state_layout.json")
-        want_layout = "support" if minmax else "sums"
+        if quantize is not None:
+            want_layout = f"support_hist_w{quantize}"
+        elif minmax:
+            want_layout = "support"
+        else:
+            want_layout = "sums"
         meta = fsio.read_json_meta(layout_p)
         if self._state.current_path() is not None:
             # legacy pre-minmax states carry no layout file: they are
@@ -292,7 +384,8 @@ class StreamingAggMaintainer:
             return  # replayed epoch: already folded in
         if self.minmax:
             delta = delta_value_support(
-                batch, self.row_schema, self.group_col, self.value_col
+                batch, self.row_schema, self.group_col, self.value_col,
+                quantize=self.quantize,
             )
         else:
             delta = delta_group_agg(
@@ -306,6 +399,19 @@ class StreamingAggMaintainer:
             # distinct values from generation 1, not just from the
             # second commit on
             merged = delta.filter(F.col("cnt") != 0) if self.minmax else delta
+        elif self.minmax and self.quantize is not None:
+            prev = self.spark.read.parquet(cur)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy(self.group_col, "qb")
+                .agg(
+                    F.sum("cnt").cast("long").alias("cnt"),
+                    F.sum("sum_dec").alias("sum_dec"),
+                )
+                # cnt==0 implies sum_dec==0 (per-bucket telescoping),
+                # so the prune keeps only live-occupied buckets
+                .filter(F.col("cnt") != 0)
+            )
         elif self.minmax:
             prev = self.spark.read.parquet(cur)
             merged = (
@@ -350,6 +456,10 @@ class StreamingAggMaintainer:
         if cur is None:
             return None
         state = self.spark.read.parquet(cur)
+        if self.minmax and self.quantize is not None:
+            return support_hist_to_group_agg(
+                state, self.group_col, self.quantize
+            )
         if self.minmax:
             return support_to_group_agg(state, self.group_col)
         return (

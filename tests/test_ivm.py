@@ -386,3 +386,107 @@ def test_streaming_minmax_replay_restart_and_layout_gate(spark, tmp_path):
             )
     finally:
         events.unpersist()
+
+
+def test_quantized_hist_bounds_and_bucket_churn(spark):
+    """Quantized histogram support (continuous-domain IVM): COUNT/SUM
+    stay exact under cross-bucket updates and deletes (bucket sums
+    telescope), min/max come back as width-exact bucket-edge bounds,
+    and an emptied extreme bucket falls back to the next live one."""
+    from pyspark.sql import types as T
+
+    schema = "grp string, v double"
+    rows = [
+        _ev("insert", "k1", None, '{"grp":"A","v":955.0}', 1),   # qb 9
+        _ev("insert", "k2", None, '{"grp":"A","v":120.0}', 2),   # qb 1
+        _ev("insert", "k3", None, '{"grp":"A","v":-30.0}', 3),   # qb -1
+        # cross-bucket update: k1 955 -> 410 (qb 9 empties, qb 4 opens)
+        _ev("update", "k1", '{"grp":"A","v":955.0}',
+            '{"grp":"A","v":410.0}', 4),
+        # delete the min -> min bound falls back to k2's bucket
+        _ev("delete", "k3", '{"grp":"A","v":-30.0}', None, 5),
+    ]
+    events = spark.createDataFrame(
+        rows, "op string, key string, old_row string, new_row string, lsn long"
+    )
+    got = {
+        r["grp"]: (
+            r["n_rows"], r["total"], r["min_bound"], r["max_bound"]
+        )
+        for r in incremental_group_agg(
+            events, T.StructType.fromDDL(schema), "grp", "v",
+            minmax=True, quantize=100,
+        ).collect()
+    }
+    # survivors: 410 + 120 -> total exact; buckets 4 and 1 live
+    assert got == {"A": (2, 530.0, 100.0, 500.0)}
+
+    # the support table itself: emptied buckets pruned (cnt==0 implies
+    # sum==0 by telescoping)
+    from bottledwater_pg_spark.operators.ivm import delta_value_support
+
+    sup = delta_value_support(
+        events, T.StructType.fromDDL(schema), "grp", "v", quantize=100
+    )
+    live = {(r["grp"], r["qb"]): (r["cnt"], float(r["sum_dec"]))
+            for r in sup.collect() if r["cnt"] != 0}
+    assert live == {("A", 4): (1, 410.0), ("A", 1): (1, 120.0)}
+    dead = [r for r in sup.collect() if r["cnt"] == 0]
+    assert all(float(r["sum_dec"]) == 0.0 for r in dead)
+
+
+def test_streaming_quantized_hist_replay_restart_and_width_gate(
+    spark, tmp_path
+):
+    """StreamingAggMaintainer(minmax=True, quantize=w): epochs
+    converge to the one-shot quantized fold, a replayed epoch is a
+    no-op across a restart, and a standing histogram state is refused
+    under a DIFFERENT width or mode (bounds are only exact for the
+    width they were bucketed under)."""
+    import pytest
+
+    from bottledwater_pg_spark.operators.ivm import StreamingAggMaintainer
+
+    cust = load_table(spark, SF_DIR, "customer")
+    events = customer_cdc(spark, SF_DIR).cache()
+    try:
+        lo, hi = events.agg(F.min("lsn"), F.max("lsn")).first()
+        mid = (lo + hi) // 2
+        b1 = events.filter(F.col("lsn") <= mid)
+        b2 = events.filter(F.col("lsn") > mid)
+        st = str(tmp_path / "hist")
+        m = StreamingAggMaintainer(
+            spark, st, cust.schema, "c_mktsegment", "c_acctbal",
+            minmax=True, quantize=500,
+        )
+        m.process_batch(b1, 0)
+        m.process_batch(b2, 1)
+        want = sorted(
+            map(
+                tuple,
+                incremental_group_agg(
+                    events, cust.schema, "c_mktsegment", "c_acctbal",
+                    minmax=True, quantize=500,
+                ).collect(),
+            )
+        )
+        assert sorted(map(tuple, m.current().collect())) == want
+
+        # restart + replayed epoch: no double-fold
+        m2 = StreamingAggMaintainer(
+            spark, st, cust.schema, "c_mktsegment", "c_acctbal",
+            minmax=True, quantize=500,
+        )
+        m2.process_batch(b2, 1)
+        assert sorted(map(tuple, m2.current().collect())) == want
+
+        # width gate: a different w (or the un-quantized mode) refuses
+        for kw in (dict(minmax=True, quantize=100), dict(minmax=True),
+                   dict(minmax=False)):
+            with pytest.raises(ValueError, match="layout"):
+                StreamingAggMaintainer(
+                    spark, st, cust.schema, "c_mktsegment", "c_acctbal",
+                    **kw,
+                )
+    finally:
+        events.unpersist()
