@@ -46,21 +46,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # has a driver record from some round. scripts/exact_gate.py still
 # re-certifies all 157 locally (EXACTGATE_r5.json).
 _FAMILY_SPREAD = [
-    # ---- ROUND 13 window: the driver hashes the FIRST 50 entries.
-    # Slots 1-3 are what r13 changed: containment_near_dup_capped
-    # (NEW — the hot-shingle df_cap escape hatch, oracle applies the
-    # same df filter), cdc_incremental_agg_minmax (NEW — exact
-    # MIN/MAX under deletes via per-(group,value) support counts),
-    # and cdc_incremental_agg_customer (the IVM sums path now
-    # commits state by manifest pointer flip + hwm ledger). The
-    # manifest state commit also re-certifies through
-    # cdc_materialize_customer (slot 50). The bucketed base rotation
-    # is a streaming/physical surface — pytest-pinned
-    # (test_bucketed_rotation.py), not oracle-able. Rotated out to
-    # make room (records live in CORRECTNESS_r09-r12):
-    # ivf_ann_recall_vs_exact, kmeans_topic_clusters,
-    # kmeans_semdedup_stats. The xxhash rows-only cells keep their
-    # hash-green accuracy certificates paired in-window.
+    # ---- ROUND 14 window: the driver hashes the FIRST 50 entries.
+    # Slots 1-3 are what r14 changed most: lsh_hot_bucket_capped_
+    # clusters (NEW — MinHash-LSH hot-bucket star cap on the
+    # boilerplate-cohort fixture; oracle = DuckDB recursive closure
+    # over brute-force pairs, certifying component equality),
+    # cdc_incremental_agg_minmax_hist (NEW — quantized-histogram IVM
+    # for continuous domains; COUNT/SUM exact, extrema as width-exact
+    # bucket-edge bounds the oracle recomputes from the final state),
+    # and cdc_merge_sink_customer (the MERGE sink now commits bucket
+    # state by per-bucket manifest pointer flip — BucketManifestState
+    # — instead of dynamic partition overwrite). Slots 4-6 keep r13's
+    # three: the IVM family's maintainer gained the first-commit
+    # zero-support prune and the statecommit promote fast path this
+    # round, so they re-certify the changed path; the manifest commit
+    # also re-certifies through cdc_materialize_customer (slot 50),
+    # and minhash_lsh_pairs' max_bucket branch re-certifies the
+    # uncapped default through lsh_minhash_near_dup + the cluster
+    # pair (slots 45-47). Rotated out to make room (records live in
+    # CORRECTNESS_r10-r13): lineitem_corr_matrix,
+    # quantity_price_corr_exact, hll_error_bound_by_type. The xxhash
+    # rows-only cells keep their hash-green accuracy certificates
+    # paired in-window.
+    "lsh_hot_bucket_capped_clusters", "cdc_incremental_agg_minmax_hist",
+    "cdc_merge_sink_customer",
     "containment_near_dup_capped", "cdc_incremental_agg_minmax",
     "cdc_incremental_agg_customer",
     # ---- r12 window below (kept: it still covers the r12 paths).
@@ -108,8 +117,7 @@ _FAMILY_SPREAD = [
     # corr string-cast ULP fix, HLL, winnowing, replicate, error
     # policy, graph census) — r10's re-certification block ages in.
     "bloom_contamination_screen",
-    "lineitem_corr_matrix", "quantity_price_corr_exact",
-    "hll_distinct_users_by_type", "hll_error_bound_by_type",
+    "hll_distinct_users_by_type",
     "winnow_near_dup_pairs", "doc_fingerprint_winnow",
     "dedup_cluster_ensemble", "exact_substring_spans",
     "cdc_replicate_all_counts",
@@ -127,6 +135,9 @@ _FAMILY_SPREAD = [
     "dedup_threshold_sensitivity",
     # To the 50 boundary: flagship + certificates.
     "cdc_materialize_customer",
+    # ---- rotated out in r14 (records in CORRECTNESS_r10-r13):
+    "lineitem_corr_matrix", "quantity_price_corr_exact",
+    "hll_error_bound_by_type",
     # ---- rotated out in r13 (driver records in CORRECTNESS_r09-r12):
     "ivf_ann_recall_vs_exact",
     "kmeans_topic_clusters", "kmeans_semdedup_stats",
@@ -137,7 +148,7 @@ _FAMILY_SPREAD = [
     # cdc_registry_evolution_decode, cms_heavy_users_certificate,
     # approx_quantile_rank_certificate, ivfpq_ann_topk,
     # ann_topk_cosine; earlier rotations: lsh_ann_topk, ivf_ann_topk.
-    "cdc_merge_sink_customer",
+    # (cdc_merge_sink_customer moved to slot 3 this round.)
     "q1_pricing_summary", "fraud_rolling_anomalies",
     "cdc_registry_evolution_decode",
     "cms_heavy_users_certificate",

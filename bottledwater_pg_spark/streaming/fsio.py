@@ -118,6 +118,25 @@ def listdir(path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(p)]
 
 
+def listdir_or_none(path: str) -> list[str] | None:
+    """One-round-trip existence-probe-plus-listing: the entries, or
+    ``None`` if the path is missing or not a directory. The hot commit
+    path uses this instead of ``isdir`` + ``listdir`` — on URI paths
+    each op is a JVM round trip, and the 1000-table soak showed the
+    per-commit metadata ops are what separates the URI path from the
+    plain one (SCALE.md r13/r14)."""
+    if not is_uri(path):
+        try:
+            return os.listdir(path)
+        except (FileNotFoundError, NotADirectoryError):
+            return None
+    try:
+        fs, p = _hadoop(path)
+        return [st.getPath().getName() for st in fs.listStatus(p)]
+    except Exception:  # noqa: BLE001 — Py4J wraps FileNotFoundException
+        return None
+
+
 def isdir(path: str) -> bool:
     if not is_uri(path):
         return os.path.isdir(path)
@@ -258,10 +277,17 @@ def write_json_meta(path: str, obj: dict) -> None:
     if not is_uri(path):
         os.replace(tmp, path)
         return
+    # hot path (one flip per state commit): Hadoop delete returns
+    # False on absence instead of raising, so no exists() probe; and
+    # the rename goes straight to the FileSystem — the destination was
+    # deleted one line up and this module's single-writer contract
+    # means nobody recreates it, so the refuse-existing-target guard
+    # of fsio.rename would only buy another round trip
     fs, p = _hadoop(path)
-    if fs.exists(p):
-        fs.delete(p, False)
-    rename(tmp, path)
+    fs.delete(p, False)
+    _, ptmp = _hadoop(tmp)
+    if not fs.rename(ptmp, p):
+        raise OSError(f"rename failed: {tmp!r} -> {path!r}")
 
 
 def read_json_meta(path: str) -> dict | None:

@@ -96,6 +96,14 @@ class GenerationalState:
         # (SCALE.md r13). A fresh instance (process restart) always
         # re-reads disk.
         self._cached: dict | None = None
+        # r14: after one FULL GC sweep (which clears legacy dirs and
+        # crash orphans), this single-writer instance knows the only
+        # new garbage a commit creates is the generation it just
+        # superseded — so later commits GC with ONE targeted delete
+        # instead of a listdir + per-entry isdir sweep. Crash orphans
+        # from a dead process are caught by the next instance's first
+        # sweep.
+        self._swept = False
 
     # -- layout -------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -203,7 +211,8 @@ class GenerationalState:
         """Flip the pointer to ``staged`` (must be the current
         :meth:`staging_path`, fully written), then GC superseded
         generations and any legacy dirs. The flip IS the commit."""
-        if not self._committed(staged):
+        entries = fsio.listdir_or_none(staged)
+        if entries is None or "_SUCCESS" not in entries:
             raise ValueError(
                 f"refusing to promote {staged!r}: the parquet job did "
                 "not commit (no _SUCCESS marker)"
@@ -213,11 +222,24 @@ class GenerationalState:
         if not base.startswith(prefix):
             raise ValueError(f"not a staged generation dir: {staged!r}")
         gen = int(base[len(prefix):])
+        prev = self._cached
         fsio.write_json_meta(
             self._manifest_path(), {"gen": gen, "dir": base}
         )
         self._cached = {"gen": gen, "dir": base}
-        self._gc(keep=base)
+        if self._swept and prev is not None:
+            # post-sweep fast path: the superseded generation is the
+            # only new garbage (single writer) — one targeted delete
+            if prev["dir"] != base:
+                try:
+                    fsio.rmtree(
+                        os.path.join(self.state_dir, prev["dir"])
+                    )
+                except OSError:
+                    pass  # orphan; the next full sweep retries
+        else:
+            self._gc(keep=base)
+            self._swept = True
 
     def _gc(self, keep: str) -> None:
         """Remove every ``<name>``-derived directory except ``keep``:
@@ -314,6 +336,9 @@ class BucketManifestState:
         self.n_buckets = int(n_buckets)
         # single-writer manifest cache (see GenerationalState._cached)
         self._cached: dict | None = None
+        # one full sweep per instance, then targeted GC (see
+        # GenerationalState._swept)
+        self._swept = False
 
     # -- layout -------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -413,18 +438,20 @@ class BucketManifestState:
         if not base.startswith(prefix):
             raise ValueError(f"not a staged generation dir: {staged!r}")
         gen = int(base[len(prefix):])
-        if not (fsio.isdir(staged) and "_SUCCESS" in fsio.listdir(staged)):
+        entries = fsio.listdir_or_none(staged)
+        if entries is None or "_SUCCESS" not in entries:
             raise ValueError(
                 f"refusing to promote {staged!r}: the parquet job did "
                 "not commit (no _SUCCESS marker)"
             )
         present = {
             int(e[len("bucket="):])
-            for e in fsio.listdir(staged)
+            for e in entries
             if e.startswith("bucket=")
         }
         m = self._load()
-        buckets = dict(m["buckets"])
+        prev_buckets = dict(m["buckets"])
+        buckets = dict(prev_buckets)
         for b in touched:
             if int(b) in present:
                 buckets[str(int(b))] = base
@@ -433,7 +460,34 @@ class BucketManifestState:
         m = {"gen": gen, "n_buckets": self.n_buckets, "buckets": buckets}
         fsio.write_json_meta(self._manifest_path(), m)
         self._cached = m
-        self._gc()
+        if self._swept:
+            self._gc_targeted(prev_buckets, touched)
+        else:
+            self._gc()
+            self._swept = True
+
+    def _gc_targeted(self, prev_buckets: dict, touched: list[int]) -> None:
+        """Post-sweep fast path: the only garbage a commit creates is
+        the touched buckets' SUPERSEDED partitions (single writer) —
+        delete exactly those, plus any prior generation dir they were
+        the last referenced bucket of. O(touched) deletes, no
+        listings."""
+        live_dirs = {d for d in self._cached["buckets"].values()}
+        stale: dict[str, list[int]] = {}
+        for b in touched:
+            d = prev_buckets.get(str(int(b)))
+            if d is not None:
+                stale.setdefault(d, []).append(int(b))
+        for d, bs in stale.items():
+            p = os.path.join(self.state_dir, d)
+            try:
+                if d not in live_dirs:
+                    fsio.rmtree(p)  # no referenced bucket left
+                else:
+                    for b in bs:
+                        fsio.rmtree(os.path.join(p, f"bucket={b}"))
+            except OSError:
+                pass  # orphan; the next full sweep retries
 
     def _gc(self) -> None:
         """Remove everything the manifest no longer references:

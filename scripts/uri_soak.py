@@ -24,7 +24,8 @@ WIDTHS = (10, 50, 200, 500, 1000)
 FOLD_EPOCHS, FOLD_EVERY, L1_MAX = 80, 20, 3
 
 
-def many_table(spark, n_tables: int, uri: bool) -> float:
+def many_table(spark, n_tables: int, uri: bool,
+               touch_fraction: float = 1.0) -> float:
     from pyspark.sql import functions as F
 
     from bottledwater_pg_spark.operators.cdc_queries import CUSTOMER_SPEC
@@ -37,11 +38,15 @@ def many_table(spark, n_tables: int, uri: bool) -> float:
     )
 
     cust = load_table(spark, SF_DIR, "customer")
+    # touch_fraction < 1: events land in only the first k tables — the
+    # realistic sparse-batch shape; the distinct-relid pass must keep
+    # per-batch cost proportional to TOUCHED tables, not registered
+    n_touch = max(1, int(n_tables * touch_fraction))
     stream = generate_cdc(
         cust, ["c_custkey"], F.col("c_custkey"), 0, "t", CUSTOMER_SPEC
     ).withColumn(
         "relid",
-        (F.lit(20000) + F.pmod(F.xxhash64("key"), F.lit(n_tables)))
+        (F.lit(20000) + F.pmod(F.xxhash64("key"), F.lit(n_touch)))
         .cast("long"),
     ).withColumn("topic", F.concat(F.lit("t"), (F.col("relid") - 20000)))
     tmp = tempfile.mkdtemp(prefix=f"uri_mt{n_tables}_")
@@ -124,6 +129,21 @@ def main() -> int:
         out["many_table"]["1000"]["per_table_batch_uri"]
         / out["many_table"]["500"]["per_table_batch_uri"], 3,
     )
+    # sparse-touch cell: 1000 registered tables, 5% touched per batch —
+    # wall must track the touched count (compare per-TOUCHED-table cost
+    # with the dense 50-table cell, which commits the same ~50 states)
+    sparse_plain = many_table(spark, 1000, uri=False, touch_fraction=0.05)
+    sparse_uri = many_table(spark, 1000, uri=True, touch_fraction=0.05)
+    out["many_table"]["sparse_1000x5pct"] = {
+        "plain_sec": round(sparse_plain, 3),
+        "uri_sec": round(sparse_uri, 3),
+        "per_touched_table_batch_plain": round(sparse_plain / (50 * 2), 4),
+        "per_touched_table_batch_uri": round(sparse_uri / (50 * 2), 4),
+        "uri_overhead_ratio": round(sparse_uri / sparse_plain, 3),
+    }
+    print(json.dumps(
+        {"many_table_sparse_1000x5pct": out["many_table"]["sparse_1000x5pct"]}
+    ), flush=True)
     for label, uri in (("plain", False), ("uri", True)):
         out["fold"][label] = fold_soak(spark, uri)
         print(json.dumps({f"fold_{label}": out["fold"][label]}), flush=True)
