@@ -189,6 +189,11 @@ BENCH_QUERIES = [
     # shuffle + 4 balanced-perceptron rounds over a broadcast 5-long
     # weight row)
     "perceptron_quality_weights",
+    # round 14: the hot-bucket star-capped LSH clustering (boilerplate
+    # cohort fixture — the capped candidate path under load) and the
+    # quantized-histogram IVM (continuous-domain support table)
+    "lsh_hot_bucket_capped_clusters",
+    "cdc_incremental_agg_minmax_hist",
     # cdc_replicate_all_counts is gate-checked but not benched: it is
     # the sum of the 10 per-table materializations benched above, and
     # re-timing the whole loop adds ~25 s of pure duplication
