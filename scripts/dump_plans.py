@@ -36,6 +36,7 @@ HEADLINE = {
     "quantity_price_corr_exact": "six exact-decimal co-moment sums in ONE partial-agg pass",
     "cdc_incremental_agg_customer": "IVM: narrow explode of signed deltas + one tiny group shuffle",
     "cdc_incremental_agg_minmax": "IVM min/max: per-(group,value) signed support counts (two tiny shuffles: value support, then group fold) — exact extrema under deletes, no row state",
+    "cdc_incremental_agg_minmax_hist": "quantized-histogram IVM: same two-tiny-shuffle shape with (group, bucket) keys — O(occupied buckets) state for continuous domains; COUNT/SUM exact, extrema as width-exact bucket-edge bounds",
     "cdc_snapshot_diff_customer": "snapshot diff: ONE full-outer join on key, image compare in projection",
     "orders_in_price_band": "theta join with tiny broadcast side: BNLJ is the right plan HERE",
     "winnow_near_dup_pairs": "winnowing overlap: narrow per-doc fingerprints, hash join on fp key, pair-count agg",
@@ -124,6 +125,7 @@ HEADLINE = {
     "mrl_ann_topk": "Matryoshka funnel: shortlist scans the STORED prefix table (ReadSchema carries t_q/t_n, never embedding — half the bytes physically), per-query window to 150, exact full-dim re-rank joins ONLY the shortlist; both model sides broadcast",
     "containment_near_dup": "containment prefix blocking: df-ranked rare-shingle prefix equi-joined to the full shingle table (frequent keys never enter the join), candidates verified once via array_intersect — no cartesian, no BNLJ",
     "containment_near_dup_capped": "df_cap stopwording: one df aggregate gates the shingle universe (df<=cap semi-join) BEFORE prefix/join/verify — boilerplate keys never reach any shuffle; same join-verify shape as the uncapped plan",
+    "lsh_hot_bucket_capped_clusters": "hot-bucket star cap: one window count over (band,bsig) — the same shuffle the bucket join needs — splits normal buckets (all-pairs equi-join) from hot ones (m-1 star rows, no self-join); components via the iterative min-label joins",
     "c4_line_filter_stats": "C4 line gate: verdicts are filter/aggregate over the lines array (no explode), marker detection by substring on the page, ONE source-keyed partial agg — the gopher_quality_flags shape",
     "unimax_language_budgets": "UniMax waterfill: corpus-sized work is one lang-keyed partial agg; the waterfill windows run over #langs rows (bounded metadata) and the 2-scalar fold broadcasts back",
     "perceptron_quality_weights": "balanced batch perceptron: features one (doc,token) partial-agg shuffle persisted once; each round broadcasts the 5-long weight row, filters misclassified (narrow), partial-aggs a 5-row delta; per-round localCheckpoint truncates 1-row lineage — the kmeans E/M shape",
