@@ -702,6 +702,7 @@ def incremental_lsh_matches(index_df: DataFrame | None, new_df: DataFrame,
                             n: int = 3,
                             index_banded: DataFrame | None = None,
                             index_shingles: DataFrame | None = None,
+                            probe_bucket_cap: int | None = None,
                             ) -> DataFrame:
     """Incremental (new-batch-vs-index) near-dup matching — the daily
     ingest shape: a SMALL new batch is checked against the STANDING
@@ -726,6 +727,24 @@ def incremental_lsh_matches(index_df: DataFrame | None, new_df: DataFrame,
     call, fine for one-shot matching, wrong for a standing stream.
     Cost scales with the batch, not the corpus — the property that
     makes continuous dedup feasible.
+
+    ``probe_bucket_cap``: the probe-side hot-bucket escape hatch (the
+    ``minhash_lsh_pairs(max_bucket=)`` analog). A boilerplate cohort
+    of m identical docs in the STANDING index shares every band
+    signature; a batch doc colliding with that bucket candidates
+    against all m members and the verify reads all m stored shingle
+    sets — O(m x batch) per band, growing with every cohort page ever
+    indexed. With the cap, each colliding (band, bsig) bucket exposes
+    only its ``cap`` LOWEST-sid index members (the earliest-seen
+    witnesses — ranked only over buckets the batch actually touches,
+    so the ranking shuffle is batch-sized, not corpus-sized). Every
+    surviving candidate is still exact-Jaccard verified, so precision
+    is unchanged; the match SET is a subset of the uncapped one, and
+    an exists-a-match consumer (rejection-style dedup) is unaffected
+    whenever hot buckets are mutual-similarity cohorts — the input
+    family that makes buckets hot — because the earliest member
+    verifies iff any member does (identical shingle sets). Parity
+    pinned on the cohort fixture in tests/test_llm_ops.py.
     """
     assert num_hashes % bands == 0
     if index_df is None and (index_banded is None or index_shingles is None):
@@ -747,15 +766,34 @@ def incremental_lsh_matches(index_df: DataFrame | None, new_df: DataFrame,
         if index_banded is not None
         else banded_minhash_from_shingles(sh_idx, num_hashes, bands)
     )
-    candidates = (
-        b_idx.select(F.col("sid").alias("match_id"), "band", "bsig")
-        .join(
-            F.broadcast(
-                banded_minhash_from_shingles(sh_new, num_hashes, bands)
-                .select(F.col("sid").alias("new_id"), "band", "bsig")
-            ),
-            ["band", "bsig"],
+    b_new = persist_tracked(
+        banded_minhash_from_shingles(sh_new, num_hashes, bands)
+        .select(F.col("sid").alias("new_id"), "band", "bsig")
+    )
+    idx_side = b_idx.select(F.col("sid").alias("match_id"), "band", "bsig")
+    if probe_bucket_cap is not None:
+        from pyspark.sql import Window
+
+        # prune to buckets the batch touches FIRST (broadcast
+        # semi-join — no corpus shuffle), then rank the survivors:
+        # the ranked set is exactly the collision set, batch-sized
+        idx_side = (
+            idx_side.join(
+                F.broadcast(b_new.select("band", "bsig").distinct()),
+                ["band", "bsig"],
+                "left_semi",
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("band", "bsig").orderBy("match_id")
+                ),
+            )
+            .filter(F.col("_rn") <= probe_bucket_cap)
+            .drop("_rn")
         )
+    candidates = (
+        idx_side.join(F.broadcast(b_new), ["band", "bsig"])
         .select("new_id", "match_id")
         .distinct()
     )

@@ -1665,9 +1665,21 @@ class StreamingDedupIndex(_SlicedDedupIndexBase):
                  threshold: float = 0.8,
                  fold_every: int | None = None,
                  l1_max: int | None = None,
-                 base_buckets: int | None = None):
+                 base_buckets: int | None = None,
+                 probe_bucket_cap: int | None = None):
+        """``probe_bucket_cap``: hot-bucket probe escape hatch — each
+        colliding band bucket exposes only its cap lowest-sid stored
+        members to the probe (dedup.incremental_lsh_matches), bounding
+        the per-batch candidate blow-up a standing boilerplate cohort
+        causes at O(cap x batch) instead of O(cohort x batch).
+        Decision-exact when hot buckets are mutual-similarity cohorts
+        (the earliest member verifies iff any does); a probe-time
+        knob, not a state-layout property — stored slices are
+        identical with or without it, so it needs no meta gate and
+        can be turned on over standing state."""
         super().__init__(spark, state_dir, threshold, fold_every,
                          l1_max=l1_max, base_buckets=base_buckets)
+        self.probe_bucket_cap = probe_bucket_cap
         meta_path = os.path.join(state_dir, "meta.json")
         meta = fsio.read_json_meta(meta_path)
         if meta is not None:
@@ -1728,6 +1740,7 @@ class StreamingDedupIndex(_SlicedDedupIndexBase):
                 bands=self.BANDS, threshold=self.threshold,
                 n=self.SHINGLE_N,
                 index_banded=prior_bands, index_shingles=prior_sh,
+                probe_bucket_cap=self.probe_bucket_cap,
             )
             .filter(F.col("match_id") != F.col("new_id"))
             .select(F.col("new_id").alias("doc_id"))

@@ -69,6 +69,30 @@ def measure_lsh(spark, corpus, max_bucket):
     return n, round(wall, 3)
 
 
+def measure_probe(spark, corpus, m, cap):
+    """Incremental-probe cell: 20 fresh boilerplate pages probed
+    against a standing index holding the m-page cohort — uncapped
+    matches grow 20 x m; capped, 20 x cap."""
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators import dedup
+    from bottledwater_pg_spark.session import release_persisted
+
+    batch = spark.range(20).select(
+        (F.col("id") + 990000).alias("doc_id"), F.lit(FOOTER).alias("text")
+    )
+    out = []
+    for c in (None, cap):
+        t0 = time.time()
+        n = dedup.incremental_lsh_matches(
+            corpus, batch, num_hashes=32, bands=16, threshold=0.8,
+            probe_bucket_cap=c,
+        ).count()
+        out.append((n, round(time.time() - t0, 3)))
+        release_persisted()
+    return out
+
+
 def measure_winnow(spark, corpus):
     from bottledwater_pg_spark.operators.llm_queries import (
         winnow_near_dup_pairs,
@@ -93,6 +117,9 @@ def main() -> int:
         n_unc, w_unc = measure_lsh(spark, corpus, None)
         n_cap, w_cap = measure_lsh(spark, corpus, MAX_BUCKET)
         n_win, w_win = measure_winnow(spark, corpus)
+        (p_unc, pw_unc), (p_cap, pw_cap) = measure_probe(
+            spark, corpus, m, MAX_BUCKET
+        )
         clique = m * (m - 1) // 2
         print(json.dumps({
             "cohort_m": m,
@@ -104,6 +131,10 @@ def main() -> int:
             "cohort_star_pairs": m - 1,
             "winnow_pairs": n_win,
             "winnow_sec": w_win,
+            "probe_uncapped_matches": p_unc,
+            "probe_uncapped_sec": pw_unc,
+            "probe_capped_matches": p_cap,
+            "probe_capped_sec": pw_cap,
         }), flush=True)
         corpus.unpersist()
     return 0

@@ -1376,3 +1376,69 @@ def test_minhash_max_bucket_star_cap(spark, sf_dir):
         assert {(a, b) for a, b in zip(huge.a_id, huge.b_id)} == uset
     finally:
         corpus.unpersist()
+
+
+def test_incremental_probe_bucket_cap(spark, sf_dir):
+    """Probe-side hot-bucket cap (incremental_lsh_matches
+    probe_bucket_cap): a standing boilerplate cohort in the index
+    candidates every colliding batch doc against all m members; with
+    the cap, only the cap lowest-sid members are exposed. The match
+    set is a subset, restricted per bucket to earliest members, and
+    the EXISTS-a-match verdict per new doc — the rejection semantics
+    streaming dedup consumes — is identical on the cohort fixture."""
+    from bottledwater_pg_spark.operators.llm_queries import (
+        BOILER_BASE,
+        BOILER_FOOTER,
+        docs_with_near_dups,
+    )
+
+    docs = docs_with_near_dups(spark, sf_dir)
+    cohort = spark.range(40).select(
+        (F.col("id") + BOILER_BASE).alias("doc_id"),
+        F.lit(BOILER_FOOTER).alias("text"),
+    )
+    index = docs.unionByName(cohort).cache()
+    # batch: fresh boilerplate pages + near-copies of real docs
+    batch = (
+        spark.range(5)
+        .select(
+            (F.col("id") + BOILER_BASE + 1000).alias("doc_id"),
+            F.lit(BOILER_FOOTER).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 500000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+            )
+        )
+        .cache()
+    )
+    try:
+        kw = dict(num_hashes=32, bands=16, threshold=0.8)
+        unc = dedup.incremental_lsh_matches(index, batch, **kw).toPandas()
+        cap = dedup.incremental_lsh_matches(
+            index, batch, probe_bucket_cap=4, **kw
+        ).toPandas()
+        uset = {(a, b) for a, b in zip(unc.new_id, unc.match_id)}
+        cset = {(a, b) for a, b in zip(cap.new_id, cap.match_id)}
+        assert cset <= uset
+        # the cohort collision really was capped: each boilerplate
+        # batch doc matched all 40 cohort members uncapped, only the
+        # 4 earliest capped
+        boiler_new = set(range(BOILER_BASE + 1000, BOILER_BASE + 1005))
+        for nid in boiler_new:
+            u = {m for a, m in uset if a == nid}
+            c = {m for a, m in cset if a == nid}
+            assert len(u) == 40
+            assert c == {BOILER_BASE + i for i in range(4)}
+        # rejection semantics unchanged: same set of new docs with
+        # at least one match
+        assert {a for a, _ in uset} == {a for a, _ in cset}
+        # and a cap nothing reaches is a no-op
+        huge = dedup.incremental_lsh_matches(
+            index, batch, probe_bucket_cap=10**6, **kw
+        ).toPandas()
+        assert {(a, b) for a, b in zip(huge.new_id, huge.match_id)} == uset
+    finally:
+        index.unpersist()
+        batch.unpersist()

@@ -2859,3 +2859,46 @@ def test_streaming_perceptron_screen_matches_trained_classifier(
     assert json.load(open(state / "meta.json"))["family"] == (
         StreamingPerceptronScreen.PERCEPTRON_FAMILY
     )
+
+
+def test_streaming_dedup_probe_bucket_cap_parity(spark, sf_dir, tmp_path):
+    """StreamingDedupIndex(probe_bucket_cap=K) over a stream carrying
+    a growing boilerplate cohort: the accepted set equals the uncapped
+    twin's — the cap only bounds how many standing cohort members each
+    probe touches, and the earliest member is witness enough for a
+    mutual-similarity cohort."""
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        BOILER_BASE,
+        BOILER_FOOTER,
+        docs_with_near_dups,
+    )
+    from bottledwater_pg_spark.streaming.stream import StreamingDedupIndex
+
+    docs = docs_with_near_dups(spark, sf_dir)
+    def cohort(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") + BOILER_BASE).alias("doc_id"),
+            F.lit(BOILER_FOOTER).alias("text"),
+        )
+
+    batches = [
+        docs.filter(F.col("doc_id") < 150).unionByName(cohort(0, 30)),
+        docs.filter(
+            (F.col("doc_id") >= 150) & (F.col("doc_id") < 300)
+        ).unionByName(cohort(30, 60)),
+        docs.filter(F.col("doc_id") >= 300).unionByName(cohort(60, 90)),
+    ]
+    capped = StreamingDedupIndex(
+        spark, str(tmp_path / "c"), threshold=0.8, probe_bucket_cap=3
+    )
+    plain = StreamingDedupIndex(spark, str(tmp_path / "p"), threshold=0.8)
+    for e, b in enumerate(batches):
+        capped.process_batch(b, e)
+        plain.process_batch(b, e)
+    got = {r.doc_id for r in capped.accepted_ids().collect()}
+    want = {r.doc_id for r in plain.accepted_ids().collect()}
+    assert got == want
+    # exactly one cohort page survives (the first-ever one)
+    assert {d for d in got if d >= BOILER_BASE} == {BOILER_BASE}
