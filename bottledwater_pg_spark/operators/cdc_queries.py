@@ -64,8 +64,15 @@ def cdc_materialize_events_composite(spark: SparkSession, sf_dir: str) -> DataFr
     """Composite-key table: (user_id, event_id) — exercises multi-column
     key structs and PK-change on the first key column."""
     ev = load_table(spark, sf_dir, "events")
+    # single-action query over the biggest fixture table: repartition
+    # the base UNDER the explode so the envelope encode parallelizes
+    # (the single-pass generator otherwise runs it on the scan's one
+    # split — guide §2.5; no-op on multi-split inputs)
+    from bottledwater_pg_spark.session import parallel_scan
+
     stream = generate_cdc(
-        ev, ["user_id", "event_id"], F.col("event_id"), 16386, "events", EVENTS_SPEC
+        parallel_scan(ev), ["user_id", "event_id"], F.col("event_id"),
+        16386, "events", EVENTS_SPEC,
     )
     return materialize(stream, ev.schema)
 
@@ -94,6 +101,8 @@ FROM events WHERE event_id % 5 = 0
 def cdc_topic_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic routing (R1): events from three tables interleave into one
     stream; count DML events per (topic, op)."""
+    from bottledwater_pg_spark.session import parallel_scan as _pscan
+
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     ev = load_table(spark, sf_dir, "events")
@@ -105,7 +114,10 @@ def cdc_topic_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "orders", ORDERS_SPEC)
         )
         .unionByName(
-            generate_cdc(ev, [], F.col("event_id"), 16387, "events", EVENTS_SPEC)
+            generate_cdc(
+                _pscan(ev), [], F.col("event_id"), 16387, "events",
+                EVENTS_SPEC,
+            )
         )
     )
     return (
@@ -506,16 +518,29 @@ def cdc_stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    stream = generate_cdc(
-        cust, ["c_custkey"], F.col("c_custkey"), 16385, "customer", CUSTOMER_SPEC
-    ).unionByName(
+    # r14: each side materializes from ITS OWN topic's stream — the
+    # production consumer shape (the reference routes tables to
+    # separate topics; a consumer subscribes per topic, it does not
+    # filter an interleaved firehose). The former union + relid filter
+    # was plan-equivalent only while Catalyst could constant-fold the
+    # other table's branches away; the single-pass explode generator
+    # defeats that pruning, so the filter form computed BOTH tables'
+    # full generation per side. Routing-by-relid stays certified by
+    # cdc_topic_routing_counts / cdc_replicate_all_counts.
+    cust_state = materialize(
+        generate_cdc(
+            cust, ["c_custkey"], F.col("c_custkey"), 16385, "customer",
+            CUSTOMER_SPEC,
+        ),
+        cust.schema,
+    )
+    ord_state = materialize(
         generate_cdc(
             orders, ["o_orderkey"], F.col("o_orderkey"), 16388, "orders",
             ORDERS_SPEC,
-        )
+        ),
+        orders.schema,
     )
-    cust_state = materialize(stream.filter(F.col("relid") == 16385), cust.schema)
-    ord_state = materialize(stream.filter(F.col("relid") == 16388), orders.schema)
     return (
         ord_state.filter(F.col("o_orderstatus") == "O")
         .join(cust_state, F.col("o_custkey") == F.col("c_custkey"))

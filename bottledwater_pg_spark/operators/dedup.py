@@ -135,11 +135,14 @@ def prefix_filter_jaccard_pairs(
     sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
     w = Window.partitionBy("sid").orderBy("dfreq", "shingle")
-    prefix = (
+    # prefix feeds BOTH sides of the candidate self-join below —
+    # persisted, or the df-ranking join + window run twice
+    prefix = persist_tracked(
         sh.join(dfreq, "shingle")
         .withColumn("rn", F.row_number().over(w))
         .join(sizes, "sid")
-        .filter(F.col("rn") <= F.expr(f"sz - ceil(sz * {threshold}) + 1"))
+        .filter(F.col("rn") <= F.expr(f"sz - ceil(sz * {threshold}) + 1")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     a = prefix.select(
         F.col("sid").alias("a_id"), "shingle", F.col("sz").alias("psz_a")
@@ -155,8 +158,13 @@ def prefix_filter_jaccard_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    arrays = sh.groupBy("sid").agg(
-        F.collect_set("shingle").alias("shs"), F.count("*").alias("sz")
+    # arrays feeds both verify sides — persist, or the collect_set
+    # aggregation over the full shingle table runs twice
+    arrays = persist_tracked(
+        sh.groupBy("sid").agg(
+            F.collect_set("shingle").alias("shs"), F.count("*").alias("sz")
+        ),
+        StorageLevel.MEMORY_AND_DISK,
     )
     va = arrays.select(
         F.col("sid").alias("a_id"),
@@ -1008,13 +1016,24 @@ def containment_prefix_pairs(df: DataFrame, threshold_bp: int = 8000,
     )
     dfreq = None
     if df_cap is not None:
-        dfreq = (
+        # persist BOTH the surviving-df table (reused by the prefix
+        # ranking and the universe filter) and the capped shingle
+        # table itself: the capped table feeds five downstream plans
+        # (prefix, candidate probe side, sizes, both verify sides) —
+        # unpersisted, each one re-runs the df aggregation + filter
+        # join, which made the capped query measurably SLOWER than the
+        # uncapped one on the same corpus
+        dfreq = persist_tracked(
             sh.groupBy("shingle")
             .agg(F.count("*").alias("dfreq"))
-            .filter(F.col("dfreq") <= df_cap)
+            .filter(F.col("dfreq") <= df_cap),
+            StorageLevel.MEMORY_AND_DISK,
         )
-        sh = sh.join(dfreq.select("shingle"), "shingle").select(
-            "sid", "shingle"
+        sh = persist_tracked(
+            sh.join(dfreq.select("shingle"), "shingle").select(
+                "sid", "shingle"
+            ),
+            StorageLevel.MEMORY_AND_DISK,
         )
     t = threshold_bp
     prefix = containment_prefix(sh, t, dfreq=dfreq)

@@ -53,8 +53,18 @@ def connected_components(
     # round, and without truncation each round would re-derive it from
     # its full upstream lineage (for dedup clustering that means
     # re-running MinHash-LSH per iteration)
+    # both directions in ONE pass over the caller's pair pipeline (the
+    # union form reads it twice — cached or not, that is double work)
     sym = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
         .localCheckpoint()
     )
@@ -140,8 +150,7 @@ def connected_components_star(
     # scheduling without re-deriving it per round (nothing reads it
     # per round)
     all_nodes = (
-        e0.select(F.col("a").alias("id"))
-        .unionByName(e0.select(F.col("b").alias("id")))
+        e0.select(F.explode(F.array("a", "b")).alias("id"))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -258,8 +267,7 @@ def pagerank_integer(
     # the edges — the co-located-join discipline at any scale
     edges = persist_tracked(edges.repartition("src"))
     nodes = persist_tracked(
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
+        edges.select(F.explode(F.array("src", "dst")).alias("node"))
         .distinct()
     )
     outdeg = persist_tracked(edges.groupBy("src").agg(F.count("*").alias("deg")))
@@ -322,9 +330,13 @@ def triangle_counts(pairs: DataFrame, a_col: str = "a",
     triangle; pure integers, deterministic."""
     from bottledwater_pg_spark.session import persist_tracked
 
+    # endpoint multiset in ONE pass over the (possibly expensive,
+    # possibly unpersisted) pair pipeline — the union-of-two-selects
+    # form scans it twice
     deg = (
-        pairs.select(F.col(a_col).alias("n"))
-        .unionByName(pairs.select(F.col(b_col).alias("n")))
+        pairs.select(
+            F.explode(F.array(F.col(a_col), F.col(b_col))).alias("n")
+        )
         .groupBy("n")
         .agg(F.count("*").cast("long").alias("deg"))
     )
@@ -372,10 +384,14 @@ def triangle_counts(pairs: DataFrame, a_col: str = "a",
         ),
         ["x", "y"],
     )
+    # one pass over the wedge-join output — the former three-way
+    # union re-ran the join (the operator's dominant cost) per corner
     per_node = (
-        tri.select(F.col("u").alias("node"))
-        .unionByName(tri.select(F.col("x").alias("node")))
-        .unionByName(tri.select(F.col("y").alias("node")))
+        tri.select(
+            F.explode(
+                F.array(F.col("u"), F.col("x"), F.col("y"))
+            ).alias("node")
+        )
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
@@ -405,9 +421,9 @@ def kcore_members(pairs: DataFrame, k: int, max_rounds: int = 8,
 
     edges = persist_tracked(pairs.select(a_col, b_col))
     alive = persist_tracked(
-        edges.select(F.col(a_col).alias("node"))
-        .unionByName(edges.select(F.col(b_col).alias("node")))
-        .distinct()
+        edges.select(
+            F.explode(F.array(F.col(a_col), F.col(b_col))).alias("node")
+        ).distinct()
     )
     n_alive = alive.count()
     deg = None
@@ -415,9 +431,12 @@ def kcore_members(pairs: DataFrame, k: int, max_rounds: int = 8,
         ea = edges.join(
             alive.withColumnRenamed("node", a_col), a_col
         ).join(alive.withColumnRenamed("node", b_col), b_col)
+        # endpoint multiset in one pass — the union form computed the
+        # alive-filtered edge join twice per round
         deg = (
-            ea.select(F.col(a_col).alias("node"))
-            .unionByName(ea.select(F.col(b_col).alias("node")))
+            ea.select(
+                F.explode(F.array(F.col(a_col), F.col(b_col))).alias("node")
+            )
             .groupBy("node")
             .agg(F.count("*").cast("long").alias("core_deg"))
         )
@@ -430,8 +449,11 @@ def kcore_members(pairs: DataFrame, k: int, max_rounds: int = 8,
         # The checkpoint both truncates AND materializes, so no
         # persist wrapper: a cached copy would never be read again
         # and would pin executor memory for the rest of the peel.
+        # LAZY + the count below materializes it: one job per round
+        # instead of checkpoint-job + count-job (truncation is
+        # immediate either way)
         survivors = deg.filter(F.col("core_deg") >= k).localCheckpoint(
-            eager=True
+            eager=False
         )
         n_next = survivors.count()
         if n_next == n_alive:

@@ -60,8 +60,14 @@ WITH corpus AS (
 """
 
 
-def docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+def docs_with_near_dups(
+    spark: SparkSession, sf_dir: str, parallel: bool = False
+) -> DataFrame:
+    # ``parallel``: under-split read repartition (session.load_table) —
+    # opted in by callers whose per-row kernel dominates (winnowing)
+    docs = load_table(
+        spark, sf_dir, "documents", parallel=parallel
+    ).select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % NEAR_COPY_MOD == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
@@ -685,7 +691,8 @@ FROM documents WHERE doc_id % {NEAR_COPY_MOD} = 0
 
 
 def text_stats_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # token/stopword kernels are the whole query and sit pre-exchange
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     ntok = token_count("text")
     return docs.select(
         "doc_id",
@@ -825,7 +832,10 @@ def doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from bottledwater_pg_spark.functions.text import kgram_hashes, winnow_mins
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the per-char md5 k-gram kernel is the whole query (zero shuffle)
+    docs = load_table(
+        spark, sf_dir, "documents", parallel=True
+    ).select("doc_id", "text")
     return docs.withColumn("_g", kgram_hashes("text", 8)).select(
         "doc_id",
         F.explode(F.array_distinct(winnow_mins("_g", 4))).alias("fp"),
@@ -859,7 +869,10 @@ def winnow_near_dup_pairs(spark: SparkSession, sf_dir: str,
     from bottledwater_pg_spark.functions.text import kgram_hashes, winnow_mins
 
     if corpus is None:
-        corpus = docs_with_near_dups(spark, sf_dir)
+        # opt in to the read repartition: the md5 k-gram + winnowing
+        # kernel before the first exchange dominates this operator
+        # (measured 0.56x with it, full-bench A/B)
+        corpus = docs_with_near_dups(spark, sf_dir, parallel=True)
     # dedupe INSIDE the row: winnowing emits the same minimum for many
     # consecutive windows, so array_distinct before the explode removes
     # per-doc repeats narrowly — (doc, fp) is then globally distinct by
@@ -1498,7 +1511,11 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     on disk between batches) and needs no driver collect at all."""
     from bottledwater_pg_spark.session import persist_tracked
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # word-shingle explode (+ md5 probes in the Bloom variant) is the
+    # dominant pre-exchange work — opt in to the read repartition
+    docs = load_table(
+        spark, sf_dir, "documents", parallel=True
+    ).select("doc_id", "text")
     eval_set = docs.filter(F.col("doc_id") % 9 == 0).select(
         (F.col("doc_id") + 500000).alias("eval_id"), "text"
     )
@@ -1657,7 +1674,11 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     — kept textual here because the DuckDB oracle must compute the
     identical join.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # word-shingle explode (+ md5 probes in the Bloom variant) is the
+    # dominant pre-exchange work — opt in to the read repartition
+    docs = load_table(
+        spark, sf_dir, "documents", parallel=True
+    ).select("doc_id", "text")
     eval_set = docs.filter(F.col("doc_id") % 9 == 0).select(
         (F.col("doc_id") + 500000).alias("eval_id"), "text"
     )
@@ -3855,7 +3876,10 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str,
     from pyspark.sql import Window
 
     if docs is None:
-        docs = load_table(spark, sf_dir, "documents")
+        # tokenize + per-position gram build (md5 in the hashed form)
+        # dominates the pre-shuffle stage — opt in to the read
+        # repartition
+        docs = load_table(spark, sf_dir, "documents", parallel=True)
     docs = docs.select("doc_id", "text")
     t = docs.select("doc_id", tokens("text").alias("toks"))
     _gram = f"concat_ws(' ', slice(toks, i, {k}))"
@@ -5939,7 +5963,9 @@ def _perceptron_train(spark: SparkSession, feats: DataFrame,
             .select(
                 F.expr("zip_with(w, delta, (a, b) -> a + b)").alias("w")
             )
-            .localCheckpoint(eager=True)
+            # lazy: next round's broadcast materializes it in-job;
+            # the plan is truncated immediately either way
+            .localCheckpoint(eager=False)
         )
     return w
 

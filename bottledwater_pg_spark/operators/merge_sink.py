@@ -148,37 +148,44 @@ class BucketedMergeSink:
         merge is latest-by-lsn, and a replay after a crash BEFORE the
         pointer flip overwrites its own orphaned staging dir.
         """
-        compacted = self._bucket(compact(batch))
-        # at most n_buckets small ints — driver-safe at any data scale
-        touched = [
-            r["bucket"] for r in compacted.select("bucket").distinct().collect()
-        ]
-        if not touched:
-            return  # empty batch: no commit at all
-        prev = self._read_buckets(touched)
-        if prev is None:
-            self._commit_buckets(
-                compacted.select(*STATE_COLS, "bucket"), touched
+        # persist the compacted batch: it feeds the touched-bucket
+        # collect AND the merge union — unpersisted, the batch's
+        # compaction shuffle runs twice per micro-batch
+        compacted = self._bucket(compact(batch)).persist()
+        try:
+            # at most n_buckets small ints — driver-safe at any data scale
+            touched = [
+                r["bucket"]
+                for r in compacted.select("bucket").distinct().collect()
+            ]
+            if not touched:
+                return  # empty batch: no commit at all
+            prev = self._read_buckets(touched)
+            if prev is None:
+                self._commit_buckets(
+                    compacted.select(*STATE_COLS, "bucket"), touched
+                )
+                return
+            merged = (
+                prev.select(*STATE_COLS, "bucket")
+                .unionByName(compacted.select(*STATE_COLS, "bucket"))
+                .groupBy("key")
+                .agg(
+                    F.max_by(
+                        F.struct("op", "lsn", "new_row", "bucket"), F.col("lsn")
+                    ).alias("last")
+                )
+                .select(
+                    "key",
+                    F.col("last.op").alias("op"),
+                    F.col("last.lsn").alias("lsn"),
+                    F.col("last.new_row").alias("new_row"),
+                    F.col("last.bucket").alias("bucket"),
+                )
             )
-            return
-        merged = (
-            prev.select(*STATE_COLS, "bucket")
-            .unionByName(compacted.select(*STATE_COLS, "bucket"))
-            .groupBy("key")
-            .agg(
-                F.max_by(
-                    F.struct("op", "lsn", "new_row", "bucket"), F.col("lsn")
-                ).alias("last")
-            )
-            .select(
-                "key",
-                F.col("last.op").alias("op"),
-                F.col("last.lsn").alias("lsn"),
-                F.col("last.new_row").alias("new_row"),
-                F.col("last.bucket").alias("bucket"),
-            )
-        )
-        self._commit_buckets(merged, touched)
+            self._commit_buckets(merged, touched)
+        finally:
+            compacted.unpersist(blocking=False)
 
     # -- maintenance ------------------------------------------------
     def expire_tombstones(self, min_live_lsn: int) -> int:

@@ -59,8 +59,10 @@ def _sql_dbl(expr: str) -> str:
     return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
+    return load_table(spark, sf_dir, name, parallel=parallel)
 
 
 # ---------------------------------------------------------------- queries
@@ -4024,7 +4026,9 @@ def pg_interval_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from bottledwater_pg_spark.functions.pg_text import parse_pg_interval
 
-    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    # ~10 regexes/row of parse + the canonical-text build dominate and
+    # sit pre-exchange: opt in to the read repartition (measured 0.36x)
+    o = _t(spark, sf_dir, "orders", parallel=True).select("o_orderkey")
     k = F.col("o_orderkey")
     built = o.select(
         "o_orderkey",
@@ -4089,7 +4093,7 @@ def pg_timetz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from bottledwater_pg_spark.functions.pg_text import parse_pg_timetz
 
-    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    c = _t(spark, sf_dir, "customer", parallel=True).select("c_custkey")
     k = F.col("c_custkey")
     zh = (k % 27) - 13  # signed whole hours
     zm = F.when(k % 2 == 0, F.lit(30)).otherwise(F.lit(0))
@@ -4158,7 +4162,7 @@ def pg_composite_enum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bottledwater_pg_spark.functions.pg_text import parse_pg_composite
     from bottledwater_pg_spark.plans.envelope import ROW_JSON_OPTIONS
 
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name",
+    c = _t(spark, sf_dir, "customer", parallel=True).select("c_custkey", "c_name",
                                              "c_mktsegment")
     k = F.col("c_custkey")
     name_field = F.concat(

@@ -651,7 +651,12 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 4,
                     "s -> s.qc)"
                 ).alias("cv")
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the next round's broadcast (or the
+            # caller's probe) materializes it inside its own job —
+            # truncation is immediate either way (the logical plan is
+            # already the checkpoint RDD), and the per-round eager
+            # materialization job disappears
+            .localCheckpoint(eager=False)
         )
     return assign, cents
 

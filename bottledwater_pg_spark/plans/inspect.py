@@ -36,6 +36,27 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
+def count_data_exchanges(df: DataFrame) -> int:
+    """Like :func:`count_exchanges`, excluding RoundRobinPartitioning
+    exchanges — the deliberate read-side parallelizer for under-split
+    local inputs (session.load_table(parallel=True) / parallel_scan),
+    absent on real multi-split inputs. Plan pins that express "how
+    many DATA shuffles does the algorithm need" count these
+    separately."""
+    plan = formatted_plan(df)
+    total = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    rr = len(re.findall(
+        r"\(\d+\) Exchange\b[^\n]*\n[^\n]*\n?[^\n]*RoundRobinPartitioning",
+        plan,
+    ))
+    # formatted mode lists node args in the details section; fall back
+    # to counting RoundRobinPartitioning mentions when the adjacency
+    # heuristic finds none
+    if rr == 0:
+        rr = plan.count("RoundRobinPartitioning(")
+    return total - rr
+
+
 def count_broadcast_joins(df: DataFrame) -> int:
     return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin",
                           formatted_plan(df)))

@@ -79,7 +79,15 @@ def table_schema_events(
         df.schema.json(),
         topic,
     )
-    return spark.createDataFrame([row], schema=ENVELOPE_SCHEMA)
+    # one control row, built on an EXPLICIT single slice: the default
+    # createDataFrame path parallelizes even one row across
+    # defaultParallelism near-empty partitions and every downstream
+    # union stage drags them along. (Not .coalesce(1): a Repartition
+    # node on a union branch blocks filter pushdown through the whole
+    # union, measured 5x on the schema-evolution queries.)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize([row], 1), schema=ENVELOPE_SCHEMA
+    )
 
 
 def resolve_schemas(events: DataFrame, tracker: SchemaTracker | None = None):

@@ -103,13 +103,65 @@ def release_persisted() -> int:
 # matching what DuckDB's reader does.
 _NS_TIMESTAMP_COLS = {"events": ("ts",)}
 
+# Read-side parallelism floor (spark_optimization_guide §2.5 "input
+# skew: one huge unsplittable file ... otherwise repartition
+# immediately after the read"). A parquet file yields at most one
+# non-empty split per ROW GROUP, whatever the split config says; the
+# test fixtures are single-row-group files, so without this every
+# per-row-heavy projection that sits before the first exchange (CDC
+# envelope encode, k-gram md5, shingling, regex round-trip parsers)
+# runs on ONE core. OPT-IN PER CALL SITE (``parallel=True``): the
+# full-bench A/B showed the round-robin exchange pays for itself only
+# where the pre-shuffle per-row work dominates (winnowing k-gram md5
+# 0.56x, n-gram contamination 0.42x, interval parse 0.36x, Bloom
+# probe 0.64x, the CDC envelope encode family 0.59-0.90x) while
+# taxing every scan-light query ~0.4-0.6 s of extra stage latency —
+# a blanket default regressed the 90-query tail 1.4-3x. Even when
+# opted in it is gated on the input actually being under-split (row
+# groups < default parallelism) and carrying enough bytes to matter,
+# so a production table laid out as many splits (the 100 TB case)
+# never pays it. Result-safe: every declared query is
+# order-insensitive (collect_list always under sort_array, first/last
+# only windowed or group-constant; re-certified by the full exact
+# gate this round).
+_SCAN_REPARTITION_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SCAN_REPARTITION_MIN_BYTES", str(192 * 1024))
+)
+#: path -> (mtime, size, row_groups) probe cache
+_SPLIT_PROBE_CACHE: dict = {}
 
-def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one fixture table (TESTDATA.md) as a DataFrame."""
+
+def _row_group_count(path: str) -> tuple[int, int]:
+    """(row_groups, size_bytes) of a LOCAL parquet file; (big, big) on
+    any failure (URI paths, missing pyarrow) so the gate stays off."""
+    try:
+        st = os.stat(path)
+        cached = _SPLIT_PROBE_CACHE.get(path)
+        if cached is not None and cached[0] == st.st_mtime:
+            return cached[1], cached[2]
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(path).metadata.num_row_groups
+        _SPLIT_PROBE_CACHE[path] = (st.st_mtime, n, st.st_size)
+        return n, st.st_size
+    except Exception:  # pragma: no cover — URI/odd layouts: skip gate
+        return 1 << 30, 0
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+):
+    """Read one fixture table (TESTDATA.md) as a DataFrame.
+
+    ``parallel=True`` opts in to the under-split read repartition (see
+    the comment above ``_SCAN_REPARTITION_MIN_BYTES``) — pass it where
+    heavy per-row work sits between the scan and the first exchange.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     for col in _NS_TIMESTAMP_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
             # integer `div`, not `/1000` — float division of an ~1e18 ns
@@ -118,6 +170,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
                 col,
                 F.timestamp_micros(F.expr(f"{col} div 1000")).cast("timestamp_ntz"),
             )
+    if parallel and os.environ.get(
+        "SPARK_GRAFT_SCAN_REPARTITION", "auto"
+    ) != "off":
+        par = spark.sparkContext.defaultParallelism
+        row_groups, size = _row_group_count(path)
+        if row_groups < par and size >= _SCAN_REPARTITION_MIN_BYTES:
+            df = df.repartition(par)
+    return df
+
+
+def parallel_scan(df, parallel: bool = True):
+    """Under-split-read repartition for a DataFrame that did not come
+    straight from :func:`load_table` (generated streams, unions):
+    round-robin to default parallelism iff the plan currently has
+    fewer partitions — the §2.5 unsplittable-input remedy, gated the
+    same way (no-op on real multi-split inputs; env kill-switch)."""
+    if not parallel or os.environ.get(
+        "SPARK_GRAFT_SCAN_REPARTITION", "auto"
+    ) == "off":
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — streaming plans etc.
+        return df
+    if n < par:
+        df = df.repartition(par)
     return df
 
 

@@ -174,6 +174,32 @@ def snapshot_events(
     )
 
 
+def _event_struct(
+    op: str,
+    relid: int,
+    xid: int,
+    lsn: Column,
+    key: Column,
+    old_row: Column,
+    new_row: Column,
+    topic: str,
+) -> Column:
+    """One envelope event as a struct literal-projection — the
+    single-pass generator's unit (field order/typing identical to
+    :func:`_encode`'s select list)."""
+    return F.struct(
+        F.lit(op).alias("op"),
+        F.lit(relid).cast("long").alias("relid"),
+        F.lit(xid).cast("long").alias("xid"),
+        lsn.alias("lsn"),
+        key.alias("key"),
+        old_row.alias("old_row"),
+        new_row.alias("new_row"),
+        F.lit(None).cast("string").alias("schema_json"),
+        F.lit(topic).alias("topic"),
+    )
+
+
 def mutation_events(
     df: DataFrame,
     pk_cols: list[str],
@@ -183,92 +209,97 @@ def mutation_events(
     spec: MutationSpec,
     namespace: str = "public",
     topic_prefix: str | None = None,
+    _extra_events: "list[Column] | None" = None,
 ) -> DataFrame:
-    """Stream phase: deterministic updates, PK-changes, deletes."""
+    """Stream phase: deterministic updates, PK-changes, deletes.
+
+    SINGLE-PASS shape: every row projects an array of its (0-4)
+    conditional event structs which is then exploded — one read of the
+    base table however many event kinds fire, where the previous form
+    unioned one filtered scan PER event kind (7 passes over the source;
+    with the read-side repartition each pass also became its own
+    exchange because the pushed-down branch filters made every scan
+    subtree unique). Event values are expression-identical to the old
+    branches, so the emitted rows are the same multiset.
+
+    ``_extra_events``: additional per-row event structs prepended to
+    the array (the snapshot insert, when :func:`generate_cdc` wants
+    snapshot + mutations in the same single pass).
+    """
     topic = topic_name(table, namespace, topic_prefix)
     keyed = bool(pk_cols)
-    parts: list[DataFrame] = []
 
     is_updated = pk_num % spec.update_mod == 0
     is_moved = pk_num % spec.pkchange_mod == 0
     is_deleted = pk_num % spec.delete_mod == 0
 
+    null_s = F.lit(None).cast("string")
+    key = (
+        F.to_json(F.struct(*[F.col(c) for c in pk_cols]), ROW_JSON_OPTIONS)
+        if keyed
+        else null_s
+    )
+    plain_json = _row_json(df)
+    upd_json = _row_json(df, spec.update_exprs)
+    # old image = the row AS IT WAS at event time (the xid-1 update
+    # already applied for k%update_mod keys) — PG logical decoding
+    # emits the actual old tuple, and incremental view maintenance
+    # (operators/ivm.py) relies on images telescoping exactly
+    old_img = F.when(is_updated, upd_json).otherwise(plain_json)
+
+    def lsn(phase: int) -> Column:
+        return pk_num.cast("long") * LSN_STRIDE + phase
+
+    events: list[Column] = list(_extra_events or [])
+
     # xid 1: plain updates (new image carries the updated values).
-    upd = df.filter(is_updated)
-    parts.append(
-        _encode(
-            upd,
-            OP_UPDATE,
-            pk_cols,
-            pk_num,
-            PHASE_UPDATE,
-            XID_UPDATE,
-            relid,
-            topic,
-            new_row=_row_json(upd, spec.update_exprs),
-            old_row=_row_json(upd),
+    events.append(
+        F.when(
+            is_updated,
+            _event_struct(
+                OP_UPDATE, relid, XID_UPDATE, lsn(PHASE_UPDATE), key,
+                old_row=plain_json, new_row=upd_json, topic=topic,
+            ),
         )
     )
 
     if keyed:
         # xid 2: PK-change updates, rewritten as Delete(old)+Insert(new)
         # exactly like protocol_server.c:129-136 — per-key compaction
-        # would otherwise resurrect the old key.
-        moved = df.filter(is_moved)
+        # would otherwise resurrect the old key. The moved row keeps
+        # updated values if it was also updated.
         pk0 = pk_cols[0]
         shifted_overrides = dict(spec.update_exprs)
         shifted_overrides[pk0] = f"{pk0} + {spec.pk_shift}"
-        # the moved row keeps updated values if it was also updated
-        moved_upd = moved.filter(is_updated)
-        moved_not_upd = moved.filter(~is_updated)
         del_overrides = {pk0: f"{pk0} + {spec.pk_shift}"}
-        # old image = the row AS IT WAS at event time (the xid-1 update
-        # already applied for k%update_mod keys) — PG logical decoding
-        # emits the actual old tuple, and incremental view maintenance
-        # (operators/ivm.py) relies on images telescoping exactly
-        for part_df, old_overrides in (
-            (moved_upd, spec.update_exprs),
-            (moved_not_upd, None),
-        ):
-            parts.append(
-                _encode(
-                    part_df,
-                    OP_DELETE,
-                    pk_cols,
-                    pk_num,
-                    PHASE_PKCHANGE,
-                    XID_PKCHANGE,
-                    relid,
-                    topic,
-                    new_row=None,
-                    old_row=_row_json(part_df, old_overrides),
-                )
+        shifted_keys = [
+            F.expr(del_overrides[c]).alias(c) if c == pk0 else F.col(c)
+            for c in pk_cols
+        ]
+        shifted_key = F.to_json(F.struct(*shifted_keys), ROW_JSON_OPTIONS)
+        events.append(
+            F.when(
+                is_moved,
+                _event_struct(
+                    OP_DELETE, relid, XID_PKCHANGE, lsn(PHASE_PKCHANGE), key,
+                    old_row=old_img, new_row=null_s, topic=topic,
+                ),
             )
-        for part_df, overrides in (
-            (moved_upd, shifted_overrides),
-            (moved_not_upd, del_overrides),
-        ):
-            shifted_keys = [
-                F.expr(overrides.get(c, c)).alias(c) if c == pk0 else F.col(c)
-                for c in pk_cols
-            ]
-            parts.append(
-                _encode(
-                    part_df,
-                    OP_INSERT,
-                    pk_cols,
-                    pk_num,
-                    PHASE_PKCHANGE,
-                    XID_PKCHANGE,
-                    relid,
-                    topic,
-                    new_row=_row_json(part_df, overrides),
-                    old_row=None,
-                    key_override=F.to_json(
-                        F.struct(*shifted_keys), ROW_JSON_OPTIONS
-                    ),
-                )
+        )
+        events.append(
+            F.when(
+                is_moved,
+                _event_struct(
+                    OP_INSERT, relid, XID_PKCHANGE, lsn(PHASE_PKCHANGE),
+                    shifted_key,
+                    old_row=null_s,
+                    new_row=F.when(
+                        is_updated, _row_json(df, shifted_overrides)
+                    ).otherwise(_row_json(df, del_overrides)),
+                    topic=topic,
+                ),
             )
+        )
 
         # xid 3: deletes of original keys. Rows that also moved are
         # EXCLUDED: their original key was already deleted in xid 2, and
@@ -276,31 +307,21 @@ def mutation_events(
         # longer exists (the moved-to key survives, matching the
         # oracle's OR k%pkchange_mod=0). Old image carries the xid-1
         # update for k%update_mod keys (see the xid-2 comment).
-        for dele, old_overrides in (
-            (df.filter(is_deleted & ~is_moved & is_updated), spec.update_exprs),
-            (df.filter(is_deleted & ~is_moved & ~is_updated), None),
-        ):
-            parts.append(
-                _encode(
-                    dele,
-                    OP_DELETE,
-                    pk_cols,
-                    pk_num,
-                    PHASE_DELETE,
-                    XID_DELETE,
-                    relid,
-                    topic,
-                    new_row=None,
-                    old_row=_row_json(dele, old_overrides),
-                )
+        events.append(
+            F.when(
+                is_deleted & ~is_moved,
+                _event_struct(
+                    OP_DELETE, relid, XID_DELETE, lsn(PHASE_DELETE), key,
+                    old_row=old_img, new_row=null_s, topic=topic,
+                ),
             )
+        )
     # Unkeyed tables: deletes are dropped entirely (X2,
     # bottledwater.c:537-541) — we simply never emit them.
 
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return df.select(
+        F.explode(F.array_compact(F.array(*events))).alias("_e")
+    ).select("_e.*")
 
 
 def txn_markers(spark: SparkSession, relid: int, xids: list[int]) -> DataFrame:
@@ -318,7 +339,14 @@ def txn_markers(spark: SparkSession, relid: int, xids: list[int]) -> DataFrame:
     for xid in xids:
         rows.append((OP_BEGIN, relid, xid, xid * 2, None, None, None, None, None))
         rows.append((OP_COMMIT, relid, xid, xid * 2 + 1, None, None, None, None, None))
-    return spark.createDataFrame(rows, schema=ENVELOPE_SCHEMA)
+    # explicit single slice: createDataFrame alone parallelizes even 8
+    # marker rows across defaultParallelism near-empty partitions that
+    # every downstream union stage drags along (and .coalesce(1) would
+    # block filter pushdown through the consuming union — see
+    # schema_tracker.table_schema_events)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema=ENVELOPE_SCHEMA
+    )
 
 
 def generate_cdc(
@@ -364,16 +392,40 @@ def generate_cdc(
             f"update — the update event's key would disagree with "
             f"its new_row payload"
         )
-    muts = mutation_events(
-        df, pk_cols, pk_num, relid, table, spec, namespace, topic_prefix
-    )
-    if skip_snapshot:
-        out = muts
-    else:
-        snap = snapshot_events(
-            df, pk_cols, pk_num, relid, table, namespace, topic_prefix
+    # No read-side repartition here, deliberately: the A/B showed the
+    # single-pass explode below already recovers the CDC family's time
+    # without it, while the extra exchange + AQE stage per action
+    # taxed every multi-action consumer (merge sink 5.0->9.1 s,
+    # many-table fanout 2.2->4.8 s, stream-table join 2.7->3.7 s with
+    # it ON). Callers that DO want it can parallel_scan(df) the input
+    # themselves.
+    # Snapshot + mutations in ONE pass over the base table: the
+    # snapshot insert rides the same per-row event array the mutation
+    # kinds explode from (see mutation_events) — the whole replay is a
+    # single scan + narrow projection, not a union of per-event-kind
+    # filtered scans.
+    extra: list[Column] = []
+    if not skip_snapshot:
+        topic = topic_name(table, namespace, topic_prefix)
+        null_s = F.lit(None).cast("string")
+        key = (
+            F.to_json(
+                F.struct(*[F.col(c) for c in pk_cols]), ROW_JSON_OPTIONS
+            )
+            if pk_cols
+            else null_s
         )
-        out = snap.unionByName(muts)
+        extra.append(
+            _event_struct(
+                OP_INSERT, relid, XID_SNAPSHOT,
+                pk_num.cast("long") * LSN_STRIDE + PHASE_SNAPSHOT, key,
+                old_row=null_s, new_row=_row_json(df), topic=topic,
+            )
+        )
+    out = mutation_events(
+        df, pk_cols, pk_num, relid, table, spec, namespace, topic_prefix,
+        _extra_events=extra,
+    )
     if include_txn_markers:
         spark = df.sparkSession
         xids = [XID_SNAPSHOT, XID_UPDATE, XID_PKCHANGE, XID_DELETE]
