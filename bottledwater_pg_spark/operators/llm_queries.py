@@ -30,7 +30,11 @@ from bottledwater_pg_spark.functions.text import (
     word_shingles,
 )
 from bottledwater_pg_spark.operators import dedup, multimodal, similarity
-from bottledwater_pg_spark.session import load_table, persist_tracked
+from bottledwater_pg_spark.session import (
+    load_table,
+    parallel_scan,
+    persist_tracked,
+)
 
 EXACT_COPY_MOD = 3
 NEAR_COPY_MOD = 10
@@ -360,7 +364,10 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ENTIRE index build + probe — fully hash-oracled (this was the
     r1-r6 rows-only cell); still approximate vs brute force by design
     (recall certified by ``ivf_ann_recall_vs_exact``)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # under-split-read opt-in: the shuffle-free assignment fold leaves
+    # everything on the scan partitioning, so the single-row-group
+    # fixture file must be spread up front (no-op on multi-split inputs)
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.topk_ivf(emb, queries, k=5, n_list=32, n_probe=8)
 
@@ -384,7 +391,10 @@ def ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage (training rounds, cosine assignment, probe, rank) is
     exact-int/pinned-ties, so DuckDB replays the WHOLE pipeline —
     training included — fully hash-oracled."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # under-split-read opt-in: the shuffle-free assignment fold leaves
+    # everything on the scan partitioning, so the single-row-group
+    # fixture file must be spread up front (no-op on multi-split inputs)
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.topk_ivf_trained(
         emb, queries, k=5, n_list=32, iters=IVF_TRAINED_ITERS, n_probe=8
@@ -2500,7 +2510,10 @@ def semdedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats and the prune pairs. Scale notes on the operator itself —
     the quadratic term is bounded by cluster size by construction.
     """
-    corpus = embeddings_with_dups(spark, sf_dir)
+    # under-split-read opt-in: the shuffle-free assignment fold leaves
+    # everything on the scan partitioning, so the single-row-group
+    # fixture file must be spread up front (no-op on multi-split inputs)
+    corpus = parallel_scan(embeddings_with_dups(spark, sf_dir))
     cent = similarity.ivf_centroids(corpus, 8)
     assigned = persist_tracked(similarity.ivf_assign(corpus, cent))
     pruned = similarity.semdedup_pairs_pruned(assigned, COSINE_THRESHOLD)
@@ -4283,7 +4296,10 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so DuckDB replays the COMPOSED index end to end and the output is
     fully hash-oracled. Recall certified by
     ``ivfpq_ann_recall_vs_exact`` (floor 65%, measured 87-94%)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # under-split-read opt-in: the shuffle-free assignment fold leaves
+    # everything on the scan partitioning, so the single-row-group
+    # fixture file must be spread up front (no-op on multi-split inputs)
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.topk_ivfpq(emb, queries, k=5)
 
@@ -4361,7 +4377,10 @@ def ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-vector corpus has no cluster structure for training to
     exploit, so the certificate floor pins the trained system's own
     recall (above the untrained 65% floor), not fixture superiority."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # under-split-read opt-in: the shuffle-free assignment fold leaves
+    # everything on the scan partitioning, so the single-row-group
+    # fixture file must be spread up front (no-op on multi-split inputs)
+    emb = load_table(spark, sf_dir, "embeddings", parallel=True)
     queries = emb.filter(F.col("vec_id") < 20)
     return similarity.topk_ivfpq_trained(
         emb, queries, k=5, iters=IVF_TRAINED_ITERS
@@ -4547,6 +4566,10 @@ def kmeans_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from bottledwater_pg_spark.operators.similarity import kmeans_lloyd
 
+    # the corpus is tiny relative to per-task scheduling cost here and
+    # the E-step fold is a narrow map: spreading it 32 ways measured
+    # ~1 s SLOWER (same-session A/B) — per-round stage overhead, not
+    # compute, dominates k-means on this corpus. Left un-spread.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
@@ -4662,6 +4685,9 @@ def kmeans_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bottledwater_pg_spark.functions.vectors import norm_pre
     from bottledwater_pg_spark.operators.similarity import kmeans_lloyd
 
+    # not spread (parallel_scan): the k-means rounds dominate this
+    # query and spreading the tiny corpus costs more in per-round
+    # stage scheduling than it buys (see kmeans_topic_clusters)
     corpus = embeddings_with_dups(spark, sf_dir)
     assign, _cents = kmeans_lloyd(corpus, k=KMEANS_K, iters=KMEANS_ITERS)
     assigned = persist_tracked(

@@ -85,20 +85,39 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     """Assign every corpus vector to its nearest centroid (max cosine,
     ties to the lowest cent_id): (sid, cent_id, qvec, qnorm).
 
-    One broadcast nested-loop against the tiny centroid set, then a
-    map-side-combining max_by aggregation — no quadratic pass, one
-    shuffle on sid. At cluster scale the output is written partitioned
-    by cent_id, which is what makes probes partition-pruned."""
+    The nearest centroid of one vector depends on nothing but that
+    vector and the (tiny, broadcast) centroid table, so the argmax is
+    computed ROW-WISE over a one-row centroid ARRAY — a narrow map
+    with NO shuffle at all. The former shape (crossJoin + per-sid
+    max_by) shuffled the whole corpus, vectors and norms included, on
+    sid just to regroup the k scores of each vector — the §8
+    "shuffling payloads to make a row-local decision" anti-shape; at
+    100 TB that exchange was the assignment's entire cost. Arithmetic
+    per (vector, centroid) is the identical cosine expression, and
+    ties break identically (max over (cos, -cent_id)), so the
+    assignment is bit-for-bit the same. At cluster scale the output
+    is written partitioned by cent_id, which is what makes probes
+    partition-pruned."""
     q = quantized_vectors(corpus, id_col, vec_col)
-    scored = q.crossJoin(F.broadcast(centroids)).withColumn(
-        "cos", cosine_pre("qvec", "cent_q", "qnorm", "cent_n")
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct("cent_id", "cent_q", "cent_n")).alias(
+            "cents"
+        )
     )
-    return scored.groupBy("sid").agg(
-        F.max_by(
-            "cent_id", F.struct(F.col("cos"), -F.col("cent_id"))
-        ).alias("cent_id"),
-        F.first("qvec").alias("qvec"),
-        F.first("qnorm").alias("qnorm"),
+    # max over (cos, -cent_id): highest cosine, ties to lowest id —
+    # exactly the old max_by ordering; cent_id is distinct so the
+    # struct order is total and collect_list's order cannot matter
+    best = F.expr(
+        "array_max(transform(cents, c -> struct("
+        "CAST(aggregate(zip_with(qvec, c.cent_q, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, p) -> acc + p) AS DOUBLE) "
+        "/ (qnorm * c.cent_n) AS cos, "
+        "-c.cent_id AS neg, c.cent_id AS cent_id)))"
+    )
+    return (
+        q.crossJoin(F.broadcast(cent_arr))
+        .select("sid", best.getField("cent_id").alias("cent_id"),
+                "qvec", "qnorm")
     )
 
 
@@ -224,8 +243,14 @@ def semdedup_prune(corpus: DataFrame, n_clusters: int = 8,
     quadratic term. Vectors are quantized once and carry norms: one
     interpreted zip_with per surviving pair.
     """
+    from bottledwater_pg_spark.session import persist_tracked
+
     cent = ivf_centroids(corpus, n_clusters, id_col, vec_col)
-    assigned = ivf_assign(corpus, cent, id_col, vec_col)
+    # the assignment feeds BOTH sides of the within-cluster pair join:
+    # persist it, or the quantize + argmin map runs twice (the old
+    # shuffle-based ivf_assign got this reuse for free via
+    # ReusedExchange; the shuffle-free fold has no exchange to reuse)
+    assigned = persist_tracked(ivf_assign(corpus, cent, id_col, vec_col))
     return semdedup_pairs_pruned(assigned, threshold)
 
 
@@ -370,6 +395,13 @@ def pq_encode(corpus: DataFrame, codebooks: DataFrame, n_sub: int = 8,
     codebook table, one map-side-combining min_by — the index is
     ``n_sub`` small ints per vector, the 8-32x compression that lets
     a 100 TB corpus's index sit in cluster memory."""
+    # NOT rewritten to the row-wise array fold ivf_assign uses: this
+    # shuffle is already payload-free — the broadcast join computes d
+    # map-side and the min_by partial aggregation collapses to one
+    # (sid, m, code, d) row per group before the exchange, so no
+    # vector ever crosses it; the fold form traded that small
+    # exchange for interpreted per-codeword struct folding and
+    # measured 39% SLOWER (same-session A/B, sf0.1).
     sv = _subvectors(corpus, n_sub, id_col, vec_col)
     scored = sv.join(F.broadcast(codebooks), "m").withColumn(
         "d", F.expr(_L2Q.format(a="sub_q", b="cb_q"))
@@ -616,25 +648,33 @@ def kmeans_lloyd(corpus: DataFrame, k: int = 8, iters: int = 4,
         q.orderBy("sid").limit(k)
         .select(F.col("sid").alias("cid"), F.col("qvec").alias("cv"))
     )
-    d2 = F.expr(
-        "aggregate(zip_with(qvec, cv, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS BIGINT), (acc, p) -> acc + p)"
+    # E-step argmin as a ROW-WISE fold over a one-row centroid array:
+    # a vector's nearest centroid depends on nothing but the vector
+    # and the k (broadcast) centroids, so the former crossJoin +
+    # per-sid min_by — which shuffled the whole corpus, vectors
+    # included, on sid EVERY round — becomes a narrow map with no
+    # shuffle (the ivf_assign rewrite, applied per round). min over
+    # (d2, cid) keeps the exact tie order; cid is distinct, so the
+    # collect_list order cannot matter. The two-step select keeps the
+    # array_min evaluated once (CollapseProject does not inline
+    # non-cheap expressions referenced twice).
+    best = F.expr(
+        "array_min(transform(cs, c -> struct("
+        "aggregate(zip_with(qvec, c.cv, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, p) -> acc + p) AS d2, c.cid AS cid)))"
     )
     assign = None
     for _ in range(iters):
-        scored = q.crossJoin(F.broadcast(cents)).withColumn("d2", d2)
+        cents_arr = cents.agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cs")
+        )
         assign = (
-            scored.groupBy("sid")
-            .agg(
-                F.min_by(
-                    F.struct("cid", "d2"), F.struct("d2", "cid")
-                ).alias("m"),
-                F.first("qvec").alias("qvec"),
-            )
+            q.crossJoin(F.broadcast(cents_arr))
+            .select("sid", "qvec", best.alias("b"))
             .select(
                 "sid",
-                F.col("m.cid").alias("cid"),
-                F.col("m.d2").alias("d2"),
+                F.col("b.cid").alias("cid"),
+                F.col("b.d2").alias("d2"),
                 "qvec",
             )
         )
