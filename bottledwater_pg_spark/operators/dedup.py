@@ -215,9 +215,14 @@ def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
         "hx",
         F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_PRIME)),
     )
+    # one parsed SQL string per hash instead of ~5 chained Column
+    # calls — same expression tree/plan, ~5x fewer py4j round-trips
+    # of driver plan-construction (int32 coefficient literals exactly
+    # as F.lit(a) produced: a, b < 2^31; the multiply promotes to
+    # long before pmod either way)
     mins = [
-        F.min(F.pmod(F.lit(a) * F.col("hx") + F.lit(b), F.lit(MINHASH_PRIME))).alias(
-            f"mh{i}"
+        F.expr(
+            f"min(pmod({a} * hx + {b}, {MINHASH_PRIME})) AS mh{i}"
         )
         for i, (a, b) in enumerate(params)
     ]
@@ -233,6 +238,37 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 32,
     )
 
 
+def _minhash_band_array(num_hashes: int, bands: int) -> "F.Column":
+    """The per-doc array of (band, bsig) structs as ONE parsed SQL
+    expression — tree-identical to the nested
+    ``F.array(F.struct(F.lit(bi), F.concat_ws('_', mh...)))`` build
+    (same plan, same results) at ~1/6 the py4j round-trips of driver
+    plan construction."""
+    rows = num_hashes // bands
+    parts = []
+    for bi in range(bands):
+        cols = ", ".join(f"mh{bi * rows + r}" for r in range(rows))
+        parts.append(
+            f"struct({bi} AS band, concat_ws('_', {cols}) AS bsig)"
+        )
+    return F.expr("array(" + ", ".join(parts) + ")")
+
+
+def _bit_band_array(sig_col: str, bands: int, width: int) -> "F.Column":
+    """(band, bval) struct array over a bit-sliced integer signature,
+    as one parsed expression — see :func:`_minhash_band_array`.
+    ``shiftright(x, n)`` spelled as the function: the ``>>`` operator
+    does not parse inside a function argument list, and it resolves
+    to the same ShiftRight node anyway."""
+    parts = [
+        f"struct({bi} AS band, "
+        f"(shiftright({sig_col}, {bi * width}) & {(1 << width) - 1})"
+        f" AS bval)"
+        for bi in range(bands)
+    ]
+    return F.expr("array(" + ", ".join(parts) + ")")
+
+
 def banded_minhash_from_shingles(sh: DataFrame, num_hashes: int = 32,
                                  bands: int = 16) -> DataFrame:
     """(sid, band, bsig): the MinHash signature split into LSH bands,
@@ -243,19 +279,8 @@ def banded_minhash_from_shingles(sh: DataFrame, num_hashes: int = 32,
     broadcasts the new batch's bands against the stored table and
     never re-shingles the corpus."""
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
     sig = _signatures_from_shingles(sh, num_hashes)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws(
-                    "_", *[F.col(f"mh{bi * rows + r}") for r in range(rows)]
-                ).alias("bsig"),
-            )
-            for bi in range(bands)
-        ]
-    )
+    band_structs = _minhash_band_array(num_hashes, bands)
     return sig.select("sid", F.explode(band_structs).alias("bs")).select(
         "sid",
         F.col("bs.band").alias("band"),
@@ -309,17 +334,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
         shingle_table(df, id_col, text_col, n), StorageLevel.MEMORY_AND_DISK
     )
     sig = _signatures_from_shingles(sh_cached, num_hashes)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws(
-                    "_", *[F.col(f"mh{bi * rows + r}") for r in range(rows)]
-                ).alias("bsig"),
-            )
-            for bi in range(bands)
-        ]
-    )
+    band_structs = _minhash_band_array(num_hashes, bands)
     # banded feeds BOTH sides of the candidate self-join: persist it,
     # or the num_hashes-column signature aggregation runs twice (the
     # table is one row per doc per band — tiny next to the shingles)
@@ -422,18 +437,24 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     hashed = counted.withColumn(
         "h", hash_col if hash_col is not None else F.xxhash64("tok")
     )
+    # each aggregate is ONE parsed SQL string instead of ~6 chained
+    # Column calls: the expression tree (and therefore the plan and
+    # the result) is identical, but driver-side construction drops
+    # from ~200 py4j round-trips to ``bits`` parse calls — plan-build
+    # latency is driver wall-time at any cluster size
     bit_sums = [
-        F.sum(
-            F.when(F.expr(f"(h >> {i}) & 1") == 1, F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
-        ).alias(f"b{i}")
+        F.expr(
+            f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN cnt "
+            f"ELSE -cnt END) AS b{i}"
+        )
         for i in range(bits)
     ]
     agg = hashed.groupBy("sid").agg(*bit_sums)
-    sim = sum(
-        (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-        for i in range(bits)
+    sim = F.expr(
+        " + ".join(
+            f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(bits)
+        )
     )
     return agg.select("sid", sim.cast("long").alias("simhash"))
 
@@ -457,17 +478,7 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 6,
     width = bits // bands
     sig = simhash(df, id_col, text_col, bits=bits, hash_col=hash_col,
                   token_arrays=token_arrays)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.expr(
-                    f"(simhash >> {bi * width}) & {(1 << width) - 1}"
-                ).alias("bval"),
-            )
-            for bi in range(bands)
-        ]
-    )
+    band_structs = _bit_band_array("simhash", bands, width)
     # persisted for the same both-sides reason as the MinHash banded
     # table: without it the tf + bit-sum aggregation chain runs twice
     banded = persist_tracked(
@@ -641,15 +652,7 @@ def banded_srp(df: DataFrame, num_bits: int, bands: int,
         if variant == "md5"
         else hyperplane_signature(df, num_bits, id_col, vec_col)
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.expr(f"(srp >> {bi * width}) & {(1 << width) - 1}").alias("bval"),
-            )
-            for bi in range(bands)
-        ]
-    )
+    band_structs = _bit_band_array("srp", bands, width)
     return sig.select("sid", F.explode(band_structs).alias("bs")).select(
         "sid", F.col("bs.band").alias("band"), F.col("bs.bval").alias("bval")
     )
