@@ -52,10 +52,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bottledwater_pg_spark.operators.materialize import (
-    compact,
     decode_rows,
     drop_tombstones,
 )
+from bottledwater_pg_spark.plans.envelope import DML_OPS
 from bottledwater_pg_spark.streaming import fsio
 from bottledwater_pg_spark.streaming.statecommit import BucketManifestState
 
@@ -83,6 +83,31 @@ class BucketedMergeSink:
         return df.withColumn(
             "bucket",
             F.pmod(F.xxhash64("key"), F.lit(self.n_buckets)).cast("int"),
+        )
+
+    @staticmethod
+    def _latest_by_bucket_key(events: DataFrame) -> DataFrame:
+        """Latest-by-lsn per key, grouped by (bucket, key) — identical
+        groups and winners as ``compact`` (bucket is a pure function
+        of key), but the grouping carries the bucket so downstream
+        bucket-partitioned plans can REUSE an existing
+        hash-partitioning on ``bucket`` (partitioning on a subset of
+        the grouping keys satisfies the aggregation's required
+        distribution) instead of re-shuffling by key."""
+        return (
+            events.groupBy("bucket", "key")
+            .agg(
+                F.max_by(
+                    F.struct("op", "lsn", "new_row"), F.col("lsn")
+                ).alias("last")
+            )
+            .select(
+                "key",
+                F.col("last.op").alias("op"),
+                F.col("last.lsn").alias("lsn"),
+                F.col("last.new_row").alias("new_row"),
+                "bucket",
+            )
         )
 
     def _read_buckets(self, buckets: list[int] | None) -> DataFrame | None:
@@ -123,18 +148,26 @@ class BucketedMergeSink:
         return decode_rows(drop_tombstones(state), row_schema)
 
     # -- the merge --------------------------------------------------
-    def _commit_buckets(self, rows: DataFrame, touched: list[int]) -> None:
+    def _commit_buckets(
+        self, rows: DataFrame, touched: list[int], bucketed: bool = False
+    ) -> None:
         """Write ``rows`` (the new full content of exactly the
         ``touched`` buckets) as the next generation and flip the
         manifest. A touched bucket with no surviving rows produces no
         ``bucket=`` partition and leaves the mapping — which is how
         :meth:`expire_tombstones` physically empties a bucket (dynamic
         partition overwrite silently could not: a partition with no
-        new rows was left untouched)."""
+        new rows was left untouched).
+
+        ``bucketed=True``: the plan is ALREADY hash-partitioned by
+        ``bucket`` (the merge path establishes that partitioning once
+        and every downstream step reuses it) — skip the write-side
+        repartition instead of shuffling the state a second time."""
         staged = self._mstate.staging_path()
+        if not bucketed:
+            rows = rows.repartition(self.n_buckets, "bucket")
         (
-            rows.repartition(self.n_buckets, "bucket")
-            .write.partitionBy("bucket")
+            rows.write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(staged)
         )
@@ -150,8 +183,14 @@ class BucketedMergeSink:
         """
         # persist the compacted batch: it feeds the touched-bucket
         # collect AND the merge union — unpersisted, the batch's
-        # compaction shuffle runs twice per micro-batch
-        compacted = self._bucket(compact(batch)).persist()
+        # compaction shuffle runs twice per micro-batch. The batch
+        # compaction groups by (bucket, key) — identical winners, but
+        # the exchange carries partially-aggregated rows AND the merge
+        # below can stay bucket-partitioned end-to-end.
+        dml = batch.filter(
+            F.col("op").isin(*DML_OPS) & F.col("key").isNotNull()
+        )
+        compacted = self._latest_by_bucket_key(self._bucket(dml)).persist()
         try:
             # at most n_buckets small ints — driver-safe at any data scale
             touched = [
@@ -162,28 +201,29 @@ class BucketedMergeSink:
                 return  # empty batch: no commit at all
             prev = self._read_buckets(touched)
             if prev is None:
+                # one exchange: partition the (already compacted)
+                # batch by bucket for the per-bucket file layout
                 self._commit_buckets(
-                    compacted.select(*STATE_COLS, "bucket"), touched
+                    compacted.select(*STATE_COLS, "bucket").repartition(
+                        self.n_buckets, "bucket"
+                    ),
+                    touched,
+                    bucketed=True,
                 )
                 return
-            merged = (
+            # ONE exchange for merge + write: partition the union by
+            # bucket; the (bucket, key) aggregation REUSES that
+            # partitioning (bucket is a subset of the grouping keys)
+            # and its output is still bucket-partitioned, so the
+            # partitionBy("bucket") write needs no further shuffle.
+            # Both union sides are already one-row-per-key, so there
+            # is no partial-aggregation loss in shuffling them raw.
+            merged = self._latest_by_bucket_key(
                 prev.select(*STATE_COLS, "bucket")
                 .unionByName(compacted.select(*STATE_COLS, "bucket"))
-                .groupBy("key")
-                .agg(
-                    F.max_by(
-                        F.struct("op", "lsn", "new_row", "bucket"), F.col("lsn")
-                    ).alias("last")
-                )
-                .select(
-                    "key",
-                    F.col("last.op").alias("op"),
-                    F.col("last.lsn").alias("lsn"),
-                    F.col("last.new_row").alias("new_row"),
-                    F.col("last.bucket").alias("bucket"),
-                )
+                .repartition(self.n_buckets, "bucket")
             )
-            self._commit_buckets(merged, touched)
+            self._commit_buckets(merged, touched, bucketed=True)
         finally:
             compacted.unpersist(blocking=False)
 
