@@ -2894,11 +2894,20 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", (-F.col("l_suppkey")).alias("supp"))
         .distinct()
     )
+    # both directions in ONE pass over the cached pair set (the union
+    # form read it twice — double cache-scan work per consumer)
     return pairs.select(
-        F.col("o_custkey").alias("src"), F.col("supp").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("supp").alias("src"), F.col("o_custkey").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("o_custkey").alias("src"), F.col("supp").alias("dst")
+                ),
+                F.struct(
+                    F.col("supp").alias("src"), F.col("o_custkey").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def _pagerank_iter_sql(prev: str, cur: str) -> str:
