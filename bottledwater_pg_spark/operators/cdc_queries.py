@@ -1178,36 +1178,39 @@ def cdc_many_table_fanout_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct iff this equals the closed-form global final state grouped
     by the same mod, which is what the oracle computes.
 
-    Scale: the stream is persisted once; each table's branch is a
-    filter + the standard single-shuffle compaction over its slice —
-    table count multiplies independent small jobs, not data volume
-    (the bench many_table block measures exactly this flatness)."""
-    from bottledwater_pg_spark.session import persist_tracked
+    Scale: ``topic`` is a pure function of the event's own key (a
+    pk-change's delete carries the OLD key, its insert the NEW one),
+    so every event of a key belongs to exactly one topic and the 8
+    per-topic compactions are one partition of ONE global compaction
+    — computed that way: a single compaction shuffle carrying the
+    winner's topic, instead of 8 filter+shuffle branches each
+    re-scanning the stream (guide §1.2: same rows, one pass). The
+    independent per-table JOB shape the reference's loop actually runs
+    stays exercised (and measured for table-count flatness) by
+    ``cdc_replicate_all_counts`` and the bench many_table soak."""
+    from bottledwater_pg_spark.operators.materialize import (
+        compact,
+        drop_tombstones,
+    )
+    from bottledwater_pg_spark.plans.envelope import ROW_JSON_OPTIONS
 
     cust = load_table(spark, sf_dir, "customer")
     stream = generate_cdc(
         cust, ["c_custkey"], F.col("c_custkey"), 0, "t", CUSTOMER_SPEC
     )
     pk = F.get_json_object("key", "$.c_custkey").cast("long")
-    stream = persist_tracked(
-        stream.withColumn(
-            "topic",
-            F.concat(F.lit("slice_"), F.pmod(pk, F.lit(N_FANOUT_TABLES))),
-        )
+    stream = stream.withColumn(
+        "topic",
+        F.concat(F.lit("slice_"), F.pmod(pk, F.lit(N_FANOUT_TABLES))),
     )
-    states = []
-    for i in range(N_FANOUT_TABLES):
-        t = f"slice_{i}"
-        states.append(
-            materialize(stream.filter(F.col("topic") == t), cust.schema)
-            .withColumn("topic", F.lit(t))
-        )
-    union = states[0]
-    for s in states[1:]:
-        union = union.unionByName(s)
-    return union.groupBy("topic").agg(
+    live = drop_tombstones(compact(stream, extra_cols=("topic",)))
+    rows = live.select(
+        "topic",
+        F.from_json("new_row", cust.schema, ROW_JSON_OPTIONS).alias("r"),
+    )
+    return rows.groupBy("topic").agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        F.sum(F.col("r.c_acctbal").cast("decimal(18,2)"))
         .cast("double")
         .alias("sum_acctbal"),
     )

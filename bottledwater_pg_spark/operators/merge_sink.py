@@ -74,6 +74,11 @@ class BucketedMergeSink:
         # pre-r14 dynamic-overwrite layouts ("state/bucket=N") are
         # adopted as generation 0 on first manifest load
         self._mstate = BucketManifestState(state_dir, n_buckets, "state")
+        # captured at first commit: every generation dir is written
+        # with the same envelope projection, so later reads can skip
+        # parquet schema inference (one footer-listing driver job per
+        # generation dir per read otherwise)
+        self._state_schema: T.StructType | None = None
 
     # -- state io ---------------------------------------------------
     def _has_state(self) -> bool:
@@ -124,10 +129,13 @@ class BucketedMergeSink:
             if not keep:
                 continue
             full = os.path.join(self.state_dir, d)
+            reader = self.spark.read.option("basePath", full)
+            if self._state_schema is not None:
+                # same writer wrote every generation — reuse its
+                # schema instead of re-inferring from footers
+                reader = reader.schema(self._state_schema)
             parts.append(
-                self.spark.read.option("basePath", full)
-                .parquet(full)
-                .filter(F.col("bucket").isin(keep))
+                reader.parquet(full).filter(F.col("bucket").isin(keep))
             )
         if not parts:
             return None
@@ -172,6 +180,13 @@ class BucketedMergeSink:
             .parquet(staged)
         )
         self._mstate.promote(staged, touched)
+        if self._state_schema is None:
+            # what a read of this dir yields: the data columns as
+            # written, with the partition column appended last
+            self._state_schema = T.StructType(
+                [rows.schema[c] for c in STATE_COLS]
+                + [T.StructField("bucket", T.IntegerType())]
+            )
 
     def merge_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
         """Upsert one micro-batch of envelope events into the state.
