@@ -55,6 +55,10 @@ def connected_components(
     # re-running MinHash-LSH per iteration)
     # both directions in ONE pass over the caller's pair pipeline (the
     # union form reads it twice — cached or not, that is double work)
+    # LAZY checkpoints: round 1's convergence count materializes sym,
+    # labels, and the round itself in ONE job (eager forms cost two
+    # standalone materialization jobs first — pure scheduling); the
+    # stored blocks are reused by every later round either way
     sym = (
         e.select(
             F.explode(
@@ -66,11 +70,11 @@ def connected_components(
         )
         .select("p.a", "p.b")
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     converged = False
     for _ in range(max_iters):
         neigh = (
@@ -155,13 +159,15 @@ def connected_components_star(
         .localCheckpoint(eager=False)
     )
     e = e0.filter(F.col("a") != F.col("b"))
-    # (hi, lo) orientation is the canonical small-star input
+    # (hi, lo) orientation is the canonical small-star input. LAZY
+    # checkpoint: round 1's convergence count materializes it inside
+    # the job it was already running (see connected_components)
     cur = (
         e.select(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
         # ---- large-star over the full (symmetric) neighborhoods

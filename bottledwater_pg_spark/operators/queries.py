@@ -2889,13 +2889,17 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the benched query uses."""
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = persist_tracked(
+    # NOT persisted: since the explode rewrite below, the pair set has
+    # exactly ONE consumer (pagerank_integer's own edge persist, or
+    # the ladder's) — caching it here wrote ~|pairs| rows to storage
+    # that were read back exactly once
+    pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", (-F.col("l_suppkey")).alias("supp"))
         .distinct()
     )
-    # both directions in ONE pass over the cached pair set (the union
-    # form read it twice — double cache-scan work per consumer)
+    # both directions in ONE pass over the pair set (the union form
+    # read it twice — double work per consumer)
     return pairs.select(
         F.explode(
             F.array(
