@@ -4685,15 +4685,22 @@ def kmeans_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bottledwater_pg_spark.functions.vectors import norm_pre
     from bottledwater_pg_spark.operators.similarity import kmeans_lloyd
 
-    # not spread (parallel_scan): the k-means rounds dominate this
-    # query and spreading the tiny corpus costs more in per-round
-    # stage scheduling than it buys (see kmeans_topic_clusters)
+    # corpus not spread (parallel_scan): the k-means rounds dominate
+    # this query and spreading the tiny corpus costs more in
+    # per-round stage scheduling than it buys (see
+    # kmeans_topic_clusters). The persisted ASSIGNMENT is spread
+    # though: the shuffle-free E-step leaves it on the scan's
+    # partitioning, and the quadratic within-cluster pair join below
+    # would otherwise read a single-partition cache (measured 1.31x
+    # before this repartition; 0.9x after, same-session A/B)
     corpus = embeddings_with_dups(spark, sf_dir)
     assign, _cents = kmeans_lloyd(corpus, k=KMEANS_K, iters=KMEANS_ITERS)
     assigned = persist_tracked(
-        assign.select(
-            "sid", F.col("cid").alias("cent_id"), "qvec"
-        ).withColumn("qnorm", norm_pre("qvec"))
+        parallel_scan(
+            assign.select(
+                "sid", F.col("cid").alias("cent_id"), "qvec"
+            ).withColumn("qnorm", norm_pre("qvec"))
+        )
     )
     pruned = similarity.semdedup_pairs_pruned(assigned, COSINE_THRESHOLD)
     members = assigned.groupBy(F.col("cent_id").alias("cid")).agg(

@@ -45,6 +45,22 @@ TOUCHED = [
     "pg_interval_roundtrip",
     "pg_timetz_roundtrip",
     "pg_composite_enum_roundtrip",
+    # session 2: shuffle-free ivf_assign / kmeans E-step + embeddings
+    # read-repartition opt-ins
+    "ivf_ann_topk",
+    "ivf_trained_topk",
+    "ivfpq_ann_topk",
+    "ivfpq_trained_topk",
+    "semdedup_prune_stats",
+    "kmeans_semdedup_stats",
+    "lsh_ann_topk",
+    # session 2: F.expr-batched band construction (plan-identical by
+    # design — the pair certifies that)
+    "lsh_minhash_near_dup",
+    "simhash_md5_near_dup",
+    "lsh_embedding_near_dup",
+    # session 2: single-pass fanout compaction
+    "cdc_many_table_fanout_state",
 ]
 
 
