@@ -548,19 +548,22 @@ def hyperplane_signature(df: DataFrame, num_bits: int = 16,
         F.col(id_col).alias("sid"),
         F.posexplode(F.col(vec_col)).alias("j", "x"),
     ).withColumn("xd", F.col("x").cast("double"))
+    # one parsed SQL string per bit instead of ~7 chained Column calls
+    # (same expression tree/plan/result — the batching discipline of
+    # _minhash_band_array; 1.0D = double literal, matching F.when's)
     projs = [
-        F.sum(
-            F.col("xd")
-            * F.when(F.pmod(F.xxhash64(F.lit(i), F.col("j")), 2) == 0, 1.0).otherwise(
-                -1.0
-            )
-        ).alias(f"p{i}")
+        F.expr(
+            f"sum(xd * (CASE WHEN pmod(xxhash64({i}, j), 2) = 0 "
+            f"THEN 1.0D ELSE -1.0D END)) AS p{i}"
+        )
         for i in range(num_bits)
     ]
     agg = elems.groupBy("sid").agg(*projs)
-    sig = sum(
-        (F.when(F.col(f"p{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-        for i in range(num_bits)
+    sig = F.expr(
+        " + ".join(
+            f"(CASE WHEN p{i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(num_bits)
+        )
     )
     return agg.select("sid", sig.cast("long").alias("srp"))
 
@@ -573,31 +576,16 @@ def srp_signs_md5(spark, dim: int, num_bits: int) -> DataFrame:
     ``md5_token_hash`` trick), so BOTH engines derive the identical
     matrix from nothing but (dim, num_bits) — dim*num_bits md5 calls
     total, never per data row."""
+    # the whole num_bits-column matrix as ONE selectExpr call — the
+    # nested-Column build was ~12 py4j round-trips per bit of pure
+    # driver plan-construction latency (same tree, same values)
     cols = [
-        F.when(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.encode(
-                            F.concat_ws("_", F.lit(i), F.col("j")), "UTF-8"
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 2
-            == 0,
-            F.lit(1),
-        )
-        .otherwise(F.lit(-1))
-        .cast("long")
-        .alias(f"s{i}")
+        f"CAST(CASE WHEN CAST(conv(substring(md5(encode("
+        f"concat_ws('_', {i}, j), 'UTF-8')), 1, 15), 16, 10) AS BIGINT)"
+        f" % 2 = 0 THEN 1 ELSE -1 END AS BIGINT) AS s{i}"
         for i in range(num_bits)
     ]
-    return spark.range(dim).select(F.col("id").cast("int").alias("j"), *cols)
+    return spark.range(dim).selectExpr("CAST(id AS INT) AS j", *cols)
 
 
 def hyperplane_signature_md5(df: DataFrame, num_bits: int = 32,
@@ -630,25 +618,28 @@ def hyperplane_signature_md5(df: DataFrame, num_bits: int = 32,
     ).withColumn("q", F.expr(quantize("x")))
     joined = elems.join(F.broadcast(signs), "j")
     projs = [
-        F.sum(F.col("q") * F.col(f"s{i}")).alias(f"p{i}")
-        for i in range(num_bits)
+        F.expr(f"sum(q * s{i}) AS p{i}") for i in range(num_bits)
     ]
     agg = joined.groupBy("sid").agg(*projs)
-    sig = sum(
-        (F.when(F.col(f"p{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-        for i in range(num_bits)
+    sig = F.expr(
+        " + ".join(
+            f"(CASE WHEN p{i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(num_bits)
+        )
     )
     return agg.select("sid", sig.cast("long").alias("srp"))
 
 
 def banded_srp(df: DataFrame, num_bits: int, bands: int,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               variant: str = "xxhash") -> DataFrame:
+               variant: str = "xxhash",
+               dim: int | None = None) -> DataFrame:
     """(sid, band, bval) — the SRP signature split into LSH bands.
-    ``variant='md5'`` uses the oracle-reproducible signature."""
+    ``variant='md5'`` uses the oracle-reproducible signature; ``dim``
+    skips its 1-value dimension-probe job when the caller knows it."""
     width = num_bits // bands
     sig = (
-        hyperplane_signature_md5(df, num_bits, id_col, vec_col)
+        hyperplane_signature_md5(df, num_bits, id_col, vec_col, dim=dim)
         if variant == "md5"
         else hyperplane_signature(df, num_bits, id_col, vec_col)
     )

@@ -299,17 +299,25 @@ def topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
     production default."""
     from bottledwater_pg_spark.session import persist_tracked
 
+    # md5 variant: probe the vector dimension ONCE and share it with
+    # both banding calls (each would otherwise run its own 1-value
+    # probe job)
+    dim = (
+        corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        if variant == "md5"
+        else None
+    )
     # corpus-side banding and the quantized verify table are each read
     # by one join but share the corpus scan — persist the banding (the
     # expensive num_bits-projection aggregation) once
     cb = persist_tracked(
-        banded_srp(corpus, num_bits, bands, id_col, vec_col, variant).select(
-            F.col("sid").alias("neighbor_id"), "band", "bval"
-        )
+        banded_srp(
+            corpus, num_bits, bands, id_col, vec_col, variant, dim=dim
+        ).select(F.col("sid").alias("neighbor_id"), "band", "bval")
     )
-    qb = banded_srp(queries, num_bits, bands, id_col, vec_col, variant).select(
-        F.col("sid").alias("query_id"), "band", "bval"
-    )
+    qb = banded_srp(
+        queries, num_bits, bands, id_col, vec_col, variant, dim=dim
+    ).select(F.col("sid").alias("query_id"), "band", "bval")
     cand = (
         cb.join(F.broadcast(qb), ["band", "bval"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
