@@ -1458,6 +1458,60 @@ BLOOM_HASH_FAMILY = f"km-md5-60bit/m={BLOOM_M_BITS}/k={BLOOM_K}"
 # K-M position wraps silently in Spark (pmod hides the sign) while
 # DuckDB diverges. k=8 gives max ~2^63-ish; keep a hard bound.
 assert BLOOM_K <= 8, "BLOOM_K > 8 overflows int64 in h1 + i*h2"
+# dense bitmap length in 63-bit words; positions are < m, so a probe's
+# 1-based element_at index (pos DIV 63 + 1) never exceeds this under
+# ANSI
+BLOOM_N_WORDS = BLOOM_M_BITS // 63 + 1
+
+
+def _bloom_dense_row(bitmap: DataFrame) -> DataFrame:
+    """Densify the sparse ``(word_idx, word)`` Bloom bitmap into ONE
+    row carrying the full ``array<bigint>`` (missing words are 0) —
+    built entirely in Spark (a single-row aggregation; no driver
+    collect, so the streaming screen can keep its no-collect
+    property). Broadcast-nested-loop-joining this row onto the probe
+    side lets the k probes evaluate as one ``forall`` over the
+    position array: no k-way position explode, no per-position
+    broadcast hash-probe, and k x fewer rows into the flagged-gram
+    aggregation (the r14 microbench win, see
+    :func:`bloom_contamination_screen`)."""
+    return (
+        bitmap.groupBy()
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("word_idx"), F.collect_list("word")
+            ).alias("bm_map")
+        )
+        .select(
+            F.expr(
+                f"transform(sequence(0, {BLOOM_N_WORDS - 1}), "
+                "i -> coalesce(element_at(bm_map, i), CAST(0 AS BIGINT)))"
+            ).alias("bm")
+        )
+    )
+
+
+def _bloom_flagged_grams(grams: DataFrame, bitmap: DataFrame) -> DataFrame:
+    """Filter ``grams`` (``doc_id``, ``gram``, + any other columns) to
+    the rows whose k Bloom positions are ALL set: one md5 per gram,
+    the k Kirsch-Mitzenmacher positions as a bound array column, and a
+    single ``forall`` probe of the one-row dense bitmap."""
+    return (
+        grams.select(
+            *grams.columns,
+            F.md5(F.encode(F.col("gram"), "UTF-8")).alias("_h"),
+        )
+        .select(
+            *grams.columns,
+            F.array(*_bloom_positions("gram", md5_col="_h")).alias("_ps"),
+        )
+        .join(F.broadcast(_bloom_dense_row(bitmap)))
+        .filter(F.expr(
+            "forall(_ps, p -> (shiftright(element_at(bm, "
+            "CAST(p DIV 63 AS INT) + 1), CAST(p % 63 AS INT)) & 1) = 1)"
+        ))
+        .select(*grams.columns)
+    )
 
 
 def _bloom_positions(gram_col: str,
@@ -1504,21 +1558,29 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream exact verify would discard.
 
     Scale: the bitmap is m/63 words (~8 KB at m=2^16) regardless of
-    corpus size — bounded metadata that BROADCASTS to the probe as a
-    word_idx->word map join; the probe side never shuffles (the k
-    position rows hash-probe the broadcast map in place), and the
-    only aggregations touching the training corpus are the per-doc
-    distinct-flagged count and the exact verify semi-join — the
-    entire point of the screen at 100 TB. Probe-form note (r10):
-    r9 swapped this join for an ~8 KB array LITERAL riding the probe
-    (element_at + variable shift per gram, no join at all) on the
-    theory that skipping the broadcast hash-probe must win at small
-    m; the isolated microbench (scripts/bloom_probe_bench.py, sf0.1,
-    5 alternating passes) measured the literal probe 1.7x SLOWER
-    (3.15 s vs 1.83 s) with identical output, and a larger m only
-    widens the gap, so the broadcast join is used unconditionally —
-    it is also the form the streaming screen keeps (its bitmap lives
-    on disk between batches) and needs no driver collect at all."""
+    corpus size — bounded metadata that rides the probe as a ONE-ROW
+    dense array (broadcast nested-loop of a single row), probed by a
+    single ``forall`` over each gram's k-position array; the probe
+    side never shuffles, and the only aggregations touching the
+    training corpus are the per-doc distinct-flagged count and the
+    exact verify semi-join — the entire point of the screen at 100 TB.
+    Probe-form history: r9 tried an ~8 KB array LITERAL per row
+    (element_at + variable shift, no join) and the r10 microbench
+    (scripts/bloom_probe_bench.py, sf0.1, 5 alternating passes)
+    measured it 1.7x SLOWER than the k-position-explode broadcast
+    word_idx join (3.15 s vs 1.83 s), which shipped r10-r13. The r14
+    microbench (scripts/bloom_probe_bench_r14.py, same protocol,
+    identical output on all variants) then measured the single-pass
+    forall probe at 0.95 s median vs 1.83 s for the explode+join form
+    — no k-way row blowup, no per-position hash-probe, k x fewer rows
+    into the flagged-gram aggregation — and an Arrow/pandas-UDF
+    numpy-bitmap probe (guide §4.4 A/B) at 0.79 s; the extra ~17% was
+    rejected because it crosses the JVM<->Python boundary in an
+    otherwise pure-JVM path (breaks WholeStageCodegen, adds a Python
+    worker fleet at scale). The forall form is also what the
+    streaming screen probes with (its SPARSE bitmap state on disk is
+    unchanged — densified after load) and needs no driver collect at
+    all."""
     from bottledwater_pg_spark.session import persist_tracked
 
     # word-shingle explode (+ md5 probes in the Bloom variant) is the
@@ -1559,40 +1621,13 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(word_shingles("text", NGRAM_CONTAM_N)).alias("gram"),
         )
     )
-    # one md5 per gram (K-M), k position rows, broadcast hash-probe of
-    # the m/63-word bitmap; a gram is flagged iff ALL k bits are set
-    # (min over its position rows), and a gram repeated within a doc
-    # counts once (the groupBy(doc, gram) level)
-    probes = tr_g.select(
-        "doc_id",
-        "gram",
-        F.md5(F.encode(F.col("gram"), "UTF-8")).alias("_h"),
-    ).select(
-        "doc_id",
-        "gram",
-        F.explode(
-            F.array(*_bloom_positions("gram", md5_col="_h"))
-        ).alias("pos"),
-    ).select(
-        "doc_id",
-        "gram",
-        (F.col("pos") / 63).cast("int").alias("word_idx"),
-        (F.col("pos") % 63).alias("bit"),
-    )
-    hit = probes.join(F.broadcast(bitmap), "word_idx", "left").select(
-        "doc_id",
-        "gram",
-        F.expr(
-            "CASE WHEN (shiftright(coalesce(word, CAST(0 AS BIGINT)), "
-            "CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE 0 END"
-        ).alias("bit_set"),
-    )
+    # one md5 per gram (K-M), its k positions as a bound array, ONE
+    # forall probe of the one-row dense bitmap; a gram repeated within
+    # a doc counts once (count_distinct)
     n_flagged = (
-        hit.groupBy("doc_id", "gram")
-        .agg(F.min("bit_set").alias("all_set"))
-        .filter(F.col("all_set") == 1)
+        _bloom_flagged_grams(tr_g, bitmap)
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_flagged"))
+        .agg(F.count_distinct("gram").alias("n_flagged"))
     )
     exact = (
         tr_g.join(ev_grams, "gram", "left_semi")

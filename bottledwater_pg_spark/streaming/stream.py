@@ -2191,7 +2191,7 @@ class StreamingContaminationScreen:
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         from bottledwater_pg_spark.operators.llm_queries import (
-            _bloom_positions,
+            _bloom_flagged_grams,
         )
         from bottledwater_pg_spark.functions.text import word_shingles
 
@@ -2199,40 +2199,15 @@ class StreamingContaminationScreen:
             "doc_id",
             F.explode(word_shingles(self.text_col, self.n)).alias("gram"),
         )
-        # project the digest ONCE and share it across the k positions
-        # (same discipline as the batch screen: don't trust codegen
-        # subexpression elimination to merge k md5 subtrees)
-        probes = grams.select(
-            "doc_id",
-            "gram",
-            F.md5(F.encode(F.col("gram"), "UTF-8")).alias("_h"),
-        ).select(
-            "doc_id",
-            "gram",
-            F.explode(
-                F.array(*_bloom_positions("gram", md5_col="_h"))
-            ).alias("pos"),
-        ).select(
-            "doc_id",
-            "gram",
-            (F.col("pos") / 63).cast("int").alias("word_idx"),
-            (F.col("pos") % 63).alias("bit"),
-        )
-        hit = probes.join(
-            F.broadcast(self._bitmap), "word_idx", "left"
-        ).select(
-            "doc_id",
-            "gram",
-            F.expr(
-                "CASE WHEN (shiftright(coalesce(word, CAST(0 AS BIGINT)), "
-                "CAST(bit AS INT)) & 1) = 1 THEN 1 ELSE 0 END"
-            ).alias("bit_set"),
-        )
+        # same single-pass forall probe as the batch screen (the r14
+        # microbench form): the SPARSE on-disk bitmap state is
+        # densified into its one-row broadcast form per batch — a
+        # single-row aggregation over the ~1k-row state parquet,
+        # negligible next to the per-batch probe itself
         per_doc = (
-            hit.groupBy("doc_id", "gram")
-            .agg(F.min("bit_set").alias("all_set"))
+            _bloom_flagged_grams(grams, self._bitmap)
             .groupBy("doc_id")
-            .agg(F.sum("all_set").alias("n_flagged"))
+            .agg(F.count_distinct("gram").alias("n_flagged"))
         )
         out = batch.select("doc_id").join(per_doc, "doc_id", "left").select(
             "doc_id",

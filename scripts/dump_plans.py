@@ -114,7 +114,7 @@ HEADLINE = {
     # round 10
     "ivf_trained_topk": "trained IVF: Lloyd's rounds (broadcast centroids, map-side argmin, kxdim M-step) feed the SAME cell-keyed broadcast probe as the untrained form — training adds zero vector shuffles",
     "ivfpq_trained_topk": "trained IVF-PQ (FAISS IVFADC): Lloyd's rounds feed the shared probe+codebook+dtab broadcasts; corpus index never shuffles by a model key",
-    "bloom_contamination_screen": "Bloom screen: bitmap is a bounded word_idx->word BROADCAST join probe (the r9 array-literal probe measured 1.7x slower); every join broadcast, no SMJ, no collect",
+    "bloom_contamination_screen": "Bloom screen: one-row dense bitmap rides a broadcast nested-loop, k probes as ONE forall over the position array (r14 microbench: 1.9x over the r10 word_idx explode+join probe); corpus never shuffled by a join, no SMJ, no collect",
     "gopher_quality_flags": "Gopher rule gate: tokenize once into a bound array attribute, four integer rule columns, one source-keyed partial agg — zero joins, zero explode",
     "source_quota_sample": "per-source quota cap: one window rank per source (the domain is the partition key at scale), integer kept/dropped sums",
     # round 11

@@ -181,6 +181,67 @@ def test_bloom_screen_no_false_negatives_and_cms_bounds(spark, sf_dir):
     assert (c.overestimate_ok == 1).all() and (c.within_eps_ok == 1).all()
 
 
+def test_bloom_dense_row_and_forall_probe_match_reference(spark):
+    """The r14 single-pass probe internals: `_bloom_dense_row` must
+    densify the sparse (word_idx, word) bitmap into ONE row whose
+    array has exactly BLOOM_N_WORDS entries with zeros at the gaps,
+    and `_bloom_flagged_grams` must flag exactly the grams whose k
+    Kirsch-Mitzenmacher positions are all set — checked against an
+    independent per-position reference computed in Python."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from bottledwater_pg_spark.operators.llm_queries import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        BLOOM_N_WORDS,
+        _bloom_dense_row,
+        _bloom_flagged_grams,
+        _bloom_positions,
+    )
+
+    def ref_positions(gram: str) -> list[int]:
+        h = hashlib.md5(gram.encode()).hexdigest()
+        h1, h2 = int(h[0:15], 16), int(h[15:30], 16)
+        return [(h1 + i * h2) % BLOOM_M_BITS for i in range(BLOOM_K)]
+
+    members = [f"gram{i}" for i in range(40)]
+    probes = members + [f"other{i}" for i in range(60)]
+    bitmap = (
+        spark.createDataFrame([(g,) for g in members], "gram string")
+        .select(
+            F.explode(F.array(*_bloom_positions("gram"))).alias("pos")
+        )
+        .groupBy((F.col("pos") / 63).cast("int").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+            ).alias("word")
+        )
+    )
+    dense = _bloom_dense_row(bitmap).collect()
+    assert len(dense) == 1 and len(dense[0]["bm"]) == BLOOM_N_WORDS
+    words = dense[0]["bm"]
+    sparse = {r["word_idx"]: r["word"] for r in bitmap.collect()}
+    assert all(
+        w == sparse.get(i, 0) for i, w in enumerate(words)
+    )
+
+    grams = spark.createDataFrame(
+        [(i, g) for i, g in enumerate(probes)], "doc_id long, gram string"
+    )
+    got = sorted(
+        r["gram"] for r in _bloom_flagged_grams(grams, bitmap).collect()
+    )
+    want = sorted(
+        g for g in probes
+        if all((words[p // 63] >> (p % 63)) & 1 for p in ref_positions(g))
+    )
+    assert got == want
+    assert set(members) <= set(got)  # no false negatives
+
+
 def test_approx_quantile_rank_certificate_holds(spark, sf_dir):
     from bottledwater_pg_spark.operators.queries import (
         approx_quantile_rank_certificate,

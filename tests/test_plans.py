@@ -384,13 +384,15 @@ def test_sketch_certificates_broadcast_no_cartesian(spark, sf_dir):
 
 
 def test_bloom_screen_broadcast_probe_no_shuffle_join(spark, sf_dir):
-    """The Bloom contamination screen's probe must hash-test the
-    bounded bitmap via a BROADCAST word_idx join (the r10 microbench,
-    scripts/bloom_probe_bench.py, measured this 1.7x faster than the
-    r9 array-literal element_at probe with identical output) — never
-    a shuffle join of the bitmap, never a cartesian; the training
-    corpus is only ever shuffled by the per-(doc,gram)/per-doc
-    aggregations and the exact verify semi-join."""
+    """The Bloom contamination screen's probe must ride the bounded
+    bitmap as a ONE-ROW dense array (broadcast nested-loop of a
+    single row) evaluated by one forall over the k-position array —
+    the r14 microbench winner (scripts/bloom_probe_bench_r14.py:
+    0.95 s vs 1.83 s for the r10 k-position-explode broadcast join,
+    identical output) — never a position explode, never a shuffle
+    join of the bitmap, never a non-broadcast cartesian; the training
+    corpus is only ever shuffled by the per-doc distinct-flagged
+    aggregation and the exact verify semi-join."""
     from bottledwater_pg_spark.operators.llm_queries import (
         bloom_contamination_screen,
     )
@@ -398,11 +400,14 @@ def test_bloom_screen_broadcast_probe_no_shuffle_join(spark, sf_dir):
 
     plan = formatted_plan(bloom_contamination_screen(spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "word_idx" in plan              # the broadcast probe key
+    # the one-row dense bitmap rides a broadcast nested-loop join and
+    # the probe is a single forall — the k-position explode (word_idx
+    # hash-probe rows) is gone from the probe side
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "forall" in plan
+    # exact verify semi-join still broadcasts; an SMJ would mean the
+    # probe corpus shuffled on a join key — the scale-killer shape
     assert "BroadcastHashJoin" in plan
-    # every join broadcasts (bitmap probe + exact verify semi-join);
-    # an SMJ would mean the probe corpus shuffled on a join key —
-    # the scale-killer shape
     assert "SortMergeJoin" not in plan
 
 
