@@ -441,6 +441,61 @@ def scale_soak(spark, sf_dir: str, factor: int = 10) -> dict:
     return out
 
 
+# r15 (VERDICT r14 ask #2): the CPU-bound ×10 cell. At sf0.1 every
+# headline query is fixed-overhead/scheduler-bound — PERF_r14's
+# 8-core/32-core ratios read 0.74-0.92 across the whole top list, so
+# the bench had no parallelism signal left for optimization work.
+# The five heaviest families re-run against a ×10 union-replicated
+# fixture dir (scale_fixtures.py, the same machinery as scale_soak),
+# where per-row compute dominates the per-job floor; the driver's
+# low-core re-run then measures real CPU scaling on these cells.
+# The ×10 timings are ADDED to the queries map under an ``x10_``
+# prefix (additions only — every sf0.1 entry keeps its name and
+# meaning); the headline ``value`` stays the sf0.1 sum so
+# total_wall_sec remains comparable to rounds 1-14.
+X10_CELL = [
+    "containment_near_dup",
+    "lsh_hot_bucket_capped_clusters",
+    "pagerank_copurchase",
+    "cdc_merge_sink_customer",
+    "winnow_near_dup_pairs",
+]
+X10_TABLES = ("documents", "customer", "orders", "lineitem")
+
+
+def x10_cell(spark, sf_dir: str, queries) -> dict[str, float]:
+    """Noop-sink timings of the X10_CELL queries at 10x scale — same
+    methodology as the main list (untimed warmup, then min of 2 timed
+    passes with the second in reverse order). Keys are ``x10_<name>``."""
+    import shutil
+    import tempfile
+
+    from bottledwater_pg_spark.scale_fixtures import build_scaled_dir
+
+    base = tempfile.mkdtemp(prefix="bench_x10cell_")
+    timings: dict[str, float] = {}
+    try:
+        d = build_scaled_dir(
+            spark, sf_dir, os.path.join(base, "x10"), 10, tables=X10_TABLES
+        )
+        for name in X10_CELL:
+            queries[name](spark, d).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        for order in (X10_CELL, list(reversed(X10_CELL))):
+            for name in order:
+                t0 = time.perf_counter()
+                queries[name](spark, d).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                elapsed = round(time.perf_counter() - t0, 3)
+                key = f"x10_{name}"
+                timings[key] = min(timings.get(key, elapsed), elapsed)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return timings
+
+
 # Host-speed calibration constants: the three control queries have
 # been code-identical since round 1; these are their round-1 driver
 # timings (see controls block note in main()).
@@ -577,6 +632,11 @@ def main() -> None:
     streaming = streaming_soak(spark, sf_dir)
     many_table = many_table_soak(spark, sf_dir)
     scaling = scale_soak(spark, sf_dir)
+    # the CPU-bound ×10 cell: added to the per-query map (new names
+    # only); `total` above stays the sf0.1 sum for r1-r14 continuity
+    x10 = x10_cell(spark, sf_dir, queries)
+    timings.update(x10)
+    x10_total = round(sum(x10.values()), 3)
     controls = {
         "r01_sec": controls_r01,
         # per-control MEDIAN across the interleaved passes (the old
@@ -616,6 +676,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cdc_events_per_sec": cdc_eps,
+        "x10_cell_total_sec": x10_total,
         "streaming": streaming,
         "many_table": many_table,
         "scale_soak": scaling,
@@ -631,8 +692,13 @@ def main() -> None:
             json.dump(full, f, indent=1)
     except OSError:
         pass
-    # LAST line: a compact summary small enough for the driver's tail
-    # capture to parse (`parsed != null` in BENCH_r{N}.json).
+    # Second-to-last line: the mid-size summary (controls, soaks) that
+    # used to BE the last line. r14 postmortem (VERDICT r14 ask #1):
+    # with many_table + scale_soak + controls inline it exceeded the
+    # driver's tail-capture window, truncating the line's LEADING
+    # '"value"' field away — PERF_r14 read prev_bench_ok=false and
+    # lost the whole round-over-round comparison. The detail now rides
+    # one line up; the LAST line below is guaranteed-small.
     print(
         json.dumps(
             {
@@ -642,16 +708,38 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "cdc_events_per_sec": cdc_eps,
+                "x10_cell_total_sec": x10_total,
                 "streaming_p50_batch_sec": streaming.get("p50_batch_sec"),
                 "streaming_events_per_sec": streaming.get("events_per_sec"),
                 "many_table": many_table,
                 "scale_soak": scaling,
                 "controls": controls,
-                "queries": dict(
-                    sorted(
-                        timings.items(), key=lambda kv: -kv[1]
-                    )[:12]
-                ),
+                "queries_detail_file": "BENCH_LOCAL_latest.json",
+            }
+        )
+    )
+    # LAST line: minimal and bounded (~1.2 KB: scalars + the 12
+    # slowest sf0.1 queries + the 5 ×10 cells), so the driver's tail
+    # capture always parses `value` and has a per-query map for the
+    # round-over-round and core-count-scaling comparisons.
+    tail_queries = dict(
+        sorted(
+            ((n, s) for n, s in timings.items() if not n.startswith("x10_")),
+            key=lambda kv: -kv[1],
+        )[:12]
+    )
+    tail_queries.update({n: timings[n] for n in sorted(x10)})
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "cdc_events_per_sec": cdc_eps,
+                "x10_cell_total_sec": x10_total,
+                "queries": tail_queries,
                 "queries_truncated_to_slowest": 12,
                 "queries_detail_file": "BENCH_LOCAL_latest.json",
             }

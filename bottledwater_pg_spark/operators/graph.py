@@ -76,6 +76,20 @@ def connected_components(
         sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=False)
     converged = False
+    # r15 examined-and-rejected (interleaved same-session A/Bs on
+    # lsh_hot_bucket_capped_clusters + dedup_cluster_canonical):
+    # (a) batching TWO propagations per convergence check — the inner
+    # propagation's labels feed two operators of the outer one, so
+    # without a materialization between them (a job, i.e. the very
+    # thing the batch saves) the inner subtree computes twice per
+    # batch: min/med 3.93/5.00 -> 4.83/5.30 s (hot bucket). (b) a
+    # single-reference propagation (self-loop edges + one join+agg,
+    # no left-join-back) with and without batching: 4.85/5.53 and
+    # 4.72/5.44 — the heavier round-1 setup (the symmetric edge
+    # pipeline feeds sym, the node set, AND the self-loop union)
+    # costs more than the per-round join it removes. These graphs
+    # converge in 2-3 propagations; one checkpointed count per round
+    # is the local optimum.
     for _ in range(max_iters):
         neigh = (
             sym.join(labels, sym.b == labels.id)
@@ -433,6 +447,15 @@ def kcore_members(pairs: DataFrame, k: int, max_rounds: int = 8,
     )
     n_alive = alive.count()
     deg = None
+    # r15 examined-and-rejected: batching TWO peels per convergence
+    # check (halving the per-round job floors) measured consistently
+    # SLOWER in an interleaved same-session A/B (supplier_kcore
+    # min/med 2.91/3.03 s -> 3.33/3.84 s): the inner peel's alive set
+    # feeds BOTH sides of the outer peel's edge filter, and without a
+    # materialization between them (which would cost the very job the
+    # batch saves) that whole subtree computes twice inside the one
+    # job. The per-round checkpoint-then-count below keeps every peel
+    # computed exactly once.
     for _ in range(max_rounds):
         ea = edges.join(
             alive.withColumnRenamed("node", a_col), a_col
