@@ -380,7 +380,12 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8,
         candidates = cand_normal.unionByName(cand_hot).distinct()
     # exact verify on candidates only, reusing the cached shingles
     sh = sh_cached
-    sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
+    # the per-doc size table joins BOTH the a_id and b_id sides below
+    # — persist it once (r15) instead of re-aggregating the shingle
+    # cache per side (doc-count sized, tiny next to the shingles)
+    sizes = persist_tracked(
+        sh.groupBy("sid").agg(F.count("*").alias("sz"))
+    )
     inter = (
         candidates.join(sh.alias("a"), F.col("a.sid") == F.col("a_id"))
         .join(
@@ -1030,7 +1035,15 @@ def containment_prefix_pairs(df: DataFrame, threshold_bp: int = 8000,
             StorageLevel.MEMORY_AND_DISK,
         )
     t = threshold_bp
-    prefix = containment_prefix(sh, t, dfreq=dfreq)
+    # ONE per-doc size table, persisted, feeds the prefix-length
+    # filter AND both sides of the orientation join below (r15): each
+    # consumer otherwise re-ran the same groupBy(sid) aggregation over
+    # the whole shingle cache — three corpus passes for a doc-count
+    # sized table (plan before/after: plans/r15/containment_*).
+    szs = persist_tracked(
+        sh.groupBy("sid").agg(F.count("*").cast("long").alias("sz"))
+    )
+    prefix = containment_prefix(sh, t, dfreq=dfreq, sizes=szs)
     cand = (
         prefix.select(F.col("sid").alias("a_id"), "shingle")
         .join(sh.select(F.col("sid").alias("b_id"), "shingle"), "shingle")
@@ -1038,7 +1051,6 @@ def containment_prefix_pairs(df: DataFrame, threshold_bp: int = 8000,
         .select("a_id", "b_id")
         .distinct()
     )
-    szs = sh.groupBy("sid").agg(F.count("*").cast("long").alias("sz"))
     oriented = (
         cand.join(
             szs.select(F.col("sid").alias("a_id"), F.col("sz").alias("sz_a")),
@@ -1073,7 +1085,8 @@ def containment_prefix_pairs(df: DataFrame, threshold_bp: int = 8000,
 
 
 def containment_prefix(sh: DataFrame, threshold_bp: int = 8000,
-                       dfreq: DataFrame | None = None) -> DataFrame:
+                       dfreq: DataFrame | None = None,
+                       sizes: DataFrame | None = None) -> DataFrame:
     """The prefix-blocking rows for containment matching: per doc, its
     ``sz - ceil(t*sz) + 1`` RAREST shingles (df-ranked within the
     given shingle table, ties by shingle text). Pigeonhole exactness:
@@ -1088,12 +1101,17 @@ def containment_prefix(sh: DataFrame, threshold_bp: int = 8000,
 
     ``dfreq`` lets a caller that already computed the document
     frequencies (the df_cap path) pass them in instead of paying the
-    aggregation twice."""
+    aggregation twice. ``sizes`` likewise accepts an already-computed
+    (sid, sz) per-doc size table (r15: containment_prefix_pairs
+    persists ONE size table and shares it here and with both sides of
+    its orientation join — the same aggregation over the shingle
+    cache otherwise ran three times per query)."""
     from pyspark.sql import Window
 
     if dfreq is None:
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
-    sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
+    if sizes is None:
+        sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
     w = Window.partitionBy("sid").orderBy("dfreq", "shingle")
     return (
         sh.join(dfreq, "shingle")
