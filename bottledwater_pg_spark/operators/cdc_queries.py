@@ -107,11 +107,11 @@ def cdc_topic_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     ev = load_table(spark, sf_dir, "events")
     stream = (
-        generate_cdc(cust, ["c_custkey"], F.col("c_custkey"), 16385, "customer",
-                     CUSTOMER_SPEC)
+        generate_cdc(_pscan(cust), ["c_custkey"], F.col("c_custkey"), 16385,
+                     "customer", CUSTOMER_SPEC)
         .unionByName(
-            generate_cdc(orders, ["o_orderkey"], F.col("o_orderkey"), 16388,
-                         "orders", ORDERS_SPEC)
+            generate_cdc(_pscan(orders), ["o_orderkey"], F.col("o_orderkey"),
+                         16388, "orders", ORDERS_SPEC)
         )
         .unionByName(
             generate_cdc(
@@ -527,17 +527,23 @@ def cdc_stream_table_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # defeats that pruning, so the filter form computed BOTH tables'
     # full generation per side. Routing-by-relid stays certified by
     # cdc_topic_routing_counts / cdc_replicate_all_counts.
+    # r15: single-action query whose per-side envelope encode sits
+    # between a single-row-group scan and the compaction exchange —
+    # the §2.5 under-split opt-in spreads it (no-op on multi-split
+    # inputs; the multi-action CDC consumers stay opted out, r14 A/B)
+    from bottledwater_pg_spark.session import parallel_scan as _pscan
+
     cust_state = materialize(
         generate_cdc(
-            cust, ["c_custkey"], F.col("c_custkey"), 16385, "customer",
-            CUSTOMER_SPEC,
+            _pscan(cust), ["c_custkey"], F.col("c_custkey"), 16385,
+            "customer", CUSTOMER_SPEC,
         ),
         cust.schema,
     )
     ord_state = materialize(
         generate_cdc(
-            orders, ["o_orderkey"], F.col("o_orderkey"), 16388, "orders",
-            ORDERS_SPEC,
+            _pscan(orders), ["o_orderkey"], F.col("o_orderkey"), 16388,
+            "orders", ORDERS_SPEC,
         ),
         orders.schema,
     )
