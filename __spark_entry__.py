@@ -46,6 +46,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # has a driver record from some round. scripts/exact_gate.py still
 # re-certifies all 157 locally (EXACTGATE_r5.json).
 _FAMILY_SPREAD = [
+    # ---- ROUND 15 rotation (optimization round 2): slots for what
+    # r15 touched that was OUT of window — cdc_stream_table_join +
+    # cdc_topic_routing_counts (both gained the single-action
+    # under-split read repartition; records live in CORRECTNESS_r08)
+    # and cms_heavy_users_certificate (count folded into the sketch
+    # aggregation; records in CORRECTNESS_r01-r10). The other r15
+    # touches were already in-window: cdc_merge_sink_customer slot 3
+    # (single-pass merge batch), containment pair slots 4/11 + the
+    # dedup/minhash family slots 44-48 (shared persisted size
+    # tables), lsh_hot_bucket slot 1, supplier_kcore slot 38.
+    # Rotated out to make room (multi-round records in
+    # CORRECTNESS_r12-r14, code untouched this round):
+    # sq_ann_recall_vs_exact, mrl_ann_recall_vs_exact,
+    # source_quota_sample.
+    "cdc_stream_table_join", "cdc_topic_routing_counts",
+    "cms_heavy_users_certificate",
     # ---- ROUND 14 window: the driver hashes the FIRST 50 entries.
     # Slots 1-3 are what r14 changed most: lsh_hot_bucket_capped_
     # clusters (NEW — MinHash-LSH hot-bucket star cap on the
@@ -82,8 +98,8 @@ _FAMILY_SPREAD = [
     # language-budget waterfill, and the trained perceptron quality
     # classifier (class-balanced batch training unrolled into SQL
     # CTEs).
-    "sq_ann_topk", "sq_ann_recall_vs_exact",
-    "mrl_ann_topk", "mrl_ann_recall_vs_exact",
+    "sq_ann_topk",
+    "mrl_ann_topk",
     "containment_near_dup", "c4_line_filter_stats",
     "unimax_language_budgets", "perceptron_quality_weights",
     # Slots 9-10: the two queries new in the first r11 session —
@@ -107,7 +123,6 @@ _FAMILY_SPREAD = [
     # (trained IVF/IVF-PQ + recall certificates, per-source quota).
     "ivf_trained_topk", "ivf_trained_recall_vs_exact",
     "ivfpq_trained_topk", "ivfpq_trained_recall_vs_exact",
-    "source_quota_sample",
     # Next: the deliberate rows-only cells next to their hash-green
     # accuracy certificates (xxhash64 twins — DuckDB cannot recompute
     # those outputs by design), and the hashed-gram span variant.
@@ -135,6 +150,9 @@ _FAMILY_SPREAD = [
     "dedup_threshold_sensitivity",
     # To the 50 boundary: flagship + certificates.
     "cdc_materialize_customer",
+    # ---- rotated out in r15 (records in CORRECTNESS_r12-r14):
+    "sq_ann_recall_vs_exact", "mrl_ann_recall_vs_exact",
+    "source_quota_sample",
     # ---- rotated out in r14 (records in CORRECTNESS_r10-r13):
     "lineitem_corr_matrix", "quantity_price_corr_exact",
     "hll_error_bound_by_type",

@@ -633,7 +633,9 @@ def main() -> None:
     many_table = many_table_soak(spark, sf_dir)
     scaling = scale_soak(spark, sf_dir)
     # the CPU-bound ×10 cell: added to the per-query map (new names
-    # only); `total` above stays the sf0.1 sum for r1-r14 continuity
+    # only); `total` above stays the sf0.1 sum for r1-r14 continuity,
+    # and n_queries keeps counting the sf0.1 list that sum covers
+    n_sf_queries = len(timings)
     x10 = x10_cell(spark, sf_dir, queries)
     timings.update(x10)
     x10_total = round(sum(x10.values()), 3)
@@ -706,7 +708,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
-                "n_queries": len(timings),
+                "n_queries": n_sf_queries,
+                "n_x10_cells": len(x10),
                 "cdc_events_per_sec": cdc_eps,
                 "x10_cell_total_sec": x10_total,
                 "streaming_p50_batch_sec": streaming.get("p50_batch_sec"),
@@ -736,7 +739,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
-                "n_queries": len(timings),
+                "n_queries": n_sf_queries,
+                "n_x10_cells": len(x10),
                 "cdc_events_per_sec": cdc_eps,
                 "x10_cell_total_sec": x10_total,
                 "queries": tail_queries,

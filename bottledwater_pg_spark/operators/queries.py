@@ -3361,13 +3361,17 @@ def cms_heavy_users_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bottledwater_pg_spark.session import persist_tracked
 
     ev = persist_tracked(ev)
-    n_total = ev.count()
-    sketch = ev.agg(
+    # ONE aggregation job carries the row count AND the sketch (r15:
+    # they were two separate driver actions over the same cached
+    # projection — same values, one fewer per-job floor)
+    meta = ev.agg(
+        F.count("*").alias("n"),
         F.expr(
             f"count_min_sketch(u, cast({CMS_EPS} as double), "
             f"cast({CMS_CONF} as double), {CMS_SEED})"
-        ).alias("s")
-    ).collect()[0]["s"]
+        ).alias("s"),
+    ).collect()[0]
+    n_total, sketch = meta["n"], meta["s"]
     jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         bytes(sketch)
     )

@@ -43,7 +43,7 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
 
 def test_driver_window_keeps_the_ledger_closed():
     """The driver hashes only the first 50 queries() entries. The
-    current (round-13) window must contain (a) every query with NO
+    current (round-15) window must contain (a) every query with NO
     driver record from r1-r10 (the r11-r13 additions), so the
     every-query-has-a-record invariant survives the rotation,
     (b) every query whose code path the current round touched (the
@@ -70,7 +70,12 @@ def test_driver_window_keeps_the_ledger_closed():
         # the r10 additions age one more round in-window
         "ivf_trained_topk", "ivf_trained_recall_vs_exact",
         "ivfpq_trained_topk", "ivfpq_trained_recall_vs_exact",
-        "source_quota_sample",
+        # r15-touched paths rotated in (single-action read
+        # repartition; the count-folded CMS aggregation; plus the
+        # merge sink / containment / dedup families already present)
+        "cdc_stream_table_join", "cdc_topic_routing_counts",
+        "cms_heavy_users_certificate",
+        "cdc_merge_sink_customer",
         # rows-only cells + their certificates stay paired in-window
         "lsh_ann_topk_xxhash", "simhash_xxhash_near_dup",
         "lsh_ann_recall_vs_exact",
@@ -79,8 +84,10 @@ def test_driver_window_keeps_the_ledger_closed():
     assert not [n for n in must_be_in_window if n not in window]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     recs: dict = {}
-    for r in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10):
+    for r in range(1, 15):
         p = os.path.join(repo, f"CORRECTNESS_r{r:02d}.json")
+        if not os.path.exists(p):
+            p = os.path.join(repo, f"CORRECTNESS_r{r}.json")
         if os.path.exists(p):
             recs.update(json.load(open(p)))
     uncovered = [

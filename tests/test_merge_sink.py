@@ -278,3 +278,50 @@ def test_compact_state_bounds_generation_count(spark, tmp_path):
     ]
     assert len(gens) == 1
     events.unpersist()
+
+
+def test_multi_event_keys_and_replay_ties_in_one_batch(spark, tmp_path):
+    """r15 pins the single-pass merge internals: merge_batch now
+    unions RAW batch events into the (bucket, key) merge aggregation
+    (no pre-compaction pass), so a batch where one key carries several
+    events — including an exact duplicate of the winning event, the
+    foreachBatch replay shape — must still leave exactly the
+    latest-by-lsn row per key, and a later batch must still lose to
+    (or tie exactly with) what the state holds."""
+    sink = BucketedMergeSink(spark, str(tmp_path / "st"), n_buckets=4)
+    b1 = spark.createDataFrame(
+        [
+            ("k1", "insert", 10, "v1"),
+            ("k1", "update", 20, "v2"),
+            ("k1", "update", 20, "v2"),  # exact in-batch replay tie
+            ("k2", "insert", 11, "w1"),
+            ("k2", "delete", 15, None),
+            ("k3", "insert", 12, "x1"),
+        ],
+        "key string, op string, lsn long, new_row string",
+    )
+    sink.merge_batch(b1)
+    state = {r["key"]: (r["op"], r["lsn"], r["new_row"])
+             for r in sink.state().collect()}
+    assert state == {
+        "k1": ("update", 20, "v2"),
+        "k2": ("delete", 15, None),   # tombstone kept in state
+        "k3": ("insert", 12, "x1"),
+    }
+    # second batch: an OLD replayed event must lose to the state row,
+    # a newer one must win
+    b2 = spark.createDataFrame(
+        [
+            ("k1", "insert", 10, "v1"),   # stale replay: loses
+            ("k3", "update", 30, "x2"),   # newer: wins
+        ],
+        "key string, op string, lsn long, new_row string",
+    )
+    sink.merge_batch(b2)
+    state = {r["key"]: (r["op"], r["lsn"], r["new_row"])
+             for r in sink.state().collect()}
+    assert state == {
+        "k1": ("update", 20, "v2"),
+        "k2": ("delete", 15, None),
+        "k3": ("update", 30, "x2"),
+    }
