@@ -1051,6 +1051,11 @@ def containment_prefix_pairs(df: DataFrame, threshold_bp: int = 8000,
         .select("a_id", "b_id")
         .distinct()
     )
+    # Orientation keeps only the smaller-as-a_id version of each pair,
+    # then carries ONLY the pair ids into the intersection join (r15):
+    # sz_a/sz_b used to ride through the (pairs x A-shingles) blow-up
+    # and sit in the aggregation key — re-attaching them from the
+    # persisted szs AFTER the count touches pair-count rows instead.
     oriented = (
         cand.join(
             szs.select(F.col("sid").alias("a_id"), F.col("sz").alias("sz_a")),
@@ -1065,16 +1070,36 @@ def containment_prefix_pairs(df: DataFrame, threshold_bp: int = 8000,
             | ((F.col("sz_a") == F.col("sz_b"))
                & (F.col("a_id") < F.col("b_id")))
         )
+        .select("a_id", "b_id")
     )
-    return (
+    # count("*") == count_distinct(shingle) here: shingle_table is
+    # array_distinct per doc (and the df_cap filter joins a UNIQUE
+    # shingle list), so the sa/sb equi-join yields each shared shingle
+    # exactly once per pair — the same uniqueness `szs`'s count("*")
+    # already relies on. count_distinct planned a second, DISTINCT
+    # aggregation keyed by (pair, shingle string) — at x10 that
+    # shuffled the whole intersection blow-up; count("*") collapses it
+    # map-side to one row per pair before the exchange
+    # (plans/r15/containment_*; x10 numbers in OPTIMIZATION_r15.md).
+    inter = (
         oriented.join(sh.alias("sa"), F.col("sa.sid") == F.col("a_id"))
         .join(
             sh.alias("sb"),
             (F.col("sb.sid") == F.col("b_id"))
             & (F.col("sa.shingle") == F.col("sb.shingle")),
         )
-        .groupBy("a_id", "b_id", "sz_a", "sz_b")
-        .agg(F.count_distinct("sa.shingle").alias("inter"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            szs.select(F.col("sid").alias("a_id"), F.col("sz").alias("sz_a")),
+            "a_id",
+        )
+        .join(
+            szs.select(F.col("sid").alias("b_id"), F.col("sz").alias("sz_b")),
+            "b_id",
+        )
         .filter(F.col("inter") * 10000 >= F.col("sz_a") * t)
         .select(
             "a_id", "b_id", "inter", "sz_a", "sz_b",
