@@ -1133,13 +1133,26 @@ def containment_prefix(sh: DataFrame, threshold_bp: int = 8000,
     cache otherwise ran three times per query)."""
     from pyspark.sql import Window
 
-    if dfreq is None:
-        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("dfreq"))
     if sizes is None:
         sizes = sh.groupBy("sid").agg(F.count("*").alias("sz"))
+    if dfreq is None:
+        # df-rank via a window count instead of a separate aggregation
+        # joined back (r15): both forms shuffle the shingle table by
+        # shingle exactly once (the window's sort vs the SMJ's), but
+        # the agg+join form ALSO re-scanned the table to build the
+        # dfreq branch — one whole corpus pass dropped. Row-identical
+        # (exceptAll both ways = 0 at sf0.1 and x10); x10 min 10.0 ->
+        # 8.9 s on the containment pipeline, sf0.1 flat.
+        ranked = sh.withColumn(
+            "dfreq", F.count("*").over(Window.partitionBy("shingle"))
+        )
+    else:
+        # a caller that already computed (and persisted) the document
+        # frequencies — the df_cap path — joins them instead
+        ranked = sh.join(dfreq, "shingle")
     w = Window.partitionBy("sid").orderBy("dfreq", "shingle")
     return (
-        sh.join(dfreq, "shingle")
+        ranked
         .withColumn("rn", F.row_number().over(w))
         .join(sizes, "sid")
         .filter(
